@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md).
+  *
+  * All tables are parquet; loading through here keeps the scan declarative so
+  * Catalyst applies predicate pushdown and column pruning — at 100 TB the scan
+  * must only read the columns/rows each query touches.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is parquet TIMESTAMP(NANOS), which Spark has no native type
+    // for; it is read as LongType via spark.sql.legacy.parquet.nanosAsLong
+    // (set in GraftSession/Verify/Bench) and converted here. Integer `div`
+    // keeps full precision — a double round-trip would corrupt µs at 1e18 ns.
+    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
+      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case None    => df
+    }
+  }
+
+  /** Register every table as a temp view for `spark.sql` surfaces. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

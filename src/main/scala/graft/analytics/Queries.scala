@@ -1,0 +1,562 @@
+package graft.analytics
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The engine's relational analytics surface (SURVEY.md §2.8).
+  *
+  * The reference pipeline ships events toward Athena (s12v/awsbeats
+  * streams/client.go:140-144 documents Kinesis→Firehose→S3→Athena as the
+  * destination), so the analytics layer is a first-class part of the engine:
+  * aggregations, joins (broadcast/semi/anti/range/as-of), window functions,
+  * set ops, rollup/cube, scalar/date/JSON functions.
+  *
+  * Design rules (scale + oracle):
+  *   - declarative DataFrame API only — Catalyst handles pushdown, pruning,
+  *     join selection, partial aggregation; AQE re-plans at runtime;
+  *   - dimension tables joined via `broadcast()` so the 100 TB fact side
+  *     never shuffles for a kB-sized dimension;
+  *   - output columns are only BIGINT / DOUBLE / STRING / DATE, floats are
+  *     rounded, and every query carries a deterministic total ORDER BY so the
+  *     DuckDB oracle compare is stable.
+  */
+object Queries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---------------------------------------------------------------- q01
+  /** Pricing summary: grouped aggregation with partial (map-side) combine.
+    * Scale note: groupBy on low-cardinality keys -> tiny shuffle after
+    * partial aggregation; the filter is pushed into the parquet scan. */
+  val q01PricingSummary: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .filter($"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  // ---------------------------------------------------------------- q02
+  /** Multi-way join with broadcast dimensions: fact (lineitem, orders) joined
+    * to customer/nation/region. nation+region are broadcast — no shuffle of
+    * the fact side for them at any scale. */
+  val q02RevenueByNation: Q = (s, dir) => {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+    val o  = t(s, dir, "orders")
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+              $"o_orderdate" <  lit("1998-01-01").cast("timestamp"))
+    val c  = t(s, dir, "customer")
+    val n  = t(s, dir, "nation")
+    val r  = t(s, dir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy($"r_name", $"n_name")
+      .agg(
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  // ---------------------------------------------------------------- q03
+  /** Top-k by aggregate: Catalyst plans TakeOrderedAndProject — only k rows
+    * cross the final exchange, not the whole aggregate. */
+  val q03TopOrders: Q = (s, dir) => {
+    import s.implicits._
+    val li = t(s, dir, "lineitem").filter($"l_shipdate" > lit("1997-01-01").cast("timestamp"))
+    val o  = t(s, dir, "orders").filter($"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy($"l_orderkey")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+      .select($"l_orderkey".cast("long").as("o_key"), $"revenue")
+      .orderBy($"revenue".desc, $"o_key")
+      .limit(10)
+  }
+
+  // ---------------------------------------------------------------- q04
+  /** Window ranking: top-3 parts per brand (reference analogue: metricbeat
+    * `process.include_top_n by_cpu: 5`, example/metricbeat/metricbeat.yml:36-38). */
+  val q04WindowTopN: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"p_brand").orderBy($"p_retailprice".desc, $"p_partkey")
+    t(s, dir, "part")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= 3)
+      .select($"p_brand", $"p_partkey".cast("long").as("p_key"),
+        round($"p_retailprice", 2).as("price"), $"rn")
+      .orderBy($"p_brand", $"rn")
+  }
+
+  // ---------------------------------------------------------------- q05
+  /** Window frame: running total per customer (rowsBetween unbounded..current). */
+  val q05RunningTotal: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .withColumn("running", round(sum($"o_totalprice").over(w), 2))
+      .select($"o_custkey".cast("long").as("cust"), $"o_orderkey".cast("long").as("okey"), $"running")
+      .orderBy($"cust", $"okey")
+  }
+
+  // ---------------------------------------------------------------- q06
+  /** Left-semi join (EXISTS): customers that placed at least one high-value order. */
+  val q06SemiJoin: Q = (s, dir) => {
+    import s.implicits._
+    val big = t(s, dir, "orders").filter($"o_totalprice" > 50000.0)
+    t(s, dir, "customer")
+      .join(big, $"c_custkey" === big("o_custkey"), "left_semi")
+      .select($"c_custkey".cast("long").as("cust"), $"c_name", $"c_mktsegment")
+      .orderBy($"cust")
+  }
+
+  // ---------------------------------------------------------------- q07
+  /** Left-anti join (NOT EXISTS): customers with no orders at all. */
+  val q07AntiJoin: Q = (s, dir) => {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+    t(s, dir, "customer")
+      .join(o, $"c_custkey" === o("o_custkey"), "left_anti")
+      .select($"c_custkey".cast("long").as("cust"), $"c_name")
+      .orderBy($"cust")
+  }
+
+  // ---------------------------------------------------------------- q08
+  /** Set operations: union / intersect / except over nation-key domains. */
+  val q08SetOps: Q = (s, dir) => {
+    import s.implicits._
+    val cn = t(s, dir, "customer").select($"c_nationkey".cast("long").as("k")).distinct()
+    val sn = t(s, dir, "supplier").select($"s_nationkey".cast("long").as("k")).distinct()
+    val u = cn.union(sn).distinct().withColumn("op", lit("union"))
+    val i = cn.intersect(sn).withColumn("op", lit("intersect"))
+    val e = cn.except(sn).withColumn("op", lit("except"))
+    u.unionByName(i).unionByName(e).select($"op", $"k").orderBy($"op", $"k")
+  }
+
+  // ---------------------------------------------------------------- q09
+  /** Distinct aggregation: exact count-distinct per group (expand-based plan). */
+  val q09DistinctAgg: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_suppkey").as("n_supp"),
+        countDistinct($"l_partkey").as("n_part"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  // ---------------------------------------------------------------- q10
+  /** Rollup: hierarchical subtotals (flag, status) -> (flag) -> (). */
+  val q10Rollup: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(round(sum($"l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("flag"),
+        coalesce($"l_linestatus", lit("ALL")).as("status"),
+        $"sum_qty", $"n")
+      .orderBy($"flag", $"status")
+  }
+
+  // ---------------------------------------------------------------- q11
+  /** Cube: all grouping-set combinations of (status, priority). */
+  val q11Cube: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "orders")
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(round(sum($"o_totalprice"), 2).as("total"), count(lit(1)).as("n"))
+      .select(
+        coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"total", $"n")
+      .orderBy($"status", $"priority")
+  }
+
+  // ---------------------------------------------------------------- q12
+  /** Scalar string/math functions — all codegen'd builtins, no UDFs. */
+  val q12ScalarFuncs: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "part")
+      .select(
+        $"p_partkey".cast("long").as("p_key"),
+        upper($"p_brand").as("brand_u"),
+        substring($"p_name", 1, 12).as("name12"),
+        length($"p_name").cast("long").as("name_len"),
+        concat_ws("|", $"p_brand", $"p_type").as("brand_type"),
+        round(abs($"p_retailprice" - 1000.0), 2).as("absdiff"),
+        ($"p_size" % 7).cast("long").as("size_mod7"))
+      .orderBy($"p_key")
+  }
+
+  // ---------------------------------------------------------------- q13
+  /** Date/time functions over orders. */
+  val q13DateFuncs: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "orders")
+      .select(
+        $"o_orderkey".cast("long").as("okey"),
+        year($"o_orderdate").cast("long").as("yr"),
+        month($"o_orderdate").cast("long").as("mo"),
+        dayofmonth($"o_orderdate").cast("long").as("dom"),
+        quarter($"o_orderdate").cast("long").as("qtr"),
+        date_trunc("month", $"o_orderdate").cast("date").as("month_start"),
+        datediff($"o_orderdate".cast("date"), lit("1995-01-01").cast("date"))
+          .cast("long").as("days_since"),
+        add_months($"o_orderdate".cast("date"), 3).as("plus3m"))
+      .orderBy($"okey")
+  }
+
+  // ---------------------------------------------------------------- q14
+  /** Conditional aggregation (CASE WHEN inside agg) over the event stream. */
+  val q14ConditionalAgg: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy($"user_id")
+      .agg(
+        round(sum(when($"event_type" === "purchase", $"value").otherwise(0.0)), 2).as("purchase_value"),
+        sum(when($"event_type" === "error", 1L).otherwise(0L)).as("n_errors"),
+        round(max($"value"), 2).as("max_value"),
+        round(min($"value"), 2).as("min_value"),
+        count(lit(1)).as("n_events"))
+      .orderBy($"user_id")
+  }
+
+  // ---------------------------------------------------------------- q15
+  /** JSON extraction from the semi-structured `props` payload — the engine
+    * analogue of the reference's dotted-path field access
+    * (s12v/awsbeats streams/partition_key.go:26-39). */
+  val q15JsonExtract: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "events")
+      .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+      .groupBy($"k")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+      .orderBy($"k")
+  }
+
+  // ---------------------------------------------------------------- q16
+  /** Event-time tumbling window (batch twin of the streaming daily window). */
+  val q16TumblingDaily: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy(window($"ts", "1 day").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+      .select($"w.start".cast("date").as("day"), $"event_type", $"n", $"sum_value")
+      .orderBy($"day", $"event_type")
+  }
+
+  // ---------------------------------------------------------------- q17
+  /** Gap-based sessionization with window functions (lag + running sum):
+    * a 30-minute inactivity gap starts a new session. Batch twin of the
+    * streaming session_window / flatMapGroupsWithState path. */
+  val q17Sessionize: Q = (s, dir) => {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val run    = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("prev_us", lag($"us", 1).over(byUser))
+      .withColumn("new_sess",
+        when($"prev_us".isNull || ($"us" - $"prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("sess_idx", sum($"new_sess").over(run))
+      .groupBy($"user_id", $"sess_idx")
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sess_value"))
+      .orderBy($"user_id", $"sess_idx")
+  }
+
+  // ---------------------------------------------------------------- q18
+  /** Range join: lineitems shipped within 90 days of their order's date.
+    * Equi key (orderkey) + range predicate — Catalyst plans SMJ/hash on the
+    * equi part with the range as post-filter, so no BNLJ blowup at scale. */
+  val q18RangeJoin: Q = (s, dir) => {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+    val o  = t(s, dir, "orders")
+    li.join(o,
+        li("l_orderkey") === o("o_orderkey") &&
+        li("l_shipdate") >= o("o_orderdate") &&
+        li("l_shipdate") <= o("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_shipped_90d"))
+      .orderBy($"o_orderpriority")
+  }
+
+  // ---------------------------------------------------------------- q19
+  /** As-of join expressed as a window: for each purchase, the most recent
+    * strictly-prior click of the same user. Avoids a self-join shuffle — one
+    * sort per user partition covers every purchase at once. */
+  val q19AsOfJoin: Q = (s, dir) => {
+    import s.implicits._
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, dir, "events")
+      .withColumn("us", unix_micros($"ts"))
+      .withColumn("last_click_us",
+        max(when($"event_type" === "click", $"us")).over(byUser))
+      .filter($"event_type" === "purchase")
+      .select(
+        $"event_id",
+        $"user_id",
+        ($"us" - $"last_click_us").as("us_since_click"))
+      .orderBy($"event_id")
+  }
+
+  // ---------------------------------------------------------------- q20
+  /** Statistical aggregates: stddev / variance / correlation / median. */
+  val q20Stats: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "events")
+      .withColumn("k", get_json_object($"props", "$.k").cast("double"))
+      .groupBy($"event_type")
+      .agg(
+        round(stddev_samp($"value"), 4).as("sd"),
+        round(var_samp($"value"), 4).as("variance"),
+        round(corr($"value", $"k"), 4).as("corr_vk"),
+        round(expr("percentile(value, 0.5)"), 4).as("median_v"),
+        count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
+  // ---------------------------------------------------------------- q21
+  /** Daily top-5 users by spend — the metricbeat top-N processor
+    * (example/metricbeat/metricbeat.yml:36-38) generalized to event analytics. */
+  val q21TopUsersDaily: Q = (s, dir) => {
+    import s.implicits._
+    val daily = t(s, dir, "events")
+      .groupBy($"ts".cast("date").as("day"), $"user_id")
+      .agg(round(sum($"value"), 2).as("total"))
+    val w = Window.partitionBy($"day").orderBy($"total".desc, $"user_id")
+    daily
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 5)
+      .orderBy($"day", $"rk")
+  }
+
+  // ---------------------------------------------------------------- q22
+  /** Grouping sets via union of aggregations at chosen granularities
+    * (explicit grouping-set list, unlike q10/q11's rollup/cube). */
+  val q22GroupingSets: Q = (s, dir) => {
+    import s.implicits._
+    val e = t(s, dir, "events")
+    e.createOrReplaceTempView("graft_events_gs")
+    s.sql(
+      """SELECT coalesce(event_type, 'ALL') AS etype,
+        |       coalesce(CAST(user_id % 10 AS BIGINT), -1) AS user_bucket,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(value), 2) AS sum_value
+        |FROM graft_events_gs
+        |GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+        |ORDER BY etype, user_bucket""".stripMargin)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q01_pricing_summary" -> q01PricingSummary,
+    "q02_revenue_by_nation" -> q02RevenueByNation,
+    "q03_top_orders" -> q03TopOrders,
+    "q04_window_topn" -> q04WindowTopN,
+    "q05_running_total" -> q05RunningTotal,
+    "q06_semi_join" -> q06SemiJoin,
+    "q07_anti_join" -> q07AntiJoin,
+    "q08_set_ops" -> q08SetOps,
+    "q09_distinct_agg" -> q09DistinctAgg,
+    "q10_rollup" -> q10Rollup,
+    "q11_cube" -> q11Cube,
+    "q12_scalar_funcs" -> q12ScalarFuncs,
+    "q13_date_funcs" -> q13DateFuncs,
+    "q14_conditional_agg" -> q14ConditionalAgg,
+    "q15_json_extract" -> q15JsonExtract,
+    "q16_tumbling_daily" -> q16TumblingDaily,
+    "q17_sessionize" -> q17Sessionize,
+    "q18_range_join" -> q18RangeJoin,
+    "q19_asof_join" -> q19AsOfJoin,
+    "q20_stats" -> q20Stats,
+    "q21_top_users_daily" -> q21TopUsersDaily,
+    "q22_grouping_sets" -> q22GroupingSets)
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | CAST(count(*) AS BIGINT) AS count_order
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q03_top_orders" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS o_key,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, o_key
+        |LIMIT 10""".stripMargin,
+    "q04_window_topn" ->
+      """SELECT p_brand, p_key, price, rn FROM (
+        | SELECT p_brand, CAST(p_partkey AS BIGINT) AS p_key,
+        |  round(p_retailprice, 2) AS price,
+        |  CAST(row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rn
+        | FROM part) t
+        |WHERE rn <= 3
+        |ORDER BY p_brand, rn""".stripMargin,
+    "q05_running_total" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS cust, CAST(o_orderkey AS BIGINT) AS okey,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+        |FROM orders
+        |ORDER BY cust, okey""".stripMargin,
+    "q06_semi_join" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS cust, c_name, c_mktsegment
+        |FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 50000.0)
+        |ORDER BY cust""".stripMargin,
+    "q07_anti_join" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS cust, c_name
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY cust""".stripMargin,
+    "q08_set_ops" ->
+      """WITH cn AS (SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS k FROM customer),
+        | sn AS (SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS k FROM supplier)
+        |SELECT 'union' AS op, k FROM (SELECT k FROM cn UNION SELECT k FROM sn)
+        |UNION ALL SELECT 'intersect' AS op, k FROM (SELECT k FROM cn INTERSECT SELECT k FROM sn)
+        |UNION ALL SELECT 'except' AS op, k FROM (SELECT k FROM cn EXCEPT SELECT k FROM sn)
+        |ORDER BY op, k""".stripMargin,
+    "q09_distinct_agg" ->
+      """SELECT l_returnflag,
+        | CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+        | CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part,
+        | CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q10_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
+        | round(sum(l_quantity), 2) AS sum_qty, CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+    "q11_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status, coalesce(o_orderpriority, 'ALL') AS priority,
+        | round(sum(o_totalprice), 2) AS total, CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q12_scalar_funcs" ->
+      """SELECT CAST(p_partkey AS BIGINT) AS p_key,
+        | upper(p_brand) AS brand_u,
+        | substring(p_name, 1, 12) AS name12,
+        | CAST(length(p_name) AS BIGINT) AS name_len,
+        | concat_ws('|', p_brand, p_type) AS brand_type,
+        | round(abs(p_retailprice - 1000.0), 2) AS absdiff,
+        | CAST(p_size % 7 AS BIGINT) AS size_mod7
+        |FROM part ORDER BY p_key""".stripMargin,
+    "q13_date_funcs" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS okey,
+        | CAST(year(o_orderdate) AS BIGINT) AS yr,
+        | CAST(month(o_orderdate) AS BIGINT) AS mo,
+        | CAST(day(o_orderdate) AS BIGINT) AS dom,
+        | CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        | CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        | CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+        | CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m
+        |FROM orders ORDER BY okey""".stripMargin,
+    "q14_conditional_agg" ->
+      """SELECT user_id,
+        | round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2) AS purchase_value,
+        | CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+        | round(max(value), 2) AS max_value,
+        | round(min(value), 2) AS min_value,
+        | CAST(count(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q15_json_extract" ->
+      """SELECT CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) AS k,
+        | CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+    "q16_tumbling_daily" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        | CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+    "q17_sessionize" ->
+      """WITH g AS (
+        | SELECT user_id, value, epoch_us(ts) AS us,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        | FROM events),
+        | f AS (
+        | SELECT user_id, value, us,
+        |  CASE WHEN prev_us IS NULL OR us - prev_us > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+        | FROM g),
+        | x AS (
+        | SELECT user_id, value,
+        |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx
+        | FROM f)
+        |SELECT user_id, sess_idx, CAST(count(*) AS BIGINT) AS n_events,
+        | round(sum(value), 2) AS sess_value
+        |FROM x GROUP BY user_id, sess_idx ORDER BY user_id, sess_idx""".stripMargin,
+    "q18_range_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_shipped_90d
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q19_asof_join" ->
+      """WITH w AS (
+        | SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+        |  max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
+        | FROM events)
+        |SELECT event_id, user_id, us - last_click_us AS us_since_click
+        |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "q20_stats" ->
+      """SELECT event_type,
+        | round(stddev_samp(value), 4) AS sd,
+        | round(var_samp(value), 4) AS variance,
+        | round(corr(value, CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS DOUBLE)), 4) AS corr_vk,
+        | round(quantile_cont(value, 0.5), 4) AS median_v,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q21_top_users_daily" ->
+      """SELECT day, user_id, total, rk FROM (
+        | SELECT day, user_id, total,
+        |  CAST(row_number() OVER (PARTITION BY day ORDER BY total DESC, user_id) AS BIGINT) AS rk
+        | FROM (
+        |  SELECT CAST(ts AS DATE) AS day, user_id, round(sum(value), 2) AS total
+        |  FROM events GROUP BY 1, 2) d) t
+        |WHERE rk <= 5 ORDER BY day, rk""".stripMargin,
+    "q22_grouping_sets" ->
+      """SELECT coalesce(event_type, 'ALL') AS etype,
+        | coalesce(CAST(user_id % 10 AS BIGINT), -1) AS user_bucket,
+        | CAST(count(*) AS BIGINT) AS n,
+        | round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+        |ORDER BY etype, user_bucket""".stripMargin)
+}
