@@ -1,0 +1,222 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import TextOps._
+
+/** Training-data deduplication surface over the `documents` table.
+  *
+  * Five independent dedup strategies, each a first-class query with a DuckDB
+  * oracle (BASELINE.json gate). The reference pipeline has no dedup — these
+  * are the LLM-data-pipeline extensions the engine adds on top of the
+  * reference's event-shipping scope (SURVEY.md §2.8).
+  *
+  * Scale design (100 TB): every strategy is one explode + one hash-partitioned
+  * aggregation/join on a key whose cardinality grows with the data (shingle
+  * hash, band signature, simhash) — never an all-pairs product. Candidate
+  * pairs only materialize inside a bucket/block, which is the standard
+  * MinHash-LSH trick for making near-dup detection linear-ish in corpus size.
+  */
+object Dedup {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  // ---------------------------------------------------------------- d01
+  /** Exact dedup: group by md5(text) — grouping on the 128-bit digest instead
+    * of the full text keeps shuffle rows tiny at 100 TB (32 bytes vs ~kB). */
+  val d01ExactDedup: Q = (s, dir) => {
+    import s.implicits._
+    docs(s, dir)
+      .groupBy(md5($"text").as("digest"))
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select($"keep_id", $"n_copies")
+      .orderBy($"keep_id")
+  }
+
+  // ---------------------------------------------------------------- d02
+  /** MinHash + LSH near-dup dedup: word 3-shingles → 16 affine minhash
+    * permutations → 4 bands of 4 → band-signature buckets. A doc is kept iff
+    * no smaller doc_id shares any band bucket (greedy keep-first).
+    *
+    * One shuffle for the signature aggregation (16 partial-aggregated mins),
+    * one for the band-bucket window — both keyed on values whose cardinality
+    * scales with the corpus, so no quadratic blowup at scale. */
+  val d02MinhashLsh: Q = (s, dir) => {
+    import s.implicits._
+    val sh = docs(s, dir)
+      .select($"doc_id", explode(shingles3(toks($"text"))).as("sh"))
+      .select($"doc_id", hm($"sh").as("hm"))
+    val aggs = (0 until 16).map(k => min(perm(k, $"hm")).as(s"mh$k"))
+    val sig = sh.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
+    val bandCols = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until 4).map(i => col(s"mh${4 * b + i}").cast("string")): _*).as("bsig"))
+    }
+    val bands = sig
+      .select($"doc_id", explode(array(bandCols: _*)).as("bb"))
+      .select($"doc_id", $"bb.band".as("band"), $"bb.bsig".as("bsig"))
+    val w = Window.partitionBy($"band", $"bsig")
+    bands
+      .withColumn("mn", min($"doc_id").over(w))
+      .groupBy($"doc_id")
+      .agg(min($"mn").as("gmin"))
+      .select($"doc_id",
+        when($"gmin" === $"doc_id", 1L).otherwise(0L).as("kept"))
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------- d03
+  /** SimHash fingerprint: per-token 30-bit md5 hash, bit-majority weighted by
+    * token frequency → one 30-bit fingerprint per doc. Near-dup docs land on
+    * nearby (often equal) fingerprints; grouping on the fingerprint is the
+    * scale path (no pairs). */
+  val d03Simhash: Q = (s, dir) => {
+    import s.implicits._
+    val th = docs(s, dir)
+      .select($"doc_id", explode(toks($"text")).as("tok"))
+      .select($"doc_id", hm($"tok").as("hm"))
+      .groupBy($"doc_id", $"hm").agg(count(lit(1)).as("cnt"))
+    th.select($"doc_id", $"hm", $"cnt", explode(sequence(lit(0), lit(29))).as("j"))
+      .withColumn("contr",
+        when(expr("(shiftright(hm, j) & 1)") === 1, $"cnt").otherwise(-$"cnt"))
+      .groupBy($"doc_id", $"j").agg(sum($"contr").as("sgn"))
+      .groupBy($"doc_id")
+      .agg(sum(when($"sgn" > 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
+        .otherwise(0L)).as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------- d04
+  /** N-gram Jaccard near-dup pairs: distinct word 3-shingles per doc, blocked
+    * by `lang`, candidate pairs generated ONLY by co-occurring shingles (an
+    * inverted-index join — the all-pairs product never materializes), exact
+    * Jaccard |A∩B| / (|A|+|B|−|A∩B|) ≥ 0.5 reported.
+    *
+    * Jaccard is a ratio of integers, so the 0.5 threshold is float-safe. */
+  val d04NgramJaccard: Q = (s, dir) => {
+    import s.implicits._
+    val sh = docs(s, dir)
+      .select($"doc_id", $"lang", explode(array_distinct(shingles3(toks($"text")))).as("sh"))
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.lang") === col("b.lang") && col("a.sh") === col("b.sh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("n", "na"), $"doc_a" === sizes("doc_id")).drop("doc_id")
+      .join(sizes.withColumnRenamed("n", "nb"), $"doc_b" === sizes("doc_id")).drop("doc_id")
+      .withColumn("jacc", $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
+      .filter($"jacc" >= 0.5)
+      .select($"doc_a", $"doc_b", round($"jacc", 4).as("jacc"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  // ---------------------------------------------------------------- d05
+  /** Embedding-cosine near-dup pairs: vectors blocked by `label` (the coarse
+    * cluster id), exact double-precision cosine within each block, pairs with
+    * round(cos,4) ≥ 0.35. Blocking caps the pair count at Σ block², the
+    * standard trade for avoiding the full n² product at scale. */
+  val d05EmbeddingNearDup: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.load(s, dir, "embeddings")
+      .select($"vec_id", $"label",
+        transform($"embedding", x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(aggregate($"v", lit(0.0d), (acc, x) => acc + x * x)))
+    val a = e.select($"vec_id".as("vec_a"), $"label", $"v".as("va"), $"nrm".as("na"))
+    val b = e.select($"vec_id".as("vec_b"), $"label", $"v".as("vb"), $"nrm".as("nb"))
+    a.join(b, Seq("label"))
+      .filter($"vec_a" < $"vec_b")
+      .withColumn("dot", aggregate(zip_with($"va", $"vb", (x, y) => x * y),
+        lit(0.0d), (acc, x) => acc + x))
+      .withColumn("cos", round($"dot" / ($"na" * $"nb"), 4))
+      .filter($"cos" >= 0.35)
+      .select($"vec_a", $"vec_b", $"cos")
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "d01_exact_dedup" -> d01ExactDedup,
+    "d02_minhash_lsh" -> d02MinhashLsh,
+    "d03_simhash" -> d03Simhash,
+    "d04_ngram_jaccard" -> d04NgramJaccard,
+    "d05_embedding_neardup" -> d05EmbeddingNearDup)
+
+  /** Shared DuckDB SQL prelude: tokens per doc (same split + empty-filter as
+    * [[TextOps.toks]]). */
+  private val toksCte =
+    """WITH l AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS toks
+      |  FROM documents)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "d02_minhash_lsh" ->
+      (toksCte +
+        """, sh AS (
+          |  SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS sh
+          |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks)+1)) AS i FROM l)),
+          | h AS (
+          |  SELECT doc_id,
+          |   CAST(CAST(('0x' || substr(md5(sh),1,15)) AS UBIGINT) % 2147483647 AS BIGINT) AS hm
+          |  FROM sh),
+          | sig AS (
+          |  SELECT doc_id, k,
+          |   min((CAST(2*k+1 AS BIGINT) * hm + (12345 + 41*k)) % 2147483647) AS mh
+          |  FROM h, (SELECT unnest(range(0,16)) AS k) GROUP BY doc_id, k),
+          | band AS (
+          |  SELECT doc_id, k // 4 AS band,
+          |   string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k) AS bsig
+          |  FROM sig GROUP BY doc_id, k // 4),
+          | bmin AS (
+          |  SELECT doc_id, min(doc_id) OVER (PARTITION BY band, bsig) AS mn FROM band)
+          |SELECT doc_id, CAST(CASE WHEN min(mn) = doc_id THEN 1 ELSE 0 END AS BIGINT) AS kept
+          |FROM bmin GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "d03_simhash" ->
+      (toksCte +
+        """, t AS (SELECT doc_id, unnest(toks) AS tok FROM l),
+          | h AS (
+          |  SELECT doc_id,
+          |   CAST(CAST(('0x' || substr(md5(tok),1,15)) AS UBIGINT) % 2147483647 AS BIGINT) AS hm
+          |  FROM t),
+          | g AS (SELECT doc_id, hm, count(*) AS cnt FROM h GROUP BY doc_id, hm),
+          | b AS (
+          |  SELECT doc_id, j,
+          |   sum(CASE WHEN (hm >> j) & 1 = 1 THEN cnt ELSE -cnt END) AS sgn
+          |  FROM g, (SELECT unnest(range(0,30)) AS j) GROUP BY doc_id, j)
+          |SELECT doc_id,
+          | CAST(sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+          |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "d04_ngram_jaccard" ->
+      (toksCte +
+        """, sh AS (
+          |  SELECT DISTINCT doc_id, lang, array_to_string(toks[i:i+2], ' ') AS sh
+          |  FROM (SELECT doc_id, lang, toks, unnest(range(1, len(toks)+1)) AS i FROM l)),
+          | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          | inter AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.sh = b.sh AND a.doc_id < b.doc_id
+          |  GROUP BY a.doc_id, b.doc_id)
+          |SELECT doc_a, doc_b,
+          | round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jacc
+          |FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+          |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+          |ORDER BY doc_a, doc_b""".stripMargin),
+    "d05_embedding_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+        |   sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        | round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.35
+        |ORDER BY vec_a, vec_b""".stripMargin)
+}

@@ -1,0 +1,138 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import TextOps._
+
+/** Approximate/exact nearest-neighbor search over the `embeddings` table
+  * (`Array[Float]`, 64-dim). LLM-pipeline extension (SURVEY.md §2.8 scope).
+  *
+  * Scale design: the query set is tiny and is explicitly `broadcast()` so the
+  * candidate side — the 100 TB side — streams through map tasks without any
+  * shuffle; only the per-query top-k rows (k × |queries|) reach the final
+  * exchange. The ANN variant prunes candidates to an LSH bucket first, which
+  * is the path that stays fast when the corpus no longer fits a broadcast
+  * join's build side.
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Random-hyperplane count and signature width (8 bits → 256 buckets). */
+  private val NPlanes = 8
+  private val Dim = 64
+
+  /** Deterministic pseudo-random hyperplanes derived from md5 — identical to
+    * the DuckDB oracle's `(md5('hp:j:d')-based % 2001 - 1000)/1000.0`.
+    * Computed once driver-side and folded into the plan as literals. */
+  private[ext] def hyperplane(j: Int): Seq[Double] =
+    (0 until Dim).map(d => ((h60Local(s"hp:$j:$d") % 2001L) - 1000L) / 1000.0)
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  /** 8-bit random-hyperplane signature of a double-array column. */
+  private def bucketOf(v: Column): Column =
+    (0 until NPlanes).map { j =>
+      val plane = array(hyperplane(j).map(lit): _*)
+      when(dot(v, plane) > 0.0d, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def vecs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "embeddings")
+      .select($"vec_id", $"label", asDouble($"embedding").as("v"))
+      .withColumn("nrm", sqrt(aggregate($"v", lit(0.0d), (acc, x) => acc + x * x)))
+  }
+
+  // ---------------------------------------------------------------- s01
+  /** Brute-force cosine top-5 for each query vector (vec_id < 20): broadcast
+    * the queries, stream the corpus, rank per query.
+    * Ordering is on round(cos,6) with vec_id tie-break, so candidates closer
+    * than 1e-6 in cosine rank deterministically in every engine. */
+  val s01KnnBrute: Q = (s, dir) => {
+    import s.implicits._
+    val e = vecs(s, dir)
+    val q = e.filter($"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))
+    val w = Window.partitionBy($"qid").orderBy($"cos6".desc, $"vec_id")
+    broadcast(q).join(e, $"qid" =!= $"vec_id")
+      .withColumn("cos6", round(dot($"qv", $"v") / ($"qn" * $"nrm"), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 5)
+      .select($"qid", $"rk", $"vec_id", round($"cos6", 4).as("cos"))
+      .orderBy($"qid", $"rk")
+  }
+
+  // ---------------------------------------------------------------- s02
+  /** ANN via random-hyperplane LSH: every vector gets an 8-bit signature;
+    * candidates for a query are ONLY the vectors in its bucket (≈ n/256 of
+    * the corpus), then exact cosine top-3 within the bucket. The bucket join
+    * is an equi-join on the signature — hash-partitioned, no all-pairs. */
+  val s02AnnLsh: Q = (s, dir) => {
+    import s.implicits._
+    val e = vecs(s, dir).withColumn("bucket", bucketOf($"v"))
+    val q = e.filter($"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"), $"bucket")
+    val w = Window.partitionBy($"qid").orderBy($"cos6".desc, $"vec_id")
+    broadcast(q).join(e, Seq("bucket"))
+      .filter($"qid" =!= $"vec_id")
+      .withColumn("cos6", round(dot($"qv", $"v") / ($"qn" * $"nrm"), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 3)
+      .select($"qid", $"rk", $"vec_id", round($"cos6", 4).as("cos"), $"bucket")
+      .orderBy($"qid", $"rk")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "s01_knn_brute" -> s01KnnBrute,
+    "s02_ann_lsh" -> s02AnnLsh)
+
+  private val vecsCte =
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+      |   sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nrm
+      |  FROM embeddings)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "s01_knn_brute" ->
+      (vecsCte +
+        """
+          |SELECT qid, rk, vec_id, round(cos6, 4) AS cos FROM (
+          | SELECT q.vec_id AS qid, e.vec_id,
+          |  round(list_dot_product(q.v, e.v) / (q.nrm * e.nrm), 6) AS cos6,
+          |  CAST(row_number() OVER (PARTITION BY q.vec_id
+          |    ORDER BY round(list_dot_product(q.v, e.v) / (q.nrm * e.nrm), 6) DESC,
+          |             e.vec_id) AS BIGINT) AS rk
+          | FROM e q JOIN e ON q.vec_id < 20 AND q.vec_id <> e.vec_id) t
+          |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin),
+    "s02_ann_lsh" ->
+      (vecsCte +
+        """, hp AS (
+          |  SELECT j, d,
+          |   (CAST(CAST(('0x' || substr(md5('hp:' || j || ':' || d),1,15)) AS UBIGINT)
+          |     % 2001 AS BIGINT) - 1000) / 1000.0 AS r
+          |  FROM (SELECT unnest(range(0,8)) AS j), (SELECT unnest(range(0,64)) AS d)),
+          | ev AS (
+          |  SELECT vec_id, generate_subscripts(v,1)-1 AS d, unnest(v) AS x FROM e),
+          | dots AS (
+          |  SELECT ev.vec_id, hp.j, sum(ev.x * hp.r) AS s
+          |  FROM ev JOIN hp USING (d) GROUP BY ev.vec_id, hp.j),
+          | buck AS (
+          |  SELECT vec_id,
+          |   CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS bucket
+          |  FROM dots GROUP BY vec_id),
+          | eb AS (SELECT e.*, buck.bucket FROM e JOIN buck USING (vec_id))
+          |SELECT qid, rk, vec_id, round(cos6, 4) AS cos, bucket FROM (
+          | SELECT q.vec_id AS qid, e2.vec_id, e2.bucket,
+          |  round(list_dot_product(q.v, e2.v) / (q.nrm * e2.nrm), 6) AS cos6,
+          |  CAST(row_number() OVER (PARTITION BY q.vec_id
+          |    ORDER BY round(list_dot_product(q.v, e2.v) / (q.nrm * e2.nrm), 6) DESC,
+          |             e2.vec_id) AS BIGINT) AS rk
+          | FROM eb q JOIN eb e2 ON q.bucket = e2.bucket
+          |   AND q.vec_id < 20 AND q.vec_id <> e2.vec_id) t
+          |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin))
+}

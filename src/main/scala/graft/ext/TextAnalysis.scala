@@ -1,0 +1,184 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import TextOps._
+
+/** Text-analysis surface over `documents`: language-ID heuristic, quality
+  * scoring, token statistics, and a rolling-hash document fingerprint
+  * (winnowing-style). LLM-pipeline extensions (SURVEY.md §2.8 scope); the
+  * reference's nearest analogue is its dotted-path field extraction
+  * (s12v/awsbeats streams/partition_key.go:26-39) — these generalize that
+  * "inspect the payload" idea into scoring/fingerprinting operators.
+  *
+  * All per-doc work is narrow (no shuffle until the final per-doc aggregate),
+  * codegen'd built-ins only — linear scans at 100 TB.
+  */
+object TextAnalysis {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Stopword lists for the n-gram/stopword language-ID vote. Tiny and
+    * plan-constant — broadcast-free literal arrays. */
+  private val stop: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  private def countIn(tk: Column, words: Seq[String]): Column =
+    size(filter(tk, t => array_contains(array(words.map(lit): _*), t))).cast("long")
+
+  // ---------------------------------------------------------------- t01
+  /** Language-ID by stopword vote: count tokens hitting each language's
+    * stopword list; predict the first language (in declared order) achieving
+    * the max score. */
+  val t01LangId: Q = (s, dir) => {
+    import s.implicits._
+    val base = docs(s, dir).withColumn("tk", toks($"text"))
+    val scored = stop.foldLeft(base) { case (df, (lang, words)) =>
+      df.withColumn(s"s_$lang", countIn($"tk", words))
+    }
+    val mx = greatest(stop.map { case (l, _) => col(s"s_$l") }: _*)
+    val pred = stop.foldRight(lit("und"): Column) { case ((l, _), alt) =>
+      when(col(s"s_$l") === mx && mx > 0, lit(l)).otherwise(alt)
+    }
+    scored
+      .select($"doc_id", pred.as("pred_lang"), mx.as("score"), $"lang".as("labeled"))
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------- t02
+  /** Quality scoring: token count, mean token length, stopword ratio,
+    * non-alphanumeric ratio, and a composite quality score. */
+  val t02Quality: Q = (s, dir) => {
+    import s.implicits._
+    docs(s, dir)
+      .withColumn("tk", toks($"text"))
+      .withColumn("n_tok", size($"tk").cast("long"))
+      .withColumn("sum_len", aggregate($"tk", lit(0L), (acc, t) => acc + length(t)))
+      .withColumn("n_stop", countIn($"tk", stop.head._2))
+      .withColumn("n_punct", length(regexp_replace($"text", "[a-z0-9\\s]", "")).cast("long"))
+      .select(
+        $"doc_id",
+        $"n_tok",
+        round($"sum_len".cast("double") / $"n_tok", 4).as("avg_tok_len"),
+        round($"n_stop".cast("double") / $"n_tok", 4).as("stop_ratio"),
+        round($"n_punct".cast("double") / length($"text"), 4).as("punct_ratio"),
+        round(least($"n_tok".cast("double") / 100.0, lit(1.0)) *
+          (lit(1.0) - $"n_stop".cast("double") / $"n_tok"), 4).as("quality"))
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------- t03
+  /** Token counting: whitespace tokens plus a BPE-ish regex segmentation
+    * (alpha runs / digit runs / single other chars). */
+  val t03TokenStats: Q = (s, dir) => {
+    import s.implicits._
+    docs(s, dir)
+      .select(
+        $"doc_id",
+        size(toks($"text")).cast("long").as("n_ws"),
+        regexp_count($"text", lit("[a-z]+")).cast("long").as("n_alpha"),
+        regexp_count($"text", lit("[0-9]+")).cast("long").as("n_num"),
+        regexp_count($"text", lit("[^a-z0-9\\s]")).cast("long").as("n_other"),
+        length($"text").cast("long").as("n_chars"))
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------- t04
+  /** Document fingerprint: rolling window hash over consecutive token hashes
+    * w_i = (3·h_i + 5·h_{i+1} + 7·h_{i+2}) mod P (winnowing-style);
+    * fingerprint = min window hash, plus the distinct-window count. Docs with
+    * <3 tokens have no window and are absent (consistent with the oracle). */
+  val t04Fingerprint: Q = (s, dir) => {
+    import s.implicits._
+    val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
+    docs(s, dir)
+      .select($"doc_id", posexplode(toks($"text")).as(Seq("pos", "tok")))
+      .select($"doc_id", $"pos", hm($"tok").as("h"))
+      .withColumn("h1", lead($"h", 1).over(byDoc))
+      .withColumn("h2", lead($"h", 2).over(byDoc))
+      .filter($"h2".isNotNull)
+      .withColumn("w", (lit(3L) * $"h" + lit(5L) * $"h1" + lit(7L) * $"h2") % P)
+      .groupBy($"doc_id")
+      .agg(min($"w").as("fingerprint"), countDistinct($"w").as("n_windows"))
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "t01_lang_id" -> t01LangId,
+    "t02_quality" -> t02Quality,
+    "t03_token_stats" -> t03TokenStats,
+    "t04_fingerprint" -> t04Fingerprint)
+
+  private val toksCte =
+    """WITH l AS (
+      |  SELECT doc_id, lang, text,
+      |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS toks
+      |  FROM documents)""".stripMargin
+
+  private def duckCount(words: Seq[String]): String =
+    "CAST(len(list_filter(toks, t -> list_contains([" +
+      words.map(w => s"'$w'").mkString(",") + "], t))) AS BIGINT)"
+
+  val oracles: Map[String, String] = Map(
+    "t01_lang_id" -> {
+      val scores = stop.map { case (l, ws) => s"${duckCount(ws)} AS s_$l" }.mkString(",\n   ")
+      val mx = "greatest(" + stop.map { case (l, _) => s"s_$l" }.mkString(", ") + ")"
+      val pred = stop.reverse.foldLeft("'und'") { case (alt, (l, _)) =>
+        s"CASE WHEN s_$l = mx AND mx > 0 THEN '$l' ELSE $alt END"
+      }
+      toksCte +
+        s""", sc AS (
+           |  SELECT doc_id, lang,
+           |   $scores
+           |  FROM l),
+           | m AS (SELECT *, $mx AS mx FROM sc)
+           |SELECT doc_id, $pred AS pred_lang, mx AS score, lang AS labeled
+           |FROM m ORDER BY doc_id""".stripMargin
+    },
+    "t02_quality" ->
+      (toksCte +
+        s""", q AS (
+           |  SELECT doc_id, toks, text,
+           |   CAST(len(toks) AS BIGINT) AS n_tok,
+           |   CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sum_len,
+           |   ${duckCount(stop.head._2)} AS n_stop,
+           |   CAST(length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct
+           |  FROM l)
+           |SELECT doc_id, n_tok,
+           | round(CAST(sum_len AS DOUBLE) / n_tok, 4) AS avg_tok_len,
+           | round(CAST(n_stop AS DOUBLE) / n_tok, 4) AS stop_ratio,
+           | round(CAST(n_punct AS DOUBLE) / length(text), 4) AS punct_ratio,
+           | round(least(CAST(n_tok AS DOUBLE) / 100.0, 1.0) *
+           |   (1.0 - CAST(n_stop AS DOUBLE) / n_tok), 4) AS quality
+           |FROM q ORDER BY doc_id""".stripMargin),
+    "t03_token_stats" ->
+      (toksCte +
+        """
+          |SELECT doc_id,
+          | CAST(len(toks) AS BIGINT) AS n_ws,
+          | CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha,
+          | CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_num,
+          | CAST(len(regexp_extract_all(text, '[^a-z0-9\s]')) AS BIGINT) AS n_other,
+          | CAST(length(text) AS BIGINT) AS n_chars
+          |FROM l ORDER BY doc_id""".stripMargin),
+    "t04_fingerprint" ->
+      (toksCte +
+        """, h AS (
+          |  SELECT doc_id, i,
+          |   CAST(CAST(('0x' || substr(md5(toks[i]),1,15)) AS UBIGINT) % 2147483647 AS BIGINT) AS h0,
+          |   CAST(CAST(('0x' || substr(md5(toks[i+1]),1,15)) AS UBIGINT) % 2147483647 AS BIGINT) AS h1,
+          |   CAST(CAST(('0x' || substr(md5(toks[i+2]),1,15)) AS UBIGINT) % 2147483647 AS BIGINT) AS h2
+          |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-1)) AS i FROM l)),
+          | w AS (SELECT doc_id, (3*h0 + 5*h1 + 7*h2) % 2147483647 AS w FROM h)
+          |SELECT doc_id, min(w) AS fingerprint,
+          | CAST(count(DISTINCT w) AS BIGINT) AS n_windows
+          |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+}

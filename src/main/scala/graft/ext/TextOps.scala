@@ -1,0 +1,53 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine-deterministic text/hash primitives shared by the dedup,
+  * similarity and text-analysis surfaces.
+  *
+  * Every derived value must be reproducible bit-for-bit by the DuckDB oracle,
+  * so the only hash primitive is md5 (identical in every engine): a 60-bit
+  * integer is taken from the first 15 hex chars, then folded into the Mersenne
+  * prime 2^31-1 so that subsequent affine transforms `(a*h + b) % P` stay well
+  * inside Long range (a,h < 2^31 ⇒ a*h < 2^62).
+  *
+  * All ops are codegen'd Catalyst built-ins (conv/md5/split/transform/slice) —
+  * no UDFs — so they inline into WholeStageCodegen and scale linearly with
+  * rows; nothing here shuffles.
+  */
+object TextOps {
+  /** Mersenne prime 2^31-1 — modulus for all derived hashes. */
+  val P = 2147483647L
+
+  /** 60-bit integer from the md5 of a string/binary column. */
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** md5-derived hash folded mod P (fits in 31 bits). */
+  def hm(c: Column): Column = h60(c) % P
+
+  /** Affine minhash permutation k applied to an `hm` column. */
+  def perm(k: Int, h: Column): Column =
+    (lit(2L * k + 1) * h + lit(12345L + 41L * k)) % P
+
+  /** Whitespace tokens, empties removed (matches DuckDB
+    * `list_filter(string_split_regex(text,'\s+'), x -> length(x)>0)`). */
+  def toks(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** Word 3-shingles for every start position 1..len — trailing positions
+    * yield the 2-gram and 1-gram tails, so docs shorter than 3 tokens still
+    * produce at least one shingle (same clamping as DuckDB `l[i:i+2]`). */
+  def shingles3(tk: Column): Column =
+    transform(sequence(lit(1), size(tk)), i => array_join(slice(tk, i, lit(3)), " "))
+
+  /** Same 60-bit md5 hash computed driver-side (for plan-constant values such
+    * as LSH hyperplanes — must agree exactly with [[h60]]/[[hm]]). */
+  def h60Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16)
+  }
+}
