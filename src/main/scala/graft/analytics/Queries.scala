@@ -216,10 +216,10 @@ object Queries {
         month($"o_orderdate").cast("long").as("mo"),
         dayofmonth($"o_orderdate").cast("long").as("dom"),
         quarter($"o_orderdate").cast("long").as("qtr"),
-        date_trunc("month", $"o_orderdate").cast("date").as("month_start"),
+        date_format(date_trunc("month", $"o_orderdate"), "yyyy-MM-dd").as("month_start"),
         datediff($"o_orderdate".cast("date"), lit("1995-01-01").cast("date"))
           .cast("long").as("days_since"),
-        add_months($"o_orderdate".cast("date"), 3).as("plus3m"))
+        date_format(add_months($"o_orderdate".cast("date"), 3), "yyyy-MM-dd").as("plus3m"))
       .orderBy($"okey")
   }
 
@@ -258,7 +258,7 @@ object Queries {
     t(s, dir, "events")
       .groupBy(window($"ts", "1 day").as("w"), $"event_type")
       .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
-      .select($"w.start".cast("date").as("day"), $"event_type", $"n", $"sum_value")
+      .select(date_format($"w.start", "yyyy-MM-dd").as("day"), $"event_type", $"n", $"sum_value")
       .orderBy($"day", $"event_type")
   }
 
@@ -340,7 +340,7 @@ object Queries {
   val q21TopUsersDaily: Q = (s, dir) => {
     import s.implicits._
     val daily = t(s, dir, "events")
-      .groupBy($"ts".cast("date").as("day"), $"user_id")
+      .groupBy(date_format($"ts", "yyyy-MM-dd").as("day"), $"user_id")
       .agg(round(sum($"value"), 2).as("total"))
     val w = Window.partitionBy($"day").orderBy($"total".desc, $"user_id")
     daily
@@ -484,9 +484,9 @@ object Queries {
         | CAST(month(o_orderdate) AS BIGINT) AS mo,
         | CAST(day(o_orderdate) AS BIGINT) AS dom,
         | CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
-        | CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        | strftime(CAST(date_trunc('month', o_orderdate) AS DATE), '%Y-%m-%d') AS month_start,
         | CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
-        | CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m
+        | strftime(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE), '%Y-%m-%d') AS plus3m
         |FROM orders ORDER BY okey""".stripMargin,
     "q14_conditional_agg" ->
       """SELECT user_id,
@@ -501,7 +501,7 @@ object Queries {
         | CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
     "q16_tumbling_daily" ->
-      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+      """SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day, event_type,
         | CAST(count(*) AS BIGINT) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "q17_sessionize" ->
@@ -548,7 +548,7 @@ object Queries {
         | SELECT day, user_id, total,
         |  CAST(row_number() OVER (PARTITION BY day ORDER BY total DESC, user_id) AS BIGINT) AS rk
         | FROM (
-        |  SELECT CAST(ts AS DATE) AS day, user_id, round(sum(value), 2) AS total
+        |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, user_id, round(sum(value), 2) AS total
         |  FROM events GROUP BY 1, 2) d) t
         |WHERE rk <= 5 ORDER BY day, rk""".stripMargin,
     "q22_grouping_sets" ->

@@ -1,0 +1,121 @@
+package graft.streaming
+
+import graft.config.StreamsConfig
+import graft.encode.Ndjson
+import graft.keys.PartitionKeys
+import graft.sink.{BatchPut, KinesisShapedSink}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.Row
+import scala.concurrent.duration.FiniteDuration
+
+/** The event pipeline — Spark twin of the reference's Publish path wired as
+  * Structured Streaming (SURVEY.md §3.3 mapping):
+  *
+  *   libbeat queue flush (flush.min_events/timeout)  ≈ micro-batch trigger
+  *   mapEvents (encode + key, drop failures)         ≈ narrow transform stage
+  *   putKinesisRecords + collectFailed + backoff     ≈ foreachBatch partition writer
+  *   batch.ACK → registrar offset commit             ≈ checkpoint commit
+  *
+  * Sources: file-tail NDJSON (S2 — filebeat prospector twin) and `rate` (S3/S4
+  * synthesis for tests). Processors: drop-by-regex (F3), static enrichment
+  * (P4), top-N (metricbeat include_top_n). Delivery: at-least-once — replayed
+  * micro-batches re-put records, same as the reference's retry-subset
+  * semantics (E3).
+  */
+object Pipeline {
+
+  /** S2: tail an NDJSON directory as a stream with a declared schema;
+    * corrupt lines are dropped-and-counted downstream via [[Ndjson.parseLines]]
+    * on the raw text (json.add_error_key twin). */
+  def readNdjsonStream(spark: SparkSession, dir: String, schema: StructType,
+      maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(dir)
+      .transform(lines => Ndjson.parseLines(lines, schema)._1)
+
+  /** Batch twin of [[readNdjsonStream]] returning (parsed, corrupt). */
+  def readNdjson(spark: SparkSession, dir: String, schema: StructType): (DataFrame, DataFrame) =
+    Ndjson.parseLines(spark.read.text(dir), schema)
+
+  /** F3: drop events whose field matches a regex
+    * (example/metricbeat/metricbeat.yml:44-46). */
+  def dropWhereMatches(df: DataFrame, field: String, pattern: String): DataFrame =
+    df.filter(!col(field).rlike(pattern))
+
+  /** P4: add_cloud_metadata twin — constant enrichment struct resolved once
+    * at plan time (Catalyst constant-folds it; zero per-row cost). */
+  def enrich(df: DataFrame, provider: String, instanceId: String): DataFrame =
+    df.withColumn("cloud", struct(
+      lit(provider).as("provider"), lit(instanceId).as("instance_id")))
+
+  /** metricbeat `include_top_n` twin: keep the top n rows per group by a
+    * metric (example/metricbeat/metricbeat.yml:36-38). */
+  def topNPerGroup(df: DataFrame, group: Column, metric: Column, n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(metric.desc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
+  }
+
+  /** The full publish transform (P1 + K1/K2 + F2): encode NDJSON, attach the
+    * configured partition key, split off key-failures. Returns
+    * (records, dropped) — records are (data, partition_key). */
+  def publishTransform(df: DataFrame, cfg: StreamsConfig): (DataFrame, DataFrame) = {
+    val key = PartitionKeys.forConfig(cfg, df.schema)
+    val (ok, dropped) = PartitionKeys.split(df, key)
+    // payload = the event's own columns; the key rides alongside, not inside
+    // (streams/client.go:153 — {Data, PartitionKey}).
+    val records = ok.select(
+      concat(to_json(struct(df.columns.map(col).toIndexedSeq: _*)), lit("\n")).as("data"),
+      col("partition_key"))
+    (records, dropped)
+  }
+
+  /** Wire a keyed-record stream into the Kinesis-shaped sink with a
+    * processing-time trigger (the flush.timeout twin) and checkpointing
+    * (the ACK/registrar twin). `newPutter` must be serializable. */
+  def toKinesisShapedSink(records: DataFrame, cfg: StreamsConfig,
+      newPutter: () => BatchPut.Putter, checkpointDir: String,
+      trigger: FiniteDuration): DataStreamWriter[Row] =
+    records.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(trigger.toMillis))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        KinesisShapedSink.write(batch, cfg, newPutter)
+      }
+
+  // ------------------------------------------------------------------
+  // Streaming semantics beyond the reference (SURVEY §2.8 streaming row):
+  // watermarks, event-time windows, session windows, stateful dedup.
+  // ------------------------------------------------------------------
+
+  /** Tumbling event-time window counts with a watermark bounding state and
+    * dropping late rows. */
+  def windowedCounts(events: DataFrame, tsCol: String, watermark: String,
+      window_ : String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_), col("event_type"))
+      .count()
+
+  /** Event-time session windows (gap-based), watermarked. */
+  def sessionCounts(events: DataFrame, tsCol: String, watermark: String,
+      gap: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** Stateful streaming dedup on a key within the watermark horizon — the
+    * streaming twin of the exact-dedup surface (state is bounded by the
+    * watermark, so it holds at unbounded input). */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String, watermark: String,
+      keys: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+}

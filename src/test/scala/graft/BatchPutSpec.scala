@@ -1,0 +1,106 @@
+package graft
+
+import graft.config.StreamsConfig
+import graft.sink.BatchPut
+import graft.sink.BatchPut._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.mutable
+import scala.concurrent.duration._
+
+/** Port of the reference's delivery-semantics spec — the five `publishEvents`
+  * cases of streams/client_test.go:109-226 plus chunking/backoff, against a
+  * stub putter (the kinesisStreamsClient seam, client_test.go:23-30). */
+class BatchPutSpec extends AnyFunSuite {
+
+  private val cfg = StreamsConfig("us-east-1", "s", batchSize = 50)
+  private def recs(n: Int): Seq[Record] =
+    (0 until n).map(i => Record(s"""{"i":$i}""" + "\n" getBytes "UTF-8", s"k$i"))
+  private val noSleep: Sleeper = _ => ()
+
+  /** Stub putter scripted per call. */
+  class Stub(script: Seq[Record] => Seq[PutResult]*) extends Putter {
+    val calls = mutable.Buffer[Seq[Record]]()
+    def put(records: Seq[Record]): Seq[PutResult] = {
+      calls += records
+      val f = if (calls.size <= script.length) script(calls.size - 1) else ok _
+      f(records)
+    }
+  }
+  private def ok(rs: Seq[Record]): Seq[PutResult] = rs.map(_ => PutResult(None))
+
+  test("case 1: all records accepted -> everything acked, no retries") {
+    val stub = new Stub(ok)
+    val s = BatchPut.publish(stub, cfg, recs(5), noSleep)
+    assert(s == PublishStats(batch = 5, acked = 5, dropped = 0, retries = 0, calls = 1))
+  }
+
+  test("case 2: nil response entries tolerated as success (issue #27)") {
+    // response shorter than request — missing entries are not failures
+    val stub = new Stub(rs => rs.dropRight(2).map(_ => PutResult(None)))
+    val s = BatchPut.publish(stub, cfg, recs(5), noSleep)
+    assert(s.acked == 5 && s.dropped == 0 && s.retries == 0)
+  }
+
+  test("case 3: nil/empty error code tolerated as success") {
+    val stub = new Stub(rs => rs.map(_ => PutResult(Some(""))))
+    val s = BatchPut.publish(stub, cfg, recs(5), noSleep)
+    assert(s.acked == 5 && s.dropped == 0 && s.retries == 0)
+  }
+
+  test("case 4: real error codes -> only the failed subset is retried") {
+    val stub = new Stub(
+      rs => rs.zipWithIndex.map { case (_, i) =>
+        PutResult(if (i % 2 == 0) Some("ProvisionedThroughputExceededException") else None)
+      },
+      ok)
+    val s = BatchPut.publish(stub, cfg, recs(6), noSleep)
+    assert(stub.calls(0).size == 6 && stub.calls(1).size == 3)
+    // the retried subset is exactly the failed records, matched by index
+    assert(stub.calls(1).map(_.key) == Seq("k0", "k2", "k4"))
+    assert(s.acked == 6 && s.dropped == 0 && s.retries == 1 && s.calls == 2)
+  }
+
+  test("case 5: total call failure -> whole chunk retried, then acked") {
+    val stub = new Stub(_ => throw new RuntimeException("boom"), ok)
+    val s = BatchPut.publish(stub, cfg, recs(4), noSleep)
+    assert(stub.calls(1).size == 4)
+    assert(s.acked == 4 && s.dropped == 0 && s.retries == 1)
+  }
+
+  test("retry budget exhausted -> events drop (at-least-once, then give up)") {
+    val stub = new Stub() {
+      override def put(records: Seq[Record]): Seq[PutResult] = {
+        calls += records; records.map(_ => PutResult(Some("err")))
+      }
+    }
+    val s = BatchPut.publish(stub, cfg, recs(4), noSleep)
+    // initial + maxRetries attempts, then drop
+    assert(stub.calls.size == cfg.maxRetries + 1)
+    assert(s.dropped == 4 && s.acked == 0 && s.retries == cfg.maxRetries)
+  }
+
+  test("chunking: batches are re-sliced to batch_size, capped at 500") {
+    val small = cfg.copy(batchSize = 3)
+    val stub = new Stub()
+    BatchPut.publish(stub, small, recs(10), noSleep)
+    assert(stub.calls.map(_.size) == Seq(3, 3, 3, 1))
+  }
+
+  test("backoff: exponential 1s -> 60s cap, slept between retries only") {
+    val slept = mutable.Buffer[FiniteDuration]()
+    val failing = new Stub() {
+      override def put(records: Seq[Record]): Seq[PutResult] =
+        records.map(_ => PutResult(Some("err")))
+    }
+    val many = cfg.copy(maxRetries = 8)
+    BatchPut.publish(failing, many, recs(1), d => slept += d)
+    assert(slept.toSeq == Seq(1, 2, 4, 8, 16, 32, 60, 60).map(_.seconds))
+  }
+
+  test("collectFailed zips by index against the records actually sent") {
+    val sent = recs(3).toIndexedSeq
+    val failed = BatchPut.collectFailed(sent,
+      Seq(PutResult(Some("e")), PutResult(None), PutResult(Some("e"))))
+    assert(failed.map(_.key) == Seq("k0", "k2"))
+  }
+}
