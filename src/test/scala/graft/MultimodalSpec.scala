@@ -1,0 +1,52 @@
+package graft
+
+import graft.ext.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing spec: binary payload + typed metadata schema,
+  * and the distributed per-partition decode/feature-extract path (the decode
+  * itself is a documented deterministic stub — the Spark plumbing is what is
+  * under test). SURVEY.md §2.8 LLM-pipeline extension. */
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("media schema: opaque binary payload + typed metadata struct") {
+    val media = Multimodal.mediaFrom(spark, dir)
+    val s = media.schema
+    assert(s("payload").dataType.typeName == "binary")
+    val meta = s("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(meta.fieldNames.toSeq == Seq("n_bytes", "digest"))
+    val row = media.orderBy($"media_id").first()
+    val payload = row.getAs[Array[Byte]]("payload")
+    assert(payload.nonEmpty)
+    assert(row.getAs[org.apache.spark.sql.Row]("meta")
+      .getAs[Long]("n_bytes") == payload.length.toLong)
+  }
+
+  test("decodeFeatures runs distributed per-partition and appends features") {
+    val media = Multimodal.mediaFrom(spark, dir).repartition(4)
+    val decoded = Multimodal.decodeFeatures(media)
+    assert(decoded.schema.fieldNames.toSeq ==
+      Multimodal.featureSchema.fieldNames.toSeq)
+    assert(decoded.count() == media.count(), "no rows lost in decode")
+    // features must equal the stub applied to the payload, row by row
+    val sample = decoded.orderBy($"media_id").limit(20).collect()
+    sample.foreach { r =>
+      val (w, h, f) = Multimodal.stubDecode(r.getAs[Array[Byte]]("payload"))
+      assert(r.getAs[Int]("width") == w)
+      assert(r.getAs[Int]("height") == h)
+      assert(r.getAs[Int]("n_frames") == f)
+    }
+  }
+
+  test("feature aggregation composes with the decoded columns") {
+    val media = Multimodal.mediaFrom(spark, dir)
+    val agg = Multimodal.decodeFeatures(media)
+      .groupBy($"kind")
+      .agg(count(lit(1)).as("n"), avg($"width").as("avg_w"))
+      .collect()
+    assert(agg.length == 1 && agg.head.getAs[Long]("n") > 0)
+  }
+}

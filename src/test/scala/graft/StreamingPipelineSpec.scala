@@ -1,0 +1,167 @@
+package graft
+
+import graft.config.StreamsConfig
+import graft.sink.BatchPut
+import graft.streaming.Pipeline
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+import java.sql.Timestamp
+import scala.concurrent.duration._
+
+/** A test event with an event-time column (ts drives watermarks). */
+case class StreamEvt(event_id: Long, user_id: Long, event_type: String, ts: Timestamp)
+
+object StreamingPipelineSpec {
+  /** In-JVM collecting putter — local[n] keeps executors in this process, so
+    * a synchronized static buffer observes everything the sink sends. */
+  object CollectingPutter extends BatchPut.Putter with Serializable {
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[BatchPut.Record]()
+    def put(records: Seq[BatchPut.Record]): Seq[BatchPut.PutResult] = {
+      records.foreach(got.add)
+      records.map(_ => BatchPut.PutResult(None))
+    }
+  }
+}
+
+/** Streaming-path specs: the end-to-end publish pipeline (file source →
+  * encode/key → Kinesis-shaped sink) and the beyond-reference streaming
+  * semantics (watermarked windows, session windows, stateful dedup) —
+  * SURVEY.md §2.8 streaming row, §3.3 lifecycle mapping. */
+class StreamingPipelineSpec extends SparkSpec {
+  import spark.implicits._
+  implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:$sec%02d")
+
+  /** Poll a memory-sink table until `pred` holds (no-data micro-batches emit
+    * finalized windows asynchronously after processAllAvailable returns). */
+  private def awaitRows(table: String, pred: Seq[Row] => Boolean): Seq[Row] = {
+    val deadline = System.nanoTime() + 30.seconds.toNanos
+    var rows = Seq.empty[Row]
+    while (System.nanoTime() < deadline && !pred(rows)) {
+      rows = spark.table(table).collect().toSeq
+      if (!pred(rows)) Thread.sleep(100)
+    }
+    rows
+  }
+
+  test("end-to-end: NDJSON file stream -> encode+key -> kinesis-shaped sink") {
+    import StreamingPipelineSpec.CollectingPutter
+    CollectingPutter.got.clear()
+    val inDir = Files.createTempDirectory("graft-ndjson-in").toFile
+    val ckDir = Files.createTempDirectory("graft-ndjson-ck").toFile
+    val schema = StructType(Seq(
+      StructField("host", StringType), StructField("msg", StringType),
+      StructField("level", StringType)))
+    Files.writeString(new java.io.File(inDir, "a.ndjson").toPath,
+      """{"host":"web-1","msg":"hello","level":"info"}
+        |{"host":"web-2","msg":"boom","level":"error"}
+        |not json at all
+        |{"host":"web-1","msg":"again","level":"info"}
+        |""".stripMargin)
+
+    val cfg = StreamsConfig(region = "us-east-1", streamName = "t",
+      partitionKey = "host")
+    val src = Pipeline.readNdjsonStream(spark, inDir.getAbsolutePath, schema)
+    val (records, _) = Pipeline.publishTransform(src, cfg)
+    val q = Pipeline.toKinesisShapedSink(records, cfg,
+        () => CollectingPutter, ckDir.getAbsolutePath, 100.millis)
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val recs = CollectingPutter.got.toArray(Array.empty[BatchPut.Record])
+    assert(recs.length == 3, "corrupt line dropped, 3 valid events delivered")
+    val payloads = recs.map(r => new String(r.data, "UTF-8")).toSeq
+    assert(payloads.forall(_.endsWith("\n")), "NDJSON newline contract (P1)")
+    assert(recs.map(_.key).sorted.toSeq == Seq("web-1", "web-1", "web-2"),
+      "partition key = configured field value (K1)")
+    assert(payloads.exists(_.contains("\"msg\":\"boom\"")))
+  }
+
+  test("watermarked tumbling window finalizes once and drops late rows") {
+    val mem = MemoryStream[StreamEvt]
+    val out = Pipeline.windowedCounts(mem.toDF(), "ts",
+      watermark = "10 minutes", window_ = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("win_counts")
+      .outputMode("append").start()
+    try {
+      // window [00:00,00:10): 2 clicks + 1 view
+      mem.addData(
+        StreamEvt(1, 1, "click", ts(1)), StreamEvt(2, 1, "click", ts(2)),
+        StreamEvt(3, 2, "view", ts(3)))
+      q.processAllAvailable()
+      // advance watermark past 00:10 (event 01:00 => watermark 00:50)
+      mem.addData(StreamEvt(4, 3, "click", ts(60)))
+      q.processAllAvailable()
+      // force one more batch so eviction against the new watermark runs
+      mem.addData(StreamEvt(5, 3, "click", ts(65)))
+      q.processAllAvailable()
+      val rows = awaitRows("win_counts", _.nonEmpty)
+      val byType = rows.map(r => (r.getAs[Row]("window").getAs[Timestamp]("start"),
+        r.getAs[String]("event_type")) -> r.getAs[Long]("count")).toMap
+      assert(byType((ts(0), "click")) == 2L)
+      assert(byType((ts(0), "view")) == 1L)
+
+      // a row older than the watermark is dropped, not re-aggregated
+      mem.addData(StreamEvt(6, 9, "click", ts(4)))
+      q.processAllAvailable()
+      mem.addData(StreamEvt(7, 3, "click", ts(70)))
+      q.processAllAvailable()
+      val after = spark.table("win_counts").collect()
+        .filter(r => r.getAs[Row]("window").getAs[Timestamp]("start") == ts(0))
+        .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("count")).toMap
+      assert(after == Map("click" -> 2L, "view" -> 1L),
+        "late event must not reopen the finalized window")
+    } finally q.stop()
+  }
+
+  test("stateful dedup within watermark emits each key once") {
+    val mem = MemoryStream[StreamEvt]
+    val out = Pipeline.dedupWithinWatermark(mem.toDF(), "ts",
+      watermark = "10 minutes", keys = Seq("event_id"))
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        StreamEvt(1, 1, "click", ts(1)),
+        StreamEvt(1, 1, "click", ts(2)),  // dup of 1 within horizon
+        StreamEvt(2, 2, "view", ts(3)))
+      q.processAllAvailable()
+      mem.addData(StreamEvt(2, 2, "view", ts(4)), StreamEvt(3, 1, "click", ts(5)))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").collect().map(_.getAs[Long]("event_id")).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L), "exactly one row per event_id")
+    } finally q.stop()
+  }
+
+  test("gap-based session windows merge and split on the configured gap") {
+    val mem = MemoryStream[StreamEvt]
+    val out = Pipeline.sessionCounts(mem.toDF(), "ts",
+      watermark = "10 minutes", gap = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // user 1: events at 00:00/00:02/00:04 chain into one session;
+      // 00:30 starts a second one.
+      mem.addData(
+        StreamEvt(1, 1, "click", ts(0)), StreamEvt(2, 1, "click", ts(2)),
+        StreamEvt(3, 1, "click", ts(4)), StreamEvt(4, 1, "click", ts(30)))
+      q.processAllAvailable()
+      mem.addData(StreamEvt(5, 2, "click", ts(120))) // watermark -> 01:50
+      q.processAllAvailable()
+      mem.addData(StreamEvt(6, 2, "click", ts(125))) // eviction batch
+      q.processAllAvailable()
+      val rows = awaitRows("sess_out",
+        _.count(_.getAs[Long]("user_id") == 1L) == 2)
+      val u1 = rows.filter(_.getAs[Long]("user_id") == 1L)
+        .map(_.getAs[Long]("n_events")).sorted
+      assert(u1.toSeq == Seq(1L, 3L), "sessions of 3 events and 1 event")
+    } finally q.stop()
+  }
+}
