@@ -22,7 +22,7 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return None
-        return round(v, 6)
+        return round(v, 6) + 0.0  # canonicalize -0.0 to +0.0
     return v
 
 

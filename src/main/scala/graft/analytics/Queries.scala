@@ -366,6 +366,154 @@ object Queries {
         |ORDER BY etype, user_bucket""".stripMargin)
   }
 
+  // ---------------------------------------------------------------- q23
+  /** Pivot: per-user event-type value matrix. Spark plans this as a single
+    * hash aggregation with one conditional-sum slot per pivot value — no
+    * per-value scan, one shuffle on user_id. */
+  val q23Pivot: Q = (s, dir) => {
+    import s.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pivoted = t(s, dir, "events")
+      .groupBy($"user_id")
+      .pivot("event_type", types)
+      .agg(round(sum($"value"), 2))
+    types.foldLeft(pivoted) { (df, ty) =>
+      df.withColumn(s"${ty}_v", coalesce(col(ty), lit(0.0))).drop(ty)
+    }.orderBy($"user_id")
+  }
+
+  // ---------------------------------------------------------------- q24
+  /** Lateral view / explode: token frequencies over documents, top-100.
+    * The explode is a narrow op; only (token, partial count) rows shuffle,
+    * and TakeOrderedAndProject keeps the final exchange at 100 rows. */
+  val q24Explode: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "documents")
+      .select(explode(graft.ext.TextOps.toks($"text")).as("tok"))
+      .groupBy($"tok")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"tok")
+      .limit(100)
+  }
+
+  // ---------------------------------------------------------------- q25
+  /** Higher-order array functions over the embedding vectors: element-wise
+    * stats via array_max/min, aggregate() folds, filter() counts — all
+    * codegen'd builtins, no UDF, no shuffle at all (scan → project). */
+  val q25ArrayFuncs: Q = (s, dir) => {
+    import s.implicits._
+    Tables.load(s, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+      .select(
+        $"vec_id",
+        round(array_max($"v"), 4).as("v_max"),
+        round(array_min($"v"), 4).as("v_min"),
+        // + 0.0 canonicalizes IEEE -0.0 to +0.0 (engines differ on the sign
+        // a near-zero mean rounds to)
+        (round(aggregate($"v", lit(0.0d), (a, x) => a + x) / size($"v"), 4) + lit(0.0d)).as("v_avg"),
+        round(sqrt(aggregate($"v", lit(0.0d), (a, x) => a + x * x)), 4).as("l2"),
+        size(filter($"v", x => x > 0.0d)).cast("long").as("n_pos"))
+      .orderBy($"vec_id")
+  }
+
+  // ---------------------------------------------------------------- q26
+  /** Approximate aggregates: HLL++ distinct counts and quantile sketches —
+    * the 100 TB path where exact distinct/percentile would shuffle every
+    * value. No oracle (sketch results are engine-specific): rows-only check. */
+  val q26ApproxAgg: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey").as("approx_parts"),
+        approx_count_distinct($"l_suppkey").as("approx_supps"),
+        round(percentile_approx($"l_extendedprice", lit(0.5), lit(10000)), 2).as("approx_median"),
+        count(lit(1)).as("n_rows"))
+      .orderBy($"l_returnflag")
+  }
+
+  // ---------------------------------------------------------------- q27
+  /** Full-outer join of two aggregates: BUILDING-segment customers vs
+    * high-balance suppliers per nation — either side may be missing. */
+  val q27FullOuter: Q = (s, dir) => {
+    import s.implicits._
+    val cn = t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+      .groupBy($"c_nationkey").agg(count(lit(1)).as("n_cust"))
+    val sn = t(s, dir, "supplier").filter($"s_acctbal" > 5000.0)
+      .groupBy($"s_nationkey").agg(count(lit(1)).as("n_supp"))
+    cn.join(sn, cn("c_nationkey") === sn("s_nationkey"), "full_outer")
+      .select(
+        coalesce(cn("c_nationkey"), sn("s_nationkey")).cast("long").as("nkey"),
+        coalesce($"n_cust", lit(0L)).as("n_cust"),
+        coalesce($"n_supp", lit(0L)).as("n_supp"))
+      .orderBy($"nkey")
+  }
+
+  // ---------------------------------------------------------------- q28
+  /** Cross join (cartesian) of two tiny sides — the only place a cartesian
+    * product is acceptable at scale is dim × dim. */
+  val q28CrossJoin: Q = (s, dir) => {
+    import s.implicits._
+    val st = t(s, dir, "orders").select($"o_orderstatus".as("status")).distinct()
+    t(s, dir, "region").select($"r_name")
+      .crossJoin(st)
+      .select($"r_name", $"status", concat_ws("-", $"r_name", $"status").as("label"))
+      .orderBy($"r_name", $"status")
+  }
+
+  // ---------------------------------------------------------------- q29
+  /** Correlated scalar subquery (decorrelated form): orders priced above
+    * 1.5× their customer's average. Expressed as agg + equi-join — exactly
+    * the decorrelation Catalyst would apply to the subquery form. */
+  val q29CorrSubquery: Q = (s, dir) => {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+    val avgc = o.groupBy($"o_custkey".as("k")).agg(avg($"o_totalprice").as("avg_price"))
+    o.join(avgc, o("o_custkey") === avgc("k"))
+      .withColumn("ratio", round($"o_totalprice" / $"avg_price", 4))
+      .filter($"ratio" > 1.5)
+      .select(
+        $"o_orderkey".cast("long").as("okey"),
+        $"o_custkey".cast("long").as("cust"),
+        round($"o_totalprice", 2).as("price"),
+        $"ratio")
+      .orderBy($"okey")
+  }
+
+  // ---------------------------------------------------------------- q30
+  /** Analytic window functions: lag / lead / first_value / ntile. */
+  val q30AnalyticFuncs: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    t(s, dir, "orders")
+      .select(
+        $"o_custkey".cast("long").as("cust"),
+        $"o_orderkey".cast("long").as("okey"),
+        round(lag($"o_totalprice", 1).over(w), 2).as("prev_price"),
+        round(lead($"o_totalprice", 1).over(w), 2).as("next_price"),
+        round(first($"o_totalprice").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("first_price"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy($"cust", $"okey")
+  }
+
+  // ---------------------------------------------------------------- q31
+  /** String function surface: regexp_replace, pad, reverse, translate,
+    * position, split_part — all codegen'd builtins. */
+  val q31StringFuncs: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "part")
+      .select(
+        $"p_partkey".cast("long").as("p_key"),
+        regexp_replace($"p_name", "[aeiou]", "").as("novowels"),
+        lpad($"p_brand", 12, "*").as("brand_pad"),
+        reverse($"p_type").as("type_rev"),
+        translate($"p_brand", "AEIOU", "12345").as("brand_tr"),
+        instr($"p_name", "a").cast("long").as("first_a"),
+        element_at(split($"p_type", " "), 1).as("type_head"))
+      .orderBy($"p_key")
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_revenue_by_nation" -> q02RevenueByNation,
@@ -388,7 +536,16 @@ object Queries {
     "q19_asof_join" -> q19AsOfJoin,
     "q20_stats" -> q20Stats,
     "q21_top_users_daily" -> q21TopUsersDaily,
-    "q22_grouping_sets" -> q22GroupingSets)
+    "q22_grouping_sets" -> q22GroupingSets,
+    "q23_pivot" -> q23Pivot,
+    "q24_explode" -> q24Explode,
+    "q25_array_funcs" -> q25ArrayFuncs,
+    "q26_approx_agg" -> q26ApproxAgg,
+    "q27_full_outer" -> q27FullOuter,
+    "q28_cross_join" -> q28CrossJoin,
+    "q29_corr_subquery" -> q29CorrSubquery,
+    "q30_analytic_funcs" -> q30AnalyticFuncs,
+    "q31_string_funcs" -> q31StringFuncs)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -558,5 +715,69 @@ object Queries {
         | round(sum(value), 2) AS sum_value
         |FROM events
         |GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
-        |ORDER BY etype, user_bucket""".stripMargin)
+        |ORDER BY etype, user_bucket""".stripMargin,
+    "q23_pivot" ->
+      """SELECT user_id,
+        | coalesce(round(sum(CASE WHEN event_type = 'click' THEN value END), 2), 0.0) AS click_v,
+        | coalesce(round(sum(CASE WHEN event_type = 'error' THEN value END), 2), 0.0) AS error_v,
+        | coalesce(round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2), 0.0) AS purchase_v,
+        | coalesce(round(sum(CASE WHEN event_type = 'signup' THEN value END), 2), 0.0) AS signup_v,
+        | coalesce(round(sum(CASE WHEN event_type = 'view' THEN value END), 2), 0.0) AS view_v
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q24_explode" ->
+      """SELECT tok, CAST(count(*) AS BIGINT) AS n FROM (
+        | SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0)) AS tok
+        | FROM documents)
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 100""".stripMargin,
+    "q25_array_funcs" ->
+      """SELECT vec_id,
+        | round(list_max(v), 4) AS v_max,
+        | round(list_min(v), 4) AS v_min,
+        | round(list_sum(v) / len(v), 4) + 0.0 AS v_avg,
+        | round(sqrt(list_sum(list_transform(v, x -> x * x))), 4) AS l2,
+        | CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_pos
+        |FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |ORDER BY vec_id""".stripMargin,
+    "q27_full_outer" ->
+      """WITH cn AS (
+        |  SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust
+        |  FROM customer WHERE c_mktsegment = 'BUILDING' GROUP BY c_nationkey),
+        | sn AS (
+        |  SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_supp
+        |  FROM supplier WHERE s_acctbal > 5000.0 GROUP BY s_nationkey)
+        |SELECT CAST(coalesce(c_nationkey, s_nationkey) AS BIGINT) AS nkey,
+        | coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+        |FROM cn FULL OUTER JOIN sn ON c_nationkey = s_nationkey
+        |ORDER BY nkey""".stripMargin,
+    "q28_cross_join" ->
+      """SELECT r_name, status, r_name || '-' || status AS label
+        |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus AS status FROM orders)
+        |ORDER BY r_name, status""".stripMargin,
+    "q29_corr_subquery" ->
+      """SELECT CAST(o_orderkey AS BIGINT) AS okey, CAST(o_custkey AS BIGINT) AS cust,
+        | round(o_totalprice, 2) AS price, ratio
+        |FROM (
+        | SELECT o_orderkey, o_custkey, o_totalprice,
+        |  round(o_totalprice / (SELECT avg(o2.o_totalprice) FROM orders o2
+        |                        WHERE o2.o_custkey = orders.o_custkey), 4) AS ratio
+        | FROM orders) t
+        |WHERE ratio > 1.5 ORDER BY okey""".stripMargin,
+    "q30_analytic_funcs" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS cust, CAST(o_orderkey AS BIGINT) AS okey,
+        | round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+        | round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+        | round(first_value(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS first_price,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY cust, okey""".stripMargin,
+    "q31_string_funcs" ->
+      """SELECT CAST(p_partkey AS BIGINT) AS p_key,
+        | regexp_replace(p_name, '[aeiou]', '', 'g') AS novowels,
+        | lpad(p_brand, 12, '*') AS brand_pad,
+        | reverse(p_type) AS type_rev,
+        | translate(p_brand, 'AEIOU', '12345') AS brand_tr,
+        | CAST(strpos(p_name, 'a') AS BIGINT) AS first_a,
+        | split_part(p_type, ' ', 1) AS type_head
+        |FROM part ORDER BY p_key""".stripMargin)
 }
