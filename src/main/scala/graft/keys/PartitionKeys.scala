@@ -49,13 +49,10 @@ object PartitionKeys {
     }
   }
 
-  /** Generated time-sortable unique key (K2): fixed-width hex event-ingest
-    * micros (sortable prefix, like xid's big-endian time bytes) + random
-    * uuid suffix (uniqueness). Nondeterministic by design, like rs/xid. */
-  def xidKey: Column =
-    concat(
-      lpad(hex(unix_micros(current_timestamp())), 14, "0"),
-      regexp_replace(uuid(), "-", ""))
+  /** Generated time-sortable unique key (K2): the native xid expression —
+    * byte-format parity with rs/xid (partition_key.go:45-47), codegen'd,
+    * nondeterministic by design. See [[graft.functions.Xid]]. */
+  def xidKey: Column = graft.functions.functions.xid()
 
   /** Provider dispatch (K3 — streams/client.go:49-55): "xid" ⇒ generated,
     * anything else ⇒ field provider (even when the key field is empty). */
