@@ -27,6 +27,23 @@ object Tables {
     }
   }
 
+  /** Load a table and ensure downstream per-row CPU work can use the whole
+    * cluster: when the scan yields fewer splits than the available
+    * parallelism (tiny files / single parquet row group — exactly the local
+    * test fixture), round-robin repartition; otherwise leave the scan's
+    * natural partitioning alone.
+    *
+    * At 100 TB the scan produces thousands of row-group splits and this is a
+    * deliberate NO-OP — an unconditional repartition there would shuffle the
+    * entire corpus for nothing. The condition is what makes the helper safe
+    * to use on every CPU-bound chain (tokenize/shingle/hash, vector math).
+    */
+  def loadSpread(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = load(spark, dir, name)
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Register every table as a temp view for `spark.sql` surfaces. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))

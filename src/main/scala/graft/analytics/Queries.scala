@@ -388,7 +388,7 @@ object Queries {
     * and TakeOrderedAndProject keeps the final exchange at 100 rows. */
   val q24Explode: Q = (s, dir) => {
     import s.implicits._
-    t(s, dir, "documents")
+    Tables.loadSpread(s, dir, "documents")
       .select(explode(graft.ext.TextOps.toks($"text")).as("tok"))
       .groupBy($"tok")
       .agg(count(lit(1)).as("n"))

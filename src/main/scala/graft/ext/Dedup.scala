@@ -23,7 +23,7 @@ object Dedup {
   type Q = (SparkSession, String) => DataFrame
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    Tables.loadSpread(s, dir, "documents")
 
   // ---------------------------------------------------------------- d01
   /** Exact dedup: group by md5(text) — grouping on the 128-bit digest instead
@@ -47,8 +47,15 @@ object Dedup {
     * scales with the corpus, so no quadratic blowup at scale. */
   val d02MinhashLsh: Q = (s, dir) => {
     import s.implicits._
+    // array_distinct before the explode: min over the distinct shingle set
+    // equals min over the multiset, and it cuts the exploded row count (and
+    // the md5 work) by the repeat factor before anything shuffles.
+    // tk is materialized in its own projection: inlining toks(text) into the
+    // shingle lambda would re-tokenize the document once per shingle
+    // position (O(n²) regex work per row — no CSE inside lambdas).
     val sh = docs(s, dir)
-      .select($"doc_id", explode(shingles3(toks($"text"))).as("sh"))
+      .withColumn("tk", toks($"text"))
+      .select($"doc_id", explode(array_distinct(shingles3($"tk"))).as("sh"))
       .select($"doc_id", hm($"sh").as("hm"))
     val aggs = (0 until 16).map(k => min(perm(k, $"hm")).as(s"mh$k"))
     val sig = sh.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
@@ -99,17 +106,47 @@ object Dedup {
     * Jaccard is a ratio of integers, so the 0.5 threshold is float-safe. */
   val d04NgramJaccard: Q = (s, dir) => {
     import s.implicits._
+    // Shingles are joined by their 60-bit md5 hash, not the string: the
+    // inverted-index shuffle carries 8-byte longs instead of ~25-byte UTF8
+    // shingles and the equi-join compares longs. Collisions are negligible
+    // (≈ n²/2^61) and the oracle derives the identical hash, so the compare
+    // stays exact either way.
+    // Explicit repartition on the join keys: the self-join's two sides then
+    // share ONE shuffle subtree (ReusedExchange), so the expensive
+    // tokenize+shingle+md5 chain runs once, not once per side.
+    // tk materialized first — same O(n²)-retokenization guard as d02.
     val sh = docs(s, dir)
-      .select($"doc_id", $"lang", explode(array_distinct(shingles3(toks($"text")))).as("sh"))
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.lang") === col("b.lang") && col("a.sh") === col("b.sh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .withColumn("tk", toks($"text"))
+      .select($"doc_id", $"lang", explode(array_distinct(shingles3($"tk"))).as("sh"))
+      .select($"doc_id", $"lang", h60($"sh").as("sh"))
+    // |distinct shingles| per doc == size(array_distinct(...)) — a narrow
+    // per-row computation, no explode/shuffle at all.
+    val sizes = docs(s, dir)
+      .withColumn("tk", toks($"text"))
+      .select($"doc_id", size(array_distinct(shingles3($"tk"))).cast("long").as("n"))
+    // Inverted-index pair generation WITHOUT a self-join: bucket the postings
+    // per (lang, shingle) and emit ordered pairs straight from each bucket's
+    // sorted doc list. One shuffle to build buckets, one to count pairs —
+    // the shingle chain runs once, nothing is broadcast, and the work per
+    // bucket is bounded by its posting-list length (skew-capped: a shingle
+    // shared by c docs yields c(c-1)/2 pairs, the same rows the self-join
+    // would emit, minus the join build/probe).
+    val pairs = sh
+      .groupBy($"lang", $"sh")
+      .agg(sort_array(collect_list($"doc_id")).as("ids"))
+      .filter(size($"ids") > 1)
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1),
+          |            y -> struct(x AS doc_a, y AS doc_b))))""".stripMargin)).as("p"))
+      .select($"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b"))
+    val inter = pairs
+      .groupBy($"doc_a", $"doc_b")
       .agg(count(lit(1)).as("inter"))
+    // per-doc sizes are |docs| rows — broadcast both attach joins
     inter
-      .join(sizes.withColumnRenamed("n", "na"), $"doc_a" === sizes("doc_id")).drop("doc_id")
-      .join(sizes.withColumnRenamed("n", "nb"), $"doc_b" === sizes("doc_id")).drop("doc_id")
+      .join(broadcast(sizes.withColumnRenamed("n", "na")), $"doc_a" === sizes("doc_id")).drop("doc_id")
+      .join(broadcast(sizes.withColumnRenamed("n", "nb")), $"doc_b" === sizes("doc_id")).drop("doc_id")
       .withColumn("jacc", $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
       .filter($"jacc" >= 0.5)
       .select($"doc_a", $"doc_b", round($"jacc", 4).as("jacc"))
@@ -123,7 +160,7 @@ object Dedup {
     * standard trade for avoiding the full n² product at scale. */
   val d05EmbeddingNearDup: Q = (s, dir) => {
     import s.implicits._
-    val e = Tables.load(s, dir, "embeddings")
+    val e = Tables.loadSpread(s, dir, "embeddings")
       .select($"vec_id", $"label",
         transform($"embedding", x => x.cast("double")).as("v"))
       .withColumn("nrm", sqrt(aggregate($"v", lit(0.0d), (acc, x) => acc + x * x)))
@@ -196,9 +233,13 @@ object Dedup {
           |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     "d04_ngram_jaccard" ->
       (toksCte +
-        """, sh AS (
-          |  SELECT DISTINCT doc_id, lang, array_to_string(toks[i:i+2], ' ') AS sh
+        """, shs AS (
+          |  SELECT DISTINCT doc_id, lang, array_to_string(toks[i:i+2], ' ') AS s
           |  FROM (SELECT doc_id, lang, toks, unnest(range(1, len(toks)+1)) AS i FROM l)),
+          | sh AS (
+          |  SELECT doc_id, lang,
+          |   CAST(CAST(('0x' || substr(md5(s),1,15)) AS UBIGINT) AS BIGINT) AS sh
+          |  FROM shs),
           | sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
           | inter AS (
           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i

@@ -43,7 +43,7 @@ object Similarity {
 
   private def vecs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.load(s, dir, "embeddings")
+    Tables.loadSpread(s, dir, "embeddings")
       .select($"vec_id", $"label", asDouble($"embedding").as("v"))
       .withColumn("nrm", sqrt(aggregate($"v", lit(0.0d), (acc, x) => acc + x * x)))
   }

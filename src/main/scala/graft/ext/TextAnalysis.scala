@@ -20,7 +20,7 @@ object TextAnalysis {
   type Q = (SparkSession, String) => DataFrame
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+    Tables.loadSpread(s, dir, "documents")
 
   /** Stopword lists for the n-gram/stopword language-ID vote. Tiny and
     * plan-constant — broadcast-free literal arrays. */
