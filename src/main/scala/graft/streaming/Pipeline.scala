@@ -65,7 +65,11 @@ object Pipeline {
     * (records, dropped) — records are (data, partition_key). */
   def publishTransform(df: DataFrame, cfg: StreamsConfig): (DataFrame, DataFrame) = {
     val key = PartitionKeys.forConfig(cfg, df.schema)
-    val (ok, dropped) = PartitionKeys.split(df, key)
+    // M1 counters ride on the keyed frame BEFORE the null-key filter, so
+    // per-micro-batch drops are observable (Observability.PublishListener).
+    val keyed = Observability.observed(df.withColumn("partition_key", key))
+    val ok = keyed.filter(col("partition_key").isNotNull)
+    val dropped = keyed.filter(col("partition_key").isNull)
     // payload = the event's own columns; the key rides alongside, not inside
     // (streams/client.go:153 — {Data, PartitionKey}).
     val records = ok.select(

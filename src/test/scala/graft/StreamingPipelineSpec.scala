@@ -84,6 +84,45 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(payloads.exists(_.contains("\"msg\":\"boom\"")))
   }
 
+  test("observe() metrics surface per-batch input/dropped counts (M1)") {
+    import StreamingPipelineSpec.CollectingPutter
+    CollectingPutter.got.clear()
+    val inDir = Files.createTempDirectory("graft-obs-in").toFile
+    val ckDir = Files.createTempDirectory("graft-obs-ck").toFile
+    val schema = StructType(Seq(
+      StructField("host", StringType), StructField("msg", StringType)))
+    // two good events + one with a null key field (F2 drop)
+    Files.writeString(new java.io.File(inDir, "a.ndjson").toPath,
+      """{"host":"web-1","msg":"a"}
+        |{"msg":"no host here"}
+        |{"host":"web-2","msg":"b"}
+        |""".stripMargin)
+    val metrics = new java.util.concurrent.ConcurrentLinkedQueue[graft.streaming.Observability.BatchMetrics]()
+    val listener = new graft.streaming.Observability.PublishListener(metrics.add(_))
+    spark.streams.addListener(listener)
+    try {
+      val cfg = StreamsConfig(region = "us-east-1", streamName = "t", partitionKey = "host")
+      val src = Pipeline.readNdjsonStream(spark, inDir.getAbsolutePath, schema)
+      val (records, _) = Pipeline.publishTransform(src, cfg)
+      val q = Pipeline.toKinesisShapedSink(records, cfg,
+          () => CollectingPutter, ckDir.getAbsolutePath, 100.millis)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      // listener events are async — poll briefly
+      val deadline = System.nanoTime() + 30.seconds.toNanos
+      while (System.nanoTime() < deadline &&
+        !metrics.toArray(Array.empty[graft.streaming.Observability.BatchMetrics])
+          .exists(_.nEvents > 0)) Thread.sleep(100)
+      val m = metrics.toArray(Array.empty[graft.streaming.Observability.BatchMetrics])
+        .filter(_.nEvents > 0)
+      assert(m.nonEmpty, "at least one observed batch")
+      assert(m.map(_.nEvents).sum == 3L, "all events counted")
+      assert(m.map(_.nDropped).sum == 1L, "null-key row counted as dropped")
+      assert(m.map(_.nAcked).sum == 2L, "acked = events - dropped")
+      assert(CollectingPutter.got.size == 2, "only keyed events delivered")
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("watermarked tumbling window finalizes once and drops late rows") {
     val mem = MemoryStream[StreamEvt]
     val out = Pipeline.windowedCounts(mem.toDF(), "ts",
