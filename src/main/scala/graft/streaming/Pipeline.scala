@@ -41,6 +41,29 @@ object Pipeline {
   def readNdjson(spark: SparkSession, dir: String, schema: StructType): (DataFrame, DataFrame) =
     Ndjson.parseLines(spark.read.text(dir), schema)
 
+  /** S3 synthesis: a metricbeat-poll-shaped stream from the built-in `rate`
+    * source (example/metricbeat/metricbeat.yml:19-50 — periodic system
+    * metric snapshots). Deterministic per `value`, so tests can assert. */
+  def syntheticMetrics(spark: SparkSession, rowsPerSecond: Int): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load()
+      .select(
+        col("timestamp").as("ts"),
+        concat(lit("host-"), (col("value") % 8).cast("string")).as("host"),
+        lit("system.cpu").as("metricset"),
+        (pmod(hash(col("value")), lit(10000)) / 100.0).as("pct"))
+
+  /** S4 synthesis: heartbeat-probe-shaped stream (example/heartbeat/
+    * heartbeat.yml:1-16 — scheduled up/down checks). */
+  def syntheticProbes(spark: SparkSession, rowsPerSecond: Int): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond).load()
+      .select(
+        col("timestamp").as("ts"),
+        concat(lit("svc-"), (col("value") % 4).cast("string")).as("monitor"),
+        when(pmod(hash(col("value")), lit(100)) < 95, lit("up"))
+          .otherwise(lit("down")).as("status"))
+
   /** F3: drop events whose field matches a regex
     * (example/metricbeat/metricbeat.yml:44-46). */
   def dropWhereMatches(df: DataFrame, field: String, pattern: String): DataFrame =

@@ -1,0 +1,65 @@
+package graft
+
+import graft.analytics.Queries
+
+/** Physical-plan assertions: the scale properties every 100 TB plan must
+  * keep — filters pushed into the parquet scan, column pruning, broadcast
+  * joins for dimensions, top-k planned as TakeOrderedAndProject, semi/anti
+  * join physical ops. A regression here is a 100× slowdown at scale that the
+  * row-level oracle would never notice. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q01: ship-date filter reaches the parquet scan (PushedFilters)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"), p)
+  }
+
+  test("q01: scan reads only the six needed lineitem columns (pruning)") {
+    val p = plan("q01_pricing_summary")
+    val schema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!schema.contains("l_orderkey") && !schema.contains("l_partkey"),
+      s"unneeded columns in scan: $schema")
+    assert(schema.contains("l_quantity") && schema.contains("l_discount"))
+  }
+
+  test("q02: nation and region join as broadcasts, not shuffles") {
+    val p = plan("q02_revenue_by_nation")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"dims must broadcast:\n$p")
+  }
+
+  test("q03: top-10 plans as TakeOrderedAndProject (k rows cross the wire)") {
+    assert(plan("q03_top_orders").contains("TakeOrderedAndProject"))
+  }
+
+  test("q06/q07: semi and anti joins use dedicated physical join types") {
+    assert(plan("q06_semi_join").contains("LeftSemi"))
+    assert(plan("q07_anti_join").contains("LeftAnti"))
+  }
+
+  test("q18: range join keeps the equi key (no nested-loop blowup)") {
+    val p = plan("q18_range_join")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"range join must stay keyed:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join fell back to an all-pairs strategy:\n$p")
+  }
+
+  test("s01: the query vectors broadcast; the corpus never shuffles") {
+    val p = SparkEntry.queries("s01_knn_brute")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q12: pure scalar projection has no exchange at all") {
+    val p = plan("q12_scalar_funcs")
+    // one final sort for the deterministic output order is expected; no
+    // hash-partitioning exchanges from the projection itself
+    assert(!p.contains("hashpartitioning"), s"scalar projection must not shuffle:\n$p")
+  }
+}

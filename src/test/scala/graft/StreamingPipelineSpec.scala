@@ -179,6 +179,22 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rate-source synthesis produces metric/probe shaped streams (S3/S4)") {
+    val q1 = Pipeline.syntheticMetrics(spark, 500)
+      .writeStream.format("memory").queryName("metrics_out").start()
+    val q2 = Pipeline.syntheticProbes(spark, 500)
+      .writeStream.format("memory").queryName("probes_out").start()
+    try {
+      awaitRows("metrics_out", _.nonEmpty)
+      awaitRows("probes_out", _.nonEmpty)
+      val m = spark.table("metrics_out").limit(50).collect()
+      assert(m.forall(r => r.getAs[String]("host").startsWith("host-")))
+      assert(m.forall(r => { val p = r.getAs[Double]("pct"); p >= 0.0 && p < 100.0 }))
+      val pr = spark.table("probes_out").limit(50).collect()
+      assert(pr.forall(r => Set("up", "down")(r.getAs[String]("status"))))
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("gap-based session windows merge and split on the configured gap") {
     val mem = MemoryStream[StreamEvt]
     val out = Pipeline.sessionCounts(mem.toDF(), "ts",
