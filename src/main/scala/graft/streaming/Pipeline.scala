@@ -115,6 +115,27 @@ object Pipeline {
         KinesisShapedSink.write(batch, cfg, newPutter)
       }
 
+  /** P2: the firehose publish transform — encode + newline, NO partition key
+    * (firehose/client.go:111-137; the sink record is {Data} only,
+    * firehose/client.go:136). Encode-failures were already dropped at parse
+    * time (F1), matching mapEvents' fold. */
+  def firehoseTransform(df: DataFrame): DataFrame =
+    df.select(
+      concat(to_json(struct(df.columns.map(col).toIndexedSeq: _*)), lit("\n")).as("data"))
+
+  /** O2: wire an unkeyed record stream into the firehose-shaped sink — same
+    * chunk/retry/backoff machinery, records carry an empty key. */
+  def toFirehoseShapedSink(records: DataFrame, cfg: graft.config.FirehoseConfig,
+      newPutter: () => BatchPut.Putter, checkpointDir: String,
+      trigger: FiniteDuration): DataStreamWriter[Row] =
+    records.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(trigger.toMillis))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        KinesisShapedSink.write(batch, cfg, newPutter)
+      }
+
   // ------------------------------------------------------------------
   // Streaming semantics beyond the reference (SURVEY §2.8 streaming row):
   // watermarks, event-time windows, session windows, stateful dedup.

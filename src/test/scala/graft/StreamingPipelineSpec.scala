@@ -179,6 +179,58 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("firehose path: encode-only records, empty key, same delivery machinery") {
+    import StreamingPipelineSpec.CollectingPutter
+    CollectingPutter.got.clear()
+    val inDir = Files.createTempDirectory("graft-fh-in").toFile
+    val ckDir = Files.createTempDirectory("graft-fh-ck").toFile
+    val schema = StructType(Seq(
+      StructField("host", StringType), StructField("msg", StringType)))
+    Files.writeString(new java.io.File(inDir, "a.ndjson").toPath,
+      """{"host":"web-1","msg":"x"}
+        |{"host":"web-2","msg":"y"}
+        |""".stripMargin)
+    val cfg = graft.config.FirehoseConfig(region = "us-east-1", streamName = "fh")
+    val src = Pipeline.readNdjsonStream(spark, inDir.getAbsolutePath, schema)
+    val q = Pipeline.toFirehoseShapedSink(Pipeline.firehoseTransform(src), cfg,
+        () => CollectingPutter, ckDir.getAbsolutePath, 100.millis)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val recs = CollectingPutter.got.toArray(Array.empty[BatchPut.Record])
+    assert(recs.length == 2)
+    assert(recs.forall(_.key == ""), "firehose records carry no partition key (P2)")
+    assert(recs.forall(r => new String(r.data, "UTF-8").endsWith("\n")))
+  }
+
+  test("flatMapGroupsWithState sessionizer closes on gap and on timeout") {
+    import graft.streaming.StatefulSessions
+    import graft.streaming.StatefulSessions.UserEvent
+    val mem = MemoryStream[UserEvent]
+    val sessions = StatefulSessions.sessionize(
+      mem.toDS().withWatermark("ts", "10 minutes").as[UserEvent],
+      gapSeconds = 300)
+    val q = sessions.writeStream.format("memory").queryName("fsess_out")
+      .outputMode("append").start()
+    try {
+      // user 1: 00:00/00:02/00:04 chain; 00:30 closes it mid-stream
+      mem.addData(
+        UserEvent(1, ts(0), 1.0), UserEvent(1, ts(2), 2.0),
+        UserEvent(1, ts(4), 3.0), UserEvent(1, ts(30), 4.0))
+      q.processAllAvailable()
+      // advance the watermark far past 00:30 + gap -> timeout-close
+      mem.addData(UserEvent(2, ts(120), 0.5))
+      q.processAllAvailable()
+      mem.addData(UserEvent(2, ts(125), 0.5))
+      q.processAllAvailable()
+      val rows = awaitRows("fsess_out",
+        _.count(_.getAs[Long]("user_id") == 1L) == 2)
+      val u1 = rows.filter(_.getAs[Long]("user_id") == 1L)
+        .map(r => (r.getAs[Long]("n_events"), r.getAs[Double]("sess_value"))).sortBy(_._1)
+      assert(u1 == Seq((1L, 4.0), (3L, 6.0)),
+        s"expected gap-closed (3 events, 6.0) and timeout-closed (1 event, 4.0); got $u1")
+    } finally q.stop()
+  }
+
   test("rate-source synthesis produces metric/probe shaped streams (S3/S4)") {
     val q1 = Pipeline.syntheticMetrics(spark, 500)
       .writeStream.format("memory").queryName("metrics_out").start()
