@@ -123,6 +123,27 @@ object Pipeline {
     df.select(
       concat(to_json(struct(df.columns.map(col).toIndexedSeq: _*)), lit("\n")).as("data"))
 
+  /** O2 terminal twin: the reference's firehose delivers onward to
+    * S3-as-NDJSON for Athena (streams/client.go:140-144 documents the
+    * pipeline); the engine's equivalent terminal sink is date-partitioned
+    * NDJSON text on a file sink — EXACTLY-ONCE via checkpoint + file-commit
+    * protocol, unlike the at-least-once service sink (documented guarantee
+    * gap, SURVEY §7.4). Partitioning by event date keeps downstream scans
+    * partition-prunable. */
+  def toNdjsonFileSink(events: DataFrame, tsCol: String, outDir: String,
+      checkpointDir: String, trigger: FiniteDuration): DataStreamWriter[Row] =
+    events
+      .withColumn("event_date", date_format(col(tsCol), "yyyy-MM-dd"))
+      .withColumn("value",
+        to_json(struct(events.columns.map(col).toIndexedSeq: _*)))
+      .select(col("event_date"), col("value"))
+      .writeStream
+      .format("text")
+      .partitionBy("event_date")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(trigger.toMillis))
+
   /** O2: wire an unkeyed record stream into the firehose-shaped sink — same
     * chunk/retry/backoff machinery, records carry an empty key. */
   def toFirehoseShapedSink(records: DataFrame, cfg: graft.config.FirehoseConfig,
