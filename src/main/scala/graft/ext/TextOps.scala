@@ -36,11 +36,17 @@ object TextOps {
   def toks(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
 
-  /** Word 3-shingles for every start position 1..len — trailing positions
-    * yield the 2-gram and 1-gram tails, so docs shorter than 3 tokens still
-    * produce at least one shingle (same clamping as DuckDB `l[i:i+2]`). */
-  def shingles3(tk: Column): Column =
-    transform(sequence(lit(1), size(tk)), i => array_join(slice(tk, i, lit(3)), " "))
+  /** Word n-shingles for every start position 1..len — trailing positions
+    * yield the shorter tails, so docs shorter than n tokens still produce at
+    * least one shingle (same clamping as DuckDB `l[i:i+n-1]`).
+    * IMPORTANT: pass a MATERIALIZED token-array column (`withColumn("tk",
+    * toks(...))` first) — an expression inlined here re-evaluates once per
+    * position (no CSE inside lambdas → O(n²) retokenization). */
+  def shinglesN(tk: Column, n: Int): Column =
+    transform(sequence(lit(1), size(tk)), i => array_join(slice(tk, i, lit(n)), " "))
+
+  /** Word 3-shingles (the d02/d04 setting). */
+  def shingles3(tk: Column): Column = shinglesN(tk, 3)
 
   /** Same 60-bit md5 hash computed driver-side (for plan-constant values such
     * as LSH hyperplanes — must agree exactly with [[h60]]/[[hm]]). */

@@ -1,0 +1,76 @@
+package graft
+
+import graft.ext.{Dedup, DedupOps, Similarity}
+import graft.operators.Skew
+import org.apache.spark.sql.functions._
+
+/** The generic library operators must agree with their oracle-checked query
+  * twins (d01/d02/d04/d05/s01 pin specific columns; DedupOps parameterizes
+  * them), and the salted join must be semantics-preserving. */
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = Tables.load(spark, dir, "documents")
+  private def embs = Tables.load(spark, dir, "embeddings")
+
+  test("dropExactDuplicates keeps exactly d01's keep set") {
+    val kept = DedupOps.dropExactDuplicates(docs, Seq("text"), keepBy = "doc_id")
+      .select($"doc_id").as[Long].collect().sorted
+    val oracle = Dedup.d01ExactDedup(spark, dir)
+      .select($"keep_id").as[Long].collect().sorted
+    assert(kept.toSeq == oracle.toSeq)
+  }
+
+  test("dropNearDuplicatesMinhash keeps exactly d02's kept set") {
+    val kept = DedupOps.dropNearDuplicatesMinhash(docs, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().sorted
+    val oracle = Dedup.d02MinhashLsh(spark, dir)
+      .filter($"kept" === 1L).select($"doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == oracle.toSeq)
+  }
+
+  test("jaccardPairs matches d04 at the same threshold") {
+    val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text", "lang", 0.5)
+      .select($"id_a", $"id_b", round($"jaccard", 4).as("j"))
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    val oracle = Dedup.d04NgramJaccard(spark, dir)
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2))
+    assert(pairs.toSeq == oracle.toSeq)
+  }
+
+  test("cosinePairs matches d05 at the same threshold") {
+    // d05 filters on round(cos,4) >= 0.35; the generic op on the raw cosine.
+    // Compare on the pairs both report above a slightly-safe threshold.
+    val pairs = DedupOps.cosinePairs(embs, "vec_id", "embedding", "label", 0.35)
+      .filter(round($"cosine", 4) >= 0.35)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().sortBy(identity)
+    val oracle = Dedup.d05EmbeddingNearDup(spark, dir)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().sortBy(identity)
+    assert(pairs.toSeq == oracle.toSeq)
+  }
+
+  test("knn matches s01 for the same query set") {
+    val got = DedupOps.knn(embs, embs.filter($"vec_id" < 20), "vec_id", "embedding", 5)
+      .select($"query_id", $"rank", $"id").as[(Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2))
+    val oracle = Similarity.s01KnnBrute(spark, dir)
+      .select($"qid", $"rk", $"vec_id").as[(Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2))
+    // ties at equal cosine can order differently (s01 ranks on round(cos,6));
+    // compare the (query, rank) -> id only where ranks are stable, else sets
+    val gotSets = got.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val oraSets = oracle.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert(gotSets == oraSets)
+  }
+
+  test("saltedJoin returns exactly the unsalted join result") {
+    val li = Tables.load(spark, dir, "lineitem").select($"l_orderkey", $"l_quantity")
+    val o = Tables.load(spark, dir, "orders").select($"o_orderkey", $"o_totalprice")
+    val salted = Skew.saltedJoin(li, o, "l_orderkey", "o_orderkey", salt = 7)
+      .groupBy($"o_orderkey").agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("q"))
+    val plain = li.join(o, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderkey").agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("q"))
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+  }
+}
