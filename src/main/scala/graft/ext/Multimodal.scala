@@ -71,6 +71,47 @@ object Multimodal {
     }(enc)
   }
 
+  /** STUB resize: a real deployment decodes and resamples pixels here; the
+    * stub derives a deterministic thumbnail payload from (digest, w, h) so
+    * the plumbing (binary-in/binary-out per-partition transform, schema
+    * evolution) is exercised. */
+  def stubResize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    // ??? <- real image resample goes here; deterministic fake below.
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.update(payload); d.update(s":$w:$h".getBytes("UTF-8"))
+    d.digest()
+  }
+
+  /** Distributed resize: appends (thumb BINARY, thumb_w, thumb_h). Same
+    * mapPartitions batch shape a Pandas-UDF decode would use. */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val schema = StructType(media.schema.fields ++ Seq(
+      StructField("thumb", BinaryType, nullable = false),
+      StructField("thumb_w", IntegerType, nullable = false),
+      StructField("thumb_h", IntegerType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        Row.fromSeq(r.toSeq ++ Seq(stubResize(payload, w, h), w, h))
+      }
+    }(enc)
+  }
+
+  /** Frame sampling: one output row per kept frame (every `everyNth` of the
+    * decoded n_frames) — a declarative explode over the decoded frame count,
+    * so Catalyst handles the fan-out; the per-frame payload is the stub
+    * decode of (payload digest, frame_idx). */
+  def sampleFrames(decoded: DataFrame, everyNth: Int): DataFrame = {
+    require(everyNth >= 1)
+    decoded
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("n_frames") - 1, lit(everyNth))))
+      .withColumn("frame_digest",
+        md5(concat(col("meta.digest"), lit(":"), col("frame_idx").cast("string"))))
+      .select(col("media_id"), col("frame_idx"), col("frame_digest"))
+  }
+
   // ---------------------------------------------------------------- m01
   /** Oracle-checked metadata extraction over the binary payload column —
     * byte length, digest, and a deterministic stub feature. The decode stub

@@ -87,6 +87,74 @@ object Similarity {
       .orderBy($"qid", $"rk")
   }
 
+  // ------------------------------------------------------------ IVF ANN
+  /** IVF-style ANN — the scale path when the corpus outgrows a single LSH
+    * signature: a coarse quantizer (nlist centroids, deterministic seeded
+    * Lloyd iterations) partitions the corpus into inverted lists; a query
+    * probes only its `nprobe` nearest lists and ranks exact cosine within.
+    *
+    * Scale: training touches the corpus `iters` times with nlist tiny dot
+    * products per row (centroids are plan literals — no shuffle, no UDF);
+    * the search is one equi-join on the centroid id, i.e. candidates ≈
+    * corpus × nprobe / nlist, hash-partitioned. Driver state is only the
+    * nlist×dim centroid matrix (KBs).
+    */
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.Row
+    def unit(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id), transform(col(vecCol), x => x.cast("double")).as("__v"))
+        .withColumn("__nrm", sqrt(aggregate(col("__v"), lit(0.0d), (a, x) => a + x * x)))
+        .withColumn("__u", transform(col("__v"), x => x / col("__nrm")))
+        .drop("__v", "__nrm")
+    val c = unit(corpus, "id")
+
+    def dotLit(u: Column, cen: Seq[Double]): Column =
+      aggregate(zip_with(u, array(cen.map(lit): _*), (x, y) => x * y),
+        lit(0.0d), (a, x) => a + x)
+    def normalize(v: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+
+    // deterministic seed: the nlist lowest-id unit vectors
+    var centroids: IndexedSeq[Seq[Double]] = c.orderBy(col("id")).limit(nlist)
+      .select(col("__u")).collect().toIndexedSeq.map(_.getSeq[Double](0))
+    def assignExpr(u: Column): Column = {
+      val dots = array(centroids.map(cen => dotLit(u, cen)): _*)
+      (array_position(dots, array_max(dots)) - 1).cast("int")
+    }
+    for (_ <- 0 until iters) {
+      val means = c.withColumn("__cid", assignExpr(col("__u")))
+        .select(col("__cid"), posexplode(col("__u")).as(Seq("__p", "__x")))
+        .groupBy(col("__cid"), col("__p")).agg(sum(col("__x")).as("__s"))
+        .groupBy(col("__cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(__p, __s))), e -> e.__s)").as("__mean"))
+        .collect().map { r: Row => r.getInt(0) -> r.getSeq[Double](1) }.toMap
+      centroids = centroids.indices.map(i =>
+        means.get(i).map(normalize).getOrElse(centroids(i)))
+    }
+
+    val lists = c.withColumn("__cid", assignExpr(col("__u")))
+    val q = unit(queries, "query_id")
+    // top-nprobe centroid ids per query: sort (dot, cid) structs descending
+    val probeDots = array(centroids.zipWithIndex.map { case (cen, i) =>
+      struct(dotLit(col("__u"), cen).as("d"), lit(i).as("cid"))
+    }: _*)
+    val probes = q
+      .withColumn("__probe",
+        explode(slice(sort_array(probeDots, asc = false), 1, nprobe)))
+      .select(col("query_id"), col("__u").as("__qu"), col("__probe.cid").as("__cid"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("id"))
+    broadcast(probes).join(lists, Seq("__cid"))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("cosine", // unit vectors: cosine == dot
+        aggregate(zip_with(col("__qu"), col("__u"), (x, y) => x * y), lit(0.0d), (a, x) => a + x))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("cosine"))
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_knn_brute" -> s01KnnBrute,
     "s02_ann_lsh" -> s02AnnLsh)

@@ -64,6 +64,30 @@ class DedupOpsSpec extends SparkSpec {
     assert(gotSets == oraSets)
   }
 
+  test("ivfKnn with full probe equals brute-force; partial probe recalls most") {
+    val queries = embs.filter($"vec_id" < 20)
+    val brute = DedupOps.knn(embs, queries, "vec_id", "embedding", 5)
+      .select($"query_id", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // nprobe == nlist probes every list -> identical to brute force
+    val full = Similarity.ivfKnn(embs, queries, "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 8, iters = 1)
+      .select($"query_id", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(full == brute)
+    // partial probe: correctness-vs-cost knob; recall stays useful
+    val part = Similarity.ivfKnn(embs, queries, "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 3, iters = 2)
+      .select($"query_id", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = brute.keys.toSeq.map { q =>
+      val hit = part.getOrElse(q, Set.empty[Long]) & brute(q)
+      hit.size.toDouble / brute(q).size
+    }
+    assert(recall.sum / recall.size > 0.5,
+      s"mean recall@5 too low: ${recall.sum / recall.size}")
+  }
+
   test("saltedJoin returns exactly the unsalted join result") {
     val li = Tables.load(spark, dir, "lineitem").select($"l_orderkey", $"l_quantity")
     val o = Tables.load(spark, dir, "orders").select($"o_orderkey", $"o_totalprice")

@@ -41,6 +41,30 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resize appends deterministic thumbnails per partition") {
+    val media = Multimodal.mediaFrom(spark, dir).repartition(4)
+    val out = Multimodal.resize(media, 64, 64)
+    assert(out.schema.fieldNames.endsWith(Seq("thumb", "thumb_w", "thumb_h")))
+    val r = out.orderBy($"media_id").first()
+    assert(r.getAs[Array[Byte]]("thumb").toSeq ==
+      Multimodal.stubResize(r.getAs[Array[Byte]]("payload"), 64, 64).toSeq)
+    assert(out.count() == media.count())
+  }
+
+  test("sampleFrames emits every Nth frame of the decoded count") {
+    val decoded = Multimodal.decodeFeatures(Multimodal.mediaFrom(spark, dir))
+    val frames = Multimodal.sampleFrames(decoded, everyNth = 5)
+    val expected = decoded.select($"media_id", $"n_frames").collect()
+      .map(r => (r.getLong(0), (r.getInt(1) + 4) / 5)).toMap
+    val got = frames.groupBy($"media_id").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1).toInt)).toMap
+    assert(got == expected)
+    // frame indices are the arithmetic sequence 0, 5, 10, ...
+    val one = frames.filter($"media_id" === got.keys.head)
+      .select($"frame_idx").as[Int].collect().sorted
+    assert(one.zipWithIndex.forall { case (f, i) => f == i * 5 })
+  }
+
   test("feature aggregation composes with the decoded columns") {
     val media = Multimodal.mediaFrom(spark, dir)
     val agg = Multimodal.decodeFeatures(media)

@@ -231,6 +231,33 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("parquet-driven stream reproduces the batch windowed aggregation (q16 twin)") {
+    val dir = "/root/testdata/sf0.001"
+    val batchEvents = Tables.load(spark, dir, "events")
+    val expected = batchEvents
+      .groupBy(window(col("ts"), "1 day"), col("event_type")).count()
+      .select(col("window.start").as("ws"), col("event_type"), col("count"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    // stream the same parquet (raw nanos schema + the Tables.load conversion);
+    // the file source wants a directory, so stage the single file into one
+    val stageDir = Files.createTempDirectory("graft-parity-in")
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stageDir.resolve("events.parquet"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val stream = spark.readStream.schema(raw.schema)
+      .parquet(stageDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .groupBy(window(col("ts"), "1 day"), col("event_type")).count()
+      .select(col("window.start").as("ws"), col("event_type"), col("count"))
+    val q = agg.writeStream.format("memory").queryName("parity_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("parity_out").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected, "stream and batch answers must be identical")
+  }
+
   test("date-partitioned NDJSON file sink is exactly-once and prunable (O2 twin)") {
     val mem = MemoryStream[StreamEvt]
     val outDir = Files.createTempDirectory("graft-file-out").toFile
