@@ -103,11 +103,18 @@ object Pipeline {
 
   /** Wire a keyed-record stream into the Kinesis-shaped sink with a
     * processing-time trigger (the flush.timeout twin) and checkpointing
-    * (the ACK/registrar twin). `newPutter` must be serializable. */
+    * (the ACK/registrar twin). `newPutter` must be serializable.
+    *
+    * `partitionByKey = true` hash-repartitions on the partition key before
+    * the sink — the engine-side analogue of Kinesis shard routing (SURVEY
+    * §2.4 K1): all records of a key flow through one task in arrival order,
+    * reproducing per-shard ordering. Costs a shuffle; leave off when the
+    * sink's own key-hashing (the real Kinesis) is the routing authority. */
   def toKinesisShapedSink(records: DataFrame, cfg: StreamsConfig,
       newPutter: () => BatchPut.Putter, checkpointDir: String,
-      trigger: FiniteDuration): DataStreamWriter[Row] =
-    records.writeStream
+      trigger: FiniteDuration, partitionByKey: Boolean = false): DataStreamWriter[Row] =
+    (if (partitionByKey) records.repartition(col("partition_key")) else records)
+      .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(trigger.toMillis))
