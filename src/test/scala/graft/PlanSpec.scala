@@ -56,6 +56,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("d04/d05/s02: no near-dup or ANN operator falls back to all-pairs") {
+    for (name <- Seq("d04_ngram_jaccard", "d05_embedding_neardup", "s02_ann_lsh")) {
+      val p = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name materializes an all-pairs product:\n$p")
+    }
+  }
+
+  test("d01: exact dedup shuffles digests, not document text") {
+    val p = plan("d01_exact_dedup")
+    // the md5 projects BELOW the exchange, partial aggregation combines
+    // map-side, and no text column crosses the wire
+    assert(p.contains("partial_min"), s"expected map-side combine:\n$p")
+    val partial = p.linesIterator.find(_.contains("partial_min")).get
+    assert(!partial.contains("text#"),
+      s"document text must not reach the shuffle:\n$partial")
+  }
+
   test("q12: pure scalar projection has no exchange at all") {
     val p = plan("q12_scalar_funcs")
     // one final sort for the deterministic output order is expected; no
