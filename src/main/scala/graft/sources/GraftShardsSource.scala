@@ -1,0 +1,141 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.util
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.jdk.CollectionConverters._
+
+/** DSv2 micro-batch SOURCE replaying a directory of per-shard NDJSON files —
+  * the consumer-side twin of the Kinesis contract the reference produces
+  * into (BASELINE.json north star: "Structured Streaming + Kinesis source";
+  * OSS Spark ships no Kinesis connector):
+  *
+  *   shard          ≈ one `shard-*.ndjson` file (append-only)
+  *   sequence number ≈ line number within the shard
+  *   GetRecords     ≈ planInputPartitions over the (start, end] offset range
+  *   checkpoint     ≈ per-shard offsets serialized into the streaming
+  *                    offset log — restart resumes exactly where it stopped
+  *
+  * One InputPartition per shard per micro-batch preserves per-shard order
+  * (the Kinesis ordering guarantee); parallelism = shard count, exactly like
+  * a real Kinesis consumer.
+  *
+  * {{{
+  *   spark.readStream.format("graft-shards").load(dir)
+  *     // => shard STRING, seq LONG, data STRING
+  * }}}
+  */
+class GraftShardsProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-shards"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftShardsProvider.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new ShardsTable(Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("path is required (load(dir))")))
+}
+
+object GraftShardsProvider {
+  val schema: StructType = StructType(Seq(
+    StructField("shard", StringType, nullable = false),
+    StructField("seq", LongType, nullable = false),
+    StructField("data", StringType, nullable = false)))
+
+  /** Current line count per shard file in `dir`. */
+  private[sources] def shardEnds(dir: String): Map[String, Long] = {
+    val d = Paths.get(dir)
+    if (!Files.isDirectory(d)) Map.empty
+    else Files.list(d).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("shard-") &&
+        p.getFileName.toString.endsWith(".ndjson"))
+      .map(p => p.getFileName.toString -> countLines(p))
+      .toMap
+  }
+
+  private def countLines(p: Path): Long =
+    Files.lines(p, StandardCharsets.UTF_8).count()
+}
+
+/** Per-shard line positions; JSON "shard-a.ndjson:12,shard-b.ndjson:7"
+  * (simple k:v form — stable, human-readable in the offset log). */
+case class ShardOffsets(positions: Map[String, Long]) extends Offset {
+  override def json(): String =
+    positions.toSeq.sorted.map { case (s, n) => s"$s:$n" }.mkString(",")
+}
+
+object ShardOffsets {
+  def parse(s: String): ShardOffsets =
+    if (s.isEmpty) ShardOffsets(Map.empty)
+    else ShardOffsets(s.split(",").map { kv =>
+      val i = kv.lastIndexOf(':')
+      kv.substring(0, i) -> kv.substring(i + 1).toLong
+    }.toMap)
+}
+
+private class ShardsTable(dir: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-shards($dir)"
+  override def schema(): StructType = GraftShardsProvider.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = GraftShardsProvider.schema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new ShardsMicroBatchStream(dir)
+    }
+}
+
+private class ShardsMicroBatchStream(dir: String) extends MicroBatchStream {
+  override def initialOffset(): Offset = ShardOffsets(Map.empty)
+  override def latestOffset(): Offset =
+    ShardOffsets(GraftShardsProvider.shardEnds(dir))
+  override def deserializeOffset(json: String): Offset = ShardOffsets.parse(json)
+  override def commit(end: Offset): Unit = () // offset log is the record of progress
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ShardOffsets].positions
+    val e = end.asInstanceOf[ShardOffsets].positions
+    e.toSeq.sortBy(_._1).flatMap { case (shard, endLine) =>
+      val startLine = s.getOrElse(shard, 0L)
+      if (endLine > startLine)
+        Some(ShardSlice(dir, shard, startLine, endLine): InputPartition)
+      else None
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory = ShardReaderFactory
+}
+
+/** One shard's (startLine, endLine] slice — a GetRecords call's worth. */
+private case class ShardSlice(dir: String, shard: String,
+    startLine: Long, endLine: Long) extends InputPartition
+
+private object ShardReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ShardSlice]
+    new PartitionReader[InternalRow] {
+      private val lines = Files.lines(
+        Paths.get(p.dir, p.shard), StandardCharsets.UTF_8)
+      private val it = lines.iterator().asScala
+        .zipWithIndex.map { case (l, i) => (l, i.toLong) }
+        .filter { case (_, i) => i >= p.startLine && i < p.endLine }
+      private var cur: (String, Long) = _
+      override def next(): Boolean = { val has = it.hasNext; if (has) cur = it.next(); has }
+      override def get(): InternalRow = new GenericInternalRow(Array[Any](
+        UTF8String.fromString(p.shard), cur._2, UTF8String.fromString(cur._1)))
+      override def close(): Unit = lines.close()
+    }
+  }
+}
