@@ -66,6 +66,36 @@ class ShardsSourceSpec extends SparkSpec {
       s"exactly-once across restart; got $all")
   }
 
+  test("full pipeline: graft-shards source -> publish transform -> graft-streams sink") {
+    // the reference's whole deployment in one streaming query: tail shard
+    // files (beat ≈ producer), encode + key (Publish path), deliver to the
+    // Kinesis-shaped sink — both ends DSv2 formats of this engine.
+    RegistryPutter.got.clear()
+    val dir = Files.createTempDirectory("graft-e2e-shards")
+    val ck = Files.createTempDirectory("graft-e2e-ck")
+    append(dir, "shard-a.ndjson", """{"host":"web-1","msg":"m1"}""")
+    append(dir, "shard-b.ndjson", """{"host":"web-2","msg":"m2"}""")
+
+    val cfg = graft.config.StreamsConfig(
+      region = "us-east-1", streamName = "t", partitionKey = "host")
+    val eventSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("host", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("msg", org.apache.spark.sql.types.StringType)))
+    val events = spark.readStream.format("graft-shards").load(dir.toString)
+      .select(org.apache.spark.sql.functions.from_json($"data", eventSchema).as("e"))
+      .select($"e.host", $"e.msg")
+    val (records, _) = graft.streaming.Pipeline.publishTransform(events, cfg)
+    val q = records.writeStream.format("graft-streams")
+      .option("region", "us-east-1").option("stream_name", "t")
+      .option("putter.class", classOf[RegistryPutter].getName)
+      .option("checkpointLocation", ck.toString).start()
+    try q.processAllAvailable() finally q.stop()
+
+    val recs = RegistryPutter.got.toArray(Array.empty[graft.sink.BatchPut.Record])
+    assert(recs.map(_.key).sorted.toSeq == Seq("web-1", "web-2"))
+    assert(recs.forall(r => new String(r.data, "UTF-8").endsWith("\n")))
+  }
+
   test("offsets serialize round-trip through the offset log format") {
     import graft.sources.ShardOffsets
     val o = ShardOffsets(Map("shard-a.ndjson" -> 12L, "shard-b.ndjson" -> 7L))
