@@ -514,6 +514,22 @@ object Queries {
       .orderBy($"p_key")
   }
 
+  // ---------------------------------------------------------------- q32
+  /** Spark 4 VariantType over the semi-structured payload (SURVEY §1.3):
+    * parse once into a binary variant, then typed path extraction — the
+    * engine-native way to hold schemaless event payloads at scale (no
+    * per-query JSON re-parse; variant_get is codegen'd byte-offset access).
+    * The oracle extracts the same value textually. */
+  val q32Variant: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "events")
+      .withColumn("v", parse_json($"props"))
+      .withColumn("k", expr("variant_get(v, '$.k', 'bigint')"))
+      .groupBy($"k")
+      .agg(round(avg($"value"), 4).as("avg_value"), count(lit(1)).as("n"))
+      .orderBy($"k")
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_revenue_by_nation" -> q02RevenueByNation,
@@ -545,7 +561,8 @@ object Queries {
     "q28_cross_join" -> q28CrossJoin,
     "q29_corr_subquery" -> q29CorrSubquery,
     "q30_analytic_funcs" -> q30AnalyticFuncs,
-    "q31_string_funcs" -> q31StringFuncs)
+    "q31_string_funcs" -> q31StringFuncs,
+    "q32_variant" -> q32Variant)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -779,5 +796,9 @@ object Queries {
         | translate(p_brand, 'AEIOU', '12345') AS brand_tr,
         | CAST(strpos(p_name, 'a') AS BIGINT) AS first_a,
         | split_part(p_type, ' ', 1) AS type_head
-        |FROM part ORDER BY p_key""".stripMargin)
+        |FROM part ORDER BY p_key""".stripMargin,
+    "q32_variant" ->
+      """SELECT CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) AS k,
+        | round(avg(value), 4) AS avg_value, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin)
 }

@@ -53,6 +53,9 @@ object GraftShardsProvider {
     StructField("seq", LongType, nullable = false),
     StructField("data", StringType, nullable = false)))
 
+  /** Test/metrics seam: the most recent schema the optimizer pruned to. */
+  val lastPrunedSchema = new java.util.concurrent.atomic.AtomicReference[StructType](schema)
+
   /** Current line count per shard file in `dir`. */
   private[sources] def shardEnds(dir: String): Map[String, Long] = {
     val d = Paths.get(dir)
@@ -88,16 +91,37 @@ private class ShardsTable(dir: String) extends Table with SupportsRead {
   override def name(): String = s"graft-shards($dir)"
   override def schema(): StructType = GraftShardsProvider.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new Scan {
-      override def readSchema(): StructType = GraftShardsProvider.schema
-      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new ShardsMicroBatchStream(dir)
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      // column pruning (DSv2 pushdown contract): when a query only touches
+      // shard/seq, the reader never materializes the payload string
+      private var required: StructType = GraftShardsProvider.schema
+      override def pruneColumns(requiredSchema: StructType): Unit = {
+        required = requiredSchema
+        GraftShardsProvider.lastPrunedSchema.set(requiredSchema)
+      }
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = required
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new ShardsMicroBatchStream(dir, required)
+        // bounded replay of everything currently in the shards (batch read
+        // path — and where Catalyst's column pruning reaches the source)
+        override def toBatch: Batch = new Batch {
+          override def planInputPartitions(): Array[InputPartition] =
+            GraftShardsProvider.shardEnds(dir).toSeq.sortBy(_._1).collect {
+              case (shard, end) if end > 0 =>
+                ShardSlice(dir, shard, 0L, end): InputPartition
+            }.toArray
+          override def createReaderFactory(): PartitionReaderFactory =
+            new ShardReaderFactory(required.fieldNames)
+        }
+      }
     }
 }
 
-private class ShardsMicroBatchStream(dir: String) extends MicroBatchStream {
+private class ShardsMicroBatchStream(dir: String,
+    required: StructType = GraftShardsProvider.schema) extends MicroBatchStream {
   override def initialOffset(): Offset = ShardOffsets(Map.empty)
   override def latestOffset(): Offset =
     ShardOffsets(GraftShardsProvider.shardEnds(dir))
@@ -115,14 +139,15 @@ private class ShardsMicroBatchStream(dir: String) extends MicroBatchStream {
       else None
     }.toArray
   }
-  override def createReaderFactory(): PartitionReaderFactory = ShardReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ShardReaderFactory(required.fieldNames)
 }
 
 /** One shard's (startLine, endLine] slice — a GetRecords call's worth. */
 private case class ShardSlice(dir: String, shard: String,
     startLine: Long, endLine: Long) extends InputPartition
 
-private object ShardReaderFactory extends PartitionReaderFactory {
+private class ShardReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ShardSlice]
     new PartitionReader[InternalRow] {
@@ -133,8 +158,12 @@ private object ShardReaderFactory extends PartitionReaderFactory {
         .filter { case (_, i) => i >= p.startLine && i < p.endLine }
       private var cur: (String, Long) = _
       override def next(): Boolean = { val has = it.hasNext; if (has) cur = it.next(); has }
-      override def get(): InternalRow = new GenericInternalRow(Array[Any](
-        UTF8String.fromString(p.shard), cur._2, UTF8String.fromString(cur._1)))
+      override def get(): InternalRow = new GenericInternalRow(
+        fields.map {
+          case "shard" => UTF8String.fromString(p.shard)
+          case "seq" => cur._2
+          case "data" => UTF8String.fromString(cur._1)
+        }.toArray[Any])
       override def close(): Unit = lines.close()
     }
   }

@@ -96,6 +96,22 @@ class ShardsSourceSpec extends SparkSpec {
     assert(recs.forall(r => new String(r.data, "UTF-8").endsWith("\n")))
   }
 
+  test("batch replay works and column pruning reaches the source") {
+    val dir = Files.createTempDirectory("graft-shards3")
+    append(dir, "shard-a.ndjson", "x", "y", "z")
+    append(dir, "shard-b.ndjson", "w")
+    graft.sources.GraftShardsProvider.lastPrunedSchema
+      .set(graft.sources.GraftShardsProvider.schema)
+    val got = spark.read.format("graft-shards").load(dir.toString)
+      .select($"shard", $"seq") // data unused -> prunable
+      .as[(String, Long)].collect().sorted
+    assert(got.toSeq == Seq(("shard-a.ndjson", 0L), ("shard-a.ndjson", 1L),
+      ("shard-a.ndjson", 2L), ("shard-b.ndjson", 0L)))
+    val pruned = graft.sources.GraftShardsProvider.lastPrunedSchema.get().fieldNames.toSeq
+    assert(!pruned.contains("data"),
+      s"optimizer should have pruned the payload column, got $pruned")
+  }
+
   test("offsets serialize round-trip through the offset log format") {
     import graft.sources.ShardOffsets
     val o = ShardOffsets(Map("shard-a.ndjson" -> 12L, "shard-b.ndjson" -> 7L))

@@ -231,6 +231,55 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: purchases attribute to clicks within the window") {
+    val clicks = MemoryStream[StreamEvt]
+    val buys = MemoryStream[StreamEvt]
+    val c = clicks.toDF().select($"user_id".as("c_user"), $"ts".as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val b = buys.toDF().select($"user_id".as("b_user"), $"event_id".as("b_id"), $"ts".as("b_ts"))
+      .withWatermark("b_ts", "10 minutes")
+    // join condition bounds state on BOTH sides: click within 30min before buy
+    val joined = b.join(c,
+      expr("b_user = c_user AND c_ts <= b_ts AND c_ts >= b_ts - INTERVAL 30 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData(StreamEvt(1, 7, "click", ts(0)), StreamEvt(2, 7, "click", ts(50)),
+        StreamEvt(3, 8, "click", ts(5)))
+      buys.addData(StreamEvt(10, 7, "purchase", ts(20)))  // joins click@0 only
+      q.processAllAvailable()
+      clicks.addData(StreamEvt(4, 9, "click", ts(120)))   // watermark advance
+      buys.addData(StreamEvt(11, 9, "purchase", ts(125)))
+      q.processAllAvailable()
+      val rows = awaitRows("ssj_out", _.nonEmpty)
+      val attributed = rows.map(r => (r.getAs[Long]("b_id"), r.getAs[java.sql.Timestamp]("c_ts")))
+      assert(attributed.contains((10L, ts(0))), s"purchase 10 must attribute to click@00:00: $attributed")
+      assert(!attributed.contains((10L, ts(50))), "a later click must not attribute")
+    } finally q.stop()
+  }
+
+  test("stateful dedup runs on the RocksDB state store provider") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[StreamEvt]
+      val out = Pipeline.dedupWithinWatermark(mem.toDF(), "ts", "10 minutes", Seq("event_id"))
+      val q = out.writeStream.format("memory").queryName("rocks_out")
+        .outputMode("append").start()
+      try {
+        mem.addData(StreamEvt(1, 1, "click", ts(1)), StreamEvt(1, 1, "click", ts(2)),
+          StreamEvt(2, 2, "view", ts(3)))
+        q.processAllAvailable()
+        val ids = spark.table("rocks_out").collect().map(_.getAs[Long]("event_id")).sorted
+        assert(ids.toSeq == Seq(1L, 2L))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("parquet-driven stream reproduces the batch windowed aggregation (q16 twin)") {
     val dir = "/root/testdata/sf0.001"
     val batchEvents = Tables.load(spark, dir, "events")
