@@ -127,12 +127,12 @@ object Dedup {
     // Inverted-index candidate pairs via a self-join on ONE materialized
     // shuffle: the explicit repartition on the join keys makes both sides
     // identical Exchange subtrees (ReusedExchange — the tokenize+shingle+md5
-    // chain runs once), and the shuffle_hash hint keeps Catalyst from
+    // chain runs once), and the merge hint keeps Catalyst from
     // broadcasting a corpus-sized side (measured 2-3x faster than a
     // collect_list bucket explode; at scale a broadcast here would OOM and
     // SMJ would pay two sorts).
     val shp = sh.repartition(col("lang"), col("sh"))
-    val inter = shp.as("a").hint("shuffle_hash").join(shp.as("b"),
+    val inter = shp.as("a").hint("merge").join(shp.as("b"),
         col("a.lang") === col("b.lang") && col("a.sh") === col("b.sh") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
