@@ -526,7 +526,11 @@ object Queries {
       .withColumn("v", parse_json($"props"))
       .withColumn("k", expr("variant_get(v, '$.k', 'bigint')"))
       .groupBy($"k")
-      .agg(round(avg($"value"), 4).as("avg_value"), count(lit(1)).as("n"))
+      // + 1e-9 before rounding: the testdata's few-decimal values make
+      // averages land exactly on 5th-decimal ties, and Spark (binary
+      // HALF_UP) and DuckDB round them to different sides; the same nudge
+      // on both engines picks one side deterministically
+      .agg(round(avg($"value") + lit(1e-9), 4).as("avg_value"), count(lit(1)).as("n"))
       .orderBy($"k")
   }
 
@@ -799,6 +803,6 @@ object Queries {
         |FROM part ORDER BY p_key""".stripMargin,
     "q32_variant" ->
       """SELECT CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) AS k,
-        | round(avg(value), 4) AS avg_value, CAST(count(*) AS BIGINT) AS n
+        | round(avg(value) + 1e-9, 4) AS avg_value, CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin)
 }

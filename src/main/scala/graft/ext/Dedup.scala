@@ -115,32 +115,28 @@ object Dedup {
     // share ONE shuffle subtree (ReusedExchange), so the expensive
     // tokenize+shingle+md5 chain runs once, not once per side.
     // tk materialized first — same O(n²)-retokenization guard as d02.
+    // Each shingle row CARRIES its doc's distinct-shingle count (+8 bytes a
+    // row) so the Jaccard denominator rides through the join — no separate
+    // sizes branch, no broadcast joins, no second scan of the corpus.
     val sh = docs(s, dir)
       .withColumn("tk", toks($"text"))
-      .select($"doc_id", $"lang", explode(array_distinct(shingles3($"tk"))).as("sh"))
-      .select($"doc_id", $"lang", h60($"sh").as("sh"))
-    // |distinct shingles| per doc == size(array_distinct(...)) — a narrow
-    // per-row computation, no explode/shuffle at all.
-    val sizes = docs(s, dir)
-      .withColumn("tk", toks($"text"))
-      .select($"doc_id", size(array_distinct(shingles3($"tk"))).cast("long").as("n"))
+      .withColumn("shs", array_distinct(shingles3($"tk")))
+      .select($"doc_id", $"lang", size($"shs").cast("long").as("n"),
+        explode($"shs").as("sh"))
+      .select($"doc_id", $"lang", $"n", h60($"sh").as("sh"))
     // Inverted-index candidate pairs via a self-join on ONE materialized
     // shuffle: the explicit repartition on the join keys makes both sides
     // identical Exchange subtrees (ReusedExchange — the tokenize+shingle+md5
-    // chain runs once), and the merge hint keeps Catalyst from
-    // broadcasting a corpus-sized side (measured 2-3x faster than a
-    // collect_list bucket explode; at scale a broadcast here would OOM and
-    // SMJ would pay two sorts).
+    // chain runs once), and the merge hint keeps Catalyst from broadcasting
+    // a corpus-sized side (at scale that broadcast would OOM).
     val shp = sh.repartition(col("lang"), col("sh"))
     val inter = shp.as("a").hint("merge").join(shp.as("b"),
         col("a.lang") === col("b.lang") && col("a.sh") === col("b.sh") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    // per-doc sizes are |docs| rows — broadcast both attach joins
+      .agg(count(lit(1)).as("inter"),
+        first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
     inter
-      .join(broadcast(sizes.withColumnRenamed("n", "na")), $"doc_a" === sizes("doc_id")).drop("doc_id")
-      .join(broadcast(sizes.withColumnRenamed("n", "nb")), $"doc_b" === sizes("doc_id")).drop("doc_id")
       .withColumn("jacc", $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
       .filter($"jacc" >= 0.5)
       .select($"doc_a", $"doc_b", round($"jacc", 4).as("jacc"))
