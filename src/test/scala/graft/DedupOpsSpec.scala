@@ -39,6 +39,17 @@ class DedupOpsSpec extends SparkSpec {
     assert(pairs.toSeq == oracle.toSeq)
   }
 
+  test("jaccardPairsPrefix prunes candidates but returns exactly jaccardPairs") {
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select($"id_a", $"id_b", round($"jaccard", 4).as("j"))
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val full = norm(DedupOps.jaccardPairs(docs, "doc_id", "text", "lang", t))
+      val pref = norm(DedupOps.jaccardPairsPrefix(docs, "doc_id", "text", "lang", t))
+      assert(pref == full, s"prefix filter changed results at t=$t")
+    }
+  }
+
   test("cosinePairs matches d05 at the same threshold") {
     // d05 filters on round(cos,4) >= 0.35; the generic op on the raw cosine.
     // Compare on the pairs both report above a slightly-safe threshold.
