@@ -534,6 +534,19 @@ object Queries {
       .orderBy($"k")
   }
 
+  // ---------------------------------------------------------------- q33
+  /** Pure theta join (non-equi only — SURVEY §2.8 joins row): BNLJ is the
+    * only possible strategy, which is exactly why it is confined to
+    * dim × dim sides; the broadcast side is 5 rows. */
+  val q33ThetaJoin: Q = (s, dir) => {
+    import s.implicits._
+    val r = t(s, dir, "region").select($"r_regionkey", $"r_name")
+    val n = t(s, dir, "nation").select($"n_regionkey", $"n_nationkey", $"n_name")
+    n.join(broadcast(r), n("n_regionkey") < r("r_regionkey"))
+      .select($"n_nationkey".cast("long").as("nkey"), $"n_name", $"r_name")
+      .orderBy($"nkey", $"r_name")
+  }
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_revenue_by_nation" -> q02RevenueByNation,
@@ -566,7 +579,8 @@ object Queries {
     "q29_corr_subquery" -> q29CorrSubquery,
     "q30_analytic_funcs" -> q30AnalyticFuncs,
     "q31_string_funcs" -> q31StringFuncs,
-    "q32_variant" -> q32Variant)
+    "q32_variant" -> q32Variant,
+    "q33_theta_join" -> q33ThetaJoin)
 
   val oracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -804,5 +818,9 @@ object Queries {
     "q32_variant" ->
       """SELECT CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) AS k,
         | round(avg(value) + 1e-9, 4) AS avg_value, CAST(count(*) AS BIGINT) AS n
-        |FROM events GROUP BY 1 ORDER BY k""".stripMargin)
+        |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
+    "q33_theta_join" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS nkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey < r_regionkey
+        |ORDER BY nkey, r_name""".stripMargin)
 }
