@@ -411,7 +411,7 @@ object Queries {
         // + 0.0 canonicalizes IEEE -0.0 to +0.0 (engines differ on the sign
         // a near-zero mean rounds to)
         (round(aggregate($"v", lit(0.0d), (a, x) => a + x) / size($"v"), 4) + lit(0.0d)).as("v_avg"),
-        round(sqrt(aggregate($"v", lit(0.0d), (a, x) => a + x * x)), 4).as("l2"),
+        round(graft.functions.VectorExprs.l2($"v"), 4).as("l2"),
         size(filter($"v", x => x > 0.0d)).cast("long").as("n_pos"))
       .orderBy($"vec_id")
   }

@@ -153,13 +153,12 @@ object Dedup {
     val e = Tables.loadSpread(s, dir, "embeddings")
       .select($"vec_id", $"label",
         transform($"embedding", x => x.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(aggregate($"v", lit(0.0d), (acc, x) => acc + x * x)))
+      .withColumn("nrm", graft.functions.VectorExprs.l2($"v"))
     val a = e.select($"vec_id".as("vec_a"), $"label", $"v".as("va"), $"nrm".as("na"))
     val b = e.select($"vec_id".as("vec_b"), $"label", $"v".as("vb"), $"nrm".as("nb"))
     a.join(b, Seq("label"))
       .filter($"vec_a" < $"vec_b")
-      .withColumn("dot", aggregate(zip_with($"va", $"vb", (x, y) => x * y),
-        lit(0.0d), (acc, x) => acc + x))
+      .withColumn("dot", graft.functions.VectorExprs.dot($"va", $"vb"))
       .withColumn("cos", round($"dot" / ($"na" * $"nb"), 4))
       .filter($"cos" >= 0.35)
       .select($"vec_a", $"vec_b", $"cos")

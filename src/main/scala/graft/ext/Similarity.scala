@@ -31,8 +31,10 @@ object Similarity {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
+  // native codegen'd dot product (graft.functions.DotProduct) — the HOF
+  // fold form is CodegenFallback and breaks whole-stage codegen
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    graft.functions.VectorExprs.dot(a, b)
 
   /** 8-bit random-hyperplane signature of a double-array column. */
   private def bucketOf(v: Column): Column =
@@ -45,7 +47,7 @@ object Similarity {
     import s.implicits._
     Tables.loadSpread(s, dir, "embeddings")
       .select($"vec_id", $"label", asDouble($"embedding").as("v"))
-      .withColumn("nrm", sqrt(aggregate($"v", lit(0.0d), (acc, x) => acc + x * x)))
+      .withColumn("nrm", graft.functions.VectorExprs.l2($"v"))
   }
 
   // ---------------------------------------------------------------- s01
@@ -104,14 +106,13 @@ object Similarity {
     import org.apache.spark.sql.Row
     def unit(df: DataFrame, id: String): DataFrame =
       df.select(col(idCol).as(id), transform(col(vecCol), x => x.cast("double")).as("__v"))
-        .withColumn("__nrm", sqrt(aggregate(col("__v"), lit(0.0d), (a, x) => a + x * x)))
+        .withColumn("__nrm", graft.functions.VectorExprs.l2(col("__v")))
         .withColumn("__u", transform(col("__v"), x => x / col("__nrm")))
         .drop("__v", "__nrm")
     val c = unit(corpus, "id")
 
     def dotLit(u: Column, cen: Seq[Double]): Column =
-      aggregate(zip_with(u, array(cen.map(lit): _*), (x, y) => x * y),
-        lit(0.0d), (a, x) => a + x)
+      graft.functions.VectorExprs.dot(u, array(cen.map(lit): _*))
     def normalize(v: Seq[Double]): Seq[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0) v else v.map(_ / n)
@@ -149,7 +150,7 @@ object Similarity {
     broadcast(probes).join(lists, Seq("__cid"))
       .filter(col("query_id") =!= col("id"))
       .withColumn("cosine", // unit vectors: cosine == dot
-        aggregate(zip_with(col("__qu"), col("__u"), (x, y) => x * y), lit(0.0d), (a, x) => a + x))
+        graft.functions.VectorExprs.dot(col("__qu"), col("__u")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("id"), col("cosine"))

@@ -11,3 +11,9 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
 }
+
+/** Reverse direction: unwrap a Column back to its Catalyst Expression (for
+  * building native expressions over user-supplied columns). */
+object ExpressionColumnHelper {
+  def expr(c: Column): Expression = ExpressionUtils.expression(c)
+}
