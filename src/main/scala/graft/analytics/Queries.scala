@@ -126,12 +126,18 @@ object Queries {
   }
 
   // ---------------------------------------------------------------- q07
-  /** Left-anti join (NOT EXISTS): customers with no orders at all. */
+  /** Left-anti join (NOT EXISTS): customers with no order on/after
+    * 1999-01-01 — i.e. recently-inactive customers. Anti-joining against a
+    * date-filtered order SUBSET (not all orders) keeps the result non-empty
+    * at every SF (every customer has ≥1 order in the driver's testdata, so
+    * the unfiltered form passes vacuously with 0 = 0 rows), and the filter
+    * pushes down to the orders scan before the join. */
   val q07AntiJoin: Q = (s, dir) => {
     import s.implicits._
-    val o = t(s, dir, "orders")
+    val recent = t(s, dir, "orders")
+      .filter($"o_orderdate" >= lit("1999-01-01").cast("timestamp"))
     t(s, dir, "customer")
-      .join(o, $"c_custkey" === o("o_custkey"), "left_anti")
+      .join(recent, $"c_custkey" === recent("o_custkey"), "left_anti")
       .select($"c_custkey".cast("long").as("cust"), $"c_name")
       .orderBy($"cust")
   }
@@ -636,7 +642,8 @@ object Queries {
     "q07_anti_join" ->
       """SELECT CAST(c_custkey AS BIGINT) AS cust, c_name
         |FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
         |ORDER BY cust""".stripMargin,
     "q08_set_ops" ->
       """WITH cn AS (SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS k FROM customer),

@@ -37,13 +37,19 @@ object TextOps {
     filter(split(text, "\\s+"), t => length(t) > 0)
 
   /** Word n-shingles for every start position 1..len — trailing positions
-    * yield the shorter tails, so docs shorter than n tokens still produce at
-    * least one shingle (same clamping as DuckDB `l[i:i+n-1]`).
+    * yield the shorter tails, so docs with 1..n-1 tokens still produce a
+    * shingle. ZERO tokens (empty/whitespace-only text) yields the EMPTY
+    * array: Spark's `sequence(1, 0)` is the descending [1, 0] (slice with
+    * start 0 then throws at runtime), whereas DuckDB's `range(1, len+1)` is
+    * empty for len=0 — the guard makes both engines agree and keeps the
+    * operators crash-free on degenerate docs. NULL text also yields [].
     * IMPORTANT: pass a MATERIALIZED token-array column (`withColumn("tk",
     * toks(...))` first) — an expression inlined here re-evaluates once per
     * position (no CSE inside lambdas → O(n²) retokenization). */
   def shinglesN(tk: Column, n: Int): Column =
-    transform(sequence(lit(1), size(tk)), i => array_join(slice(tk, i, lit(n)), " "))
+    when(size(tk) > 0,
+      transform(sequence(lit(1), size(tk)), i => array_join(slice(tk, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
 
   /** Word 3-shingles (the d02/d04 setting). */
   def shingles3(tk: Column): Column = shinglesN(tk, 3)

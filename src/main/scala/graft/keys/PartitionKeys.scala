@@ -15,10 +15,10 @@ import org.apache.spark.sql.types.{StringType, StructType}
   *     non-string schema type or null value yields a NULL key column, and
   *     [[PartitionKeys.split]] routes those rows to the dropped side-output.
   *   - xid provider (partition_key.go:41-47): a globally-unique, time-sortable
-  *     key per event for uniform shard spread. Implemented as
-  *     hex(micros-since-epoch) ++ uuid-suffix — same sortable-prefix/unique-
-  *     suffix structure as rs/xid (4B time + 8B machine/counter), pure
-  *     codegen'd builtins, no UDF.
+  *     key per event for uniform shard spread. Implemented as the native
+  *     codegen'd [[graft.functions.Xid]] Catalyst expression with rs/xid
+  *     byte-format parity (4B big-endian seconds + 3B machine + 2B pid +
+  *     3B counter, base32-hex encoded — see Xid.scala for the test vector).
   *
   * Inside the engine, hash-partitioning on the key column
   * (`df.repartition(col)`) is the analogue of Kinesis shard routing (SURVEY

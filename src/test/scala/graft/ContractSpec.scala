@@ -27,11 +27,10 @@ class ContractSpec extends SparkSpec {
 
   test("every query runs and returns rows at sf0.001") {
     val dir = "/root/testdata/sf0.001"
-    // q07 (customers with NO orders) is legitimately empty at tiny SF —
-    // every generated customer has orders; the oracle agrees on 0 rows.
-    val emptyAllowed = Set("q07_anti_join")
-    val empty = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (name, fn) =>
-      !emptyAllowed(name) && fn(spark, dir).limit(1).count() == 0
+    // (q07 anti-joins a date-filtered order subset precisely so it is
+    // non-empty at every SF — no exemptions needed.)
+    val empty = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (_, fn) =>
+      fn(spark, dir).limit(1).count() == 0
     }
     assert(empty.isEmpty, s"queries with no rows at sf0.001: ${empty.map(_._1)}")
   }

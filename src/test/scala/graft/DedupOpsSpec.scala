@@ -30,6 +30,43 @@ class DedupOpsSpec extends SparkSpec {
     assert(kept.toSeq == oracle.toSeq)
   }
 
+  test("zero-token and null docs survive every shingle operator (no crash, retained)") {
+    // sequence(1,0) is descending in Spark — unguarded shinglesN threw at
+    // runtime on empty/whitespace-only text (ADVICE r01). Degenerate docs
+    // must flow through, and non-shingleable docs must be RETAINED by the
+    // dedup (they are not duplicates of anything).
+    val degenerate = Seq(
+      (100001L, "", "en"), (100002L, "   \t  \n ", "en"), (100003L, null: String, "en"))
+      .toDF("doc_id", "text", "lang")
+    val corpus = docs.select($"doc_id", $"text", $"lang").unionByName(degenerate)
+    val kept = DedupOps.dropNearDuplicatesMinhash(corpus, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(Set(100001L, 100002L, 100003L).subsetOf(kept),
+      "non-shingleable docs must be retained, not silently dropped")
+    // pair operators: degenerate docs contribute no pairs but must not crash
+    assert(DedupOps.jaccardPairs(degenerate, "doc_id", "text", "lang", 0.5).count() == 0)
+    assert(DedupOps.jaccardPairsPrefix(degenerate, "doc_id", "text", "lang", 0.5).count() == 0)
+    assert(degenerate.select(graft.ext.TextOps.shinglesN(
+      graft.ext.TextOps.toks($"text"), 3).as("sh")).agg(sum(size($"sh"))).head.getLong(0) == 0)
+  }
+
+  test("dropNearDuplicatesMinhash joins without a broadcast hint (100 TB contract)") {
+    // The final join must anti-join the duplicates-only drop set with no
+    // explicit broadcast: a hinted corpus-sized build side OOMs at scale.
+    // (AQE may still choose a runtime broadcast when the drop set is small —
+    // that is correct and allowed; the assertion is on the HINT.)
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val res = DedupOps.dropNearDuplicatesMinhash(docs, "doc_id", "text")
+    val hinted = res.queryExecution.optimizedPlan.collect {
+      case j: Join if j.hint.leftHint.exists(_.strategy.nonEmpty) ||
+        j.hint.rightHint.exists(_.strategy.nonEmpty) => j
+    }
+    assert(hinted.isEmpty, s"unexpected join-strategy hint:\n${res.queryExecution.optimizedPlan}")
+    val anti = res.queryExecution.optimizedPlan.collect {
+      case j: Join if j.joinType.toString == "LeftAnti" => j }
+    assert(anti.nonEmpty, "expected a left-anti join against the drop set")
+  }
+
   test("jaccardPairs matches d04 at the same threshold") {
     val pairs = DedupOps.jaccardPairs(docs, "doc_id", "text", "lang", 0.5)
       .select($"id_a", $"id_b", round($"jaccard", 4).as("j"))
