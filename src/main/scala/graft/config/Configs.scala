@@ -50,6 +50,31 @@ object StreamsConfig {
   val MaxBatchSize = 500
   /** Injected only when unset (streams/streams.go:22-24, config.go:25). */
   val DefaultBatchSize = 50
+
+  /** Untyped front end — the engine twin of the reference's YAML unpack path
+    * (`cfg.Unpack` onto `defaultConfig`, streams/streams.go:22-29): a string
+    * option map lands on the typed defaults with every key — including
+    * `batch_size` — injected only when unset, then the same Validate() rules
+    * run. Key names match the reference's config tags (streams/config.go:
+    * 8-17; the nested backoff block flattens to `backoff.init`/`backoff.max`).
+    * Shared by the DSv2 option parsing (GraftStreamsProvider) so the
+    * format("graft-streams") route and programmatic construction have
+    * identical semantics. */
+  def fromOptions(options: Map[String, String]): Either[String, StreamsConfig] =
+    for {
+      bs <- Configs.intOpt(options, "batch_size", DefaultBatchSize)
+      mr <- Configs.intOpt(options, "max_retries", 3)
+      to <- Configs.durationOpt(options, "timeout", 90.seconds)
+      bi <- Configs.durationOpt(options, "backoff.init", 1.second)
+      bm <- Configs.durationOpt(options, "backoff.max", 60.seconds)
+      cfg <- StreamsConfig(
+        region = options.getOrElse("region", ""),
+        streamName = options.getOrElse("stream_name", ""),
+        partitionKey = options.getOrElse("partition_key", ""),
+        partitionKeyProvider = options.getOrElse("partition_key_provider", ""),
+        batchSize = bs, maxRetries = mr, timeout = to,
+        backoffInit = bi, backoffMax = bm).validate
+    } yield cfg
 }
 
 /** Firehose-shaped sink config (firehose/config.go:8-15; no partition key). */
@@ -69,4 +94,44 @@ final case class FirehoseConfig(
     else if (batchSize > StreamsConfig.MaxBatchSize || batchSize < 1)
       Left(s"invalid batch size: $batchSize (must be in [1, ${StreamsConfig.MaxBatchSize}])")
     else Right(this)
+}
+
+object FirehoseConfig {
+  /** Untyped front end for the firehose shape — same unpack-onto-defaults
+    * semantics as [[StreamsConfig.fromOptions]] (firehose/firehose.go:22-29). */
+  def fromOptions(options: Map[String, String]): Either[String, FirehoseConfig] =
+    for {
+      bs <- Configs.intOpt(options, "batch_size", StreamsConfig.DefaultBatchSize)
+      mr <- Configs.intOpt(options, "max_retries", 3)
+      to <- Configs.durationOpt(options, "timeout", 90.seconds)
+      bi <- Configs.durationOpt(options, "backoff.init", 1.second)
+      bm <- Configs.durationOpt(options, "backoff.max", 60.seconds)
+      cfg <- FirehoseConfig(
+        region = options.getOrElse("region", ""),
+        streamName = options.getOrElse("stream_name", ""),
+        batchSize = bs, maxRetries = mr, timeout = to,
+        backoffInit = bi, backoffMax = bm).validate
+    } yield cfg
+}
+
+private[config] object Configs {
+  /** Integer option with inject-default-only-if-unset; a present-but-invalid
+    * value is a config ERROR (Left), not a silent default. */
+  def intOpt(options: Map[String, String], key: String, dflt: Int): Either[String, Int] =
+    options.get(key) match {
+      case None => Right(dflt)
+      case Some(v) => scala.util.Try(v.trim.toInt).toOption
+        .toRight(s"invalid $key: '$v' (not an integer)")
+    }
+
+  /** Duration option ("90s", "500ms", "1 minute" — scala Duration syntax,
+    * covering the Go time.Duration forms the reference's YAML uses). */
+  def durationOpt(options: Map[String, String], key: String,
+      dflt: FiniteDuration): Either[String, FiniteDuration] =
+    options.get(key) match {
+      case None => Right(dflt)
+      case Some(v) => scala.util.Try(Duration(v.trim)).toOption
+        .collect { case f: FiniteDuration => f }
+        .toRight(s"invalid $key: '$v' (expected a duration like '90s')")
+    }
 }

@@ -17,6 +17,9 @@ import scala.concurrent.duration._
   *     (streams/client.go:172-180, refs awsbeats issue #27);
   *   - failed-subset retry with exponential backoff 1s→60s
   *     (outputs.WithBackoff, streams/streams.go:38; defaults config.go:30-39);
+  *   - per-call client-op timeout (streams/config.go:32's 90 s, there applied
+  *     to the AWS HTTP client): a hung call is cancelled and fails into the
+  *     same retry path rather than blocking the task;
   *   - a total-call failure retries the whole chunk
   *     (streams/client.go:100-102);
   *   - retry budget `max_retries`, then events DROP (at-least-once overall:
@@ -52,6 +55,34 @@ object BatchPut {
 
   /** Injectable clock so specs can assert backoff without sleeping. */
   type Sleeper = FiniteDuration => Unit
+
+  /** Daemon pool bounding each service call at the config's client-op
+    * timeout. Cached threads die after 60 s idle, so a quiet executor holds
+    * none; one pool per JVM is shared by all partitions' writers. */
+  private lazy val timeoutPool = java.util.concurrent.Executors.newCachedThreadPool(
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-put-timeout"); t.setDaemon(true); t
+    })
+
+  /** Run one service call under `timeout` — the reference's 90 s client-op
+    * timeout (streams/config.go:32, applied to the AWS HTTP client), which
+    * round 1 carried in SinkConfig but never enforced. A hung call is
+    * cancelled (interrupting its thread) and surfaces as TimeoutException,
+    * which [[publish]] treats like any total-call failure: the chunk goes
+    * back through retry/backoff until the budget is exhausted — instead of
+    * blocking the Spark task forever. */
+  private[sink] def putWithTimeout(putter: Putter, recs: Seq[Record],
+      timeout: FiniteDuration): Seq[PutResult] = {
+    import java.util.concurrent.{Callable, ExecutionException, TimeUnit, TimeoutException}
+    val task = timeoutPool.submit(new Callable[Seq[PutResult]] {
+      def call(): Seq[PutResult] = putter.put(recs)
+    })
+    try task.get(timeout.toMillis, TimeUnit.MILLISECONDS)
+    catch {
+      case e: TimeoutException => task.cancel(true); throw e
+      case e: ExecutionException => throw e.getCause // putter's own failure, unwrapped
+    }
+  }
 
   /** Delivery outcome counters (observer M1). */
   final case class PublishStats(
@@ -89,9 +120,9 @@ object BatchPut {
           stats = stats.copy(retries = stats.retries + 1)
         }
         stats = stats.copy(calls = stats.calls + 1)
-        val failed =
-          try collectFailed(pending, putter.put(pending))
-          catch { case scala.util.control.NonFatal(_) => pending } // total-call failure ⇒ retry all
+        val failed = // hung or failed call ⇒ retry all (timeout = total-call failure)
+          try collectFailed(pending, putWithTimeout(putter, pending, cfg.timeout))
+          catch { case scala.util.control.NonFatal(_) => pending }
         stats = stats.copy(acked = stats.acked + (pending.size - failed.size))
         pending = failed
         attempt += 1

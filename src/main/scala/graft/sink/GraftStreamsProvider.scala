@@ -53,17 +53,11 @@ object GraftStreamsProvider {
     org.apache.spark.sql.types.StructField("data", org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("partition_key", org.apache.spark.sql.types.StringType)))
 
-  private[sink] def configFrom(options: Map[String, String]): StreamsConfig = {
-    val cfg = StreamsConfig(
-      region = options.getOrElse("region", ""),
-      streamName = options.getOrElse("stream_name", ""),
-      partitionKey = options.getOrElse("partition_key", ""),
-      partitionKeyProvider = options.getOrElse("partition_key_provider", ""),
-      batchSize = options.get("batch_size").map(_.toInt)
-        .getOrElse(StreamsConfig.DefaultBatchSize),
-      maxRetries = options.get("max_retries").map(_.toInt).getOrElse(3))
-    cfg.validate.fold(err => throw new IllegalArgumentException(err), identity)
-  }
+  /** DSv2 options → validated config via the shared untyped front end
+    * ([[StreamsConfig.fromOptions]]) — one unpack path for both routes. */
+  private[sink] def configFrom(options: Map[String, String]): StreamsConfig =
+    StreamsConfig.fromOptions(options)
+      .fold(err => throw new IllegalArgumentException(err), identity)
 
   private[sink] def newPutter(className: String): BatchPut.Putter =
     Class.forName(className).getDeclaredConstructor()

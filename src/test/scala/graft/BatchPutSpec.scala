@@ -97,6 +97,34 @@ class BatchPutSpec extends AnyFunSuite {
     assert(slept.toSeq == Seq(1, 2, 4, 8, 16, 32, 60, 60).map(_.seconds))
   }
 
+  test("client-op timeout: a hung put is cancelled, retried, then budget-dropped") {
+    // The reference's 90 s timeout wraps the AWS HTTP client; here every
+    // attempt is bounded by cfg.timeout and a hang behaves exactly like a
+    // total-call failure (retry/backoff until maxRetries, then drop).
+    val hang = new Stub() {
+      override def put(records: Seq[Record]): Seq[PutResult] = {
+        calls += records; Thread.sleep(60000); ok(records)
+      }
+    }
+    val c = cfg.copy(timeout = 50.millis, maxRetries = 2)
+    val t0 = System.nanoTime()
+    val s = BatchPut.publish(hang, c, recs(3), noSleep)
+    assert(hang.calls.size == c.maxRetries + 1) // initial + retries, each timed out
+    assert(s.dropped == 3 && s.acked == 0 && s.retries == c.maxRetries)
+    assert((System.nanoTime() - t0) < 10.seconds.toNanos,
+      "a hung putter must not block past the timeout budget")
+  }
+
+  test("timeout then recovery: the whole chunk is re-put and acked") {
+    val flaky = new Stub(
+      rs => { Thread.sleep(60000); ok(rs) }, // first call hangs
+      ok)
+    val c = cfg.copy(timeout = 50.millis)
+    val s = BatchPut.publish(flaky, c, recs(4), noSleep)
+    assert(flaky.calls.size == 2 && flaky.calls(1).size == 4)
+    assert(s.acked == 4 && s.dropped == 0 && s.retries == 1)
+  }
+
   test("collectFailed zips by index against the records actually sent") {
     val sent = recs(3).toIndexedSeq
     val failed = BatchPut.collectFailed(sent,

@@ -45,4 +45,46 @@ class ConfigSpec extends AnyFunSuite {
     assert(c.backoffInit == 1.second && c.backoffMax == 60.seconds)
     assert(StreamsConfig.MaxBatchSize == 500)
   }
+
+  // -------- untyped front end (cfg.Unpack twin, streams/streams.go:22-29) --
+
+  test("fromOptions: the validation matrix holds on the map path too") {
+    assert(StreamsConfig.fromOptions(Map.empty).isLeft)
+    assert(StreamsConfig.fromOptions(Map("region" -> "us-east-1")).isLeft)
+    assert(StreamsConfig.fromOptions(
+      Map("region" -> "us-east-1", "stream_name" -> "s", "batch_size" -> "50")).isRight)
+    assert(StreamsConfig.fromOptions(
+      Map("region" -> "us-east-1", "stream_name" -> "s", "batch_size" -> "501")).isLeft)
+    assert(StreamsConfig.fromOptions(
+      Map("region" -> "us-east-1", "stream_name" -> "s", "batch_size" -> "0")).isLeft)
+    assert(StreamsConfig.fromOptions(
+      Map("region" -> "us-east-1", "stream_name" -> "s",
+        "partition_key_provider" -> "uuid")).isLeft)
+    assert(FirehoseConfig.fromOptions(Map.empty).isLeft)
+    assert(FirehoseConfig.fromOptions(
+      Map("region" -> "us-east-1", "stream_name" -> "s")).isRight)
+  }
+
+  test("fromOptions: defaults injected only when unset; explicit values win") {
+    import scala.concurrent.duration._
+    val dflt = StreamsConfig.fromOptions(
+      Map("region" -> "us-east-1", "stream_name" -> "s")).toOption.get
+    assert(dflt.batchSize == 50 && dflt.maxRetries == 3 && dflt.timeout == 90.seconds)
+    assert(dflt.backoffInit == 1.second && dflt.backoffMax == 60.seconds)
+    val set = StreamsConfig.fromOptions(Map(
+      "region" -> "eu-west-1", "stream_name" -> "evt",
+      "partition_key" -> "agent.hostname", "partition_key_provider" -> "xid",
+      "batch_size" -> "200", "max_retries" -> "5", "timeout" -> "30s",
+      "backoff.init" -> "500ms", "backoff.max" -> "10s")).toOption.get
+    assert(set == StreamsConfig("eu-west-1", "evt", "agent.hostname", "xid",
+      200, 5, 30.seconds, 500.millis, 10.seconds))
+  }
+
+  test("fromOptions: a present-but-malformed value is an error, not a default") {
+    val base = Map("region" -> "us-east-1", "stream_name" -> "s")
+    assert(StreamsConfig.fromOptions(base + ("batch_size" -> "fifty")).isLeft)
+    assert(StreamsConfig.fromOptions(base + ("timeout" -> "ninety")).isLeft)
+    assert(StreamsConfig.fromOptions(base + ("timeout" -> "Inf")).isLeft)
+    assert(StreamsConfig.fromOptions(base + ("backoff.init" -> "-oops")).isLeft)
+  }
 }
