@@ -106,40 +106,18 @@ object Dedup {
     * Jaccard is a ratio of integers, so the 0.5 threshold is float-safe. */
   val d04NgramJaccard: Q = (s, dir) => {
     import s.implicits._
-    // Shingles are joined by their 60-bit md5 hash, not the string: the
-    // inverted-index shuffle carries 8-byte longs instead of ~25-byte UTF8
-    // shingles and the equi-join compares longs. Collisions are negligible
-    // (≈ n²/2^61) and the oracle derives the identical hash, so the compare
-    // stays exact either way.
-    // Explicit repartition on the join keys: the self-join's two sides then
-    // share ONE shuffle subtree (ReusedExchange), so the expensive
-    // tokenize+shingle+md5 chain runs once, not once per side.
-    // tk materialized first — same O(n²)-retokenization guard as d02.
-    // Each shingle row CARRIES its doc's distinct-shingle count (+8 bytes a
-    // row) so the Jaccard denominator rides through the join — no separate
-    // sizes branch, no broadcast joins, no second scan of the corpus.
-    val sh = docs(s, dir)
-      .withColumn("tk", toks($"text"))
-      .withColumn("shs", array_distinct(shingles3($"tk")))
-      .select($"doc_id", $"lang", size($"shs").cast("long").as("n"),
-        explode($"shs").as("sh"))
-      .select($"doc_id", $"lang", $"n", h60($"sh").as("sh"))
-    // Inverted-index candidate pairs via a self-join on ONE materialized
-    // shuffle: the explicit repartition on the join keys makes both sides
-    // identical Exchange subtrees (ReusedExchange — the tokenize+shingle+md5
-    // chain runs once), and the merge hint keeps Catalyst from broadcasting
-    // a corpus-sized side (at scale that broadcast would OOM).
-    val shp = sh.repartition(col("lang"), col("sh"))
-    val inter = shp.as("a").hint("merge").join(shp.as("b"),
-        col("a.lang") === col("b.lang") && col("a.sh") === col("b.sh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"),
-        first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
-    inter
-      .withColumn("jacc", $"inter".cast("double") / ($"na" + $"nb" - $"inter"))
-      .filter($"jacc" >= 0.5)
-      .select($"doc_a", $"doc_b", round($"jacc", 4).as("jacc"))
+    // Delegates to the size-adaptive library operator: below the switch the
+    // count-based inverted-index plan runs (single scan, hash-joined 8-byte
+    // shingle hashes, ReusedExchange self-join, sizes riding on the shingle
+    // rows — see DedupOps.jaccardPairs); past it, the PPJoin prefix variant
+    // with the document-frequency cap takes over (rarest-first prefixes +
+    // stop filter — the hot-shingle defense that survives a boilerplate
+    // shingle shared by 1% of a 100 TB corpus, see DedupOps.prefixParts).
+    // At the oracle SFs the switch picks the count-based plan, so the DuckDB
+    // compare exercises the same numbers either way.
+    DedupOps.jaccardPairsAuto(docs(s, dir), "doc_id", "text", "lang", 0.5)
+      .select($"id_a".as("doc_a"), $"id_b".as("doc_b"),
+        round($"jaccard", 4).as("jacc"))
       .orderBy($"doc_a", $"doc_b")
   }
 

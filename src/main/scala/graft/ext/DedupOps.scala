@@ -112,44 +112,89 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** PPJoin-style prefix-filtered Jaccard pairs — same output contract as
-    * [[jaccardPairs]] (proven equal by DedupOpsSpec), much less candidate
-    * generation at scale.
+  /** Candidate generation + per-doc hash arrays for the PPJoin prefix
+    * filter — the measurable core of [[jaccardPairsPrefix]], exposed so
+    * specs can count candidates under each configuration.
     *
-    * Theory (SSJoin/PPJoin): order each doc's shingle set by a global total
-    * order (here: the 60-bit hash value). If J(A,B) ≥ t, the PREFIXES of
-    * length |X| − ⌈t·|X|⌉ + 1 must share an element — so only prefix
-    * shingles are indexed, shrinking the inverted index by factor ≈ t and
-    * the candidate pairs superlinearly. Verification then computes the
-    * EXACT intersection from the two docs' full sorted-hash arrays
-    * (array_intersect), so the prefix filter only prunes work, never
-    * changes results.
-    *
-    * Scale shape: one narrow pass builds (id, sorted hashes, prefix); the
-    * candidate join shuffles only prefix postings; verification joins the
-    * candidate pairs (≪ co-occurrence pairs) back to the per-doc arrays on
-    * their id — all keyed hash joins, no all-pairs product. */
-  def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
-      blockCol: String, threshold: Double, shingleLen: Int = 3): DataFrame = {
-    require(threshold > 0.0 && threshold <= 1.0)
-    val docsH = df
+    * @param freqOrder true = canonical PPJoin ordering: shingles sorted by
+    *   ASCENDING document frequency (ties by hash), so prefixes index the
+    *   RAREST shingles — strictly better pruning than hash order for one
+    *   extra counting pass (the df aggregation), and the reason a corpus-wide
+    *   boilerplate shingle usually never enters any prefix. false = the
+    *   round-1 hash ordering (kept for measurement).
+    * @param maxDf document-frequency cap — the standard SSJoin stop filter:
+    *   prefix postings whose shingle occurs in more than `maxDf` docs of the
+    *   block are dropped from CANDIDATE GENERATION, bounding any single
+    *   posting list's pair blowup at maxDf²/2 regardless of how hot a
+    *   boilerplate shingle gets. With the cap active a pair can be missed
+    *   only when EVERY prefix shingle it shares is above the cap — i.e. the
+    *   overlap is pure boilerplate; Long.MaxValue (the default) keeps the
+    *   operator exact.
+    * @return (candidates (id_a, id_b), docs (__id, __blk, __hs, __n)) */
+  private[graft] def prefixParts(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, threshold: Double, shingleLen: Int,
+      maxDf: Long, freqOrder: Boolean): (DataFrame, DataFrame) = {
+    val postings = df
       .withColumn("__tk", toks(col(textCol)))
-      .withColumn("__hs", sort_array(array_distinct(
-        transform(array_distinct(shinglesN(col("__tk"), shingleLen)), s => h60(s)))))
+      .withColumn("__hs", array_distinct(
+        transform(array_distinct(shinglesN(col("__tk"), shingleLen)), s => h60(s))))
       .select(col(idCol).as("__id"), col(blockCol).as("__blk"),
-        col("__hs"), size(col("__hs")).cast("long").as("__n"))
+        explode(col("__hs")).as("__h"))
+    // one extra keyed aggregation: document frequency per (block, shingle)
+    val dfreq = postings.groupBy(col("__blk"), col("__h"))
+      .agg(count(lit(1)).as("__df"))
+    // per-doc ordered (df, h) structs: struct comparison is lexicographic,
+    // so sort_array gives ascending-df (rarest-first) with hash tie-break —
+    // a total order within the block, as the prefix theorem requires
+    val ordKey =
+      if (freqOrder) struct(col("__df"), col("__h"))
+      else struct(col("__h"), col("__df")) // hash order (df still carried for the cap)
+    val ordered = postings.join(dfreq, Seq("__blk", "__h"))
+      .groupBy(col("__id"), col("__blk"))
+      .agg(sort_array(collect_list(ordKey)).as("__ord"))
+      .withColumn("__n", size(col("__ord")).cast("long"))
+    val docsH = ordered.select(col("__id"), col("__blk"),
+      transform(col("__ord"), e => e.getField("__h")).as("__hs"), col("__n"))
     // prefix length |X| - ceil(t*|X|) + 1
-    val withPrefix = docsH.withColumn("__prefix",
-      slice(col("__hs"), lit(1),
+    val posting = ordered
+      .withColumn("__prefix", slice(col("__ord"), lit(1),
         (col("__n") - ceil(lit(threshold) * col("__n")) + 1).cast("int")))
-    val posting = withPrefix
-      .select(col("__id"), col("__blk"), explode(col("__prefix")).as("__h"))
+      .select(col("__id"), col("__blk"), explode(col("__prefix")).as("__p"))
+      .filter(col("__p").getField("__df") <= maxDf)
+      .select(col("__id"), col("__blk"), col("__p").getField("__h").as("__h"))
     val pp = posting.repartition(col("__blk"), col("__h"))
     val candidates = pp.as("a").hint("merge").join(pp.as("b"),
         col("a.__blk") === col("b.__blk") && col("a.__h") === col("b.__h") &&
           col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
       .distinct()
+    (candidates, docsH)
+  }
+
+  /** PPJoin-style prefix-filtered Jaccard pairs — same output contract as
+    * [[jaccardPairs]] (proven equal by DedupOpsSpec at the default cap),
+    * much less candidate generation at scale.
+    *
+    * Theory (SSJoin/PPJoin): order each doc's shingle set by a global total
+    * order — canonically ASCENDING DOCUMENT FREQUENCY (see [[prefixParts]]).
+    * If J(A,B) ≥ t, the prefixes of length |X| − ⌈t·|X|⌉ + 1 must share an
+    * element — so only prefix shingles are indexed, shrinking the inverted
+    * index by factor ≈ t and the candidate pairs superlinearly.
+    * Verification then computes the EXACT intersection from the two docs'
+    * full hash arrays (array_intersect), so the prefix filter only prunes
+    * work, never changes surfaced jaccard values.
+    *
+    * Scale shape: one df-counting aggregation, one per-doc array build, a
+    * candidate join that shuffles only sub-cap prefix postings, and a
+    * verification join of candidate pairs (≪ co-occurrence pairs) back to
+    * the per-doc arrays — all keyed hash joins, no all-pairs product, and
+    * with `maxDf` set no single hot key can exceed maxDf²/2 pairs. */
+  def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, threshold: Double, shingleLen: Int = 3,
+      maxDf: Long = Long.MaxValue): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0)
+    val (candidates, docsH) = prefixParts(df, idCol, textCol, blockCol,
+      threshold, shingleLen, maxDf, freqOrder = true)
     val da = docsH.select(col("__id").as("id_a"), col("__hs").as("__ha"), col("__n").as("__na"))
     val db = docsH.select(col("__id").as("id_b"), col("__hs").as("__hb"), col("__n").as("__nb"))
     candidates
@@ -160,6 +205,21 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Size-adaptive Jaccard pairs — the adoption seam for the two plans:
+    * below `switchBytes` of estimated scan the count-based [[jaccardPairs]]
+    * wins (measured round 1: the prefix variant's verification joins cost
+    * more than pruning saves on a 5k-doc corpus); above it, candidate pairs
+    * dominate and [[jaccardPairsPrefix]] with the df cap is the plan that
+    * survives 100 TB. The estimate comes from Catalyst plan statistics — no
+    * extra job. */
+  def jaccardPairsAuto(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, threshold: Double, shingleLen: Int = 3,
+      maxDf: Long = 100000L, switchBytes: Long = 4L << 30): DataFrame =
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= switchBytes)
+      jaccardPairs(df, idCol, textCol, blockCol, threshold, shingleLen)
+    else
+      jaccardPairsPrefix(df, idCol, textCol, blockCol, threshold, shingleLen, maxDf)
 
   /** Cosine near-dup pairs over an embedding column above `threshold`,
     * blocked by `blockCol` (like d05). */

@@ -87,6 +87,59 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("freq-ordered prefixes prune at least as hard as hash order (measured)") {
+    // Canonical PPJoin orders shingles by ascending document frequency so
+    // prefixes index the rarest shingles; hash order was round 1's choice.
+    // Same exact output either way (ordering only moves the prefix), fewer
+    // or equal candidates with freq order.
+    for (t <- Seq(0.3, 0.5)) {
+      val hash = DedupOps.prefixParts(docs, "doc_id", "text", "lang",
+        t, 3, Long.MaxValue, freqOrder = false)._1.count()
+      val freq = DedupOps.prefixParts(docs, "doc_id", "text", "lang",
+        t, 3, Long.MaxValue, freqOrder = true)._1.count()
+      info(s"t=$t candidates: hash-order=$hash freq-order=$freq")
+      assert(freq <= hash, s"freq order must not generate more candidates (t=$t)")
+    }
+  }
+
+  test("hot-shingle defense: the df cap bounds a boilerplate shingle's blowup") {
+    // 40 short docs sharing three boilerplate shingles (df=40) with unique
+    // tails: prefix length 4 of 6 forces exactly one hot shingle into every
+    // prefix -> 40*39/2 = 780 candidates without the cap. Plus one genuine
+    // twin pair with rare shingles. The cap drops the hot postings (bounding
+    // any posting list at maxDf²/2 pairs) but keeps the real pair.
+    val hot = ((1 to 40).map(i =>
+        (i.toLong, s"the same old tired boilerplate unique$i", "en")) ++ Seq(
+        (101L, "alpha beta gamma delta epsilon zeta", "en"),
+        (102L, "alpha beta gamma delta epsilon zeta", "en")))
+      .toDF("doc_id", "text", "lang")
+    def cand(maxDf: Long) = DedupOps.prefixParts(hot, "doc_id", "text", "lang",
+      0.5, 3, maxDf, freqOrder = true)._1.count()
+    val (uncapped, capped) = (cand(Long.MaxValue), cand(10L))
+    info(s"hot-shingle candidates: uncapped=$uncapped capped=$capped")
+    assert(uncapped == 40L * 39 / 2 + 1, "one hot shingle per prefix = full blowup")
+    assert(capped == 1, "cap must keep only the rare-shingle candidate")
+    // the surfaced pairs: boilerplate overlaps are below threshold anyway
+    // (J = 3/9), the twin pair survives the cap with its exact jaccard
+    val out = DedupOps.jaccardPairsPrefix(hot, "doc_id", "text", "lang", 0.5,
+      maxDf = 10L).select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((101L, 102L, 1.0)))
+  }
+
+  test("jaccardPairsAuto picks the count-based plan for small corpora") {
+    // adoption seam: below the switch it must produce jaccardPairs' exact
+    // output (and at the oracle SFs the switch always lands there)
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select($"id_a", $"id_b", round($"jaccard", 4).as("j"))
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+    assert(norm(DedupOps.jaccardPairsAuto(docs, "doc_id", "text", "lang", 0.5))
+      == norm(DedupOps.jaccardPairs(docs, "doc_id", "text", "lang", 0.5)))
+    // forcing the switch to zero exercises the prefix+cap path end-to-end
+    assert(norm(DedupOps.jaccardPairsAuto(docs, "doc_id", "text", "lang", 0.5,
+        switchBytes = 0L))
+      == norm(DedupOps.jaccardPairs(docs, "doc_id", "text", "lang", 0.5)))
+  }
+
   test("cosinePairs matches d05 at the same threshold") {
     // d05 filters on round(cos,4) >= 0.35; the generic op on the raw cosine.
     // Compare on the pairs both report above a slightly-safe threshold.
