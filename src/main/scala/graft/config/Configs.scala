@@ -60,8 +60,18 @@ object StreamsConfig {
     * Shared by the DSv2 option parsing (GraftStreamsProvider) so the
     * format("graft-streams") route and programmatic construction have
     * identical semantics. */
-  def fromOptions(options: Map[String, String]): Either[String, StreamsConfig] =
+  private val knownKeys = Set("region", "stream_name", "partition_key",
+    "partition_key_provider", "batch_size", "max_retries", "timeout",
+    "backoff.init", "backoff.max")
+
+  /** @param tolerate extra keys the caller owns (e.g. the DSv2 route's
+    *   `putter.class` and Spark-injected infrastructure options); everything
+    *   else outside the reference's config tags is a config ERROR, so a
+    *   typo'd key (`batchsize`) cannot silently fall back to the default. */
+  def fromOptions(options: Map[String, String],
+      tolerate: String => Boolean = _ => false): Either[String, StreamsConfig] =
     for {
+      _ <- Configs.noUnknownKeys(options, knownKeys, tolerate)
       bs <- Configs.intOpt(options, "batch_size", DefaultBatchSize)
       mr <- Configs.intOpt(options, "max_retries", 3)
       to <- Configs.durationOpt(options, "timeout", 90.seconds)
@@ -99,8 +109,13 @@ final case class FirehoseConfig(
 object FirehoseConfig {
   /** Untyped front end for the firehose shape — same unpack-onto-defaults
     * semantics as [[StreamsConfig.fromOptions]] (firehose/firehose.go:22-29). */
-  def fromOptions(options: Map[String, String]): Either[String, FirehoseConfig] =
+  private val knownKeys = Set("region", "stream_name", "batch_size",
+    "max_retries", "timeout", "backoff.init", "backoff.max")
+
+  def fromOptions(options: Map[String, String],
+      tolerate: String => Boolean = _ => false): Either[String, FirehoseConfig] =
     for {
+      _ <- Configs.noUnknownKeys(options, knownKeys, tolerate)
       bs <- Configs.intOpt(options, "batch_size", StreamsConfig.DefaultBatchSize)
       mr <- Configs.intOpt(options, "max_retries", 3)
       to <- Configs.durationOpt(options, "timeout", 90.seconds)
@@ -125,7 +140,11 @@ private[config] object Configs {
     }
 
   /** Duration option ("90s", "500ms", "1 minute" — scala Duration syntax,
-    * covering the Go time.Duration forms the reference's YAML uses). */
+    * covering the Go time.Duration forms the reference's YAML uses). Must be
+    * strictly positive: a zero Go http.Client timeout means NO timeout, but
+    * here '0s' would make every put time out instantly (silently dropping
+    * everything after maxRetries) and a negative backoff would throw from
+    * Thread.sleep inside the Spark task — both are config errors, not knobs. */
   def durationOpt(options: Map[String, String], key: String,
       dflt: FiniteDuration): Either[String, FiniteDuration] =
     options.get(key) match {
@@ -133,5 +152,17 @@ private[config] object Configs {
       case Some(v) => scala.util.Try(Duration(v.trim)).toOption
         .collect { case f: FiniteDuration => f }
         .toRight(s"invalid $key: '$v' (expected a duration like '90s')")
+        .filterOrElse(_ > Duration.Zero,
+          s"invalid $key: '$v' (must be a positive duration)")
     }
+
+  /** Reject keys outside the reference's config-tag vocabulary (minus the
+    * caller-tolerated set), case-insensitively — the unpack-time typo guard. */
+  def noUnknownKeys(options: Map[String, String], known: Set[String],
+      tolerate: String => Boolean): Either[String, Unit] = {
+    val unknown = options.keysIterator
+      .filterNot(k => known(k.toLowerCase) || tolerate(k.toLowerCase)).toSeq.sorted
+    if (unknown.isEmpty) Right(())
+    else Left(s"unrecognized option(s): ${unknown.mkString(", ")}")
+  }
 }

@@ -81,6 +81,11 @@ object BatchPut {
     catch {
       case e: TimeoutException => task.cancel(true); throw e
       case e: ExecutionException => throw e.getCause // putter's own failure, unwrapped
+      case e: InterruptedException =>
+        // Spark killed the task while we were blocked: don't leave the
+        // in-flight put running on the pool; propagate with the flag restored
+        // so the task's own interruption handling still sees it.
+        task.cancel(true); Thread.currentThread().interrupt(); throw e
     }
   }
 

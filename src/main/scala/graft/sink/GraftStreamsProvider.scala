@@ -53,10 +53,17 @@ object GraftStreamsProvider {
     org.apache.spark.sql.types.StructField("data", org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("partition_key", org.apache.spark.sql.types.StringType)))
 
+  /** Options Spark itself injects on the DSv2 write path — not config, not
+    * typos; everything else unknown is rejected by the shared front end. */
+  private val infraKeys = Set("checkpointlocation", "path", "queryname")
+
   /** DSv2 options → validated config via the shared untyped front end
-    * ([[StreamsConfig.fromOptions]]) — one unpack path for both routes. */
+    * ([[StreamsConfig.fromOptions]]) — one unpack path for both routes.
+    * `putter.*` keys belong to this provider (the client-factory seam);
+    * anything else unrecognized fails at plan time like a typo'd YAML key. */
   private[sink] def configFrom(options: Map[String, String]): StreamsConfig =
-    StreamsConfig.fromOptions(options)
+    StreamsConfig.fromOptions(options,
+        tolerate = k => k.startsWith("putter.") || infraKeys(k))
       .fold(err => throw new IllegalArgumentException(err), identity)
 
   private[sink] def newPutter(className: String): BatchPut.Putter =

@@ -17,12 +17,18 @@ class BatchPutSpec extends AnyFunSuite {
     (0 until n).map(i => Record(s"""{"i":$i}""" + "\n" getBytes "UTF-8", s"k$i"))
   private val noSleep: Sleeper = _ => ()
 
-  /** Stub putter scripted per call. */
+  /** Stub putter scripted per call. The call log is synchronized because the
+    * timeout tests invoke `put` on the timeout-pool thread and assert from
+    * the test thread after a timed-out get — `record`/`calls` give the
+    * happens-before edge that a bare Buffer would lack. */
   class Stub(script: Seq[Record] => Seq[PutResult]*) extends Putter {
-    val calls = mutable.Buffer[Seq[Record]]()
+    private val log = mutable.Buffer[Seq[Record]]()
+    protected def record(records: Seq[Record]): Int =
+      log.synchronized { log += records; log.size }
+    def calls: Seq[Seq[Record]] = log.synchronized { log.toList }
     def put(records: Seq[Record]): Seq[PutResult] = {
-      calls += records
-      val f = if (calls.size <= script.length) script(calls.size - 1) else ok _
+      val n = record(records)
+      val f = if (n <= script.length) script(n - 1) else ok _
       f(records)
     }
   }
@@ -70,7 +76,7 @@ class BatchPutSpec extends AnyFunSuite {
   test("retry budget exhausted -> events drop (at-least-once, then give up)") {
     val stub = new Stub() {
       override def put(records: Seq[Record]): Seq[PutResult] = {
-        calls += records; records.map(_ => PutResult(Some("err")))
+        record(records); records.map(_ => PutResult(Some("err")))
       }
     }
     val s = BatchPut.publish(stub, cfg, recs(4), noSleep)
@@ -103,7 +109,7 @@ class BatchPutSpec extends AnyFunSuite {
     // total-call failure (retry/backoff until maxRetries, then drop).
     val hang = new Stub() {
       override def put(records: Seq[Record]): Seq[PutResult] = {
-        calls += records; Thread.sleep(60000); ok(records)
+        record(records); Thread.sleep(60000); ok(records)
       }
     }
     val c = cfg.copy(timeout = 50.millis, maxRetries = 2)
@@ -113,6 +119,38 @@ class BatchPutSpec extends AnyFunSuite {
     assert(s.dropped == 3 && s.acked == 0 && s.retries == c.maxRetries)
     assert((System.nanoTime() - t0) < 10.seconds.toNanos,
       "a hung putter must not block past the timeout budget")
+  }
+
+  test("task interrupt while blocked on a put: in-flight call cancelled, flag restored") {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val started = new CountDownLatch(1)
+    val cancelled = new CountDownLatch(1)
+    val hang = new Stub() {
+      override def put(records: Seq[Record]): Seq[PutResult] = {
+        record(records); started.countDown()
+        try { Thread.sleep(60000); ok(records) }
+        catch { case e: InterruptedException => cancelled.countDown(); throw e }
+      }
+    }
+    @volatile var caught: Throwable = null
+    @volatile var flagRestored = false
+    val worker = new Thread(() => {
+      // long client timeout: the interrupt, not the timeout, must fire
+      try BatchPut.publish(hang, cfg.copy(timeout = 10.seconds), recs(2), noSleep)
+      catch {
+        case e: InterruptedException =>
+          caught = e; flagRestored = Thread.currentThread().isInterrupted
+      }
+    }, "graft-spec-worker")
+    worker.start()
+    assert(started.await(5, TimeUnit.SECONDS))
+    worker.interrupt()
+    worker.join(5000)
+    assert(!worker.isAlive, "interrupted worker must exit promptly")
+    assert(caught != null, "InterruptedException must propagate, not be swallowed")
+    assert(flagRestored, "the interrupt flag must be restored before rethrow")
+    assert(cancelled.await(5, TimeUnit.SECONDS),
+      "the in-flight put must be cancelled, not left running on the pool")
   }
 
   test("timeout then recovery: the whole chunk is re-put and acked") {

@@ -87,4 +87,31 @@ class ConfigSpec extends AnyFunSuite {
     assert(StreamsConfig.fromOptions(base + ("timeout" -> "Inf")).isLeft)
     assert(StreamsConfig.fromOptions(base + ("backoff.init" -> "-oops")).isLeft)
   }
+
+  test("fromOptions: zero/negative durations are config errors, not knobs") {
+    // '0s' here would mean every put times out instantly (records silently
+    // drop after maxRetries) — the opposite of a zero Go http.Client timeout
+    // (= no timeout); a negative backoff would throw from Thread.sleep
+    // inside the task. Both rejected at unpack time.
+    val base = Map("region" -> "us-east-1", "stream_name" -> "s")
+    assert(StreamsConfig.fromOptions(base + ("timeout" -> "0s")).isLeft)
+    assert(StreamsConfig.fromOptions(base + ("timeout" -> "-90s")).isLeft)
+    assert(StreamsConfig.fromOptions(base + ("backoff.init" -> "-1s")).isLeft)
+    assert(StreamsConfig.fromOptions(base + ("backoff.max" -> "0ms")).isLeft)
+    assert(FirehoseConfig.fromOptions(base + ("timeout" -> "0s")).isLeft)
+    assert(StreamsConfig.fromOptions(base + ("timeout" -> "1ms")).isRight)
+  }
+
+  test("fromOptions: an unknown key is an error, so typos cannot silently default") {
+    val base = Map("region" -> "us-east-1", "stream_name" -> "s")
+    val bad = StreamsConfig.fromOptions(base + ("batchsize" -> "100"))
+    assert(bad == Left("unrecognized option(s): batchsize"))
+    assert(StreamsConfig.fromOptions(base + ("backoff_init" -> "2s")).isLeft)
+    assert(FirehoseConfig.fromOptions(
+      base + ("partition_key" -> "k")).isLeft) // streams-only key on firehose
+    // the caller-owned tolerance (the DSv2 route's putter.* / infra keys)
+    assert(StreamsConfig.fromOptions(
+      base + ("putter.class" -> "X", "checkpointLocation" -> "/ck"),
+      tolerate = k => k.startsWith("putter.") || k == "checkpointlocation").isRight)
+  }
 }
