@@ -239,6 +239,80 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Banded-LSH candidate generation for [[cosinePairsLsh]] — exposed so
+    * specs can count candidates under each (planesPerBand, bands) setting.
+    *
+    * Each vector gets `bands` independent signatures of `planesPerBand`
+    * random-hyperplane bits (deterministic md5-derived planes, folded into
+    * the plan as literals — agreeing exactly with s02's bucketOf family);
+    * a pair is a candidate iff it agrees on ALL bits of AT LEAST ONE band
+    * (the classic OR-of-ANDs amplification), optionally further confined to
+    * `blockCol` when the caller's semantics are per-block.
+    *
+    * @return (candidates (id_a, id_b), docs (__id, __v, __nrm)) */
+  private[graft] def lshParts(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: Option[String], planesPerBand: Int, bands: Int,
+      dim: Int): (DataFrame, DataFrame) = {
+    val e = df.select(col(idCol).as("__id"),
+        blockCol.map(col).getOrElse(lit(0)).as("__blk"),
+        transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .withColumn("__nrm", graft.functions.VectorExprs.l2(col("__v")))
+    val bandCols = (0 until bands).map { b =>
+      val bits = (0 until planesPerBand).map { i =>
+        val plane = array(Similarity.hyperplane(b * planesPerBand + i, dim).map(lit): _*)
+        when(graft.functions.VectorExprs.dot(col("__v"), plane) > 0.0d,
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), bits.as("bsig"))
+    }
+    val posting = e
+      .select(col("__id"), col("__blk"), explode(array(bandCols: _*)).as("__bb"))
+      .select(col("__id"), col("__blk"),
+        col("__bb.band").as("__band"), col("__bb.bsig").as("__bsig"))
+    // same ReusedExchange self-join shape as the shingle operators: one scan,
+    // hash-partitioned on the bucket key, candidate pairs only inside buckets
+    val pp = posting.repartition(col("__blk"), col("__band"), col("__bsig"))
+    val candidates = pp.as("a").hint("merge").join(pp.as("b"),
+        col("a.__blk") === col("b.__blk") && col("a.__band") === col("b.__band") &&
+          col("a.__bsig") === col("b.__bsig") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    (candidates, e.select(col("__id"), col("__v"), col("__nrm")))
+  }
+
+  /** Cosine near-dup pairs via banded random-hyperplane LSH blocking — the
+    * scale path for [[cosinePairs]] when the caller's block column is
+    * low-cardinality (or absent): a fixed `label` block pairs Σ block² rows,
+    * ≈ n²/|labels| when label cardinality doesn't grow with the data, while
+    * LSH buckets subdivide every block by 2^planesPerBand per band so no
+    * single bucket's pair count tracks the corpus square. Verification joins
+    * candidates back to the full vectors and computes EXACT cosine, so
+    * precision is exact; recall is the standard OR-of-ANDs amplification
+    * 1 − (1 − p^w)^L with p = 1 − θ/π per hyperplane.
+    *
+    * Crossover guidance (measured on the testdata, DedupOpsSpec): for true
+    * near-dup thresholds (cos ≥ ~0.9, p ≥ 0.85) wide bands prune hard at
+    * ~full recall — the 100 TB setting. For weak-similarity thresholds
+    * (~0.35, p ≈ 0.61) full recall needs narrow bands (w=2, L=12), whose
+    * candidate volume exceeds coarse blocking at small n — there the
+    * label-blocked [[cosinePairs]] stays the right plan until blocks outgrow
+    * memory. Pick by threshold, not corpus size. */
+  def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, blockCol: Option[String] = None,
+      planesPerBand: Int = 2, bands: Int = 12, dim: Int = 64): DataFrame = {
+    val (candidates, docs) = lshParts(df, idCol, vecCol, blockCol,
+      planesPerBand, bands, dim)
+    val da = docs.select(col("__id").as("id_a"), col("__v").as("__va"), col("__nrm").as("__na"))
+    val db = docs.select(col("__id").as("id_b"), col("__v").as("__vb"), col("__nrm").as("__nb"))
+    candidates
+      .join(da, Seq("id_a")).join(db, Seq("id_b"))
+      .withColumn("cosine",
+        graft.functions.VectorExprs.dot(col("__va"), col("__vb"))
+          / (col("__na") * col("__nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** Brute-force cosine top-k: broadcast the (small) query set, stream the
     * corpus (like s01). Returns (query_id, rank, id, cosine). */
   def knn(corpus: DataFrame, queries: DataFrame, idCol: String,

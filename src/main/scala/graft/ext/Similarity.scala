@@ -26,8 +26,8 @@ object Similarity {
   /** Deterministic pseudo-random hyperplanes derived from md5 — identical to
     * the DuckDB oracle's `(md5('hp:j:d')-based % 2001 - 1000)/1000.0`.
     * Computed once driver-side and folded into the plan as literals. */
-  private[ext] def hyperplane(j: Int): Seq[Double] =
-    (0 until Dim).map(d => ((h60Local(s"hp:$j:$d") % 2001L) - 1000L) / 1000.0)
+  private[ext] def hyperplane(j: Int, dim: Int = Dim): Seq[Double] =
+    (0 until dim).map(d => ((h60Local(s"hp:$j:$d") % 2001L) - 1000L) / 1000.0)
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 

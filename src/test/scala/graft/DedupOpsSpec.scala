@@ -151,6 +151,53 @@ class DedupOpsSpec extends SparkSpec {
     assert(pairs.toSeq == oracle.toSeq)
   }
 
+  test("cosinePairsLsh (label ∧ band blocking) finds exactly the label-blocked pairs") {
+    // The bucketed variant of the verdict's d05 scale caveat: same semantics
+    // as cosinePairs(label) — within-label pairs above threshold — but no
+    // bucket's pair count tracks Σ block². At this weak threshold (0.35,
+    // p≈0.61/plane) full recall needs narrow bands (w=2, L=12 — measured
+    // deterministic on the md5 planes + testdata); precision is exact by
+    // construction (candidates verify on the true cosine).
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select($"id_a", $"id_b", round($"cosine", 4).as("c"))
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+    val lsh = DedupOps.cosinePairsLsh(embs, "vec_id", "embedding", 0.35,
+      blockCol = Some("label"), planesPerBand = 2, bands = 12)
+    val blocked = DedupOps.cosinePairs(embs, "vec_id", "embedding", "label", 0.35)
+    assert(norm(lsh) == norm(blocked))
+    // scale shape: candidate generation must be a bucket equi-join, never an
+    // all-pairs product
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      "LSH candidate generation must not fall back to an all-pairs join")
+  }
+
+  test("cosinePairsLsh at a near-dup threshold: wide bands prune hard at full recall") {
+    // The 100 TB setting the variant exists for: true near-duplicates
+    // (cos ≥ ~0.95) against a random background. Wide bands (w=6) give each
+    // band 64 buckets; deterministic seeded data + md5 planes make the
+    // measurement exact.
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Double] = Array.fill(64)(rnd.nextGaussian())
+    val base = (0 until 300).map(i => (i.toLong, vec()))
+    val planted = (0 until 10).map { i =>
+      val (id, v) = base(i * 7)
+      (1000L + id, v.zipWithIndex.map { case (x, d) => x + 0.02 * ((d % 5) - 2) })
+    }
+    val df = (base ++ planted).toDF("id", "v")
+    val (cand, _) = DedupOps.lshParts(df, "id", "v", None,
+      planesPerBand = 6, bands = 6, dim = 64)
+    val nCand = cand.count()
+    val all = 310L * 309 / 2
+    assert(nCand < all / 5, s"pruning too weak: $nCand of $all pairs are candidates")
+    val pairs = DedupOps.cosinePairsLsh(df, "id", "v", 0.95,
+        planesPerBand = 6, bands = 6)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val expected = planted.map { case (pid, _) => (pid - 1000L, pid) }.toSet
+    assert(expected.subsetOf(pairs),
+      s"planted near-dups missed: ${expected -- pairs}")
+  }
+
   test("knn matches s01 for the same query set") {
     val got = DedupOps.knn(embs, embs.filter($"vec_id" < 20), "vec_id", "embedding", 5)
       .select($"query_id", $"rank", $"id").as[(Long, Long, Long)]
