@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualNullSafe, EqualTo, Filter, In, IsNotNull}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -56,13 +56,22 @@ object GraftShardsProvider {
   /** Test/metrics seam: the most recent schema the optimizer pruned to. */
   val lastPrunedSchema = new java.util.concurrent.atomic.AtomicReference[StructType](schema)
 
-  /** Current line count per shard file in `dir`. */
-  private[sources] def shardEnds(dir: String): Map[String, Long] = {
+  /** Test/metrics seam: the shard set the optimizer pushed down (None = no
+    * shard predicate — scan everything). */
+  val lastPushedShards =
+    new java.util.concurrent.atomic.AtomicReference[Option[Set[String]]](None)
+
+  /** Current line count per shard file in `dir`, confined to `keep` when a
+    * shard predicate was pushed down — pruned shards are never even line-
+    * counted, the Kinesis analogue of subscribing to a subset of shards. */
+  private[sources] def shardEnds(dir: String,
+      keep: Option[Set[String]] = None): Map[String, Long] = {
     val d = Paths.get(dir)
     if (!Files.isDirectory(d)) Map.empty
     else Files.list(d).iterator().asScala
       .filter(p => p.getFileName.toString.startsWith("shard-") &&
         p.getFileName.toString.endsWith(".ndjson"))
+      .filter(p => keep.forall(_.contains(p.getFileName.toString)))
       .map(p => p.getFileName.toString -> countLines(p))
       .toMap
   }
@@ -93,23 +102,59 @@ private class ShardsTable(dir: String) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownRequiredColumns {
+    new ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
       // column pruning (DSv2 pushdown contract): when a query only touches
       // shard/seq, the reader never materializes the payload string
       private var required: StructType = GraftShardsProvider.schema
+      // the `shards` OPTION is the explicit subscription (the Kinesis way of
+      // consuming a shard subset) and the only pruning visible to STREAMING
+      // offset tracking: Spark builds the MicroBatchStream from the analyzed
+      // plan before filter pushdown runs, so a `where shard = 'x'` on a
+      // stream filters rows but cannot confine latestOffset. Batch scans
+      // additionally get automatic pruning via pushFilters below.
+      private var keep: Option[Set[String]] =
+        Option(options.get("shards")).map(_.split(",").map(_.trim).toSet)
+      private var pushed: Array[Filter] = Array.empty
       override def pruneColumns(requiredSchema: StructType): Unit = {
         required = requiredSchema
         GraftShardsProvider.lastPrunedSchema.set(requiredSchema)
       }
+      // shard-name pruning (the Kinesis analogue of subscribing to a shard
+      // subset): `where shard = 'x'` / `shard IN (...)` plans ONLY those
+      // shards' InputPartitions and never line-counts the rest. Pruning is
+      // EXACT — every row of a kept shard has that shard value — so accepted
+      // filters are fully absorbed (not re-evaluated post-scan).
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        val (accepted, rest) = filters.partition {
+          case EqualTo("shard", _: String) => true
+          case EqualNullSafe("shard", _: String) => true
+          case In("shard", vs) => vs.forall(_.isInstanceOf[String])
+          case IsNotNull("shard") => true // shard is non-nullable: vacuous
+          case _ => false
+        }
+        accepted.foreach { f =>
+          val c: Option[Set[String]] = f match {
+            case EqualTo(_, v: String) => Some(Set(v))
+            case EqualNullSafe(_, v: String) => Some(Set(v))
+            case In(_, vs) => Some(vs.map(_.asInstanceOf[String]).toSet)
+            case _ => None
+          }
+          c.foreach(s => keep = Some(keep.fold(s)(_ intersect s)))
+        }
+        pushed = accepted
+        GraftShardsProvider.lastPushedShards.set(keep)
+        rest
+      }
+      override def pushedFilters(): Array[Filter] = pushed
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = required
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new ShardsMicroBatchStream(dir, required)
+          new ShardsMicroBatchStream(dir, required, keep)
         // bounded replay of everything currently in the shards (batch read
         // path — and where Catalyst's column pruning reaches the source)
         override def toBatch: Batch = new Batch {
           override def planInputPartitions(): Array[InputPartition] =
-            GraftShardsProvider.shardEnds(dir).toSeq.sortBy(_._1).collect {
+            GraftShardsProvider.shardEnds(dir, keep).toSeq.sortBy(_._1).collect {
               case (shard, end) if end > 0 =>
                 ShardSlice(dir, shard, 0L, end): InputPartition
             }.toArray
@@ -121,10 +166,11 @@ private class ShardsTable(dir: String) extends Table with SupportsRead {
 }
 
 private class ShardsMicroBatchStream(dir: String,
-    required: StructType = GraftShardsProvider.schema) extends MicroBatchStream {
+    required: StructType = GraftShardsProvider.schema,
+    keep: Option[Set[String]] = None) extends MicroBatchStream {
   override def initialOffset(): Offset = ShardOffsets(Map.empty)
   override def latestOffset(): Offset =
-    ShardOffsets(GraftShardsProvider.shardEnds(dir))
+    ShardOffsets(GraftShardsProvider.shardEnds(dir, keep))
   override def deserializeOffset(json: String): Offset = ShardOffsets.parse(json)
   override def commit(end: Offset): Unit = () // offset log is the record of progress
   override def stop(): Unit = ()

@@ -112,6 +112,64 @@ class ShardsSourceSpec extends SparkSpec {
       s"optimizer should have pruned the payload column, got $pruned")
   }
 
+  test("shard predicate pushdown prunes InputPartitions (batch)") {
+    val dir = Files.createTempDirectory("graft-shards4")
+    append(dir, "shard-a.ndjson", "a0", "a1")
+    append(dir, "shard-b.ndjson", "b0")
+    append(dir, "shard-c.ndjson", "c0", "c1", "c2")
+    graft.sources.GraftShardsProvider.lastPushedShards.set(None)
+    val one = spark.read.format("graft-shards").load(dir.toString)
+      .where($"shard" === "shard-b.ndjson")
+    // the scan itself must plan exactly one partition — the filter reached
+    // the source, it is not a post-scan filter over all three shards
+    assert(one.rdd.getNumPartitions == 1,
+      "equality predicate on shard must plan a single InputPartition")
+    assert(one.select($"seq", $"data").as[(Long, String)].collect().toSeq
+      == Seq((0L, "b0")))
+    assert(graft.sources.GraftShardsProvider.lastPushedShards.get()
+      == Some(Set("shard-b.ndjson")))
+
+    // IN-list prunes to the named subset; conjunction intersects
+    graft.sources.GraftShardsProvider.lastPushedShards.set(None)
+    val two = spark.read.format("graft-shards").load(dir.toString)
+      .where($"shard".isin("shard-a.ndjson", "shard-c.ndjson"))
+    assert(two.rdd.getNumPartitions == 2)
+    assert(two.count() == 5)
+
+    // non-shard predicates are NOT absorbed: seq filter still applies
+    val rest = spark.read.format("graft-shards").load(dir.toString)
+      .where($"shard" === "shard-c.ndjson" && $"seq" >= 1)
+      .select($"data").as[String].collect().sorted
+    assert(rest.toSeq == Seq("c1", "c2"))
+  }
+
+  test("shards subscription option confines the stream: pruned shards never counted") {
+    // Streaming cannot rely on filter pushdown for offset tracking (Spark
+    // builds the MicroBatchStream before pushdown runs), so a shard subset
+    // is subscribed EXPLICITLY — the Kinesis consumer model.
+    val dir = Files.createTempDirectory("graft-shards5")
+    val ck = Files.createTempDirectory("graft-shards5-ck")
+    append(dir, "shard-a.ndjson", """{"n":1}""", """{"n":2}""")
+    append(dir, "shard-b.ndjson", """{"n":10}""")
+    val q = spark.readStream.format("graft-shards")
+      .option("shards", "shard-a.ndjson")
+      .load(dir.toString)
+      .writeStream.format("memory").queryName("shards_pruned")
+      .option("checkpointLocation", ck.toString).start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("shards_pruned")
+        .select($"shard", $"seq").as[(String, Long)].collect().sorted
+      assert(got.toSeq == Seq(("shard-a.ndjson", 0L), ("shard-a.ndjson", 1L)))
+      // the offset log records only the subscribed shard: shard-b was never
+      // line-counted, the streaming twin of partition pruning
+      val lastOffset = Files.readAllLines(ck.resolve("offsets").toFile.listFiles()
+        .map(_.toPath).maxBy(_.getFileName.toString)).toArray.mkString("\n")
+      assert(lastOffset.contains("shard-a.ndjson") && !lastOffset.contains("shard-b.ndjson"),
+        s"offset log must track only the kept shard, got: $lastOffset")
+    } finally q.stop()
+  }
+
   test("offsets serialize round-trip through the offset log format") {
     import graft.sources.ShardOffsets
     val o = ShardOffsets(Map("shard-a.ndjson" -> 12L, "shard-b.ndjson" -> 7L))
