@@ -395,7 +395,9 @@ object Queries {
   val q24Explode: Q = (s, dir) => {
     import s.implicits._
     Tables.loadSpread(s, dir, "documents")
-      .select(explode(graft.ext.TextOps.toks($"text")).as("tok"))
+      .withColumn("tk", graft.ext.TextOps.toks($"text"))
+      .select(explode_outer($"tk").as("tok")) // outer: no inferred-filter re-eval
+      .filter($"tok".isNotNull)
       .groupBy($"tok")
       .agg(count(lit(1)).as("n"))
       .orderBy($"n".desc, $"tok")

@@ -53,9 +53,15 @@ object Dedup {
     // tk is materialized in its own projection: inlining toks(text) into the
     // shingle lambda would re-tokenize the document once per shingle
     // position (O(n²) regex work per row — no CSE inside lambdas).
+    // explode_outer + isNotNull, NOT plain explode: a non-outer Generate
+    // makes InferFiltersFromGenerate push `size(shingles(...)) > 0` to the
+    // scan with the whole tokenize+shingle chain inlined — re-evaluated per
+    // doc several times over (measured 20x slower at sf0.1). See TextOps.
     val sh = docs(s, dir)
       .withColumn("tk", toks($"text"))
-      .select($"doc_id", explode(array_distinct(shingles3($"tk"))).as("sh"))
+      .withColumn("shs", array_distinct(shingles3($"tk")))
+      .select($"doc_id", explode_outer($"shs").as("sh"))
+      .filter($"sh".isNotNull)
       .select($"doc_id", hm($"sh").as("hm"))
     val aggs = (0 until 16).map(k => min(perm(k, $"hm")).as(s"mh$k"))
     val sig = sh.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
@@ -84,7 +90,9 @@ object Dedup {
   val d03Simhash: Q = (s, dir) => {
     import s.implicits._
     val th = docs(s, dir)
-      .select($"doc_id", explode(toks($"text")).as("tok"))
+      .withColumn("tk", toks($"text")) // outer explode: no inferred-filter re-eval (see d02)
+      .select($"doc_id", explode_outer($"tk").as("tok"))
+      .filter($"tok".isNotNull)
       .select($"doc_id", hm($"tok").as("hm"))
       .groupBy($"doc_id", $"hm").agg(count(lit(1)).as("cnt"))
     th.select($"doc_id", $"hm", $"cnt", explode(sequence(lit(0), lit(29))).as("j"))

@@ -45,8 +45,9 @@ object DedupOps {
     val n = bands * rowsPerBand
     val sh = df
       .withColumn("__tk", toks(col(textCol)))
-      .select(col(idCol).as("__id"),
-        explode(array_distinct(shinglesN(col("__tk"), shingleLen))).as("__sh"))
+      .withColumn("__shs", array_distinct(shinglesN(col("__tk"), shingleLen)))
+      .select(col(idCol).as("__id"), explode_outer(col("__shs")).as("__sh"))
+      .filter(col("__sh").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
       .select(col("__id"), hm(col("__sh")).as("__hm"))
     val aggs = (0 until n).map(k => min(perm(k, col("__hm"))).as(s"__mh$k"))
     val sig = sh.groupBy(col("__id")).agg(aggs.head, aggs.tail: _*)
@@ -72,7 +73,9 @@ object DedupOps {
       bits: Int = 30): DataFrame = {
     val key = df.columns.map(col)
     val th = df
-      .select((key :+ explode(toks(col(textCol))).as("__tok")): _*)
+      .withColumn("__tk", toks(col(textCol)))
+      .select((key :+ explode_outer(col("__tk")).as("__tok")): _*)
+      .filter(col("__tok").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
       .select((key :+ hm(col("__tok")).as("__hm")): _*)
       .groupBy((key :+ col("__hm")): _*).agg(count(lit(1)).as("__cnt"))
     th
@@ -97,7 +100,8 @@ object DedupOps {
       .withColumn("__tk", toks(col(textCol)))
       .withColumn("__shs", array_distinct(shinglesN(col("__tk"), shingleLen)))
       .select(col(idCol).as("__id"), col(blockCol).as("__blk"),
-        size(col("__shs")).cast("long").as("__n"), explode(col("__shs")).as("__s"))
+        size(col("__shs")).cast("long").as("__n"), explode_outer(col("__shs")).as("__s"))
+      .filter(col("__s").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
       .select(col("__id"), col("__blk"), col("__n"), h60(col("__s")).as("__sh"))
     val shp = sh.repartition(col("__blk"), col("__sh"))
     shp.as("a").hint("merge").join(shp.as("b"),
@@ -139,7 +143,8 @@ object DedupOps {
       .withColumn("__hs", array_distinct(
         transform(array_distinct(shinglesN(col("__tk"), shingleLen)), s => h60(s))))
       .select(col(idCol).as("__id"), col(blockCol).as("__blk"),
-        explode(col("__hs")).as("__h"))
+        explode_outer(col("__hs")).as("__h"))
+      .filter(col("__h").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
     // one extra keyed aggregation: document frequency per (block, shingle)
     val dfreq = postings.groupBy(col("__blk"), col("__h"))
       .agg(count(lit(1)).as("__df"))
@@ -159,8 +164,8 @@ object DedupOps {
     val posting = ordered
       .withColumn("__prefix", slice(col("__ord"), lit(1),
         (col("__n") - ceil(lit(threshold) * col("__n")) + 1).cast("int")))
-      .select(col("__id"), col("__blk"), explode(col("__prefix")).as("__p"))
-      .filter(col("__p").getField("__df") <= maxDf)
+      .select(col("__id"), col("__blk"), explode_outer(col("__prefix")).as("__p"))
+      .filter(col("__p").isNotNull && col("__p").getField("__df") <= maxDf)
       .select(col("__id"), col("__blk"), col("__p").getField("__h").as("__h"))
     val pp = posting.repartition(col("__blk"), col("__h"))
     val candidates = pp.as("a").hint("merge").join(pp.as("b"),

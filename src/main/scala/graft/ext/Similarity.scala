@@ -127,7 +127,8 @@ object Similarity {
     }
     for (_ <- 0 until iters) {
       val means = c.withColumn("__cid", assignExpr(col("__u")))
-        .select(col("__cid"), posexplode(col("__u")).as(Seq("__p", "__x")))
+        .select(col("__cid"), posexplode_outer(col("__u")).as(Seq("__p", "__x")))
+        .filter(col("__x").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
         .groupBy(col("__cid"), col("__p")).agg(sum(col("__x")).as("__s"))
         .groupBy(col("__cid"))
         .agg(expr("transform(array_sort(collect_list(struct(__p, __s))), e -> e.__s)").as("__mean"))
@@ -144,7 +145,8 @@ object Similarity {
     }: _*)
     val probes = q
       .withColumn("__probe",
-        explode(slice(sort_array(probeDots, asc = false), 1, nprobe)))
+        explode_outer(slice(sort_array(probeDots, asc = false), 1, nprobe)))
+      .filter(col("__probe").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
       .select(col("query_id"), col("__u").as("__qu"), col("__probe.cid").as("__cid"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("id"))
     broadcast(probes).join(lists, Seq("__cid"))

@@ -100,7 +100,9 @@ object TextAnalysis {
     import s.implicits._
     val byDoc = Window.partitionBy($"doc_id").orderBy($"pos")
     docs(s, dir)
-      .select($"doc_id", posexplode(toks($"text")).as(Seq("pos", "tok")))
+      .withColumn("tk", toks($"text")) // outer: no inferred-filter re-eval (see TextOps)
+      .select($"doc_id", posexplode_outer($"tk").as(Seq("pos", "tok")))
+      .filter($"tok".isNotNull)
       .select($"doc_id", $"pos", hm($"tok").as("h"))
       .withColumn("h1", lead($"h", 1).over(byDoc))
       .withColumn("h2", lead($"h", 2).over(byDoc))

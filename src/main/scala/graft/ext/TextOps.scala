@@ -15,6 +15,19 @@ import org.apache.spark.sql.functions._
   * All ops are codegen'd Catalyst built-ins (conv/md5/split/transform/slice) —
   * no UDFs — so they inline into WholeStageCodegen and scale linearly with
   * rows; nothing here shuffles.
+  *
+  * ==Exploding a COMPUTED array: use explode_outer + isNotNull==
+  * A non-outer `explode(expensiveExpr)` lets Catalyst's
+  * `InferFiltersFromGenerate` add `size(expensiveExpr) > 0 AND
+  * isnotnull(expensiveExpr)` and push it to the scan with the WHOLE
+  * expression tree inlined (several copies — the CASE/size/isnotnull each
+  * carry one), so the tokenize+shingle chain re-evaluates ~6x per row:
+  * measured 20x slower shingle generation at sf0.1. `explode_outer` implies
+  * no non-empty constraint — nothing is inferred — and the null rows from
+  * empty arrays are dropped by a cheap `isNotNull` on the GENERATED column
+  * (a post-Generate attribute the optimizer cannot push below it). Plain
+  * `explode` stays fine for arrays that are literals/scan columns, where the
+  * inferred filter is cheap or even helps.
   */
 object TextOps {
   /** Mersenne prime 2^31-1 — modulus for all derived hashes. */
