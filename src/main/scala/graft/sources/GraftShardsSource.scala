@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{ContinuousPartitionReader, ContinuousPartitionReaderFactory, ContinuousStream, MicroBatchStream, Offset, PartitionOffset}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualNullSafe, EqualTo, Filter, In, IsNotNull}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -100,7 +100,8 @@ private class ShardsTable(dir: String) extends Table with SupportsRead {
   override def name(): String = s"graft-shards($dir)"
   override def schema(): StructType = GraftShardsProvider.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ,
+      TableCapability.CONTINUOUS_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
       // column pruning (DSv2 pushdown contract): when a query only touches
@@ -150,6 +151,8 @@ private class ShardsTable(dir: String) extends Table with SupportsRead {
         override def readSchema(): StructType = required
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new ShardsMicroBatchStream(dir, required, keep)
+        override def toContinuousStream(checkpointLocation: String): ContinuousStream =
+          new ShardsContinuousStream(dir, required, keep)
         // bounded replay of everything currently in the shards (batch read
         // path — and where Catalyst's column pruning reaches the source)
         override def toBatch: Batch = new Batch {
@@ -192,6 +195,79 @@ private class ShardsMicroBatchStream(dir: String,
 /** One shard's (startLine, endLine] slice — a GetRecords call's worth. */
 private case class ShardSlice(dir: String, shard: String,
     startLine: Long, endLine: Long) extends InputPartition
+
+/** Continuous-mode twin of the micro-batch stream (NEXT r1 #2): one
+  * LONG-RUNNING task per shard tails its file like a Kinesis enhanced-fan-out
+  * subscriber — rows surface at sub-epoch latency instead of per trigger.
+  *
+  * The shard set is FIXED at query start (Spark's continuous execution does
+  * not support reconfiguration): a shard file created mid-query is picked up
+  * on restart, the analogue of a Kinesis reshard forcing consumer
+  * re-planning. Exactly-once resume comes from the epoch-coordinated
+  * per-partition offsets ([[ShardPartitionOffset]]) merged into the same
+  * [[ShardOffsets]] journal format the micro-batch path checkpoints. */
+private class ShardsContinuousStream(dir: String,
+    required: StructType = GraftShardsProvider.schema,
+    keep: Option[Set[String]] = None) extends ContinuousStream {
+  override def initialOffset(): Offset = ShardOffsets(Map.empty)
+  override def deserializeOffset(json: String): Offset = ShardOffsets.parse(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def mergeOffsets(offsets: Array[PartitionOffset]): Offset =
+    ShardOffsets(offsets.collect {
+      case ShardPartitionOffset(shard, line) => shard -> line
+    }.toMap)
+
+  override def planInputPartitions(start: Offset): Array[InputPartition] = {
+    val resume = start.asInstanceOf[ShardOffsets].positions
+    // every shard present now or checkpointed before, resuming where it left
+    val shards = (GraftShardsProvider.shardEnds(dir, keep).keySet ++ resume.keySet).toSeq.sorted
+    shards.map(s => ShardSlice(dir, s, resume.getOrElse(s, 0L), Long.MaxValue): InputPartition)
+      .toArray
+  }
+  override def createContinuousReaderFactory(): ContinuousPartitionReaderFactory =
+    new ShardContinuousReaderFactory(required.fieldNames)
+}
+
+/** One shard's committed position — the unit the epoch coordinator collects
+  * from each long-running task at every epoch boundary. */
+private case class ShardPartitionOffset(shard: String, line: Long) extends PartitionOffset
+
+private class ShardContinuousReaderFactory(fields: Array[String])
+  extends ContinuousPartitionReaderFactory {
+  override def createReader(partition: InputPartition): ContinuousPartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ShardSlice]
+    new ContinuousPartitionReader[InternalRow] {
+      // tail -f over an append-only local file: a BufferedReader that has
+      // returned null at EOF reads newly appended bytes on later calls
+      private val in = Files.newBufferedReader(
+        Paths.get(p.dir, p.shard), StandardCharsets.UTF_8)
+      private var pos = 0L          // next line index to read
+      private var cur: String = _
+      // skip to the resume position (replayed lines are already committed)
+      while (pos < p.startLine) { if (in.readLine() != null) pos += 1 else Thread.sleep(10) }
+
+      override def next(): Boolean = {
+        var line = in.readLine()
+        while (line == null) {      // blocked tail: poll until data or task kill
+          Thread.sleep(20)          // InterruptedException propagates on stop()
+          line = in.readLine()
+        }
+        cur = line; pos += 1
+        true
+      }
+      override def get(): InternalRow = new GenericInternalRow(
+        fields.map {
+          case "shard" => UTF8String.fromString(p.shard)
+          case "seq" => pos - 1
+          case "data" => UTF8String.fromString(cur)
+        }.toArray[Any])
+      override def getOffset: PartitionOffset = ShardPartitionOffset(p.shard, pos)
+      override def close(): Unit = in.close()
+    }
+  }
+}
 
 private class ShardReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {

@@ -170,6 +170,38 @@ class ShardsSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("continuous mode tails shards: rows arrive without a trigger boundary") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("graft-shards6")
+    val ck = Files.createTempDirectory("graft-shards6-ck")
+    append(dir, "shard-a.ndjson", "a0", "a1")
+    append(dir, "shard-b.ndjson", "b0")
+    val q = spark.readStream.format("graft-shards").load(dir.toString)
+      .writeStream.format("memory").queryName("shards_cont")
+      .trigger(Trigger.Continuous("200 milliseconds"))
+      .option("checkpointLocation", ck.toString).start()
+    def rowsWithin(n: Int, deadlineMs: Long): Boolean = {
+      val t0 = System.currentTimeMillis()
+      while (spark.table("shards_cont").count() < n) {
+        if (System.currentTimeMillis() - t0 > deadlineMs) return false
+        Thread.sleep(100)
+      }
+      true
+    }
+    try {
+      assert(rowsWithin(3, 30000), "initial shard contents must stream through")
+      // the long-running tasks tail the files: an append surfaces with no
+      // new micro-batch being planned
+      append(dir, "shard-a.ndjson", "a2")
+      assert(rowsWithin(4, 30000), "appended line must surface mid-epoch")
+      val got = spark.table("shards_cont")
+        .select($"shard", $"seq", $"data").as[(String, Long, String)].collect().sorted
+      assert(got.toSeq == Seq(
+        ("shard-a.ndjson", 0L, "a0"), ("shard-a.ndjson", 1L, "a1"),
+        ("shard-a.ndjson", 2L, "a2"), ("shard-b.ndjson", 0L, "b0")))
+    } finally q.stop()
+  }
+
   test("offsets serialize round-trip through the offset log format") {
     import graft.sources.ShardOffsets
     val o = ShardOffsets(Map("shard-a.ndjson" -> 12L, "shard-b.ndjson" -> 7L))

@@ -258,10 +258,15 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("stateful dedup runs on the RocksDB state store provider") {
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+  test("stateful dedup runs on the RocksDB state store provider (tuning knob confs)") {
+    // the GraftSession.withRocksDbState combination, applied to the live
+    // session: provider + changelog checkpointing + bounded memory
+    val knobs = GraftSession.rocksDbStateConfs(
+      changelogCheckpointing = true, boundedMemoryMb = Some(256L))
+    assert(knobs("spark.sql.streaming.stateStore.providerClass").contains("RocksDB"))
+    assert(knobs("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage") == "true")
+    val prev = knobs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    knobs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
       val mem = MemoryStream[StreamEvt]
       val out = Pipeline.dedupWithinWatermark(mem.toDF(), "ts", "10 minutes", Seq("event_id"))
@@ -274,9 +279,9 @@ class StreamingPipelineSpec extends SparkSpec {
         val ids = spark.table("rocks_out").collect().map(_.getAs[Long]("event_id")).sorted
         assert(ids.toSeq == Seq(1L, 2L))
       } finally q.stop()
-    } finally prev match {
-      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
-      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
   }
 
