@@ -19,12 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     analytics.Queries.queries ++
       ext.Dedup.queries ++ ext.Similarity.queries ++
-      ext.TextAnalysis.queries ++ ext.Multimodal.queries
+      ext.TextAnalysis.queries ++ ext.Multimodal.queries ++
+      ext.Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     analytics.Queries.oracles ++
       ext.Dedup.oracles ++ ext.Similarity.oracles ++
-      ext.TextAnalysis.oracles ++ ext.Multimodal.oracles
+      ext.TextAnalysis.oracles ++ ext.Multimodal.oracles ++
+      ext.Curation.oracles
 }

@@ -1,0 +1,167 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import TextOps._
+
+/** Training-corpus curation surface over the `documents` table: benchmark
+  * decontamination, sequence packing, and deterministic stratified sampling.
+  *
+  * These are the remaining pipeline stages a large-scale training-data flow
+  * runs AFTER dedup ([[Dedup]]) and quality filtering ([[TextAnalysis]]):
+  * remove eval-set overlap, pack documents into fixed token budgets, and
+  * rebalance the language/source mixture. The reference pipeline (an event
+  * shipper) has none of these — they are LLM-data-pipeline extensions like
+  * SURVEY.md §2.8's, each with a DuckDB oracle.
+  *
+  * Scale design (100 TB): decontamination joins corpus n-gram hashes against
+  * the (small) benchmark hash set — keyed equi-join, AQE broadcasts the
+  * benchmark side when it fits; packing is one window per source partition
+  * (the shard key at scale); sampling is a per-stratum threshold broadcast +
+  * a stateless hash filter. No all-pairs products, no corpus-sized driver
+  * state anywhere.
+  */
+object Curation {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.loadSpread(s, dir, "documents")
+
+  /** Decontamination n-gram length. 13 is the common published setting for
+    * web-scale corpora; 8 keeps the check meaningful on the testdata's
+    * 10–99-token documents (a 13-gram would skip the shortest docs
+    * entirely). */
+  val ContamN = 8
+
+  // ---------------------------------------------------------------- c01
+  /** Benchmark decontamination: documents with doc_id % 20 == 0 stand in for
+    * the held-out eval set; every other document is flagged with the number
+    * of distinct full 8-grams it shares with that set.
+    *
+    * Candidates come from an equi-join on the 60-bit md5 n-gram hash (8-byte
+    * shuffle keys, not ~60-char strings). The benchmark side distincts to a
+    * hash set that is tiny next to the corpus — at scale it is a separate
+    * table (see [[CurationOps.contaminationCounts]], which takes one) and
+    * AQE broadcasts it; here both sides derive from one table, so the split
+    * is by id predicate. Emitting a flag for EVERY corpus doc (not just
+    * contaminated ones) keeps the result non-vacuous at any SF. */
+  val c01Decontaminate: Q = (s, dir) => {
+    import s.implicits._
+    val g = docs(s, dir)
+      .withColumn("tk", toks($"text"))
+      // array_distinct: per-doc distinct n-grams, so the per-doc hit count
+      // below is "distinct contaminated n-grams" with no multiplicity
+      .select($"doc_id", explode_outer(array_distinct(ngramsExact($"tk", ContamN))).as("ng"))
+      .filter($"ng".isNotNull) // outer: no inferred-filter re-eval (see TextOps)
+      .select($"doc_id", h60($"ng").as("h"))
+    val bench = g.filter($"doc_id" % 20 === 0).select($"h").distinct()
+    val hits = g.filter($"doc_id" % 20 =!= 0)
+      .join(bench, Seq("h"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("hit"))
+    docs(s, dir).filter($"doc_id" % 20 =!= 0).select($"doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"hit", lit(0L)).as("n_bad"),
+        when($"hit".isNotNull, 1L).otherwise(0L).as("contaminated"))
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------- c02
+  /** Sequence packing: concatenate each source's documents in doc_id order
+    * and split the stream at 512-token boundaries — every doc gets the bin
+    * index and in-bin start offset of its first token (the standard
+    * concat-then-chunk packing used to fill fixed context windows).
+    *
+    * One running-sum window per `source` partition — at scale `source` is
+    * the ingest shard key, so the window never sees more than one shard's
+    * rows and the plan is a single sort within each hash partition. */
+  val c02PackSequences: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+    docs(s, dir)
+      .select($"source", $"doc_id", size(toks($"text")).cast("long").as("n_tok"))
+      .withColumn("cum", sum($"n_tok").over(w))
+      .withColumn("bin", expr("(cum - n_tok) div 512"))
+      .withColumn("start_off", ($"cum" - $"n_tok") % 512)
+      .select($"source", $"doc_id", $"n_tok", $"bin", $"start_off")
+      .orderBy($"source", $"doc_id")
+  }
+
+  // ---------------------------------------------------------------- c03
+  /** Deterministic balanced stratified sample: each language is downsampled
+    * to (approximately) the size of the smallest language, by keeping a doc
+    * iff a salted md5 hash of its id falls under the stratum's integer
+    * threshold floor(min_cnt*1e6 / cnt). Hash-threshold sampling is the
+    * scale form of stratified sampling: no shuffle of the corpus, no state —
+    * the same doc is kept or dropped identically on every run and every
+    * engine (the hash is the cross-engine [[TextOps.h60]]).
+    *
+    * The per-stratum threshold table is |strata| rows — broadcast by
+    * construction (stratified sampling only makes sense on low-cardinality
+    * strata). The smallest stratum's threshold is exactly 1e6, so it is kept
+    * in full. */
+  val c03StratifiedSample: Q = (s, dir) => {
+    import s.implicits._
+    val counts = docs(s, dir)
+      .groupBy($"lang").agg(count(lit(1)).as("cnt")) // |strata| rows
+    // 1-row global min via crossJoin, not an empty-partition window (same
+    // result; avoids the all-rows-to-one-partition window shape)
+    val thr = counts.crossJoin(broadcast(counts.agg(min($"cnt").as("mn"))))
+      .withColumn("thr", expr("(mn * 1000000) div cnt"))
+      .select($"lang", $"thr")
+    docs(s, dir)
+      .join(broadcast(thr), Seq("lang"))
+      .filter(h60(concat(lit("samp"), $"doc_id".cast("string"))) % 1000000 < $"thr")
+      .select($"doc_id", $"lang")
+      .orderBy($"doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "c01_decontaminate" -> c01Decontaminate,
+    "c02_pack_sequences" -> c02PackSequences,
+    "c03_stratified_sample" -> c03StratifiedSample)
+
+  private val toksCte =
+    """WITH l AS (
+      |  SELECT doc_id, lang, source,
+      |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS toks
+      |  FROM documents)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "c01_decontaminate" ->
+      (toksCte +
+        """, g AS (
+          |  SELECT DISTINCT doc_id,
+          |   CAST(CAST(('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')),1,15)) AS UBIGINT) AS BIGINT) AS h
+          |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-6)) AS i FROM l)),
+          | b AS (SELECT DISTINCT h FROM g WHERE doc_id % 20 = 0),
+          | n AS (
+          |  SELECT g.doc_id, count(*) AS hit
+          |  FROM g JOIN b ON g.h = b.h
+          |  WHERE g.doc_id % 20 != 0 GROUP BY g.doc_id)
+          |SELECT d.doc_id,
+          | CAST(coalesce(n.hit, 0) AS BIGINT) AS n_bad,
+          | CAST(CASE WHEN n.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+          |FROM documents d LEFT JOIN n ON d.doc_id = n.doc_id
+          |WHERE d.doc_id % 20 != 0
+          |ORDER BY d.doc_id""".stripMargin),
+    "c02_pack_sequences" ->
+      (toksCte +
+        """, c AS (
+          |  SELECT source, doc_id, len(toks) AS n_tok,
+          |   sum(len(toks)) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+          |  FROM l)
+          |SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+          | CAST((cum - n_tok) // 512 AS BIGINT) AS bin,
+          | CAST((cum - n_tok) % 512 AS BIGINT) AS start_off
+          |FROM c ORDER BY source, doc_id""".stripMargin),
+    "c03_stratified_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        | r AS (SELECT lang, (min(cnt) OVER () * 1000000) // cnt AS thr FROM c)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE CAST(CAST(('0x' || substr(md5('samp' || CAST(d.doc_id AS VARCHAR)),1,15)) AS UBIGINT) AS BIGINT) % 1000000 < r.thr
+        |ORDER BY d.doc_id""".stripMargin)
+}

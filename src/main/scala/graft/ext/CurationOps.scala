@@ -1,0 +1,107 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import TextOps._
+
+/** Library-facing corpus-curation operators — the generic forms of the
+  * oracle-checked c01–c03 queries, parameterized by table/column/threshold.
+  * Same scale contract as [[DedupOps]]: keyed equi-joins and per-partition
+  * windows only, never an all-pairs product or corpus-sized driver state.
+  */
+object CurationOps {
+
+  /** Per-document count of distinct full `n`-grams shared with `benchmark`
+    * (the held-out eval set). Returns one row per corpus row:
+    * (idCol, n_bad) with n_bad = 0 for clean docs.
+    *
+    * Scale shape: both sides explode to 60-bit md5 n-gram hashes (8-byte
+    * join keys); the benchmark hash set is distinct'd and is tiny next to
+    * the corpus, so AQE broadcasts it when it fits — no hint needed, and no
+    * corpus-side shuffle beyond the per-doc count. */
+  def contaminationCounts(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    def grams(df: DataFrame, out: String) = df
+      .withColumn("__tk", toks(col(textCol)))
+      .select(col(idCol).as(out),
+        explode_outer(array_distinct(ngramsExact(col("__tk"), n))).as("__ng"))
+      .filter(col("__ng").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
+      .select(col(out), h60(col("__ng")).as("__h"))
+    val bench = grams(benchmark, "__bid").select(col("__h")).distinct()
+    val hits = grams(corpus, "__id")
+      .join(bench, Seq("__h"))
+      .groupBy(col("__id")).agg(count(lit(1)).as("__hit"))
+    corpus.select(col(idCol))
+      .join(hits.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__hit"), lit(0L)).as("n_bad"))
+  }
+
+  /** Remove corpus rows sharing at least `minOverlap` distinct full
+    * `n`-grams with `benchmark` — the standard published decontamination
+    * step (n=13 for web-scale corpora). All corpus columns pass through. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, n: Int = 13, minOverlap: Long = 1L): DataFrame = {
+    val bad = contaminationCounts(corpus, benchmark, idCol, textCol, n)
+      .filter(col("n_bad") >= minOverlap).select(col(idCol))
+    // anti-join against the CONTAMINATED ids (small), not semi against the
+    // keep set (corpus-sized) — same reasoning as dropNearDuplicatesMinhash
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
+
+  /** Concat-then-chunk sequence packing: within each `partCol` partition,
+    * documents are concatenated in `orderCol` order and the token stream is
+    * split at `maxLen` boundaries. Adds `n_tok`, `bin` (which chunk the
+    * doc's first token lands in) and `start_off` (offset within that chunk).
+    *
+    * One running-sum window per partition: `partCol` must be the shard-ish
+    * key at scale so no single window partition approaches executor memory. */
+  def packSequences(df: DataFrame, textCol: String, partCol: String,
+      orderCol: String, maxLen: Int): DataFrame = {
+    val w = Window.partitionBy(col(partCol)).orderBy(col(orderCol))
+    df.withColumn("n_tok", size(toks(col(textCol))).cast("long"))
+      .withColumn("__cum", sum(col("n_tok")).over(w))
+      .withColumn("bin", ((col("__cum") - col("n_tok")) / lit(maxLen)).cast("long"))
+      .withColumn("start_off", (col("__cum") - col("n_tok")) % maxLen)
+      .drop("__cum")
+  }
+
+  /** Deterministic hash-threshold stratified sampling: keep a row iff the
+    * salted md5 hash of its id falls under its stratum's threshold in
+    * [0, 1e6]. `rates` maps stratum value → keep probability; missing
+    * strata default to 1.0 (kept in full).
+    *
+    * Stateless and reproducible: the same row is kept on every run, every
+    * engine, and every subset of the data — the property that lets a 100 TB
+    * sample be re-derived instead of stored. No corpus shuffle: the
+    * threshold table is |strata| rows, broadcast by construction. */
+  def sampleStratified(df: DataFrame, strataCol: String, idCol: String,
+      rates: Map[String, Double], salt: String = "samp"): DataFrame = {
+    require(rates.values.forall(r => r >= 0.0 && r <= 1.0),
+      "sampling rates must be in [0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val thr = rates.toSeq.map { case (k, r) => (k, math.floor(r * 1e6).toLong) }
+      .toDF(strataCol, "__thr")
+    val hv = h60(concat(lit(salt), col(idCol).cast("string"))) % 1000000
+    df.join(broadcast(thr), Seq(strataCol), "left")
+      .filter(hv < coalesce(col("__thr"), lit(1000000L)))
+      .drop("__thr")
+  }
+
+  /** Balanced variant: every stratum downsampled to (approximately) the
+    * smallest stratum's size, thresholds computed from the data in one
+    * |strata|-row aggregation (the c03 query's generic form). */
+  def sampleBalanced(df: DataFrame, strataCol: String, idCol: String,
+      salt: String = "samp"): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__cnt"))
+    // 1-row global min via crossJoin, not an empty-partition window
+    val thr = counts.crossJoin(broadcast(counts.agg(min(col("__cnt")).as("__mn"))))
+      .withColumn("__thr", expr("(__mn * 1000000) div __cnt"))
+      .select(col(strataCol), col("__thr"))
+    val hv = h60(concat(lit(salt), col(idCol).cast("string"))) % 1000000
+    df.join(broadcast(thr), Seq(strataCol))
+      .filter(hv < col("__thr"))
+      .drop("__thr")
+  }
+}

@@ -67,6 +67,18 @@ object TextOps {
   /** Word 3-shingles (the d02/d04 setting). */
   def shingles3(tk: Column): Column = shinglesN(tk, 3)
 
+  /** Exact word n-grams — FULL length only (no shorter tails, unlike
+    * [[shinglesN]]): docs with fewer than n tokens yield the empty array.
+    * This is the decontamination setting, where a partial tail match must
+    * not count as benchmark overlap. Matches DuckDB
+    * `array_to_string(toks[i:i+n-1],' ')` over `range(1, len-(n-2))`.
+    * Same materialized-token-column and empty-array caveats as shinglesN. */
+  def ngramsExact(tk: Column, n: Int): Column =
+    when(size(tk) >= n,
+      transform(sequence(lit(1), size(tk) - (n - 1)),
+        i => array_join(slice(tk, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
   /** Same 60-bit md5 hash computed driver-side (for plan-constant values such
     * as LSH hyperplanes — must agree exactly with [[h60]]/[[hm]]). */
   def h60Local(s: String): Long = {

@@ -1,0 +1,117 @@
+package graft
+
+import graft.ext.{Curation, CurationOps}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators: decontamination, sequence packing, and
+  * deterministic stratified sampling — hand-computed small cases plus
+  * agreement between the generic APIs and their oracle-checked query twins
+  * (c01–c03) on the testdata. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = Tables.load(spark, dir, "documents")
+
+  private val corpus = Seq(
+    (1L, "a b c d e f g h i j"), // shares 8-gram "a b c d e f g h" with bench
+    (2L, "p q r s t u v w x z"), // clean
+    (3L, "short doc")) // < 8 tokens: no 8-grams at all
+    .toDF("doc_id", "text")
+  private val bench = Seq((100L, "x y a b c d e f g h")).toDF("doc_id", "text")
+
+  test("contaminationCounts flags exactly the overlapping doc") {
+    val got = CurationOps.contaminationCounts(corpus, bench, "doc_id", "text", n = 8)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 1L), (2L, 0L), (3L, 0L)))
+  }
+
+  test("decontaminate drops flagged rows, passes all columns through") {
+    val kept = CurationOps.decontaminate(corpus, bench, "doc_id", "text", n = 8)
+    assert(kept.columns.toSeq == corpus.columns.toSeq)
+    assert(kept.select($"doc_id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    // a 13-gram decontamination finds no overlap here — nothing dropped
+    assert(CurationOps.decontaminate(corpus, bench, "doc_id", "text").count() == 3)
+  }
+
+  test("decontaminate anti-joins the contaminated set without a broadcast hint") {
+    // same 100 TB contract as dropNearDuplicatesMinhash: anti against the
+    // small contaminated set, no hinted corpus-sized build side
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val res = CurationOps.decontaminate(corpus, bench, "doc_id", "text", n = 8)
+    val hinted = res.queryExecution.optimizedPlan.collect {
+      case j: Join if j.hint.leftHint.exists(_.strategy.nonEmpty) ||
+        j.hint.rightHint.exists(_.strategy.nonEmpty) => j
+    }
+    assert(hinted.isEmpty)
+    assert(res.queryExecution.optimizedPlan.collect {
+      case j: Join if j.joinType.toString == "LeftAnti" => j }.nonEmpty)
+  }
+
+  test("packSequences computes concat-then-chunk bins and offsets") {
+    val df = Seq(
+      ("s", 1L, "t t t t"), ("s", 2L, "t t t t t"),
+      ("s", 3L, "t t t"), ("s", 4L, "t t t t t t"),
+      ("u", 5L, "t t")) // second partition starts its own bins
+      .toDF("source", "doc_id", "text")
+    val got = CurationOps.packSequences(df, "text", "source", "doc_id", maxLen = 10)
+      .select($"doc_id", $"n_tok", $"bin", $"start_off")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 4L, 0L, 0L), (2L, 5L, 0L, 4L), (3L, 3L, 0L, 9L),
+      (4L, 6L, 1L, 2L), (5L, 2L, 0L, 0L)))
+  }
+
+  test("c02 query agrees with packSequences on the testdata") {
+    val q = Curation.c02PackSequences(spark, dir)
+      .select($"doc_id", $"bin", $"start_off")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val api = CurationOps.packSequences(docs, "text", "source", "doc_id", maxLen = 512)
+      .select($"doc_id", $"bin", $"start_off")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(q.toSeq == api.toSeq)
+  }
+
+  test("sampleStratified: deterministic, rate-bounded, missing strata kept") {
+    val df = docs.select($"doc_id", $"lang")
+    val rates = Map("en" -> 0.5, "de" -> 0.0)
+    def run() = CurationOps.sampleStratified(df, "lang", "doc_id", rates)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val a = run()
+    assert(a == run(), "hash-threshold sampling must be reproducible")
+    val byLang = CurationOps.sampleStratified(df, "lang", "doc_id", rates)
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val full = df.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(!byLang.contains("de"), "rate 0.0 must drop the stratum entirely")
+    assert(byLang("en") < full("en"), "rate 0.5 must actually downsample")
+    // strata not named in the rate map default to keep-everything
+    assert(Seq("es", "fr", "zh").forall(l => byLang(l) == full(l)))
+    // rate 1.0 ≡ unnamed: every row's hash is under the 1e6 threshold
+    assert(CurationOps.sampleStratified(df, "lang", "doc_id",
+      Map("en" -> 1.0)).count() == df.count())
+  }
+
+  test("sampleBalanced keeps the smallest stratum in full and matches c03") {
+    val got = CurationOps.sampleBalanced(docs, "lang", "doc_id")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val q = Curation.c03StratifiedSample(spark, dir)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(got == q)
+    val full = docs.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val smallest = full.minBy(_._2)._1
+    val kept = CurationOps.sampleBalanced(docs, "lang", "doc_id")
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(kept(smallest) == full(smallest),
+      "threshold for the smallest stratum is exactly 1e6 — kept in full")
+  }
+
+  test("c01 query agrees with contaminationCounts on the id-split testdata") {
+    val c = docs.filter($"doc_id" % 20 =!= 0)
+    val b = docs.filter($"doc_id" % 20 === 0)
+    val api = CurationOps.contaminationCounts(c, b, "doc_id", "text", Curation.ContamN)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val q = Curation.c01Decontaminate(spark, dir)
+      .select($"doc_id", $"n_bad").as[(Long, Long)].collect().sortBy(_._1)
+    assert(api.toSeq == q.toSeq)
+  }
+}
