@@ -118,10 +118,32 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- c04
+  /** Data-mixture weights: per-language doc/token totals, each language's
+    * token share, and the upsampling weight that would equalize the mixture
+    * (weight = uniform-target tokens / actual tokens — the number a sampler
+    * like [[CurationOps.sampleStratified]] consumes to hit a target mix).
+    *
+    * One |strata|-row aggregation + a 1-row total cross-joined back —
+    * driver/executor state is O(|strata|) regardless of corpus size. */
+  val c04MixtureWeights: Q = (s, dir) => {
+    import s.implicits._
+    val perLang = docs(s, dir)
+      .withColumn("n_tok", size(toks($"text")).cast("long"))
+      .groupBy($"lang").agg(count(lit(1)).as("docs"), sum($"n_tok").as("tokens"))
+    val tot = perLang.agg(sum($"tokens").as("tot"), count(lit(1)).as("nl"))
+    perLang.crossJoin(broadcast(tot))
+      .select($"lang", $"docs", $"tokens",
+        round($"tokens".cast("double") / $"tot" + 1e-9, 4).as("share"),
+        round(($"tot".cast("double") / $"nl") / $"tokens" + 1e-9, 4).as("weight"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, Q] = Map(
     "c01_decontaminate" -> c01Decontaminate,
     "c02_pack_sequences" -> c02PackSequences,
-    "c03_stratified_sample" -> c03StratifiedSample)
+    "c03_stratified_sample" -> c03StratifiedSample,
+    "c04_mixture_weights" -> c04MixtureWeights)
 
   private val toksCte =
     """WITH l AS (
@@ -163,5 +185,15 @@ object Curation {
         |SELECT d.doc_id, d.lang
         |FROM documents d JOIN r ON d.lang = r.lang
         |WHERE CAST(CAST(('0x' || substr(md5('samp' || CAST(d.doc_id AS VARCHAR)),1,15)) AS UBIGINT) AS BIGINT) % 1000000 < r.thr
-        |ORDER BY d.doc_id""".stripMargin)
+        |ORDER BY d.doc_id""".stripMargin,
+    "c04_mixture_weights" ->
+      (toksCte +
+        """, p AS (
+          |  SELECT lang, count(*) AS docs, sum(len(toks)) AS tokens
+          |  FROM l GROUP BY lang),
+          | t AS (SELECT sum(tokens) AS tot, count(*) AS nl FROM p)
+          |SELECT lang, CAST(docs AS BIGINT) AS docs, CAST(tokens AS BIGINT) AS tokens,
+          | round(CAST(tokens AS DOUBLE) / tot + 1e-9, 4) AS share,
+          | round((CAST(tot AS DOUBLE) / nl) / tokens + 1e-9, 4) AS weight
+          |FROM p, t ORDER BY lang""".stripMargin))
 }

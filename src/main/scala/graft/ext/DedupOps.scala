@@ -318,6 +318,31 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** SemDeDup-style semantic dedup: cluster the embedding space with the IVF
+    * coarse quantizer (deterministic seeded k-means, centroid matrix is
+    * driver-side KBs folded into the plan as literals), then inside each
+    * cluster drop every row whose cosine to a LOWER-id row reaches
+    * `threshold` (the same greedy keep-first contract as
+    * [[dropNearDuplicatesMinhash]]). Rows the clustering cannot embed
+    * (null/empty vectors) never enter the pair stage and are retained.
+    *
+    * Scale shape: pair candidates exist only inside a cluster — Σ cluster²
+    * with cluster count CHOSEN to scale with the corpus (`nlist` is a
+    * parameter, unlike d05's fixed label cardinality); the final join is a
+    * LEFT ANTI against the dropped ids only (duplicates ≪ corpus), no
+    * broadcast hint. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 16, iters: Int = 2): DataFrame = {
+    val c = Similarity.unitVecs(df.filter(col(vecCol).isNotNull), idCol, vecCol, "id")
+    val centroids = Similarity.trainCentroids(c, nlist, iters)
+    val clustered = df.filter(col(vecCol).isNotNull)
+      .withColumn("__cid", Similarity.assignExpr(
+        transform(col(vecCol), x => x.cast("double")), centroids))
+    val drop = cosinePairs(clustered, idCol, vecCol, "__cid", threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** Brute-force cosine top-k: broadcast the (small) query set, stream the
     * corpus (like s01). Returns (query_id, rank, id, cosine). */
   def knn(corpus: DataFrame, queries: DataFrame, idCol: String,

@@ -101,32 +101,41 @@ object Similarity {
     * corpus × nprobe / nlist, hash-partitioned. Driver state is only the
     * nlist×dim centroid matrix (KBs).
     */
-  def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
-    import org.apache.spark.sql.Row
-    def unit(df: DataFrame, id: String): DataFrame =
-      df.select(col(idCol).as(id), transform(col(vecCol), x => x.cast("double")).as("__v"))
-        .withColumn("__nrm", graft.functions.VectorExprs.l2(col("__v")))
-        .withColumn("__u", transform(col("__v"), x => x / col("__nrm")))
-        .drop("__v", "__nrm")
-    val c = unit(corpus, "id")
+  /** Unit-normalized projection (id, __u) of an embedding column. */
+  private[ext] def unitVecs(df: DataFrame, idCol: String, vecCol: String,
+      idOut: String): DataFrame =
+    df.select(col(idCol).as(idOut), transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .withColumn("__nrm", graft.functions.VectorExprs.l2(col("__v")))
+      .withColumn("__u", transform(col("__v"), x => x / col("__nrm")))
+      .drop("__v", "__nrm")
 
-    def dotLit(u: Column, cen: Seq[Double]): Column =
-      graft.functions.VectorExprs.dot(u, array(cen.map(lit): _*))
+  private def dotLit(u: Column, cen: Seq[Double]): Column =
+    graft.functions.VectorExprs.dot(u, array(cen.map(lit): _*))
+
+  /** Nearest-centroid id for a unit-vector column; the centroid matrix is
+    * folded into the plan as literals — no shuffle, no UDF. */
+  private[ext] def assignExpr(u: Column, centroids: IndexedSeq[Seq[Double]]): Column = {
+    val dots = array(centroids.map(cen => dotLit(u, cen)): _*)
+    (array_position(dots, array_max(dots)) - 1).cast("int")
+  }
+
+  /** Deterministic seeded Lloyd iterations over a unit-vector corpus (the
+    * coarse quantizer shared by [[ivfKnn]] and `DedupOps.semanticDedup`).
+    * Driver state is only the nlist×dim centroid matrix; each iteration is
+    * one keyed aggregation over the corpus. `c` must have columns
+    * (id, __u) as produced by [[unitVecs]]. */
+  private[ext] def trainCentroids(c: DataFrame, nlist: Int,
+      iters: Int): IndexedSeq[Seq[Double]] = {
+    import org.apache.spark.sql.Row
     def normalize(v: Seq[Double]): Seq[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
       if (n == 0) v else v.map(_ / n)
     }
-
     // deterministic seed: the nlist lowest-id unit vectors
     var centroids: IndexedSeq[Seq[Double]] = c.orderBy(col("id")).limit(nlist)
       .select(col("__u")).collect().toIndexedSeq.map(_.getSeq[Double](0))
-    def assignExpr(u: Column): Column = {
-      val dots = array(centroids.map(cen => dotLit(u, cen)): _*)
-      (array_position(dots, array_max(dots)) - 1).cast("int")
-    }
     for (_ <- 0 until iters) {
-      val means = c.withColumn("__cid", assignExpr(col("__u")))
+      val means = c.withColumn("__cid", assignExpr(col("__u"), centroids))
         .select(col("__cid"), posexplode_outer(col("__u")).as(Seq("__p", "__x")))
         .filter(col("__x").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
         .groupBy(col("__cid"), col("__p")).agg(sum(col("__x")).as("__s"))
@@ -136,8 +145,15 @@ object Similarity {
       centroids = centroids.indices.map(i =>
         means.get(i).map(normalize).getOrElse(centroids(i)))
     }
+    centroids
+  }
 
-    val lists = c.withColumn("__cid", assignExpr(col("__u")))
+  def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    def unit(df: DataFrame, id: String): DataFrame = unitVecs(df, idCol, vecCol, id)
+    val c = unit(corpus, "id")
+    val centroids = trainCentroids(c, nlist, iters)
+    val lists = c.withColumn("__cid", assignExpr(col("__u"), centroids))
     val q = unit(queries, "query_id")
     // top-nprobe centroid ids per query: sort (dot, cid) structs descending
     val probeDots = array(centroids.zipWithIndex.map { case (cen, i) =>

@@ -113,11 +113,54 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- t05
+  /** Repetition signals (Gopher-style quality filters): fraction of tokens
+    * in the most-frequent unigram, fraction of tokens occurring more than
+    * once, fraction of bigrams in the most-frequent bigram, and a
+    * `repetitive` flag at the published-ish thresholds (dup-unigram > 0.3 or
+    * top-bigram > 0.18). Repetitive boilerplate is the main failure mode
+    * n-gram dedup misses inside a single document.
+    *
+    * Two keyed aggregations (per-doc unigram and bigram counts) joined on
+    * doc_id — narrow shuffles whose key count grows with the corpus, linear
+    * at 100 TB. The flag compares UNROUNDED ratios (identical integer-ratio
+    * doubles in both engines); displayed ratios get the +1e-9 half-way-tie
+    * guard (see the verify notes: 1/32 = .03125 rounds differently per
+    * engine without it). */
+  val t05Repetition: Q = (s, dir) => {
+    import s.implicits._
+    val base = docs(s, dir).withColumn("tk", toks($"text"))
+    val uni = base
+      .select($"doc_id", explode_outer($"tk").as("tok"))
+      .filter($"tok".isNotNull) // outer: no inferred-filter re-eval (see TextOps)
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(
+        sum($"c").as("n_tok"),
+        max($"c").as("top_uni"),
+        sum(when($"c" > 1, $"c").otherwise(0L)).as("dup_uni"))
+    val bi = base
+      .withColumn("bg", ngramsExact($"tk", 2))
+      .select($"doc_id", explode_outer($"bg").as("b"))
+      .filter($"b".isNotNull)
+      .groupBy($"doc_id", $"b").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(sum($"c").as("n_big"), max($"c").as("top_bi"))
+    val dupFrac = $"dup_uni".cast("double") / $"n_tok"
+    val topBiFrac = coalesce($"top_bi".cast("double") / $"n_big", lit(0.0))
+    uni.join(bi, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tok",
+        round($"top_uni".cast("double") / $"n_tok" + 1e-9, 4).as("top_uni_frac"),
+        round(dupFrac + 1e-9, 4).as("dup_uni_frac"),
+        round(topBiFrac + 1e-9, 4).as("top_bi_frac"),
+        when(dupFrac > 0.3 || topBiFrac > 0.18, 1L).otherwise(0L).as("repetitive"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_lang_id" -> t01LangId,
     "t02_quality" -> t02Quality,
     "t03_token_stats" -> t03TokenStats,
-    "t04_fingerprint" -> t04Fingerprint)
+    "t04_fingerprint" -> t04Fingerprint,
+    "t05_repetition" -> t05Repetition)
 
   private val toksCte =
     """WITH l AS (
@@ -182,5 +225,27 @@ object TextAnalysis {
           | w AS (SELECT doc_id, (3*h0 + 5*h1 + 7*h2) % 2147483647 AS w FROM h)
           |SELECT doc_id, min(w) AS fingerprint,
           | CAST(count(DISTINCT w) AS BIGINT) AS n_windows
-          |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+          |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    "t05_repetition" ->
+      (toksCte +
+        """, u AS (SELECT doc_id, unnest(toks) AS tok FROM l),
+          | uc AS (SELECT doc_id, tok, count(*) AS c FROM u GROUP BY doc_id, tok),
+          | us AS (
+          |  SELECT doc_id, sum(c) AS n_tok, max(c) AS top_uni,
+          |   sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_uni
+          |  FROM uc GROUP BY doc_id),
+          | b AS (
+          |  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bg
+          |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM l)),
+          | bc AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY doc_id, bg),
+          | bs AS (SELECT doc_id, sum(c) AS n_big, max(c) AS top_bi FROM bc GROUP BY doc_id)
+          |SELECT us.doc_id, CAST(us.n_tok AS BIGINT) AS n_tok,
+          | round(CAST(top_uni AS DOUBLE) / us.n_tok + 1e-9, 4) AS top_uni_frac,
+          | round(CAST(dup_uni AS DOUBLE) / us.n_tok + 1e-9, 4) AS dup_uni_frac,
+          | round(coalesce(CAST(top_bi AS DOUBLE) / bs.n_big, 0) + 1e-9, 4) AS top_bi_frac,
+          | CAST(CASE WHEN CAST(dup_uni AS DOUBLE) / us.n_tok > 0.3
+          |   OR coalesce(CAST(top_bi AS DOUBLE) / bs.n_big, 0) > 0.18
+          |  THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+          |FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id
+          |ORDER BY us.doc_id""".stripMargin))
 }

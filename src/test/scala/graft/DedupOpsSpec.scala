@@ -236,6 +236,33 @@ class DedupOpsSpec extends SparkSpec {
       s"mean recall@5 too low: ${recall.sum / recall.size}")
   }
 
+  test("semanticDedup drops in-cluster near-identical vectors, keeps the rest") {
+    // append exact duplicates of three corpus vectors under higher ids: an
+    // exact copy lands in the same k-means cluster, cosine 1.0 >= any
+    // threshold, so greedy keep-first must drop exactly the copies
+    val dups = embs.filter($"vec_id".isin(3L, 17L, 101L))
+      .select(($"vec_id" + 100000L).as("vec_id"), $"label", $"embedding")
+    val corpus = embs.select($"vec_id", $"label", $"embedding").unionByName(dups)
+    val kept = DedupOps.semanticDedup(corpus, "vec_id", "embedding",
+        threshold = 0.999, nlist = 8, iters = 1)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(Seq(100003L, 100017L, 100101L).forall(!kept.contains(_)),
+      "exact duplicate vectors must be dropped")
+    assert(Seq(3L, 17L, 101L).forall(kept.contains), "originals must be kept")
+    // determinism: seeded k-means + greedy drop is reproducible
+    val again = DedupOps.semanticDedup(corpus, "vec_id", "embedding",
+        threshold = 0.999, nlist = 8, iters = 1)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(kept == again)
+    // null-vector rows never enter the pair stage and are retained
+    val withNull = corpus.unionByName(
+      Seq((200001L, 0, null: Array[Float])).toDF("vec_id", "label", "embedding"))
+    val keptNull = DedupOps.semanticDedup(withNull, "vec_id", "embedding",
+        threshold = 0.999, nlist = 8, iters = 1)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(keptNull.contains(200001L))
+  }
+
   test("saltedJoin returns exactly the unsalted join result") {
     val li = Tables.load(spark, dir, "lineitem").select($"l_orderkey", $"l_quantity")
     val o = Tables.load(spark, dir, "orders").select($"o_orderkey", $"o_totalprice")
