@@ -151,12 +151,28 @@ object Dedup {
       .orderBy($"vec_a", $"vec_b")
   }
 
+  // ---------------------------------------------------------------- d06
+  /** SimHash Hamming near-dup pairs: d03's 30-bit fingerprint, banded 3×10
+    * bits, pairs within Hamming distance 1 via the band equi-join index
+    * (exact by pigeonhole at this threshold — see
+    * [[DedupOps.simhashPairs]]). The scale path d03's equal-fingerprint
+    * grouping can't provide: near-misses in ≤1 bit surface as pairs without
+    * any all-pairs product. */
+  val d06SimhashHamming: Q = (s, dir) => {
+    import s.implicits._
+    DedupOps.simhashPairs(docs(s, dir), "doc_id", "text",
+        bands = 3, bitsPerBand = 10, maxHamming = 1)
+      .select($"id_a".as("doc_a"), $"id_b".as("doc_b"), $"hamming")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_exact_dedup" -> d01ExactDedup,
     "d02_minhash_lsh" -> d02MinhashLsh,
     "d03_simhash" -> d03Simhash,
     "d04_ngram_jaccard" -> d04NgramJaccard,
-    "d05_embedding_neardup" -> d05EmbeddingNearDup)
+    "d05_embedding_neardup" -> d05EmbeddingNearDup,
+    "d06_simhash_hamming" -> d06SimhashHamming)
 
   /** Shared DuckDB SQL prelude: tokens per doc (same split + empty-filter as
     * [[TextOps.toks]]). */
@@ -234,5 +250,32 @@ object Dedup {
         | round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) >= 0.35
-        |ORDER BY vec_a, vec_b""".stripMargin)
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "d06_simhash_hamming" ->
+      (toksCte +
+        """, t AS (SELECT doc_id, unnest(toks) AS tok FROM l),
+          | h AS (
+          |  SELECT doc_id,
+          |   CAST(CAST(('0x' || substr(md5(tok),1,15)) AS UBIGINT) % 2147483647 AS BIGINT) AS hm
+          |  FROM t),
+          | g AS (SELECT doc_id, hm, count(*) AS cnt FROM h GROUP BY doc_id, hm),
+          | b AS (
+          |  SELECT doc_id, j,
+          |   sum(CASE WHEN (hm >> j) & 1 = 1 THEN cnt ELSE -cnt END) AS sgn
+          |  FROM g, (SELECT unnest(range(0,30)) AS j) GROUP BY doc_id, j),
+          | sig AS (
+          |  SELECT doc_id,
+          |   CAST(sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+          |  FROM b GROUP BY doc_id),
+          | bands AS (
+          |  SELECT doc_id, simhash, bd, (simhash >> (10*bd)) & 1023 AS bv
+          |  FROM sig, (SELECT unnest(range(0,3)) AS bd)),
+          | cand AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |   any_value(a.simhash) AS sa, any_value(b.simhash) AS sb
+          |  FROM bands a JOIN bands b ON a.bd = b.bd AND a.bv = b.bv AND a.doc_id < b.doc_id
+          |  GROUP BY a.doc_id, b.doc_id)
+          |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+          |FROM cand WHERE bit_count(xor(sa, sb)) <= 1
+          |ORDER BY doc_a, doc_b""".stripMargin))
 }

@@ -89,6 +89,61 @@ object DedupOps {
         .otherwise(0L)).as(out))
   }
 
+  /** SimHash near-dup PAIRS — the scale path for simhash clustering: where
+    * [[withSimhash]]/d03 only group EQUAL fingerprints, this finds pairs
+    * within Hamming distance `maxHamming` by banding the fingerprint
+    * (`bands` bands of `bitsPerBand` bits) and equi-joining band values —
+    * the classic simhash index. By pigeonhole, a pair at Hamming ≤
+    * `bands - 1` must agree on at least one whole band, so for
+    * `maxHamming <= bands - 1` candidate generation is EXACT, not
+    * approximate; the final `bit_count(xor)` check is then a pure filter.
+    *
+    * Scale shape: one per-doc aggregation for the fingerprint, then a
+    * self-equi-join on (band, bandValue) — hash-partitioned 2^bitsPerBand ×
+    * bands buckets whose population tracks corpus size, never an all-pairs
+    * product; signatures ride on the band rows (no join-back). Returns
+    * (id_a, id_b, hamming). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 3, bitsPerBand: Int = 10, maxHamming: Int = 1): DataFrame = {
+    require(maxHamming <= bands - 1,
+      s"maxHamming=$maxHamming needs bands >= ${maxHamming + 1} for exact candidates")
+    val bits = bands * bitsPerBand
+    require(bits <= 62, "signature must fit a long")
+    val sig = df
+      .withColumn("__tk", toks(col(textCol)))
+      .select(col(idCol).as("__id"), explode_outer(col("__tk")).as("__tok"))
+      .filter(col("__tok").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
+      .select(col("__id"), hm(col("__tok")).as("__hm"))
+      .groupBy(col("__id"), col("__hm")).agg(count(lit(1)).as("__cnt"))
+      .select(col("__id"), col("__hm"), col("__cnt"),
+        explode(sequence(lit(0), lit(bits - 1))).as("__j"))
+      .withColumn("__contr",
+        when(expr("(shiftright(__hm, __j) & 1)") === 1, col("__cnt")).otherwise(-col("__cnt")))
+      .groupBy(col("__id"), col("__j")).agg(sum(col("__contr")).as("__sgn"))
+      .groupBy(col("__id"))
+      .agg(sum(when(col("__sgn") > 0, expr("shiftleft(CAST(1 AS BIGINT), __j)"))
+        .otherwise(0L)).as("__sig"))
+    val mask = (1L << bitsPerBand) - 1
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("bd"),
+        expr(s"shiftright(__sig, ${bitsPerBand * b}) & $mask").as("bv"))
+    }
+    val bandRows = sig
+      .select(col("__id"), col("__sig"), explode(array(bandCols: _*)).as("__bb"))
+      .select(col("__id"), col("__sig"),
+        col("__bb.bd").as("__bd"), col("__bb.bv").as("__bv"))
+    // same ReusedExchange self-join shape as jaccardPairs/lshParts
+    val pp = bandRows.repartition(col("__bd"), col("__bv"))
+    pp.as("a").hint("merge").join(pp.as("b"),
+        col("a.__bd") === col("b.__bd") && col("a.__bv") === col("b.__bv") &&
+          col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .agg(first(col("a.__sig")).as("__sa"), first(col("b.__sig")).as("__sb"))
+      .withColumn("hamming", expr("bit_count(__sa ^ __sb)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs above `threshold`, blocked by
     * `blockCol` (inverted-index candidates, like d04). Returns
     * (id_a, id_b, jaccard). */

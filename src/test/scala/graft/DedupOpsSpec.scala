@@ -236,6 +236,26 @@ class DedupOpsSpec extends SparkSpec {
       s"mean recall@5 too low: ${recall.sum / recall.size}")
   }
 
+  test("simhashPairs banded index equals brute-force all-pairs at the threshold") {
+    // pigeonhole exactness: at maxHamming <= bands-1 the band equi-join must
+    // surface EXACTLY the pairs an all-pairs hamming scan finds
+    val banded = DedupOps.simhashPairs(docs, "doc_id", "text",
+        bands = 3, bitsPerBand = 10, maxHamming = 1)
+      .select($"id_a", $"id_b", $"hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    val sig = DedupOps.withSimhash(docs.select($"doc_id", $"text"), "text")
+      .select($"doc_id", $"simhash")
+    val a = sig.select($"doc_id".as("id_a"), $"simhash".as("sa"))
+    val b = sig.select($"doc_id".as("id_b"), $"simhash".as("sb"))
+    val brute = a.crossJoin(b).filter($"id_a" < $"id_b")
+      .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("long"))
+      .filter($"hamming" <= 1)
+      .select($"id_a", $"id_b", $"hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded == brute)
+    assert(banded.nonEmpty, "testdata near-dups must surface (vacuous otherwise)")
+  }
+
   test("semanticDedup drops in-cluster near-identical vectors, keeps the rest") {
     // append exact duplicates of three corpus vectors under higher ids: an
     // exact copy lands in the same k-means cluster, cosine 1.0 >= any
