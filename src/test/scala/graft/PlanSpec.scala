@@ -57,7 +57,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("d04/d05/s02: no near-dup or ANN operator falls back to all-pairs") {
-    for (name <- Seq("d04_ngram_jaccard", "d05_embedding_neardup", "s02_ann_lsh")) {
+    for (name <- Seq("d04_ngram_jaccard", "d05_embedding_neardup", "s02_ann_lsh",
+        "d06_simhash_hamming", "c01_decontaminate")) {
       val p = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$name materializes an all-pairs product:\n$p")
