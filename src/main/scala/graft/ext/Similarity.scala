@@ -119,29 +119,50 @@ object Similarity {
     (array_position(dots, array_max(dots)) - 1).cast("int")
   }
 
+  /** L2-nearest centroid id (for NON-unit centroids, e.g. PQ sub-codebooks):
+    * argmin |x−c|² = argmax (x·c − |c|²/2), again all plan literals. */
+  private[ext] def assignL2Expr(u: Column, centroids: IndexedSeq[Seq[Double]]): Column = {
+    val scores = array(centroids.map(cen =>
+      dotLit(u, cen) - lit(cen.map(x => x * x).sum / 2.0)): _*)
+    (array_position(scores, array_max(scores)) - 1).cast("int")
+  }
+
   /** Deterministic seeded Lloyd iterations over a unit-vector corpus (the
     * coarse quantizer shared by [[ivfKnn]] and `DedupOps.semanticDedup`).
     * Driver state is only the nlist×dim centroid matrix; each iteration is
     * one keyed aggregation over the corpus. `c` must have columns
     * (id, __u) as produced by [[unitVecs]]. */
   private[ext] def trainCentroids(c: DataFrame, nlist: Int,
-      iters: Int): IndexedSeq[Seq[Double]] = {
+      iters: Int, l2: Boolean = false): IndexedSeq[Seq[Double]] = {
     import org.apache.spark.sql.Row
-    def normalize(v: Seq[Double]): Seq[Double] = {
-      val n = math.sqrt(v.map(x => x * x).sum)
-      if (n == 0) v else v.map(_ / n)
-    }
+    // IVF (cosine) mode keeps centroids on the unit sphere; L2 mode (PQ
+    // sub-codebooks) keeps the raw means — normalizing would distort the
+    // quantization cells
+    def normalize(v: Seq[Double]): Seq[Double] =
+      if (l2) v else {
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0) v else v.map(_ / n)
+      }
+    def assign(u: Column, cs: IndexedSeq[Seq[Double]]): Column =
+      if (l2) assignL2Expr(u, cs) else assignExpr(u, cs)
     // deterministic seed: the nlist lowest-id unit vectors
     var centroids: IndexedSeq[Seq[Double]] = c.orderBy(col("id")).limit(nlist)
       .select(col("__u")).collect().toIndexedSeq.map(_.getSeq[Double](0))
     for (_ <- 0 until iters) {
-      val means = c.withColumn("__cid", assignExpr(col("__u"), centroids))
+      // per-cluster SUM per position plus member count: the true mean is
+      // sum/count — cosine mode may normalize the sum directly (same
+      // direction), but L2 mode MUST divide, otherwise centroid norms scale
+      // with cluster size and the −|c|²/2 assignment term collapses
+      // everything into whichever centroid stays small
+      val means = c.withColumn("__cid", assign(col("__u"), centroids))
         .select(col("__cid"), posexplode_outer(col("__u")).as(Seq("__p", "__x")))
         .filter(col("__x").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
-        .groupBy(col("__cid"), col("__p")).agg(sum(col("__x")).as("__s"))
+        .groupBy(col("__cid"), col("__p")).agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
         .groupBy(col("__cid"))
-        .agg(expr("transform(array_sort(collect_list(struct(__p, __s))), e -> e.__s)").as("__mean"))
-        .collect().map { r: Row => r.getInt(0) -> r.getSeq[Double](1) }.toMap
+        .agg(expr("transform(array_sort(collect_list(struct(__p, __s))), e -> e.__s)").as("__sum"),
+          max(col("__n")).as("__cnt"))
+        .collect().map { r: Row =>
+          r.getInt(0) -> r.getSeq[Double](1).map(_ / r.getLong(2)) }.toMap
       centroids = centroids.indices.map(i =>
         means.get(i).map(normalize).getOrElse(centroids(i)))
     }
@@ -170,6 +191,63 @@ object Similarity {
       .withColumn("cosine", // unit vectors: cosine == dot
         graft.functions.VectorExprs.dot(col("__qu"), col("__u")))
       .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("cosine"))
+  }
+
+  // ------------------------------------------------------------- PQ ANN
+  /** Product-quantization ANN: split the unit vector into `m` subspaces,
+    * k-means each subspace into a `ksub`-centroid codebook (L2 mode — raw
+    * means, not re-normalized), encode every corpus vector as `m` small int
+    * codes, and search by asymmetric distance: each query precomputes ONE
+    * `m × ksub` lookup table of sub-dot-products, so scoring a corpus row
+    * costs `m` array lookups instead of a `dim`-wide dot product. The top
+    * `refine × k` ADC candidates are re-ranked with the EXACT cosine, so
+    * precision of the returned ranking is exact; only recall is approximate
+    * (→ exact when `refine × k` covers the corpus, the spec's limit case).
+    *
+    * Scale shape: the corpus is carried as (id, m codes) — m bytes-ish per
+    * row instead of dim×4, the classic memory story of PQ — and never
+    * shuffles in the scan phase (queries + LUTs broadcast, like s01); the
+    * rerank joins only `refine × k × |queries|` candidate rows back to full
+    * vectors on a keyed equi-join. Codebooks are driver-side m×ksub×(dim/m)
+    * doubles folded into the plan as literals, like the IVF centroids. */
+  def pqKnn(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, m: Int = 8, ksub: Int = 16, iters: Int = 2,
+      refine: Int = 4): DataFrame = {
+    val c = unitVecs(corpus, idCol, vecCol, "id")
+    val dim = c.select(size(col("__u"))).head.getInt(0)
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    def sub(u: Column, s: Int): Column = slice(u, s * dsub + 1, dsub)
+    val codebooks: IndexedSeq[IndexedSeq[Seq[Double]]] = (0 until m).map { s =>
+      trainCentroids(c.select(col("id"), sub(col("__u"), s).as("__u")),
+        ksub, iters, l2 = true)
+    }
+    // compressed corpus: id + m codes (this is what a 100 TB deployment
+    // stores; the full vectors are only touched again by the rerank join)
+    val codes = c.select(col("id"),
+      array((0 until m).map(s => assignL2Expr(sub(col("__u"), s), codebooks(s))): _*)
+        .as("__code"))
+    val q = unitVecs(queries, idCol, vecCol, "query_id")
+      .withColumn("__lut", array((0 until m).map { s =>
+        array(codebooks(s).map(cen => dotLit(sub(col("__u"), s), cen)): _*)
+      }: _*))
+      .select(col("query_id"), col("__u").as("__qu"), col("__lut"))
+    // ADC score: sum of m LUT lookups (0-based getItem on both levels)
+    val adc = (0 until m).map(s =>
+      col("__lut").getItem(s).getItem(col("__code").getItem(s))).reduce(_ + _)
+    val wAdc = Window.partitionBy(col("query_id")).orderBy(col("__adc").desc, col("id"))
+    val cand = broadcast(q).join(codes, col("query_id") =!= col("id"))
+      .withColumn("__adc", adc)
+      .withColumn("__rk", row_number().over(wAdc))
+      .filter(col("__rk") <= refine * k)
+      .select(col("query_id"), col("__qu"), col("id"))
+    // exact rerank: unit vectors, so cosine == dot
+    val wX = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("id"))
+    cand.join(c, Seq("id"))
+      .withColumn("cosine", graft.functions.VectorExprs.dot(col("__qu"), col("__u")))
+      .withColumn("rank", row_number().over(wX).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("id"), col("cosine"))
   }

@@ -236,6 +236,29 @@ class DedupOpsSpec extends SparkSpec {
       s"mean recall@5 too low: ${recall.sum / recall.size}")
   }
 
+  test("pqKnn: exact when the refine window covers the corpus; useful recall at defaults") {
+    val queries = embs.filter($"vec_id" < 20)
+    val brute = DedupOps.knn(embs, queries, "vec_id", "embedding", 5)
+      .select($"query_id", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // refine*k >= corpus size -> ADC candidate set is the whole corpus and
+    // the exact rerank makes the result identical to brute force
+    val limit = Similarity.pqKnn(embs, queries, "vec_id", "embedding",
+        k = 5, m = 8, ksub = 16, iters = 1, refine = 200)
+      .select($"query_id", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(limit == brute)
+    // default refine: approximate recall must stay useful
+    val approx = Similarity.pqKnn(embs, queries, "vec_id", "embedding", k = 5)
+      .select($"query_id", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = brute.keys.toSeq.map { q =>
+      (approx.getOrElse(q, Set.empty[Long]) & brute(q)).size.toDouble / brute(q).size
+    }
+    assert(recall.sum / recall.size > 0.5,
+      s"mean PQ recall@5 too low: ${recall.sum / recall.size}")
+  }
+
   test("simhashPairs banded index equals brute-force all-pairs at the threshold") {
     // pigeonhole exactness: at maxHamming <= bands-1 the band equi-join must
     // surface EXACTLY the pairs an all-pairs hamming scan finds
