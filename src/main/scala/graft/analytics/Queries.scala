@@ -555,7 +555,30 @@ object Queries {
       .orderBy($"nkey", $"r_name")
   }
 
+  // ---------------------------------------------------------------- q34
+  /** Z-order layout audit: Morton-interleave two bounded lineitem key
+    * dimensions ([[graft.functions.Layout.zorderKey]], pure codegen'd bit
+    * ops), range-bucket the key, and report each bucket's bounding box in
+    * BOTH dimensions. Tight per-bucket min/max in both columns is exactly
+    * the property that makes `repartitionByRange(zkey)` + sorted parquet
+    * writes prunable by file statistics for two-predicate scans at 100 TB
+    * (each of the 64 buckets covers a 128×128 sub-rectangle of the
+    * 1024×1024 key space, not a stripe). */
+  val q34Zorder: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .select(($"l_orderkey" % 1024).as("xk"), ($"l_partkey" % 1024).as("yk"))
+      .withColumn("zkey", graft.functions.Layout.zorderKey($"xk", $"yk", 10))
+      .withColumn("bucket", shiftright($"zkey", 14))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"),
+        min($"xk").as("x_min"), max($"xk").as("x_max"),
+        min($"yk").as("y_min"), max($"yk").as("y_max"))
+      .orderBy($"bucket")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q34_zorder" -> q34Zorder,
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_revenue_by_nation" -> q02RevenueByNation,
     "q03_top_orders" -> q03TopOrders,
@@ -831,5 +854,16 @@ object Queries {
     "q33_theta_join" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS nkey, n_name, r_name
         |FROM nation JOIN region ON n_regionkey < r_regionkey
-        |ORDER BY nkey, r_name""".stripMargin)
+        |ORDER BY nkey, r_name""".stripMargin,
+    "q34_zorder" -> {
+      val interleave = (0 until 10).flatMap(i => Seq(
+        s"(((xk >> $i) & 1) << ${2 * i})", s"(((yk >> $i) & 1) << ${2 * i + 1})"))
+        .mkString(" | ")
+      s"""WITH b AS (
+         |  SELECT l_orderkey % 1024 AS xk, l_partkey % 1024 AS yk FROM lineitem),
+         | z AS (SELECT xk, yk, ($interleave) AS zkey FROM b)
+         |SELECT zkey >> 14 AS bucket, CAST(count(*) AS BIGINT) AS n,
+         | min(xk) AS x_min, max(xk) AS x_max, min(yk) AS y_min, max(yk) AS y_max
+         |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
+    })
 }

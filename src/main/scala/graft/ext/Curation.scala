@@ -139,11 +139,63 @@ object Curation {
       .orderBy($"lang")
   }
 
+  // ---------------------------------------------------------------- c05
+  /** The composed curation pipeline — the flagship end-to-end flow a
+    * training-data run executes, each stage one of this engine's proven
+    * operators applied in sequence:
+    *
+    *   1. quality gate: ≥ 20 whitespace tokens (t02's n_tok signal)
+    *   2. language confidence: the t01 stopword vote must agree with the
+    *      declared `lang`
+    *   3. exact dedup among survivors: keep the lowest doc_id per md5(text)
+    *      group (d01's greedy contract)
+    *   4. decontamination: drop the benchmark docs (doc_id % 20 == 0) and
+    *      any survivor sharing a full 8-gram with them (c01)
+    *
+    * Stage order matters and is part of the contract (dedup after the
+    * filters, decontamination last). One corpus scan feeds stages 1–3
+    * (narrow signals + one digest window); stage 4 reuses c01's hash
+    * semi-join shape. Output: the surviving corpus, with the per-doc
+    * signals that justified keeping it. */
+  val c05CurationPipeline: Q = (s, dir) => {
+    import s.implicits._
+    val base = docs(s, dir)
+      .withColumn("tk", toks($"text"))
+      .withColumn("n_tok", size($"tk").cast("long"))
+    // stages 1+2: quality + language agreement (narrow, no shuffle)
+    val filtered = base
+      .filter($"n_tok" >= 20 && TextAnalysis.predLang($"tk") === $"lang")
+    // stage 3: exact dedup among survivors (32-byte digest shuffle)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5($"text")).orderBy($"doc_id")
+    val deduped = filtered
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+    // stage 4: decontamination vs the id-split benchmark (c01's join shape);
+    // n-grams come from the already-tokenized survivors, benchmark n-grams
+    // from the full table (benchmark docs need no earlier stages)
+    val bench = docs(s, dir).filter($"doc_id" % 20 === 0)
+      .withColumn("tk", toks($"text"))
+      .select(explode_outer(array_distinct(ngramsExact($"tk", ContamN))).as("ng"))
+      .filter($"ng".isNotNull)
+      .select(h60($"ng").as("h")).distinct()
+    val contaminated = deduped.filter($"doc_id" % 20 =!= 0)
+      .select($"doc_id", explode_outer(array_distinct(ngramsExact($"tk", ContamN))).as("ng"))
+      .filter($"ng".isNotNull)
+      .select($"doc_id", h60($"ng").as("h"))
+      .join(bench, Seq("h"), "left_semi")
+      .select($"doc_id").distinct()
+    deduped.filter($"doc_id" % 20 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"lang", $"n_tok")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "c01_decontaminate" -> c01Decontaminate,
     "c02_pack_sequences" -> c02PackSequences,
     "c03_stratified_sample" -> c03StratifiedSample,
-    "c04_mixture_weights" -> c04MixtureWeights)
+    "c04_mixture_weights" -> c04MixtureWeights,
+    "c05_curation_pipeline" -> c05CurationPipeline)
 
   private val toksCte =
     """WITH l AS (
@@ -195,5 +247,45 @@ object Curation {
           |SELECT lang, CAST(docs AS BIGINT) AS docs, CAST(tokens AS BIGINT) AS tokens,
           | round(CAST(tokens AS DOUBLE) / tot + 1e-9, 4) AS share,
           | round((CAST(tot AS DOUBLE) / nl) / tokens + 1e-9, 4) AS weight
-          |FROM p, t ORDER BY lang""".stripMargin))
+          |FROM p, t ORDER BY lang""".stripMargin),
+    "c05_curation_pipeline" -> {
+      val scores = TextAnalysis.stop
+        .map { case (l, ws) => s"${TextAnalysis.duckCount(ws)} AS s_$l" }
+        .mkString(",\n   ")
+      val mx = "greatest(" + TextAnalysis.stop.map { case (l, _) => s"s_$l" }.mkString(", ") + ")"
+      val pred = TextAnalysis.stop.reverse.foldLeft("'und'") { case (alt, (l, _)) =>
+        s"CASE WHEN s_$l = mx AND mx > 0 THEN '$l' ELSE $alt END"
+      }
+      s"""WITH l AS (
+         |  SELECT doc_id, lang, text,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS toks
+         |  FROM documents),
+         | sc AS (
+         |  SELECT doc_id, lang, text, toks, len(toks) AS n_tok,
+         |   $scores
+         |  FROM l),
+         | m AS (SELECT *, $mx AS mx FROM sc),
+         | f AS (
+         |  SELECT doc_id, lang, text, toks, CAST(n_tok AS BIGINT) AS n_tok
+         |  FROM m WHERE n_tok >= 20 AND ($pred) = lang),
+         | d AS (
+         |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |  FROM f),
+         | dd AS (SELECT doc_id, lang, n_tok, toks FROM d WHERE rn = 1),
+         | bg AS (
+         |  SELECT DISTINCT
+         |   CAST(CAST(('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')),1,15)) AS UBIGINT) AS BIGINT) AS h
+         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-6)) AS i FROM l)
+         |  WHERE doc_id % 20 = 0),
+         | ce AS (
+         |  SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS ng
+         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-6)) AS i
+         |        FROM dd WHERE doc_id % 20 != 0)),
+         | cg AS (
+         |  SELECT DISTINCT doc_id FROM ce
+         |  WHERE CAST(CAST(('0x' || substr(md5(ng),1,15)) AS UBIGINT) AS BIGINT) IN (SELECT h FROM bg))
+         |SELECT doc_id, lang, n_tok FROM dd
+         |WHERE doc_id % 20 != 0 AND doc_id NOT IN (SELECT doc_id FROM cg)
+         |ORDER BY doc_id""".stripMargin
+    })
 }

@@ -24,15 +24,26 @@ object TextAnalysis {
 
   /** Stopword lists for the n-gram/stopword language-ID vote. Tiny and
     * plan-constant — broadcast-free literal arrays. */
-  private val stop: Seq[(String, Seq[String])] = Seq(
+  private[ext] val stop: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
     "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
     "es" -> Seq("el", "la", "los", "y", "es", "un"),
     "fr" -> Seq("le", "la", "les", "et", "est", "un"),
     "zh" -> Seq("的", "是", "了", "在", "我"))
 
-  private def countIn(tk: Column, words: Seq[String]): Column =
+  private[ext] def countIn(tk: Column, words: Seq[String]): Column =
     size(filter(tk, t => array_contains(array(words.map(lit): _*), t))).cast("long")
+
+  /** The t01 stopword-vote language prediction as a single Column over a
+    * materialized token-array column ("und" when no stopword hits) — shared
+    * with the composed curation pipeline (c05). */
+  private[ext] def predLang(tk: Column): Column = {
+    val scores = stop.map { case (l, ws) => l -> countIn(tk, ws) }
+    val mx = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und"): Column) { case ((l, s), alt) =>
+      when(s === mx && mx > 0, lit(l)).otherwise(alt)
+    }
+  }
 
   // ---------------------------------------------------------------- t01
   /** Language-ID by stopword vote: count tokens hitting each language's
@@ -168,7 +179,7 @@ object TextAnalysis {
       |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS toks
       |  FROM documents)""".stripMargin
 
-  private def duckCount(words: Seq[String]): String =
+  private[ext] def duckCount(words: Seq[String]): String =
     "CAST(len(list_filter(toks, t -> list_contains([" +
       words.map(w => s"'$w'").mkString(",") + "], t))) AS BIGINT)"
 

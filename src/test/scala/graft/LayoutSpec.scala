@@ -1,0 +1,37 @@
+package graft
+
+import graft.functions.Layout
+import org.apache.spark.sql.functions._
+
+/** Z-order key: bit-for-bit parity with the driver-side reference, and the
+  * locality property that makes it a layout key — range-bucketing the key
+  * bounds BOTH dimensions per bucket (sub-rectangles, not stripes). */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zorderKey matches the local reference on a value grid") {
+    val vals = (0 until 64).map(i => (i.toLong * 17 % 1024, i.toLong * 31 % 1024))
+    val got = vals.toDF("x", "y")
+      .withColumn("z", Layout.zorderKey($"x", $"y", 10))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) =>
+      assert(z == Layout.zorderKeyLocal(x, y, 10), s"mismatch at ($x,$y)")
+    }
+  }
+
+  test("range-bucketed zorder keys bound both dimensions (locality)") {
+    val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select(($"l_orderkey" % 1024).as("xk"), ($"l_partkey" % 1024).as("yk"))
+      .withColumn("bucket", shiftright(Layout.zorderKey($"xk", $"yk", 10), 14))
+    val boxes = li.groupBy($"bucket")
+      .agg(min($"xk").as("x0"), max($"xk").as("x1"),
+        min($"yk").as("y0"), max($"yk").as("y1"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(boxes.nonEmpty)
+    // top 6 bits of a 20-bit key pin 3 high bits of each dim -> spans <= 128
+    boxes.foreach { case (b, x0, x1, y0, y1) =>
+      assert(x1 - x0 < 128 && y1 - y0 < 128,
+        s"bucket $b box ($x0..$x1, $y0..$y1) exceeds the 128-wide cell")
+    }
+  }
+}
