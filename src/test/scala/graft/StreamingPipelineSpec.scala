@@ -231,6 +231,44 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState sessionizer matches the flatMapGroupsWithState twin") {
+    import graft.streaming.TwsSessions
+    import graft.streaming.StatefulSessions.UserEvent
+    // TWS runs only on the RocksDB provider — apply the session knobs
+    val knobs = GraftSession.rocksDbStateConfs()
+    val prev = knobs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    knobs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val mem = MemoryStream[UserEvent]
+      val sessions = TwsSessions.sessionize(
+        mem.toDS().withWatermark("ts", "10 minutes").as[UserEvent],
+        gapSeconds = 300)
+      val q = sessions.writeStream.format("memory").queryName("tws_out")
+        .outputMode("append").start()
+      try {
+        // identical script to the FMGWS test: user 1 gap-closes mid-stream,
+        // then the advancing watermark timer-closes the 00:30 session
+        mem.addData(
+          UserEvent(1, ts(0), 1.0), UserEvent(1, ts(2), 2.0),
+          UserEvent(1, ts(4), 3.0), UserEvent(1, ts(30), 4.0))
+        q.processAllAvailable()
+        mem.addData(UserEvent(2, ts(120), 0.5))
+        q.processAllAvailable()
+        mem.addData(UserEvent(2, ts(125), 0.5))
+        q.processAllAvailable()
+        val rows = awaitRows("tws_out",
+          _.count(_.getAs[Long]("user_id") == 1L) == 2)
+        val u1 = rows.filter(_.getAs[Long]("user_id") == 1L)
+          .map(r => (r.getAs[Long]("n_events"), r.getAs[Double]("sess_value"))).sortBy(_._1)
+        assert(u1 == Seq((1L, 4.0), (3L, 6.0)),
+          s"expected the same sessions the FMGWS twin emits; got $u1")
+      } finally q.stop()
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("stream-stream interval join: purchases attribute to clicks within the window") {
     val clicks = MemoryStream[StreamEvt]
     val buys = MemoryStream[StreamEvt]
