@@ -152,16 +152,17 @@ object Dedup {
   }
 
   // ---------------------------------------------------------------- d06
-  /** SimHash Hamming near-dup pairs: d03's 30-bit fingerprint, banded 3×10
-    * bits, pairs within Hamming distance 1 via the band equi-join index
-    * (exact by pigeonhole at this threshold — see
-    * [[DedupOps.simhashPairs]]). The scale path d03's equal-fingerprint
-    * grouping can't provide: near-misses in ≤1 bit surface as pairs without
-    * any all-pairs product. */
+  /** SimHash Hamming near-dup pairs: d03's 30-bit fingerprint, banded 2×15
+    * bits (the fewest-widest banding the Hamming-1 budget allows — see the
+    * band-sizing note on [[DedupOps.simhashPairs]]; 3×10 produced 6.3× the
+    * candidates for the same exact output), pairs within Hamming distance 1
+    * via the band equi-join index (exact by pigeonhole). The scale path
+    * d03's equal-fingerprint grouping can't provide: near-misses in ≤1 bit
+    * surface as pairs without any all-pairs product. */
   val d06SimhashHamming: Q = (s, dir) => {
     import s.implicits._
     DedupOps.simhashPairs(docs(s, dir), "doc_id", "text",
-        bands = 3, bitsPerBand = 10, maxHamming = 1)
+        bands = 2, bitsPerBand = 15, maxHamming = 1)
       .select($"id_a".as("doc_a"), $"id_b".as("doc_b"), $"hamming")
       .orderBy($"doc_a", $"doc_b")
   }
@@ -268,8 +269,8 @@ object Dedup {
           |   CAST(sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
           |  FROM b GROUP BY doc_id),
           | bands AS (
-          |  SELECT doc_id, simhash, bd, (simhash >> (10*bd)) & 1023 AS bv
-          |  FROM sig, (SELECT unnest(range(0,3)) AS bd)),
+          |  SELECT doc_id, simhash, bd, (simhash >> (15*bd)) & 32767 AS bv
+          |  FROM sig, (SELECT unnest(range(0,2)) AS bd)),
           | cand AS (
           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
           |   any_value(a.simhash) AS sa, any_value(b.simhash) AS sb

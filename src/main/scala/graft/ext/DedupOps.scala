@@ -99,12 +99,20 @@ object DedupOps {
     * approximate; the final `bit_count(xor)` check is then a pure filter.
     *
     * Scale shape: one per-doc aggregation for the fingerprint, then a
-    * self-equi-join on (band, bandValue) — hash-partitioned 2^bitsPerBand ×
-    * bands buckets whose population tracks corpus size, never an all-pairs
-    * product; signatures ride on the band rows (no join-back). Returns
-    * (id_a, id_b, hamming). */
+    * self-equi-join on (band, bandValue) — hash-partitioned, never an
+    * all-pairs product; signatures ride on the band rows (no join-back).
+    * Returns (id_a, id_b, hamming).
+    *
+    * Band sizing: simhash bits of natural-language docs are CORRELATED
+    * (common vocabulary dominates the majority vote), so narrow bands
+    * saturate — measured at sf0.1, 3×10-bit bands put 17% of the corpus in
+    * one bucket (1.49M candidates) while 2×15-bit bands cut candidates 6.3×
+    * for the SAME exact output. Use the fewest bands the Hamming budget
+    * allows (bands = maxHamming + 1) with the widest bits, and widen the
+    * fingerprint as the corpus grows. Run AFTER exact dedup: identical docs
+    * share every bucket and contribute quadratic pairs by definition. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 3, bitsPerBand: Int = 10, maxHamming: Int = 1): DataFrame = {
+      bands: Int = 2, bitsPerBand: Int = 15, maxHamming: Int = 1): DataFrame = {
     require(maxHamming <= bands - 1,
       s"maxHamming=$maxHamming needs bands >= ${maxHamming + 1} for exact candidates")
     val bits = bands * bitsPerBand

@@ -263,9 +263,15 @@ class DedupOpsSpec extends SparkSpec {
     // pigeonhole exactness: at maxHamming <= bands-1 the band equi-join must
     // surface EXACTLY the pairs an all-pairs hamming scan finds
     val banded = DedupOps.simhashPairs(docs, "doc_id", "text",
+        bands = 2, bitsPerBand = 15, maxHamming = 1)
+      .select($"id_a", $"id_b", $"hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    // any exact banding returns the same pairs — 3x10 must agree with 2x15
+    val banded3x10 = DedupOps.simhashPairs(docs, "doc_id", "text",
         bands = 3, bitsPerBand = 10, maxHamming = 1)
       .select($"id_a", $"id_b", $"hamming")
       .as[(Long, Long, Long)].collect().toSet
+    assert(banded == banded3x10)
     val sig = DedupOps.withSimhash(docs.select($"doc_id", $"text"), "text")
       .select($"doc_id", $"simhash")
     val a = sig.select($"doc_id".as("id_a"), $"simhash".as("sa"))
