@@ -27,7 +27,10 @@ object PlanDump {
     // one and leave this plan un-executed → AQE would print the initial,
     // never-run plan with isFinalPlan=false)
     val n = df.collect().length
-    val p = df.queryExecution.executedPlan.toString
+    val full = df.queryExecution.executedPlan.toString
+    // an executed AdaptiveSparkPlan prints BOTH "== Final Plan ==" and
+    // "== Initial Plan ==" — count scans/reuse in the final section only
+    val p = full.split("== Initial Plan ==").head
     println(s"[plandump] $name rows=$n scans=${p.split("Scan parquet").length - 1} " +
       s"reused=${p.contains("ReusedExchange")}")
     println(p)

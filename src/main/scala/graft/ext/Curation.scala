@@ -170,22 +170,27 @@ object Curation {
       .partitionBy(md5($"text")).orderBy($"doc_id")
     val deduped = filtered
       .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
-    // stage 4: decontamination vs the id-split benchmark (c01's join shape);
-    // n-grams come from the already-tokenized survivors, benchmark n-grams
-    // from the full table (benchmark docs need no earlier stages)
+    // stage 4: decontamination vs the id-split benchmark — SINGLE-PASS form:
+    // an anti-join against flagged ids would reference `deduped` twice and
+    // recompute the whole quality/lang/window chain per side (measured: 6
+    // corpus scans, no exchange reuse — column pruning differentiates the
+    // subtrees). Instead each survivor's n-grams left-join the benchmark
+    // hash set ONCE (null n-gram rows ride along so gram-less docs survive)
+    // and a per-doc max(hit)=0 filter replaces the anti-join.
     val bench = docs(s, dir).filter($"doc_id" % 20 === 0)
       .withColumn("tk", toks($"text"))
       .select(explode_outer(array_distinct(ngramsExact($"tk", ContamN))).as("ng"))
       .filter($"ng".isNotNull)
-      .select(h60($"ng").as("h")).distinct()
-    val contaminated = deduped.filter($"doc_id" % 20 =!= 0)
-      .select($"doc_id", explode_outer(array_distinct(ngramsExact($"tk", ContamN))).as("ng"))
-      .filter($"ng".isNotNull)
-      .select($"doc_id", h60($"ng").as("h"))
-      .join(bench, Seq("h"), "left_semi")
-      .select($"doc_id").distinct()
+      .select(h60($"ng").as("bh")).distinct()
     deduped.filter($"doc_id" % 20 =!= 0)
-      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"lang", $"n_tok",
+        explode_outer(array_distinct(ngramsExact($"tk", ContamN))).as("ng"))
+      .withColumn("h", h60($"ng"))
+      .join(bench, $"h" === $"bh", "left")
+      .groupBy($"doc_id")
+      .agg(first($"lang").as("lang"), first($"n_tok").as("n_tok"),
+        max(when($"bh".isNotNull, 1L).otherwise(0L)).as("hit"))
+      .filter($"hit" === 0L)
       .select($"doc_id", $"lang", $"n_tok")
       .orderBy($"doc_id")
   }
