@@ -67,16 +67,24 @@ object DedupOps {
     df.join(dropIds.withColumnRenamed("__id", idCol), Seq(idCol), "left_anti")
   }
 
+  /** Token hash for a `bits`-wide simhash: the folded 31-bit [[hm]] only
+    * carries signal in bits 0..30, so wider fingerprints (the 100 TB
+    * setting — band buckets saturate as the corpus grows, see
+    * [[simhashPairs]]) draw from the unfolded 60-bit [[h60]]. */
+  private def simTokHash(tok: Column, bits: Int): Column =
+    if (bits > 30) h60(tok) else hm(tok)
+
   /** SimHash fingerprint column (near-dup docs land on equal/nearby values;
     * group on it for d03-style clustering). */
   def withSimhash(df: DataFrame, textCol: String, out: String = "simhash",
       bits: Int = 30): DataFrame = {
+    require(bits >= 1 && bits <= 60, "token hash provides 60 bits")
     val key = df.columns.map(col)
     val th = df
       .withColumn("__tk", toks(col(textCol)))
       .select((key :+ explode_outer(col("__tk")).as("__tok")): _*)
       .filter(col("__tok").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
-      .select((key :+ hm(col("__tok")).as("__hm")): _*)
+      .select((key :+ simTokHash(col("__tok"), bits).as("__hm")): _*)
       .groupBy((key :+ col("__hm")): _*).agg(count(lit(1)).as("__cnt"))
     th
       .select((key ++ Seq(col("__hm"), col("__cnt"),
@@ -116,12 +124,12 @@ object DedupOps {
     require(maxHamming <= bands - 1,
       s"maxHamming=$maxHamming needs bands >= ${maxHamming + 1} for exact candidates")
     val bits = bands * bitsPerBand
-    require(bits <= 62, "signature must fit a long")
+    require(bits <= 60, "token hash provides 60 bits")
     val sig = df
       .withColumn("__tk", toks(col(textCol)))
       .select(col(idCol).as("__id"), explode_outer(col("__tk")).as("__tok"))
       .filter(col("__tok").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
-      .select(col("__id"), hm(col("__tok")).as("__hm"))
+      .select(col("__id"), simTokHash(col("__tok"), bits).as("__hm"))
       .groupBy(col("__id"), col("__hm")).agg(count(lit(1)).as("__cnt"))
       .select(col("__id"), col("__hm"), col("__cnt"),
         explode(sequence(lit(0), lit(bits - 1))).as("__j"))

@@ -285,6 +285,34 @@ class DedupOpsSpec extends SparkSpec {
     assert(banded.nonEmpty, "testdata near-dups must surface (vacuous otherwise)")
   }
 
+  test("60-bit simhash: banded index equals brute force; finer than 30-bit") {
+    // the 100 TB fingerprint width: 2x30-bit bands from the unfolded h60
+    val banded = DedupOps.simhashPairs(docs, "doc_id", "text",
+        bands = 2, bitsPerBand = 30, maxHamming = 1)
+      .select($"id_a", $"id_b", $"hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    val sig = DedupOps.withSimhash(docs.select($"doc_id", $"text"), "text", bits = 60)
+      .select($"doc_id", $"simhash")
+    val a = sig.select($"doc_id".as("id_a"), $"simhash".as("sa"))
+    val b = sig.select($"doc_id".as("id_b"), $"simhash".as("sb"))
+    val brute = a.crossJoin(b).filter($"id_a" < $"id_b")
+      .withColumn("hamming", expr("bit_count(sa ^ sb)").cast("long"))
+      .filter($"hamming" <= 1)
+      .select($"id_a", $"id_b", $"hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded == brute)
+    // exact-duplicate text has an identical fingerprint at ANY width: a
+    // copied doc must surface against its original at hamming 0 (the
+    // testdata itself has no byte-identical docs — synthesize one)
+    val copied = docs.select($"doc_id", $"text").unionByName(
+      docs.filter($"doc_id" === 7L).select(($"doc_id" + 900000L).as("doc_id"), $"text"))
+    val withDup = DedupOps.simhashPairs(copied, "doc_id", "text",
+        bands = 2, bitsPerBand = 30, maxHamming = 1)
+      .select($"id_a", $"id_b", $"hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(withDup.contains((7L, 900007L, 0L)))
+  }
+
   test("semanticDedup drops in-cluster near-identical vectors, keeps the rest") {
     // append exact duplicates of three corpus vectors under higher ids: an
     // exact copy lands in the same k-means cluster, cosine 1.0 >= any
