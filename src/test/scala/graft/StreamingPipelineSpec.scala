@@ -14,6 +14,9 @@ import scala.concurrent.duration._
 /** A test event with an event-time column (ts drives watermarks). */
 case class StreamEvt(event_id: Long, user_id: Long, event_type: String, ts: Timestamp)
 
+/** A test document for the streaming curation pipeline. */
+case class StreamDoc(doc_id: Long, text: String, ts: Timestamp)
+
 object StreamingPipelineSpec {
   /** In-JVM collecting putter — local[n] keeps executors in this process, so
     * a synchronized static buffer observes everything the sink sends. */
@@ -228,6 +231,33 @@ class StreamingPipelineSpec extends SparkSpec {
         .map(r => (r.getAs[Long]("n_events"), r.getAs[Double]("sess_value"))).sortBy(_._1)
       assert(u1 == Seq((1L, 4.0), (3L, 6.0)),
         s"expected gap-closed (3 events, 6.0) and timeout-closed (1 event, 4.0); got $u1")
+    } finally q.stop()
+  }
+
+  test("streaming curation: quality gate, decontamination, watermarked dedup") {
+    import graft.streaming.CurationStream
+    val benchmark = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val hashes = CurationStream.benchmarkHashes(benchmark, "text", n = 8)
+    assert(hashes.nonEmpty)
+    val mem = MemoryStream[StreamDoc]
+    val out = CurationStream.curate(
+      mem.toDF().withWatermark("ts", "10 minutes"), hashes, minTokens = 4, n = 8)
+    val q = out.writeStream.format("memory").queryName("cur_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        StreamDoc(1, "too short", ts(0)), // fails the quality gate
+        StreamDoc(2, "prefix words alpha beta gamma delta epsilon zeta eta theta", ts(1)), // contaminated
+        StreamDoc(3, "a perfectly clean document with enough tokens", ts(2)),
+        StreamDoc(4, "a perfectly clean document with enough tokens", ts(3)), // dup of 3
+        StreamDoc(5, "another clean and unique document entirely", ts(4)))
+      q.processAllAvailable()
+      val ids = spark.table("cur_out").collect().map(_.getAs[Long]("doc_id")).sorted
+      assert(ids.toSeq == Seq(3L, 5L),
+        s"expected quality+decontam+dedup survivors (3, 5); got ${ids.toSeq}")
+      // all input columns pass through
+      assert(spark.table("cur_out").columns.sorted.toSeq == Seq("doc_id", "n_tok", "text", "ts"))
     } finally q.stop()
   }
 
