@@ -34,4 +34,36 @@ object Layout {
     (0 until bits).foldLeft(0L) { (acc, i) =>
       acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
     }
+
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseOr, Cast,
+    Expression, ExpressionInfo, Literal, ShiftLeft, ShiftRight}
+  import org.apache.spark.sql.types.{IntegerType, LongType}
+
+  /** SQL surface: `graft_zorder(x, y[, bits])` — the builder assembles the
+    * same shift/and/or tree from CATALYST BUILT-IN nodes, so the SQL form
+    * codegens identically to the Column form; `bits` must be an integer
+    * literal (the tree shape depends on it at plan time). Registered by
+    * [[graft.functions.GraftExtensions]] alongside `xid()`. */
+  val zorderDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(Layout.getClass.getName, "graft_zorder"),
+      (args: Seq[Expression]) => {
+        val (x, y, bits) = args match {
+          case Seq(a, b) => (a, b, 21)
+          case Seq(a, b, Literal(n: Int, IntegerType)) if n >= 1 && 2 * n <= 62 =>
+            (a, b, n)
+          case _ => throw new IllegalArgumentException(
+            "usage: graft_zorder(x, y[, bits INTEGER LITERAL with 2*bits <= 62])")
+        }
+        def interleave(e: Expression, offset: Int): Seq[Expression] = {
+          val el = Cast(e, LongType)
+          (0 until bits).map { i =>
+            ShiftLeft(BitwiseAnd(ShiftRight(el, Literal(i)), Literal(1L)),
+              Literal(2 * i + offset))
+          }
+        }
+        (interleave(x, 0) ++ interleave(y, 1))
+          .reduce[Expression]((a, b) => BitwiseOr(a, b))
+      })
 }

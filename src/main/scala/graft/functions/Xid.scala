@@ -91,8 +91,10 @@ case class Xid() extends LeafExpression with Nondeterministic {
   * SparkSessionExtensions hook:
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.xidDescriptor)
+    ext.injectFunction(Layout.zorderDescriptor)
+  }
 }
 
 object GraftExtensions {
@@ -105,10 +107,10 @@ object GraftExtensions {
       (_: Seq[Expression]) => Xid())
 
   /** Imperative twin for sessions built without the extensions config. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id, info, builder) = xidDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    Seq(xidDescriptor, Layout.zorderDescriptor).foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }
 
 /** Column-level façade for the engine's native expressions. */

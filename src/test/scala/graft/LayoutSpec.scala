@@ -19,6 +19,23 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("graft_zorder SQL function agrees with the Column form and validates args") {
+    graft.functions.GraftExtensions.register(spark)
+    val got = spark.sql(
+      "SELECT graft_zorder(x, y, 10) AS z FROM VALUES (3L, 5L), (1023L, 0L) AS t(x, y)")
+      .as[Long].collect().toSeq
+    assert(got == Seq(Layout.zorderKeyLocal(3, 5, 10), Layout.zorderKeyLocal(1023, 0, 10)))
+    // default width + 2-arg form
+    assert(spark.sql("SELECT graft_zorder(7L, 9L) AS z").as[Long].head() ==
+      Layout.zorderKeyLocal(7, 9, 21))
+    // bits must be a literal: a column reference is a plan-time error
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_zorder(x, y, CAST(x AS INT)) FROM VALUES (1L, 2L) AS t(x, y)")
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("graft_zorder"))
+  }
+
   test("range-bucketed zorder keys bound both dimensions (locality)") {
     val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
       .select(($"l_orderkey" % 1024).as("xk"), ($"l_partkey" % 1024).as("yk"))
