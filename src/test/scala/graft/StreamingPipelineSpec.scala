@@ -299,6 +299,43 @@ class StreamingPipelineSpec extends SparkSpec {
     }
   }
 
+  test("transformWithState warm-starts from a batch table of open sessions") {
+    import graft.streaming.TwsSessions
+    import graft.streaming.StatefulSessions.UserEvent
+    val knobs = GraftSession.rocksDbStateConfs()
+    val prev = knobs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    knobs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // user 7 has an open session carried over: started 00:00, last 00:02,
+      // 2 events, value 5.0
+      val initial = Seq(TwsSessions.InitSession(7L,
+        ts(0).getTime * 1000L, ts(2).getTime * 1000L, 2L, 5.0)).toDS()
+      val mem = MemoryStream[UserEvent]
+      val sessions = TwsSessions.sessionizeWithInitial(
+        mem.toDS().withWatermark("ts", "10 minutes").as[UserEvent],
+        gapSeconds = 300, initial)
+      val q = sessions.writeStream.format("memory").queryName("twsi_out")
+        .outputMode("append").start()
+      try {
+        // an event at 00:04 EXTENDS the carried session (gap not exceeded);
+        // a later event far past the gap closes it: 3 events, 5.0 + 2.0
+        mem.addData(UserEvent(7, ts(4), 2.0))
+        q.processAllAvailable()
+        mem.addData(UserEvent(7, ts(60), 1.0))
+        q.processAllAvailable()
+        val rows = awaitRows("twsi_out", _.nonEmpty)
+        val first = rows.map(r => (r.getAs[Long]("user_id"),
+          r.getAs[Timestamp]("session_start"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("sess_value")))
+        assert(first.contains((7L, ts(0), 3L, 7.0)),
+          s"carried-over session must extend then close; got $first")
+      } finally q.stop()
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("stream-stream interval join: purchases attribute to clicks within the window") {
     val clicks = MemoryStream[StreamEvt]
     val buys = MemoryStream[StreamEvt]
