@@ -237,12 +237,20 @@ object Similarity {
     // ADC score: sum of m LUT lookups (0-based getItem on both levels)
     val adc = (0 until m).map(s =>
       col("__lut").getItem(s).getItem(col("__code").getItem(s))).reduce(_ + _)
-    val wAdc = Window.partitionBy(col("query_id")).orderBy(col("__adc").desc, col("id"))
+    // per-query top-(refine·k) via the bounded-heap Aggregator, NOT a window
+    // rank: a window would shuffle every scored (query, corpus) row; the
+    // aggregator's map-side combine caps the shuffle at refine·k rows per
+    // (map partition, query) regardless of corpus size. Ties break on lower
+    // id, identical to the orderBy(desc, id) window ordering.
+    val topAdc = udaf(new graft.functions.Aggregators.TopKAgg(refine * k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaLong))
     val cand = broadcast(q).join(codes, col("query_id") =!= col("id"))
       .withColumn("__adc", adc)
-      .withColumn("__rk", row_number().over(wAdc))
-      .filter(col("__rk") <= refine * k)
-      .select(col("query_id"), col("__qu"), col("id"))
+      .groupBy(col("query_id"))
+      .agg(topAdc(col("__adc"), col("id")).as("__top"), first(col("__qu")).as("__qu"))
+      .select(col("query_id"), col("__qu"), explode(col("__top")).as("__t"))
+      .select(col("query_id"), col("__qu"), col("__t._1").as("id"))
     // exact rerank: unit vectors, so cosine == dot
     val wX = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("id"))
     cand.join(c, Seq("id"))

@@ -30,6 +30,40 @@ object Aggregators {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** Bounded top-k by (score DESC, id ASC): the partial-aggregating form of
+    * per-group top-k ranking. A window-rank plan shuffles EVERY scored row
+    * to its group's partition before ranking — |groups| × |candidates| rows
+    * over the wire, the scale killer of brute-force/ADC similarity scans. An
+    * Aggregator gets map-side combine, so each map partition contributes at
+    * most k rows per group to the shuffle regardless of corpus size.
+    *
+    * Buffer = ascending-sorted vector of ≤ k (score, id) pairs (worst
+    * element first — O(k) insert-drop, k is small); ties on score broken by
+    * LOWER id winning, matching the `orderBy(score.desc, id)` window the
+    * query twins use. Output = (id, score) structs best-first. */
+  final class TopKAgg(k: Int)
+      extends Aggregator[(Double, Long), Seq[(Double, Long)], Seq[(Long, Double)]] {
+    require(k >= 1)
+    // (score asc, id desc): head is always the WEAKEST kept entry
+    private def lt(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 < b._1 || (a._1 == b._1 && a._2 > b._2)
+    private def insert(b: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] =
+      if (b.size < k) (b :+ x).sortWith(lt)
+      else if (lt(x, b.head)) b
+      else (b.tail :+ x).sortWith(lt)
+    override def zero: Seq[(Double, Long)] = Vector.empty
+    override def reduce(b: Seq[(Double, Long)], x: (Double, Long)): Seq[(Double, Long)] =
+      insert(b, x)
+    override def merge(a: Seq[(Double, Long)], b: Seq[(Double, Long)]): Seq[(Double, Long)] =
+      b.foldLeft(a)(insert)
+    override def finish(b: Seq[(Double, Long)]): Seq[(Long, Double)] =
+      b.reverse.map { case (score, id) => (id, score) }
+    override def bufferEncoder: Encoder[Seq[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Long)]]()
+    override def outputEncoder: Encoder[Seq[(Long, Double)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Double)]]()
+  }
+
   /** Exact streaming range (max − min) with a single (min, max) buffer —
     * demonstrates a buffer type that is not a plain sum. */
   object SpreadAgg extends Aggregator[Double, (Double, Double), Double] {

@@ -46,6 +46,31 @@ class ProcessorSpec extends SparkSpec {
     assert(math.abs(gm - expected) < 1e-9)
   }
 
+  test("TopKAgg equals the window rank and partial-aggregates map-side") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{row_number, struct}
+    // deterministic scored rows with score ties (id tie-break must match the
+    // window's orderBy(score desc, id asc))
+    val df = spark.range(0, 1000).repartition(8)
+      .select(($"id" % 7).cast("long").as("grp"), $"id".as("rid"),
+        (($"id" * 37 % 100) / 10).cast("double").as("score"))
+    val topk = udaf(new Aggregators.TopKAgg(5),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaLong))
+    val viaAgg = df.groupBy($"grp").agg(topk($"score", $"rid").as("top"))
+      .select($"grp", explode($"top").as("t"))
+      .select($"grp", $"t._1".as("rid"), $"t._2".as("score"))
+    val w = Window.partitionBy($"grp").orderBy($"score".desc, $"rid")
+    val viaWindow = df.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+      .select($"grp", $"rid", $"score")
+    assert(viaAgg.as[(Long, Long, Double)].collect().toSet ==
+      viaWindow.as[(Long, Long, Double)].collect().toSet)
+    // the scale property: partial (map-side) aggregation before the shuffle
+    val plan = viaAgg.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topkagg") ||
+      plan.toLowerCase.contains("partial"), s"expected map-side combine:\n$plan")
+  }
+
   test("typed Aggregator: registered for SQL via udaf()") {
     spark.udf.register("geo_mean", udaf(Aggregators.GeoMean))
     spark.udf.register("spread", udaf(Aggregators.SpreadAgg))
