@@ -415,7 +415,13 @@ object DedupOps {
   }
 
   /** Brute-force cosine top-k: broadcast the (small) query set, stream the
-    * corpus (like s01). Returns (query_id, rank, id, cosine). */
+    * corpus (like s01). Returns (query_id, rank, id, cosine).
+    *
+    * Ranking uses the bounded-heap
+    * [[graft.functions.Aggregators.TopKAgg]], not a window rank: map-side
+    * combine caps the shuffle at k rows per (map partition, query) instead
+    * of shuffling all |queries| × |corpus| scored rows (ties break on lower
+    * id, identical to the window ordering the s01 oracle twin uses). */
   def knn(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int): DataFrame = {
     def prep(df: DataFrame, id: String) =
@@ -423,13 +429,17 @@ object DedupOps {
         .withColumn(s"__n_$id", graft.functions.VectorExprs.l2(col(s"__v_$id")))
     val c = prep(corpus, "id")
     val q = prep(queries, "query_id")
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("id"))
+    val topk = udaf(new graft.functions.Aggregators.TopKAgg(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaLong))
     broadcast(q).join(c, col("query_id") =!= col("id"))
       .withColumn("cosine",
         graft.functions.VectorExprs.dot(col("__v_query_id"), col("__v_id"))
           / (col("__n_query_id") * col("__n_id")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("id"), col("cosine"))
+      .groupBy(col("query_id"))
+      .agg(topk(col("cosine"), col("id")).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__p", "__t")))
+      .select(col("query_id"), (col("__p") + 1).cast("long").as("rank"),
+        col("__t._1").as("id"), col("__t._2").as("cosine"))
   }
 }
