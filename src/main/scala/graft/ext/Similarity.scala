@@ -199,14 +199,17 @@ object Similarity {
         explode_outer(slice(sort_array(probeDots, asc = false), 1, nprobe)))
       .filter(col("__probe").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
       .select(col("query_id"), col("__u").as("__qu"), col("__probe.cid").as("__cid"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("id"))
+    // bounded-heap ranking (see topkUdaf): inverted lists partition the
+    // corpus, so a query's probed candidates are distinct ids
     broadcast(probes).join(lists, Seq("__cid"))
       .filter(col("query_id") =!= col("id"))
       .withColumn("cosine", // unit vectors: cosine == dot
         graft.functions.VectorExprs.dot(col("__qu"), col("__u")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("id"), col("cosine"))
+      .groupBy(col("query_id"))
+      .agg(topkUdaf(k)(col("cosine"), col("id")).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__p", "__t")))
+      .select(col("query_id"), (col("__p") + 1).cast("long").as("rank"),
+        col("__t._1").as("id"), col("__t._2").as("cosine"))
   }
 
   // ------------------------------------------------------------- PQ ANN

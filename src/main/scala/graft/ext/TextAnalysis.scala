@@ -166,12 +166,34 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- t06
+  /** Exact corpus heavy hitters: tokens present in ≥ 2% of documents, with
+    * document frequency and fraction. This is the quantity the d04 df-cap
+    * (hot-shingle stop filter) and stopword lists are tuned against — at
+    * 100 TB it is one token-keyed aggregation plus a 1-row total broadcast,
+    * and the output is bounded by 1/0.02 = at most 50·avg_doc_len tokens. */
+  val t06CommonTokens: Q = (s, dir) => {
+    import s.implicits._
+    val t = docs(s, dir)
+      .withColumn("tk", toks($"text"))
+      .select($"doc_id", explode_outer(array_distinct($"tk")).as("tok"))
+      .filter($"tok".isNotNull) // outer: no inferred-filter re-eval (see TextOps)
+    val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    t.groupBy($"tok").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .filter($"df".cast("double") / $"n_docs" >= 0.02)
+      .select($"tok", $"df",
+        round($"df".cast("double") / $"n_docs" + 1e-9, 4).as("df_frac"))
+      .orderBy($"df".desc, $"tok")
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_lang_id" -> t01LangId,
     "t02_quality" -> t02Quality,
     "t03_token_stats" -> t03TokenStats,
     "t04_fingerprint" -> t04Fingerprint,
-    "t05_repetition" -> t05Repetition)
+    "t05_repetition" -> t05Repetition,
+    "t06_common_tokens" -> t06CommonTokens)
 
   private val toksCte =
     """WITH l AS (
@@ -258,5 +280,14 @@ object TextAnalysis {
           |   OR coalesce(CAST(top_bi AS DOUBLE) / bs.n_big, 0) > 0.18
           |  THEN 1 ELSE 0 END AS BIGINT) AS repetitive
           |FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id
-          |ORDER BY us.doc_id""".stripMargin))
+          |ORDER BY us.doc_id""".stripMargin),
+    "t06_common_tokens" ->
+      (toksCte +
+        """, t AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM l),
+          | n AS (SELECT count(*) AS n_docs FROM documents),
+          | d AS (SELECT tok, count(*) AS df FROM t GROUP BY tok)
+          |SELECT tok, CAST(df AS BIGINT) AS df,
+          | round(CAST(df AS DOUBLE) / n_docs + 1e-9, 4) AS df_frac
+          |FROM d, n WHERE CAST(df AS DOUBLE) / n_docs >= 0.02
+          |ORDER BY df DESC, tok""".stripMargin))
 }
