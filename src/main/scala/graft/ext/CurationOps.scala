@@ -39,7 +39,17 @@ object CurationOps {
 
   /** Remove corpus rows sharing at least `minOverlap` distinct full
     * `n`-grams with `benchmark` — the standard published decontamination
-    * step (n=13 for web-scale corpora). All corpus columns pass through. */
+    * step (n=13 for web-scale corpora). All corpus columns pass through.
+    *
+    * Plan shape: the anti-join reads the corpus twice (a narrow id+text
+    * scan for gram generation, the full scan for output) but never shuffles
+    * it — the contaminated id set is small and AQE broadcasts it. That is
+    * the right default for a RAW table scan at 100 TB. When the corpus is
+    * instead an EXPENSIVE upstream chain (filters/windows/joins), prefer
+    * the single-pass shape the c05 pipeline uses — carry columns through
+    * the n-gram explode and keep rows with max(hit)=0 — which trades one
+    * corpus-keyed shuffle for not recomputing the chain
+    * (graft.ext.Curation.c05CurationPipeline). */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
       textCol: String, n: Int = 13, minOverlap: Long = 1L): DataFrame = {
     val bad = contaminationCounts(corpus, benchmark, idCol, textCol, n)
