@@ -62,44 +62,49 @@ object Similarity {
 
   // ---------------------------------------------------------------- s01
   /** Brute-force cosine top-5 for each query vector (vec_id < 20): broadcast
-    * the queries, stream the corpus, rank per query via the bounded-heap
-    * aggregator (ties on round(cos,6) break by vec_id asc — identical to
-    * the DuckDB oracle's row_number ordering, and deterministic in every
-    * engine for candidates closer than 1e-6). */
+    * the queries, stream the corpus, rank per query.
+    * Ordering is on round(cos,6) with vec_id tie-break, so candidates closer
+    * than 1e-6 in cosine rank deterministically in every engine.
+    *
+    * Ranking plan: the WINDOW form (codegen'd tungsten sort) — measured 3×
+    * faster single-node than the typed bounded-heap aggregator at sf0.1
+    * (0.5s vs 1.75s; the aggregator's per-row buffer encoding dominates
+    * locally while the shuffle it caps is not the local bottleneck). The
+    * API twins ([[graft.ext.DedupOps.knn]]/[[ivfKnn]]/[[pqKnn]]) use
+    * [[topkUdaf]] instead, where the |queries|×|corpus| ranking shuffle is
+    * the thing that breaks at cluster scale — pick by deployment. */
   val s01KnnBrute: Q = (s, dir) => {
     import s.implicits._
     val e = vecs(s, dir)
     val q = e.filter($"vec_id" < 20)
       .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))
+    val w = Window.partitionBy($"qid").orderBy($"cos6".desc, $"vec_id")
     broadcast(q).join(e, $"qid" =!= $"vec_id")
       .withColumn("cos6", round(dot($"qv", $"v") / ($"qn" * $"nrm"), 6))
-      .groupBy($"qid")
-      .agg(topkUdaf(5)($"cos6", $"vec_id").as("__top"))
-      .select($"qid", posexplode($"__top").as(Seq("__p", "__t")))
-      .select($"qid", ($"__p" + 1).cast("long").as("rk"),
-        $"__t._1".as("vec_id"), round($"__t._2", 4).as("cos"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 5)
+      .select($"qid", $"rk", $"vec_id", round($"cos6", 4).as("cos"))
       .orderBy($"qid", $"rk")
   }
 
   // ---------------------------------------------------------------- s02
   /** ANN via random-hyperplane LSH: every vector gets an 8-bit signature;
     * candidates for a query are ONLY the vectors in its bucket (≈ n/256 of
-    * the corpus), then exact cosine top-3 within the bucket (bounded-heap
-    * ranking like s01). The bucket join is an equi-join on the signature —
-    * hash-partitioned, no all-pairs. */
+    * the corpus), then exact cosine top-3 within the bucket (window ranking
+    * like s01 — see the s01 note). The bucket join is an equi-join on the
+    * signature — hash-partitioned, no all-pairs. */
   val s02AnnLsh: Q = (s, dir) => {
     import s.implicits._
     val e = vecs(s, dir).withColumn("bucket", bucketOf($"v"))
     val q = e.filter($"vec_id" < 20)
       .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"), $"bucket")
+    val w = Window.partitionBy($"qid").orderBy($"cos6".desc, $"vec_id")
     broadcast(q).join(e, Seq("bucket"))
       .filter($"qid" =!= $"vec_id")
       .withColumn("cos6", round(dot($"qv", $"v") / ($"qn" * $"nrm"), 6))
-      .groupBy($"qid")
-      .agg(topkUdaf(3)($"cos6", $"vec_id").as("__top"), first($"bucket").as("bucket"))
-      .select($"qid", $"bucket", posexplode($"__top").as(Seq("__p", "__t")))
-      .select($"qid", ($"__p" + 1).cast("long").as("rk"),
-        $"__t._1".as("vec_id"), round($"__t._2", 4).as("cos"), $"bucket")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 3)
+      .select($"qid", $"rk", $"vec_id", round($"cos6", 4).as("cos"), $"bucket")
       .orderBy($"qid", $"rk")
   }
 
