@@ -29,8 +29,9 @@ object Bench {
         catch { case _: Throwable => () }
       }
     }
-    // min of two timed runs per query: ambient load on a shared box can
-    // multiply a single long-pole measurement several-fold; the minimum
+    // min of three timed runs per query: ambient load on a shared box can
+    // multiply a single long-pole measurement several-fold (observed whole
+    // runs inflated ~3x minutes apart with identical code); the minimum
     // approximates uncontended steady state
     val results = names.map { name =>
       def once(): Double = {
@@ -39,7 +40,7 @@ object Bench {
         catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> math.min(once(), once())
+      name -> Seq(once(), once(), once()).min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
