@@ -29,19 +29,22 @@ object Bench {
         catch { case _: Throwable => () }
       }
     }
-    // min of three timed runs per query: ambient load on a shared box can
-    // multiply a single long-pole measurement several-fold (observed whole
-    // runs inflated ~3x minutes apart with identical code); the minimum
-    // approximates uncontended steady state
-    val results = names.map { name =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count() }
-        catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> Seq(once(), once(), once()).min
+    // min of three timed runs per query, taken across three INTERLEAVED
+    // full sweeps rather than back-to-back: ambient load on a shared box
+    // can multiply measurements several-fold for minutes at a time (the r03
+    // driver run recorded unchanged queries 5-30x their r02 times), and
+    // back-to-back repeats all land inside the same noise burst. Sweeping
+    // all queries then repeating spreads a query's three samples minutes
+    // apart, so the minimum approximates uncontended steady state even
+    // when one whole sweep is contended.
+    def once(name: String): Double = {
+      val t0 = System.nanoTime()
+      try { SparkEntry.queries(name)(spark, sfDir).count() }
+      catch { case _: Throwable => -1L }
+      (System.nanoTime() - t0) / 1e9
     }
+    val sweeps = (1 to 3).map(_ => names.map(n => n -> once(n)).toMap)
+    val results = names.map(n => n -> sweeps.map(_(n)).min)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -20,16 +20,18 @@ object CurationOps {
     * join keys); the benchmark hash set is distinct'd and is tiny next to
     * the corpus, so AQE broadcasts it when it fits — no hint needed, and no
     * corpus-side shuffle beyond the per-doc count. */
+  private def grams(df: DataFrame, idCol: String, textCol: String,
+      n: Int, out: String): DataFrame = df
+    .withColumn("__tk", toks(col(textCol)))
+    .select(col(idCol).as(out),
+      explode_outer(array_distinct(ngramsExact(col("__tk"), n))).as("__ng"))
+    .filter(col("__ng").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
+    .select(col(out), h60(col("__ng")).as("__h"))
+
   def contaminationCounts(corpus: DataFrame, benchmark: DataFrame,
       idCol: String, textCol: String, n: Int = 13): DataFrame = {
-    def grams(df: DataFrame, out: String) = df
-      .withColumn("__tk", toks(col(textCol)))
-      .select(col(idCol).as(out),
-        explode_outer(array_distinct(ngramsExact(col("__tk"), n))).as("__ng"))
-      .filter(col("__ng").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
-      .select(col(out), h60(col("__ng")).as("__h"))
-    val bench = grams(benchmark, "__bid").select(col("__h")).distinct()
-    val hits = grams(corpus, "__id")
+    val bench = grams(benchmark, idCol, textCol, n, "__bid").select(col("__h")).distinct()
+    val hits = grams(corpus, idCol, textCol, n, "__id")
       .join(bench, Seq("__h"))
       .groupBy(col("__id")).agg(count(lit(1)).as("__hit"))
     corpus.select(col(idCol))
@@ -45,18 +47,46 @@ object CurationOps {
     * scan for gram generation, the full scan for output) but never shuffles
     * it — the contaminated id set is small and AQE broadcasts it. That is
     * the right default for a RAW table scan at 100 TB. When the corpus is
-    * instead an EXPENSIVE upstream chain (filters/windows/joins), prefer
-    * the single-pass shape the c05 pipeline uses — carry columns through
-    * the n-gram explode and keep rows with max(hit)=0 — which trades one
-    * corpus-keyed shuffle for not recomputing the chain
-    * (graft.ext.Curation.c05CurationPipeline). */
+    * instead an EXPENSIVE upstream chain (filters/windows/joins), pass
+    * `singlePass = true`: all non-id columns ride the n-gram explode packed
+    * in one struct, the benchmark left-join counts hits per doc, and a
+    * per-doc filter replaces the anti-join — the corpus chain evaluates
+    * exactly once at the price of one corpus-keyed shuffle (the c05
+    * pipeline's measured crossover,
+    * graft.ext.Curation.c05CurationPipeline). */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
-      textCol: String, n: Int = 13, minOverlap: Long = 1L): DataFrame = {
-    val bad = contaminationCounts(corpus, benchmark, idCol, textCol, n)
-      .filter(col("n_bad") >= minOverlap).select(col(idCol))
-    // anti-join against the CONTAMINATED ids (small), not semi against the
-    // keep set (corpus-sized) — same reasoning as dropNearDuplicatesMinhash
-    corpus.join(bad, Seq(idCol), "left_anti")
+      textCol: String, n: Int = 13, minOverlap: Long = 1L,
+      singlePass: Boolean = false): DataFrame = {
+    if (singlePass) {
+      // textCol stands in when the corpus is only (id, text): struct() with
+      // zero fields is not a portable plan node
+      val others = corpus.columns.filterNot(_ == idCol).toSeq match {
+        case Seq() => Seq(textCol)
+        case cs => cs
+      }
+      val bench = grams(benchmark, idCol, textCol, n, "__bid")
+        .select(col("__h").as("__bh")).distinct()
+      corpus
+        .withColumn("__rest", struct(others.map(col): _*))
+        .select(col(idCol), col("__rest"),
+          explode_outer(array_distinct(ngramsExact(toks(col(textCol)), n))).as("__ng"))
+        // explode_outer keeps gram-less docs (null __ng → null hash → no match)
+        .withColumn("__h", h60(col("__ng")))
+        .join(bench, col("__h") === col("__bh"), "left")
+        .groupBy(col(idCol))
+        // benchmark hashes are distinct'd, corpus grams per-doc distinct'd →
+        // each shared gram matches exactly once, so the count IS n_bad
+        .agg(first(col("__rest")).as("__rest"),
+          sum(when(col("__bh").isNotNull, 1L).otherwise(0L)).as("__hit"))
+        .filter(col("__hit") < minOverlap)
+        .select(col(idCol) +: others.map(c => col("__rest").getField(c).as(c)): _*)
+    } else {
+      val bad = contaminationCounts(corpus, benchmark, idCol, textCol, n)
+        .filter(col("n_bad") >= minOverlap).select(col(idCol))
+      // anti-join against the CONTAMINATED ids (small), not semi against the
+      // keep set (corpus-sized) — same reasoning as dropNearDuplicatesMinhash
+      corpus.join(bad, Seq(idCol), "left_anti")
+    }
   }
 
   /** Concat-then-chunk sequence packing: within each `partCol` partition,

@@ -16,6 +16,8 @@ import TextOps._
   */
 object DedupOps {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Exact dedup: keep one row per duplicate group (the one with the lowest
     * `keepBy`). Grouping happens on the md5 of the listed columns so the
     * shuffle carries 32-byte digests, not full rows. */
@@ -291,11 +293,28 @@ object DedupOps {
     * extra job. */
   def jaccardPairsAuto(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, threshold: Double, shingleLen: Int = 3,
-      maxDf: Long = 100000L, switchBytes: Long = 4L << 30): DataFrame =
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= switchBytes)
+      maxDf: Long = 100000L, switchBytes: Long = 4L << 30): DataFrame = {
+    val (choice, est) = jaccardPairsAutoChoice(df, switchBytes)
+    // telemetry: the pick is visible in the engine log and, per-job, in the
+    // Spark event log / UI via a local property (the standard channel for
+    // caller-set job annotations — SparkContext.setLocalProperty)
+    log.info(s"jaccardPairsAuto: picked '$choice' plan " +
+      s"(estimated scan $est B, switch at $switchBytes B)")
+    df.sparkSession.sparkContext.setLocalProperty("graft.jaccard.plan", choice)
+    if (choice == "count")
       jaccardPairs(df, idCol, textCol, blockCol, threshold, shingleLen)
     else
       jaccardPairsPrefix(df, idCol, textCol, blockCol, threshold, shingleLen, maxDf)
+  }
+
+  /** The [[jaccardPairsAuto]] switch decision, exposed for telemetry and
+    * specs: ("count" | "prefix", estimated input bytes from Catalyst plan
+    * statistics — no extra job). */
+  def jaccardPairsAutoChoice(df: DataFrame,
+      switchBytes: Long = 4L << 30): (String, BigInt) = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    (if (est <= switchBytes) "count" else "prefix", est)
+  }
 
   /** Cosine near-dup pairs over an embedding column above `threshold`,
     * blocked by `blockCol` (like d05). */

@@ -112,6 +112,43 @@ object Multimodal {
       .select(col("media_id"), col("frame_idx"), col("frame_digest"))
   }
 
+  /** Chunked transport: split each payload into fixed-size chunk ROWS
+    * (media_id, chunk_idx, n_chunks, chunk, chunk_digest). This is how a
+    * >2 GB asset moves through the engine — a single BinaryType cell is
+    * capped by JVM array limits (and a multi-GB row breaks shuffle/memory
+    * sizing), while chunk rows keep every shuffle/scan unit bounded at
+    * `chunkBytes` and spread one asset across partitions. Declarative
+    * explode (sequence + substring), so Catalyst owns the fan-out. */
+  def chunk(media: DataFrame, chunkBytes: Int): DataFrame = {
+    require(chunkBytes >= 1)
+    media
+      .withColumn("n_chunks",
+        greatest(ceil(octet_length(col("payload")).cast("double") / chunkBytes), lit(1))
+          .cast("long"))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), col("n_chunks") - 1)))
+      .withColumn("chunk", expr(
+        s"substring(payload, cast(chunk_idx * $chunkBytes + 1 as int), $chunkBytes)"))
+      .withColumn("chunk_digest", md5(col("chunk")))
+      .select(col("media_id"), col("chunk_idx"), col("n_chunks"),
+        col("chunk"), col("chunk_digest"))
+  }
+
+  /** Reassemble [[chunk]] rows back into one payload per media_id, with the
+    * digest for end-to-end verification. The in-group fold is declarative
+    * (sort_array + aggregate over the collected chunk structs — one keyed
+    * shuffle). NOTE: reassembly necessarily materializes the whole asset in
+    * one cell again — it is for consumers that need the full payload (and
+    * for round-trip verification); pipelines that can work per-chunk (frame
+    * decode, rolling digests) should stay on the chunk rows. */
+  def reassemble(chunks: DataFrame): DataFrame =
+    chunks
+      .groupBy(col("media_id"))
+      .agg(collect_list(struct(col("chunk_idx"), col("chunk"))).as("__cs"))
+      .select(col("media_id"),
+        expr("aggregate(transform(array_sort(__cs), x -> x.chunk), " +
+          "cast('' as binary), (acc, c) -> concat(acc, c))").as("payload"))
+      .withColumn("digest", md5(col("payload")))
+
   // ---------------------------------------------------------------- m01
   /** Oracle-checked metadata extraction over the binary payload column —
     * byte length, digest, and a deterministic stub feature. The decode stub
@@ -128,7 +165,26 @@ object Multimodal {
       .orderBy($"media_id")
   }
 
-  val queries: Map[String, Q] = Map("m01_binary_meta" -> m01BinaryMeta)
+  // ---------------------------------------------------------------- m02
+  /** Oracle-checked chunked-transport accounting: per-asset chunk count and
+    * the exact size split between full chunks and the tail. The byte-level
+    * round-trip (chunk → reassemble == original payload+digest) is
+    * MultimodalSpec's job; the oracle pins the chunk arithmetic. */
+  val m02Chunking: Q = (s, dir) => {
+    import s.implicits._
+    chunk(mediaFrom(s, dir), chunkBytes = 100)
+      .groupBy($"media_id")
+      .agg(
+        first($"n_chunks").as("n_chunks"),
+        sum(octet_length($"chunk")).cast("long").as("total_bytes"),
+        max(when($"chunk_idx" === $"n_chunks" - 1, octet_length($"chunk")))
+          .cast("long").as("tail_bytes"))
+      .orderBy($"media_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "m01_binary_meta" -> m01BinaryMeta,
+    "m02_chunking" -> m02Chunking)
 
   val oracles: Map[String, String] = Map(
     "m01_binary_meta" ->
@@ -136,5 +192,16 @@ object Multimodal {
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | md5(text) AS digest,
         | CAST(octet_length(encode(text)) % 256 AS BIGINT) AS stub_feature
-        |FROM documents ORDER BY media_id""".stripMargin)
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "m02_chunking" ->
+      """WITH b AS (
+        |  SELECT doc_id AS media_id, octet_length(encode(text)) AS n
+        |  FROM documents)
+        |SELECT media_id,
+        | CAST(greatest(ceil(n / 100.0), 1) AS BIGINT) AS n_chunks,
+        | CAST(n AS BIGINT) AS total_bytes,
+        | CAST(CASE WHEN n = 0 THEN 0
+        |           WHEN n % 100 = 0 THEN 100
+        |           ELSE n % 100 END AS BIGINT) AS tail_bytes
+        |FROM b ORDER BY media_id""".stripMargin)
 }

@@ -48,6 +48,37 @@ class CurationSpec extends SparkSpec {
       case j: Join if j.joinType.toString == "LeftAnti" => j }.nonEmpty)
   }
 
+  test("decontaminate singlePass returns exactly the two-pass result") {
+    val kept = CurationOps.decontaminate(corpus, bench, "doc_id", "text",
+      n = 8, singlePass = true)
+    assert(kept.columns.toSeq == corpus.columns.toSeq)
+    assert(kept.select($"doc_id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    // agreement on the real table, multi-column passthrough included
+    val c = docs.filter($"doc_id" % 20 =!= 0)
+    val b = docs.filter($"doc_id" % 20 === 0)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id").as[Long].collect().sorted.toSeq
+    val two = CurationOps.decontaminate(c, b, "doc_id", "text", n = 8)
+    val one = CurationOps.decontaminate(c, b, "doc_id", "text", n = 8, singlePass = true)
+    assert(one.columns.toSeq == two.columns.toSeq)
+    assert(ids(one) == ids(two))
+  }
+
+  test("decontaminate singlePass reads the corpus chain once, two-pass twice") {
+    // the point of the variant: an expensive upstream chain must evaluate
+    // once. Count corpus relations in the optimized plan: single-pass is
+    // corpus + bench; two-pass reads the corpus THREE times (gram explode,
+    // id spine, output scan) + bench.
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val c = docs.filter($"doc_id" % 20 =!= 0)
+    val b = docs.filter($"doc_id" % 20 === 0)
+    def rels(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect { case l: LogicalRelation => l }.size
+    assert(rels(CurationOps.decontaminate(c, b, "doc_id", "text", n = 8,
+      singlePass = true)) == 2)
+    assert(rels(CurationOps.decontaminate(c, b, "doc_id", "text", n = 8)) == 4)
+  }
+
   test("packSequences computes concat-then-chunk bins and offsets") {
     val df = Seq(
       ("s", 1L, "t t t t"), ("s", 2L, "t t t t t"),

@@ -140,6 +140,18 @@ class DedupOpsSpec extends SparkSpec {
       == norm(DedupOps.jaccardPairs(docs, "doc_id", "text", "lang", 0.5)))
   }
 
+  test("jaccardPairsAuto surfaces its plan pick on both sides of the switch") {
+    val (small, est) = DedupOps.jaccardPairsAutoChoice(docs)
+    assert(small == "count" && est > 0)
+    assert(DedupOps.jaccardPairsAutoChoice(docs, switchBytes = 0L)._1 == "prefix")
+    // the pick lands in the job-scoped local property (visible in the Spark
+    // event log), matching what actually ran
+    DedupOps.jaccardPairsAuto(docs, "doc_id", "text", "lang", 0.5, switchBytes = 0L)
+    assert(spark.sparkContext.getLocalProperty("graft.jaccard.plan") == "prefix")
+    DedupOps.jaccardPairsAuto(docs, "doc_id", "text", "lang", 0.5)
+    assert(spark.sparkContext.getLocalProperty("graft.jaccard.plan") == "count")
+  }
+
   test("cosinePairs matches d05 at the same threshold") {
     // d05 filters on round(cos,4) >= 0.35; the generic op on the raw cosine.
     // Compare on the pairs both report above a slightly-safe threshold.

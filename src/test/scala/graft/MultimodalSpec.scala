@@ -65,6 +65,27 @@ class MultimodalSpec extends SparkSpec {
     assert(one.zipWithIndex.forall { case (f, i) => f == i * 5 })
   }
 
+  test("chunked transport round-trips: chunk -> reassemble == original payload") {
+    val media = Multimodal.mediaFrom(spark, dir)
+    val chunks = Multimodal.chunk(media, chunkBytes = 37) // ragged tails
+    // every chunk except a group's last is exactly chunkBytes
+    val bad = chunks
+      .filter($"chunk_idx" < $"n_chunks" - 1 && octet_length($"chunk") =!= 37)
+    assert(bad.count() == 0)
+    // chunk counts match the arithmetic
+    val counts = chunks.groupBy($"media_id")
+      .agg(countDistinct($"chunk_idx").as("n"), first($"n_chunks").as("nc"))
+      .filter($"n" =!= $"nc")
+    assert(counts.count() == 0)
+    // byte-exact round trip, digest verified against the original metadata
+    val back = Multimodal.reassemble(chunks)
+    val mism = media.select($"media_id", $"meta.digest".as("d0"))
+      .join(back, Seq("media_id"))
+      .filter($"digest" =!= $"d0")
+    assert(mism.count() == 0)
+    assert(back.count() == media.count())
+  }
+
   test("feature aggregation composes with the decoded columns") {
     val media = Multimodal.mediaFrom(spark, dir)
     val agg = Multimodal.decodeFeatures(media)

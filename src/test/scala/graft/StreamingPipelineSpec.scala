@@ -336,6 +336,46 @@ class StreamingPipelineSpec extends SparkSpec {
     }
   }
 
+  test("TTL'd transformWithState dedup: suppress within TTL, re-emit after expiry") {
+    import graft.streaming.TwsDedup
+    // processing-time TWS: RocksDB provider + no-data micro-batches OFF
+    // (with the default the query loops empty batches forever — the round-3
+    // hang, reproduced and isolated in graft.scratch.TtlRepro)
+    val knobs = GraftSession.rocksDbStateConfs() +
+      ("spark.sql.streaming.noDataMicroBatches.enabled" -> "false")
+    val prev = knobs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    knobs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val mem = MemoryStream[StreamEvt]
+      val out = TwsDedup.dedupWithTtl[StreamEvt](mem.toDS(),
+        e => e.event_id.toString, java.time.Duration.ofSeconds(10))
+      val q = out.writeStream.format("memory").queryName("ttl_out")
+        .outputMode("append").start()
+      try {
+        // batch 1: two copies of key 1 in one batch -> one emit; key 2 emits
+        mem.addData(StreamEvt(1, 1, "click", ts(1)), StreamEvt(1, 1, "click", ts(2)),
+          StreamEvt(2, 2, "view", ts(3)))
+        q.processAllAvailable()
+        // batch 2, inside the TTL: key 1 suppressed by state
+        mem.addData(StreamEvt(1, 1, "click", ts(4)))
+        q.processAllAvailable()
+        assert(spark.table("ttl_out").collect()
+          .map(_.getAs[Long]("event_id")).sorted.toSeq == Seq(1L, 2L))
+        // past the TTL, the store expired the entry: key 1 emits again
+        Thread.sleep(11000)
+        mem.addData(StreamEvt(1, 3, "click", ts(5)))
+        q.processAllAvailable()
+        val again = spark.table("ttl_out").collect()
+          .map(_.getAs[Long]("event_id")).sorted.toSeq
+        assert(again == Seq(1L, 1L, 2L),
+          s"key 1 must re-emit after its state TTL expires; got $again")
+      } finally q.stop()
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("stream-stream interval join: purchases attribute to clicks within the window") {
     val clicks = MemoryStream[StreamEvt]
     val buys = MemoryStream[StreamEvt]
