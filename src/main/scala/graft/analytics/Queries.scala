@@ -577,8 +577,39 @@ object Queries {
       .orderBy($"bucket")
   }
 
+  // ---------------------------------------------------------------- q35
+  /** Ordered conversion funnel (view → click → purchase): for each user the
+    * first view, the first click strictly after it, and the first purchase
+    * strictly after that — the classic behavioral-analytics operator the
+    * events table exists for. Three stage aggregations chained by keyed
+    * equi-joins on user_id (each stage's output is ≤ one row per user, so
+    * every join is user-keyed and AQE-broadcastable when small); no windows
+    * over the full event stream, no cross-stage shuffle beyond user_id. */
+  val q35Funnel: Q = (s, dir) => {
+    import s.implicits._
+    val e = t(s, dir, "events")
+    val v = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("v_ts"))
+    val c = e.filter($"event_type" === "click")
+      .join(v, Seq("user_id")).filter($"ts" > $"v_ts")
+      .groupBy($"user_id").agg(min($"ts").as("c_ts"))
+    val p = e.filter($"event_type" === "purchase")
+      .join(c, Seq("user_id")).filter($"ts" > $"c_ts")
+      .groupBy($"user_id").agg(min($"ts").as("p_ts"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(
+        $"user_id",
+        date_format($"v_ts", "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+        date_format($"c_ts", "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        date_format($"p_ts", "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        (lit(1L) + when($"c_ts".isNotNull, 1L).otherwise(0L)
+          + when($"p_ts".isNotNull, 1L).otherwise(0L)).as("depth"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q34_zorder" -> q34Zorder,
+    "q35_funnel" -> q35Funnel,
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_revenue_by_nation" -> q02RevenueByNation,
     "q03_top_orders" -> q03TopOrders,
@@ -865,5 +896,28 @@ object Queries {
          |SELECT zkey >> 14 AS bucket, CAST(count(*) AS BIGINT) AS n,
          | min(xk) AS x_min, max(xk) AS x_max, min(yk) AS y_min, max(yk) AS y_max
          |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
-    })
+    },
+    "q35_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS v_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        | c AS (
+        |  SELECT e.user_id, min(e.ts) AS c_ts
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+        |  GROUP BY e.user_id),
+        | p AS (
+        |  SELECT e.user_id, min(e.ts) AS p_ts
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+        |  GROUP BY e.user_id)
+        |SELECT v.user_id,
+        | strftime(v.v_ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+        | strftime(c.c_ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+        | strftime(p.p_ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        | CAST(1 + CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END
+        |        + CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin)
 }
