@@ -136,18 +136,20 @@ object Dedup {
     * standard trade for avoiding the full n² product at scale. */
   val d05EmbeddingNearDup: Q = (s, dir) => {
     import s.implicits._
-    val e = Tables.loadSpread(s, dir, "embeddings")
-      .select($"vec_id", $"label",
-        transform($"embedding", x => x.cast("double")).as("v"))
-      .withColumn("nrm", graft.functions.VectorExprs.l2($"v"))
-    val a = e.select($"vec_id".as("vec_a"), $"label", $"v".as("va"), $"nrm".as("na"))
-    val b = e.select($"vec_id".as("vec_b"), $"label", $"v".as("vb"), $"nrm".as("nb"))
-    a.join(b, Seq("label"))
-      .filter($"vec_a" < $"vec_b")
-      .withColumn("dot", graft.functions.VectorExprs.dot($"va", $"vb"))
-      .withColumn("cos", round($"dot" / ($"na" * $"nb"), 4))
+    // Delegates to the adaptive library operator (like d04): the switch
+    // routes by threshold first, size second — at this WEAK threshold (0.35,
+    // per-plane agreement p≈0.61) the label-blocked exact plan is the
+    // measured right pick at any size below block-outgrows-memory, while
+    // near-dup-threshold callers past the size switch get the banded-LSH
+    // plan whose buckets subdivide every label block (DedupOps
+    // .cosinePairsAuto). Pre-filter at 0.3495 < 0.34995: every pair whose
+    // round(cos,4) ≥ 0.35 survives it, so the rounded post-filter below is
+    // exactly d05's oracle predicate.
+    DedupOps.cosinePairsAuto(Tables.loadSpread(s, dir, "embeddings"),
+        "vec_id", "embedding", Some("label"), 0.3495)
+      .withColumn("cos", round($"cosine", 4))
       .filter($"cos" >= 0.35)
-      .select($"vec_a", $"vec_b", $"cos")
+      .select($"id_a".as("vec_a"), $"id_b".as("vec_b"), $"cos")
       .orderBy($"vec_a", $"vec_b")
   }
 

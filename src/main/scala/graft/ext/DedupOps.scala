@@ -295,16 +295,29 @@ object DedupOps {
       blockCol: String, threshold: Double, shingleLen: Int = 3,
       maxDf: Long = 100000L, switchBytes: Long = 4L << 30): DataFrame = {
     val (choice, est) = jaccardPairsAutoChoice(df, switchBytes)
-    // telemetry: the pick is visible in the engine log and, per-job, in the
-    // Spark event log / UI via a local property (the standard channel for
-    // caller-set job annotations — SparkContext.setLocalProperty)
-    log.info(s"jaccardPairsAuto: picked '$choice' plan " +
-      s"(estimated scan $est B, switch at $switchBytes B)")
-    df.sparkSession.sparkContext.setLocalProperty("graft.jaccard.plan", choice)
+    logPlanPick(df, "jaccardPairsAuto", "graft.jaccard.plan", choice,
+      s"estimated scan $est B, switch at $switchBytes B")
     if (choice == "count")
       jaccardPairs(df, idCol, textCol, blockCol, threshold, shingleLen)
     else
       jaccardPairsPrefix(df, idCol, textCol, blockCol, threshold, shingleLen, maxDf)
+  }
+
+  /** Telemetry for the auto operators' plan pick: the engine log line is
+    * authoritative; the thread-local job property is a BEST-EFFORT annotation
+    * for the Spark event log / UI. Local properties are captured at job
+    * SUBMIT time on the building thread, so the property correctly tags the
+    * usual build-then-execute flow but is build-time/thread-scoped: a job
+    * submitted later on the same thread (or an interleaved second auto build)
+    * inherits the last pick written, not necessarily the plan it runs. For
+    * exact attribution call [[jaccardPairsAutoChoice]]/[[cosinePairsAutoChoice]]
+    * directly; clear a stale tag with
+    * `sparkContext.setLocalProperty(key, null)` when the thread outlives the
+    * query. */
+  private def logPlanPick(df: DataFrame, op: String, propKey: String,
+      choice: String, detail: String): Unit = {
+    log.info(s"$op: picked '$choice' plan ($detail)")
+    df.sparkSession.sparkContext.setLocalProperty(propKey, choice)
   }
 
   /** The [[jaccardPairsAuto]] switch decision, exposed for telemetry and
@@ -406,6 +419,55 @@ object DedupOps {
           / (col("__na") * col("__nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** Threshold/size-adaptive cosine pairs — the adoption seam routing
+    * embedding near-dup to its scale path, mirroring [[jaccardPairsAuto]].
+    *
+    * The crossover is measured in DedupOpsSpec and is governed by the
+    * THRESHOLD first, size second (see [[cosinePairsLsh]]): at true near-dup
+    * thresholds (cos ≥ ~0.9, per-plane agreement p ≥ 0.85) wide LSH bands
+    * prune hard at ~full recall, so past `switchBytes` of estimated scan the
+    * banded plan is the one that survives 100 TB — a fixed `blockCol` pairs
+    * Σ block² ≈ n²/|labels| rows when label cardinality doesn't grow with
+    * the data. At weak thresholds the hyperplane agreement probability is
+    * too low for wide bands (full recall needs narrow bands whose candidate
+    * volume exceeds coarse blocking), so the label-blocked exact plan stays
+    * the right pick regardless of size — routing there is not a cop-out but
+    * the measured crossover. With `blockCol = None` there is no exact plan
+    * to fall back to and LSH is always taken.
+    *
+    * Both sides verify candidates on the exact cosine, so precision is
+    * always exact; recall is 1.0 on the block side and the OR-of-ANDs
+    * amplification 1 − (1 − p^w)^L on the LSH side. Telemetry: engine log +
+    * best-effort `graft.cosine.plan` job property (see [[logPlanPick]]). */
+  def cosinePairsAuto(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: Option[String], threshold: Double,
+      switchBytes: Long = 4L << 30, lshMinThreshold: Double = 0.8,
+      planesPerBand: Int = 6, bands: Int = 6, dim: Int = 64): DataFrame = {
+    val (choice, est) =
+      cosinePairsAutoChoice(df, blockCol, threshold, switchBytes, lshMinThreshold)
+    logPlanPick(df, "cosinePairsAuto", "graft.cosine.plan", choice,
+      s"threshold $threshold (lsh floor $lshMinThreshold), " +
+        s"estimated scan $est B, switch at $switchBytes B")
+    if (choice == "block")
+      cosinePairs(df, idCol, vecCol, blockCol.get, threshold)
+    else
+      cosinePairsLsh(df, idCol, vecCol, threshold, blockCol,
+        planesPerBand, bands, dim)
+  }
+
+  /** The [[cosinePairsAuto]] switch decision, exposed for telemetry and
+    * specs: ("block" | "lsh", estimated input bytes from Catalyst plan
+    * statistics — no extra job). LSH is taken when there is no block column,
+    * or when the scan estimate exceeds `switchBytes` AND the threshold is
+    * high enough (≥ `lshMinThreshold`) for wide bands to hold ~full recall. */
+  def cosinePairsAutoChoice(df: DataFrame, blockCol: Option[String],
+      threshold: Double, switchBytes: Long = 4L << 30,
+      lshMinThreshold: Double = 0.8): (String, BigInt) = {
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val lsh = blockCol.isEmpty || (est > switchBytes && threshold >= lshMinThreshold)
+    (if (lsh) "lsh" else "block", est)
   }
 
   /** SemDeDup-style semantic dedup: cluster the embedding space with the IVF

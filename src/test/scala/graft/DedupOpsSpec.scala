@@ -184,6 +184,39 @@ class DedupOpsSpec extends SparkSpec {
       "LSH candidate generation must not fall back to an all-pairs join")
   }
 
+  test("cosinePairsAuto routes by threshold first, size second") {
+    // weak threshold (0.35, p≈0.61/plane): the exact block plan is the
+    // measured pick at ANY size — wide bands can't hold recall there
+    assert(DedupOps.cosinePairsAutoChoice(embs, Some("label"), 0.35)._1 == "block")
+    assert(DedupOps.cosinePairsAutoChoice(embs, Some("label"), 0.35,
+      switchBytes = 0L)._1 == "block")
+    // near-dup threshold past the size switch: the banded-LSH scale plan
+    assert(DedupOps.cosinePairsAutoChoice(embs, Some("label"), 0.95,
+      switchBytes = 0L)._1 == "lsh")
+    // small corpus stays exact even at near-dup thresholds
+    assert(DedupOps.cosinePairsAutoChoice(embs, Some("label"), 0.95)._1 == "block")
+    // no block column: LSH is the only non-quadratic plan
+    assert(DedupOps.cosinePairsAutoChoice(embs, None, 0.35)._1 == "lsh")
+  }
+
+  test("cosinePairsAuto output parity and telemetry on both sides of the switch") {
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select($"id_a", $"id_b", round($"cosine", 4).as("c"))
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+    val exact = norm(DedupOps.cosinePairs(embs, "vec_id", "embedding", "label", 0.35))
+    // block side (default switch): must BE the exact plan
+    assert(norm(DedupOps.cosinePairsAuto(embs, "vec_id", "embedding",
+      Some("label"), 0.35)) == exact)
+    assert(spark.sparkContext.getLocalProperty("graft.cosine.plan") == "block")
+    // LSH side, forced via switchBytes=0 + a floor at the query threshold,
+    // with the banding measured full-recall at 0.35 on this data (w=2, L=12
+    // — the same configuration the label∧band test pins): identical output
+    assert(norm(DedupOps.cosinePairsAuto(embs, "vec_id", "embedding",
+      Some("label"), 0.35, switchBytes = 0L, lshMinThreshold = 0.35,
+      planesPerBand = 2, bands = 12)) == exact)
+    assert(spark.sparkContext.getLocalProperty("graft.cosine.plan") == "lsh")
+  }
+
   test("cosinePairsLsh at a near-dup threshold: wide bands prune hard at full recall") {
     // The 100 TB setting the variant exists for: true near-duplicates
     // (cos ≥ ~0.95) against a random background. Wide bands (w=6) give each
