@@ -58,28 +58,32 @@ object CurationOps {
       textCol: String, n: Int = 13, minOverlap: Long = 1L,
       singlePass: Boolean = false): DataFrame = {
     if (singlePass) {
-      // textCol stands in when the corpus is only (id, text): struct() with
-      // zero fields is not a portable plan node
-      val others = corpus.columns.filterNot(_ == idCol).toSeq match {
-        case Seq() => Seq(textCol)
-        case cs => cs
-      }
+      val outCols = corpus.columns.toSeq
       val bench = grams(benchmark, idCol, textCol, n, "__bid")
         .select(col("__h").as("__bh")).distinct()
       corpus
-        .withColumn("__rest", struct(others.map(col): _*))
-        .select(col(idCol), col("__rest"),
+        // __rid keys the re-group per ROW, not per id: duplicate-id rows keep
+        // their multiplicity (the two-pass anti-join preserves it too) instead
+        // of collapsing to one arbitrarily-chosen first(). Note the residual
+        // duplicate-id divergence: this form judges each row on its OWN text,
+        // the two-pass form drops every row of a flagged id — identical
+        // whenever idCol is unique, which the two-pass contract assumes
+        // anyway (contaminationCounts pools grams across same-id rows).
+        .withColumn("__rid", monotonically_increasing_id())
+        .withColumn("__rest", struct(outCols.map(col): _*))
+        .select(col("__rid"), col("__rest"),
           explode_outer(array_distinct(ngramsExact(toks(col(textCol)), n))).as("__ng"))
         // explode_outer keeps gram-less docs (null __ng → null hash → no match)
         .withColumn("__h", h60(col("__ng")))
         .join(bench, col("__h") === col("__bh"), "left")
-        .groupBy(col(idCol))
         // benchmark hashes are distinct'd, corpus grams per-doc distinct'd →
         // each shared gram matches exactly once, so the count IS n_bad
+        .groupBy(col("__rid"))
         .agg(first(col("__rest")).as("__rest"),
           sum(when(col("__bh").isNotNull, 1L).otherwise(0L)).as("__hit"))
         .filter(col("__hit") < minOverlap)
-        .select(col(idCol) +: others.map(c => col("__rest").getField(c).as(c)): _*)
+        // original column order, idCol included wherever the corpus put it
+        .select(outCols.map(c => col("__rest").getField(c).as(c)): _*)
     } else {
       val bad = contaminationCounts(corpus, benchmark, idCol, textCol, n)
         .filter(col("n_bad") >= minOverlap).select(col(idCol))

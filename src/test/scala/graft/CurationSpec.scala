@@ -64,6 +64,20 @@ class CurationSpec extends SparkSpec {
     assert(ids(one) == ids(two))
   }
 
+  test("decontaminate singlePass keeps duplicate-id multiplicity and column order") {
+    // duplicate ids must not silently collapse to one row, and the output
+    // must keep the corpus's column order even when idCol is not leading
+    val c = Seq(
+      ("en", 1L, "p q r s t u v w x z"), // clean, duplicated id+text
+      ("en", 1L, "p q r s t u v w x z"),
+      ("en", 2L, "a b c d e f g h i j")) // contaminated
+      .toDF("lang", "doc_id", "text")
+    val kept = CurationOps.decontaminate(c, bench, "doc_id", "text",
+      n = 8, singlePass = true)
+    assert(kept.columns.toSeq == Seq("lang", "doc_id", "text"))
+    assert(kept.select($"doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 1L))
+  }
+
   test("decontaminate singlePass reads the corpus chain once, two-pass twice") {
     // the point of the variant: an expensive upstream chain must evaluate
     // once. Count corpus relations in the optimized plan: single-pass is
