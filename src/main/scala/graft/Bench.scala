@@ -22,10 +22,19 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // Execution: write to the built-in `noop` sink, NOT .count() — a
+    // count-only plan lets Catalyst prune projections and sorts (the
+    // PlanDump scaladoc's point), under-measuring output-side work. The
+    // noop writer computes every output row and drops it on the executor:
+    // full query cost, no driver collect. (Methodology change in round 5 —
+    // absolute numbers are slightly higher than earlier rounds' by design.)
+    def drain(name: String, dir: String): Unit =
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory) {
       names.foreach { name =>
-        try SparkEntry.queries(name)(spark, warmDir).count()
+        try drain(name, warmDir)
         catch { case _: Throwable => () }
       }
     }
@@ -36,18 +45,23 @@ object Bench {
     // back-to-back repeats all land inside the same noise burst. Sweeping
     // all queries then repeating spreads a query's three samples minutes
     // apart, so the minimum approximates uncontended steady state even
-    // when one whole sweep is contended.
+    // when one whole sweep is contended. A throwing query yields NaN — a
+    // fast failure must not benchmark as a good time.
     def once(name: String): Double = {
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try { drain(name, sfDir); (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => Double.NaN }
     }
     val sweeps = (1 to 3).map(_ => names.map(n => n -> once(n)).toMap)
-    val results = names.map(n => n -> sweeps.map(_(n)).min)
+    // a query with NO successful sample reports -1 and is excluded from the
+    // total (JSON has no NaN literal; -1 is the explicit failure marker)
+    val results = names.map { n =>
+      val ok = sweeps.map(_(n)).filterNot(_.isNaN)
+      n -> (if (ok.isEmpty) -1.0 else ok.min)
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
