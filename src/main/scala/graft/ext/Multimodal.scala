@@ -113,25 +113,53 @@ object Multimodal {
   }
 
   /** Chunked transport: split each payload into fixed-size chunk ROWS
-    * (media_id, chunk_idx, n_chunks, chunk, chunk_digest). This is how a
-    * >2 GB asset moves through the engine — a single BinaryType cell is
-    * capped by JVM array limits (and a multi-GB row breaks shuffle/memory
-    * sizing), while chunk rows keep every shuffle/scan unit bounded at
-    * `chunkBytes` and spread one asset across partitions. Declarative
-    * explode (sequence + substring), so Catalyst owns the fan-out. */
+    * (media_id, chunk_idx, n_chunks, chunk, chunk_digest). Chunk rows keep
+    * every shuffle/scan unit bounded at `chunkBytes` and spread one asset
+    * across partitions. Declarative explode (sequence + substring), so
+    * Catalyst owns the fan-out.
+    *
+    * PRECONDITION — cell cap: the input payload is already ONE BinaryType
+    * cell, so it is capped at ~2 GiB by JVM array limits; this operator
+    * re-shapes an in-plan payload for transport, it cannot INGEST an asset
+    * past the cap. Assets larger than a cell must enter as chunk rows
+    * directly from storage via [[readChunked]] (the `graft-chunks` DSv2
+    * source plans offset ranges from file lengths and never materializes a
+    * whole asset). The chunk offset is range-guarded: a payload long enough
+    * to wrap the substring offset past 2³¹ raises an error instead of
+    * silently wrapping. A null payload survives as one empty chunk (every
+    * media_id crosses the transport; m01-style null handling). */
   def chunk(media: DataFrame, chunkBytes: Int): DataFrame = {
     require(chunkBytes >= 1)
     media
+      .withColumn("__pay", coalesce(col("payload"), lit(Array.emptyByteArray)))
       .withColumn("n_chunks",
-        greatest(ceil(octet_length(col("payload")).cast("double") / chunkBytes), lit(1))
+        greatest(ceil(octet_length(col("__pay")).cast("double") / chunkBytes), lit(1))
           .cast("long"))
       .withColumn("chunk_idx", explode(sequence(lit(0L), col("n_chunks") - 1)))
-      .withColumn("chunk", expr(
-        s"substring(payload, cast(chunk_idx * $chunkBytes + 1 as int), $chunkBytes)"))
+      .withColumn("__off", col("chunk_idx") * chunkBytes + lit(1L))
+      .withColumn("chunk",
+        when(col("__off") <= Int.MaxValue,
+          expr(s"substring(__pay, cast(__off as int), $chunkBytes)"))
+          .otherwise(raise_error(concat(
+            lit("chunk offset overflows substring's int range for media_id "),
+            col("media_id").cast("string"))).cast("binary")))
       .withColumn("chunk_digest", md5(col("chunk")))
       .select(col("media_id"), col("chunk_idx"), col("n_chunks"),
         col("chunk"), col("chunk_digest"))
   }
+
+  /** Chunked-at-ingest reader: chunk rows straight from storage through the
+    * `graft-chunks` DSv2 source — same output shape as [[chunk]] with the
+    * file URI as media_id — so assets beyond the single-cell cap never
+    * materialize whole. See [[graft.sources.GraftChunksProvider]] for the
+    * planning/split contract. */
+  def readChunked(s: SparkSession, path: String, chunkBytes: Int,
+      splitBytes: Long = 128L << 20): DataFrame =
+    s.read.format("graft-chunks")
+      .option("chunk_bytes", chunkBytes)
+      .option("split_bytes", splitBytes)
+      .load(path)
+      .withColumn("chunk_digest", md5(col("chunk")))
 
   /** Reassemble [[chunk]] rows back into one payload per media_id, with the
     * digest for end-to-end verification. The in-group fold is declarative

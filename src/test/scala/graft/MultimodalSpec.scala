@@ -86,6 +86,63 @@ class MultimodalSpec extends SparkSpec {
     assert(back.count() == media.count())
   }
 
+  test("chunk carries null-payload assets as one empty chunk (no silent drop)") {
+    val media = Seq(
+      (1L, "img", "abcdef".getBytes("UTF-8")),
+      (2L, "img", null: Array[Byte]))
+      .toDF("media_id", "kind", "payload")
+    val chunks = Multimodal.chunk(media, chunkBytes = 4)
+    // both media_ids must survive transport — m01 carries null metadata, so
+    // a null payload vanishing here would lose the asset's identity
+    assert(chunks.select($"media_id").distinct().as[Long].collect().sorted
+      .toSeq == Seq(1L, 2L))
+    val nullRow = chunks.filter($"media_id" === 2L).collect()
+    assert(nullRow.length == 1 && nullRow.head.getAs[Long]("n_chunks") == 1L
+      && nullRow.head.getAs[Array[Byte]]("chunk").isEmpty)
+  }
+
+  test("readChunked ingests chunk rows straight from files; round-trips byte-exact") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-chunks-").toFile
+    try {
+      val rnd = new scala.util.Random(11)
+      // multi-chunk file, sub-chunk file, exact-multiple file, empty file
+      val fixtures = Map(
+        "big.bin" -> Array.fill[Byte](1000)(rnd.nextInt().toByte),
+        "small.bin" -> Array.fill[Byte](5)(rnd.nextInt().toByte),
+        "exact.bin" -> Array.fill[Byte](74)(rnd.nextInt().toByte),
+        "empty.bin" -> Array.emptyByteArray)
+      fixtures.foreach { case (name, bytes) =>
+        java.nio.file.Files.write(new java.io.File(tmp, name).toPath, bytes)
+      }
+      // split_bytes = 2 chunks per task: the 1000-byte file (28 chunks) must
+      // fan out across many input partitions — the chunked-at-ingest point
+      val df = Multimodal.readChunked(spark, tmp.getAbsolutePath,
+        chunkBytes = 37, splitBytes = 74L)
+      assert(df.rdd.getNumPartitions > 10)
+      // no chunk cell exceeds chunk_bytes; every non-tail chunk is full
+      assert(df.filter(octet_length($"chunk") > 37).count() == 0)
+      assert(df.filter($"chunk_idx" < $"n_chunks" - 1 &&
+        octet_length($"chunk") =!= 37).count() == 0)
+      // byte-exact reassembly of every fixture, empty file included
+      val back = Multimodal.reassemble(df).collect().map { r =>
+        val name = r.getAs[String]("media_id").split('/').last
+        name -> r.getAs[Array[Byte]]("payload").toSeq
+      }.toMap
+      assert(back.keySet == fixtures.keySet)
+      fixtures.foreach { case (name, bytes) =>
+        assert(back(name) == bytes.toSeq, s"$name round-trip mismatch")
+      }
+      // chunk arithmetic: empty file is one empty chunk; exact multiple has
+      // a full tail
+      val byName = df.select($"media_id", $"n_chunks").distinct().collect()
+        .map(r => r.getString(0).split('/').last -> r.getLong(1)).toMap
+      assert(byName == Map("big.bin" -> 28L, "small.bin" -> 1L,
+        "exact.bin" -> 2L, "empty.bin" -> 1L))
+    } finally {
+      tmp.listFiles().foreach(_.delete()); tmp.delete()
+    }
+  }
+
   test("feature aggregation composes with the decoded columns") {
     val media = Multimodal.mediaFrom(spark, dir)
     val agg = Multimodal.decodeFeatures(media)
