@@ -607,6 +607,51 @@ object Queries {
       .orderBy($"user_id")
   }
 
+  /** Single-scan variant of [[q35Funnel]] (API form; output proven equal by
+    * ContractSpec): ONE events scan and ONE user-keyed shuffle — each user's
+    * (ts, type) pairs are collected sorted and the stage chain is a
+    * left-to-right fold over them, instead of q35's three filtered stage
+    * aggregations chained by joins. The fold is a higher-order `aggregate`
+    * (interpreted, not codegen'd), but it runs once per USER over an array
+    * bounded by that user's event count — the shuffle/scan savings dominate
+    * at 100 TB, where three extra scans of the event log cost far more than
+    * per-group interpretation. Skewed users note: the collected array is one
+    * user's events, the same bound q17 sessionization already carries. */
+  val q35FunnelSingleScan: Q = (s, dir) => {
+    import s.implicits._
+    val noTs = lit(null).cast("timestamp")
+    val acc0 = struct(noTs.as("v"), noTs.as("c"), noTs.as("p"))
+    t(s, dir, "events")
+      .filter($"event_type".isin("view", "click", "purchase"))
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list(struct($"ts", $"event_type"))).as("__ev"),
+        // q35's base set (users with >= 1 view) as a cheap aggregated flag:
+        // filtering on __f.v would inline the whole fold into the Filter and
+        // evaluate it twice per user (no CSE across Filter/Project)
+        max($"event_type" === "view").as("__hasv"))
+      .filter($"__hasv")
+      .withColumn("__f", aggregate($"__ev", acc0, (acc, e) => {
+        val (v, c, p) = (acc.getField("v"), acc.getField("c"), acc.getField("p"))
+        val (ts, et) = (e.getField("ts"), e.getField("event_type"))
+        struct(
+          when(v.isNull && et === "view", ts).otherwise(v).as("v"),
+          // strict > matches q35's "first click strictly after the first
+          // view"; events arrive in ts order, so first-match-wins = min
+          when(c.isNull && v.isNotNull && et === "click" && ts > v, ts)
+            .otherwise(c).as("c"),
+          when(p.isNull && c.isNotNull && et === "purchase" && ts > c, ts)
+            .otherwise(p).as("p"))
+      }))
+      .select(
+        $"user_id",
+        date_format($"__f.v", "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+        date_format($"__f.c", "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        date_format($"__f.p", "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        (lit(1L) + when($"__f.c".isNotNull, 1L).otherwise(0L)
+          + when($"__f.p".isNotNull, 1L).otherwise(0L)).as("depth"))
+      .orderBy($"user_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "q34_zorder" -> q34Zorder,
     "q35_funnel" -> q35Funnel,

@@ -295,29 +295,38 @@ object DedupOps {
       blockCol: String, threshold: Double, shingleLen: Int = 3,
       maxDf: Long = 100000L, switchBytes: Long = 4L << 30): DataFrame = {
     val (choice, est) = jaccardPairsAutoChoice(df, switchBytes)
-    logPlanPick(df, "jaccardPairsAuto", "graft.jaccard.plan", choice,
+    val result =
+      if (choice == "count")
+        jaccardPairs(df, idCol, textCol, blockCol, threshold, shingleLen)
+      else
+        jaccardPairsPrefix(df, idCol, textCol, blockCol, threshold, shingleLen, maxDf)
+    tagPlanPick(result, "jaccardPairsAuto", "graft.jaccard.plan", choice,
       s"estimated scan $est B, switch at $switchBytes B")
-    if (choice == "count")
-      jaccardPairs(df, idCol, textCol, blockCol, threshold, shingleLen)
-    else
-      jaccardPairsPrefix(df, idCol, textCol, blockCol, threshold, shingleLen, maxDf)
   }
 
-  /** Telemetry for the auto operators' plan pick: the engine log line is
-    * authoritative; the thread-local job property is a BEST-EFFORT annotation
-    * for the Spark event log / UI. Local properties are captured at job
-    * SUBMIT time on the building thread, so the property correctly tags the
-    * usual build-then-execute flow but is build-time/thread-scoped: a job
-    * submitted later on the same thread (or an interleaved second auto build)
-    * inherits the last pick written, not necessarily the plan it runs. For
-    * exact attribution call [[jaccardPairsAutoChoice]]/[[cosinePairsAutoChoice]]
-    * directly; clear a stale tag with
-    * `sparkContext.setLocalProperty(key, null)` when the thread outlives the
-    * query. */
-  private def logPlanPick(df: DataFrame, op: String, propKey: String,
-      choice: String, detail: String): Unit = {
+  private val planTagSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Telemetry for the auto operators' plan pick: an engine log line plus an
+    * OBSERVED METRIC attached to the returned plan itself (`df.observe`).
+    * Unlike a thread-local job property — which is captured at job-submit
+    * time and can tag a LATER job on the same thread with a stale pick —
+    * the observation travels with the query: every execution of the returned
+    * DataFrame reports `{choice}` under a `graft.jaccard.plan.N` /
+    * `graft.cosine.plan.N` metric name in its own QueryExecution events
+    * (visible to `QueryExecutionListener`s, the SQL UI and the event log),
+    * so attribution is exact even across interleaved builds and reused
+    * threads, and nothing is left behind after the action returns. The
+    * suffix N keeps names unique when several auto operators compose into
+    * one query (Spark requires observation names to be unique per plan).
+    * For a driver-side answer without running the query, call
+    * [[jaccardPairsAutoChoice]]/[[cosinePairsAutoChoice]]. */
+  private def tagPlanPick(result: DataFrame, op: String, metricKey: String,
+      choice: String, detail: String): DataFrame = {
     log.info(s"$op: picked '$choice' plan ($detail)")
-    df.sparkSession.sparkContext.setLocalProperty(propKey, choice)
+    // coalesce: max(lit) is null on an empty result set; the pick is a plan
+    // constant, so report it even when the query returns zero rows
+    result.observe(s"$metricKey.${planTagSeq.incrementAndGet()}",
+      coalesce(max(lit(choice)), lit(choice)).as("choice"))
   }
 
   /** The [[jaccardPairsAuto]] switch decision, exposed for telemetry and
@@ -364,6 +373,17 @@ object DedupOps {
     val e = df.select(col(idCol).as("__id"),
         blockCol.map(col).getOrElse(lit(0)).as("__blk"),
         transform(col(vecCol), x => x.cast("double")).as("__v"))
+      // the hyperplanes have exactly `dim` components, so a wider embedding
+      // would SILENTLY hash only its first `dim` components and recall would
+      // degrade with no signal — mismatches must error instead
+      .withColumn("__v",
+        when(size(col("__v")) === dim, col("__v"))
+          .otherwise(raise_error(concat(
+            lit(s"cosine-LSH dim mismatch: hyperplanes have $dim components " +
+              "but the embedding has "),
+            size(col("__v")).cast("string"),
+            lit(" - pass dim = <actual embedding width>")))
+            .cast("array<double>")))
       .withColumn("__nrm", graft.functions.VectorExprs.l2(col("__v")))
     val bandCols = (0 until bands).map { b =>
       val bits = (0 until planesPerBand).map { i =>
@@ -447,14 +467,15 @@ object DedupOps {
       planesPerBand: Int = 6, bands: Int = 6, dim: Int = 64): DataFrame = {
     val (choice, est) =
       cosinePairsAutoChoice(df, blockCol, threshold, switchBytes, lshMinThreshold)
-    logPlanPick(df, "cosinePairsAuto", "graft.cosine.plan", choice,
+    val result =
+      if (choice == "block")
+        cosinePairs(df, idCol, vecCol, blockCol.get, threshold)
+      else
+        cosinePairsLsh(df, idCol, vecCol, threshold, blockCol,
+          planesPerBand, bands, dim)
+    tagPlanPick(result, "cosinePairsAuto", "graft.cosine.plan", choice,
       s"threshold $threshold (lsh floor $lshMinThreshold), " +
         s"estimated scan $est B, switch at $switchBytes B")
-    if (choice == "block")
-      cosinePairs(df, idCol, vecCol, blockCol.get, threshold)
-    else
-      cosinePairsLsh(df, idCol, vecCol, threshold, blockCol,
-        planesPerBand, bands, dim)
   }
 
   /** The [[cosinePairsAuto]] switch decision, exposed for telemetry and

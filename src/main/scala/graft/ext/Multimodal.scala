@@ -210,9 +210,37 @@ object Multimodal {
       .orderBy($"media_id")
   }
 
+  // ---------------------------------------------------------------- m03
+  /** Committed multi-file fixture for the chunked-at-ingest oracle row: the
+    * scale factor doesn't apply (the source under test reads RAW FILES, not
+    * the parquet tables), so the query reads a fixed checked-in directory
+    * and the DuckDB oracle replays it with `read_blob` over the same files.
+    * The fixture pins the planner's edges: a multi-chunk file, an exact
+    * chunk-multiple file, an EMPTY file (one empty chunk — every asset
+    * survives transport), and a sub-chunk file. */
+  private[graft] val chunkFixtureDir = "/root/repo/src/test/resources/chunkfix"
+
+  /** Oracle-checked `graft-chunks` ingest: per-file chunk accounting (count,
+    * rows, total bytes) plus a reassembly digest proving the chunk rows
+    * carry the exact file bytes. md5 over the HEX of the payload because the
+    * DuckDB twin has no blob-md5 — both engines uppercase-hex identically.
+    * Byte-level splits/seeks are MultimodalSpec + ChunksConfSpec's job; the
+    * oracle pins planning arithmetic and end-to-end content. */
+  val m03ChunkedRead: Q = (s, _) => {
+    val ch = readChunked(s, chunkFixtureDir, chunkBytes = 7)
+    val acct = ch.groupBy(col("media_id")).agg(
+      first(col("n_chunks")).as("n_chunks"),
+      count(lit(1)).as("rows_read"),
+      sum(octet_length(col("chunk"))).cast("long").as("total_bytes"))
+    val digests = reassemble(ch)
+      .select(col("media_id"), md5(hex(col("payload"))).as("hex_digest"))
+    acct.join(digests, Seq("media_id")).orderBy(col("media_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "m01_binary_meta" -> m01BinaryMeta,
-    "m02_chunking" -> m02Chunking)
+    "m02_chunking" -> m02Chunking,
+    "m03_chunked_read" -> m03ChunkedRead)
 
   val oracles: Map[String, String] = Map(
     "m01_binary_meta" ->
@@ -231,5 +259,15 @@ object Multimodal {
         | CAST(CASE WHEN n = 0 THEN 0
         |           WHEN n % 100 = 0 THEN 100
         |           ELSE n % 100 END AS BIGINT) AS tail_bytes
-        |FROM b ORDER BY media_id""".stripMargin)
+        |FROM b ORDER BY media_id""".stripMargin,
+    "m03_chunked_read" ->
+      """SELECT 'file:' || filename AS media_id,
+        | CAST(CASE WHEN size = 0 THEN 1
+        |           ELSE CAST(ceil(size / 7.0) AS BIGINT) END AS BIGINT) AS n_chunks,
+        | CAST(CASE WHEN size = 0 THEN 1
+        |           ELSE CAST(ceil(size / 7.0) AS BIGINT) END AS BIGINT) AS rows_read,
+        | CAST(size AS BIGINT) AS total_bytes,
+        | md5(hex(content)) AS hex_digest
+        |FROM read_blob('/root/repo/src/test/resources/chunkfix/*')
+        |ORDER BY media_id""".stripMargin)
 }

@@ -44,11 +44,12 @@ import scala.jdk.CollectionConverters._
   * Scale notes: one InputPartition per `split_bytes` of contiguous chunks —
   * parallelism tracks total bytes, not file count, so a handful of huge
   * assets still fans out across the cluster. Files are listed driver-side
-  * (names + lengths only, same as Spark's own file index). Executors open
-  * the file through the Hadoop FileSystem API with default configuration —
-  * works for any FS whose settings live on the classpath (file://, HDFS
-  * site configs); job-level `spark.hadoop.*` overrides are not propagated
-  * by this minimal reader.
+  * (names + lengths only, same as Spark's own file index). The session's
+  * Hadoop configuration (`sessionState.newHadoopConf()` — core-site plus
+  * `spark.hadoop.*` overrides: s3a credentials, endpoints, custom schemes)
+  * is captured at scan build time and shipped to every reader task, so the
+  * source resolves exactly the filesystems the rest of the session does
+  * (spec: ChunksConfSpec's probe scheme exists only in the session conf).
   */
 class GraftChunksProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-chunks"
@@ -86,15 +87,39 @@ private[sources] class ChunksTable(path: String, chunkBytes: Int,
     () => new ChunksScan(path, chunkBytes, splitBytes)
 }
 
+/** Java-serializable Hadoop `Configuration` carrier (the upstream
+  * `org.apache.spark.util.SerializableConfiguration` is `private[spark]`;
+  * this is its standard connector-side twin). */
+private[sources] class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
 private[sources] class ChunksScan(path: String, chunkBytes: Int,
     splitBytes: Long) extends Scan with Batch {
+  // captured on the driver at scan-build time: core-site defaults plus the
+  // session's spark.hadoop.* / runtime hadoopConfiguration overrides
+  private val hadoopConf = new SerializableHadoopConf(
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration()))
+
   override def readSchema(): StructType = GraftChunksProvider.schema
   override def toBatch: Batch = this
 
   /** Plan from file lengths only — no asset byte is read at plan time. */
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new HPath(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(hadoopConf.value)
     val statuses = Option(fs.globStatus(p)).filter(_.nonEmpty)
       .getOrElse(Array(fs.getFileStatus(p)))
       .flatMap(s => if (s.isDirectory) fs.listStatus(s.getPath) else Array(s))
@@ -113,23 +138,23 @@ private[sources] class ChunksScan(path: String, chunkBytes: Int,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ChunkReaderFactory(chunkBytes)
+    new ChunkReaderFactory(chunkBytes, hadoopConf)
 }
 
-/** Ships only the chunk size to executors (a lambda here would capture the
-  * non-serializable Scan). */
-private[sources] class ChunkReaderFactory(chunkBytes: Int)
-    extends PartitionReaderFactory {
+/** Ships the chunk size and the serialized session Hadoop conf to executors
+  * (a lambda here would capture the non-serializable Scan). */
+private[sources] class ChunkReaderFactory(chunkBytes: Int,
+    hadoopConf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new ChunkRangeReader(partition.asInstanceOf[ChunkRange], chunkBytes)
+    new ChunkRangeReader(partition.asInstanceOf[ChunkRange], chunkBytes, hadoopConf)
 }
 
 /** One task's contiguous chunk range [startChunk, endChunk) of one file. */
 private[sources] final case class ChunkRange(path: String, fileLen: Long,
     nChunks: Long, startChunk: Long, endChunk: Long) extends InputPartition
 
-private[sources] class ChunkRangeReader(range: ChunkRange, chunkBytes: Int)
-    extends PartitionReader[InternalRow] {
+private[sources] class ChunkRangeReader(range: ChunkRange, chunkBytes: Int,
+    hadoopConf: SerializableHadoopConf) extends PartitionReader[InternalRow] {
   private val pathUtf8 = UTF8String.fromString(range.path)
   private var idx = range.startChunk - 1
   private var current: Array[Byte] = _
@@ -144,7 +169,7 @@ private[sources] class ChunkRangeReader(range: ChunkRange, chunkBytes: Int)
     if (size > 0) { // empty file: its single chunk is empty, stream never opens
       if (in == null) {
         val p = new HPath(range.path)
-        in = p.getFileSystem(new Configuration()).open(p)
+        in = p.getFileSystem(hadoopConf.value).open(p)
         in.seek(off)
       }
       in.readFully(current)

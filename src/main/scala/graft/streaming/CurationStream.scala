@@ -1,6 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.ext.TextOps._
@@ -9,48 +11,114 @@ import graft.ext.TextOps._
   * c05 pipeline, restricted to the stages whose state is streaming-safe:
   *
   *   1. quality gate (token count) — stateless filter;
-  *   2. benchmark decontamination — stateless per-row n-gram-hash overlap
-  *      against the (small) eval-set hash array, folded into the plan;
+  *   2. benchmark decontamination — stateless per-row n-gram-hash probe
+  *      against the eval-set gram set, in one of two size-adaptive physical
+  *      forms (see [[BenchGrams]]);
   *   3. exact dedup on the md5 digest via `dropDuplicatesWithinWatermark` —
   *      the only stateful stage, state = one digest per distinct doc inside
   *      the watermark horizon.
   *
-  * Scale notes: the benchmark hash set of a held-out eval suite is small
-  * (thousands of n-grams), so a plan-literal array is the honest shape at
-  * spec scale; a 100 TB deployment with a large decontamination corpus
-  * replaces stage 2 with a broadcast bloom filter or the batch c01 join on
-  * the silver table. Dedup state is bounded by the watermark, not the
-  * stream length — the standard trade: only duplicates arriving within the
-  * horizon collapse.
+  * Scale notes: stage 2's gram set never holds driver memory hostage — above
+  * [[CurationStream.benchmarkGrams]]'s `maxExactGrams` the set is a
+  * fixed-size Bloom filter built by a DISTRIBUTED aggregation (only the
+  * serialized sketch, sized by `fpp` alone, crosses the driver), probed by a
+  * codegen'd short-circuit expression
+  * ([[graft.functions.BloomContainsAny]]); below it the exact plan-literal
+  * hash array is cheaper (no per-element hashing at probe time). Dedup state
+  * is bounded by the watermark, not the stream length — the standard trade:
+  * only duplicates arriving within the horizon collapse.
   */
 object CurationStream {
 
+  /** Physical form of the decontamination gram set — the adoption seam
+    * between the exact small-suite path and the Bloom scale path, mirroring
+    * the batch `*Auto` operators' size switch. */
+  sealed trait BenchGrams
+
+  /** Exact distinct gram hashes, folded into the plan as a literal array and
+    * probed with `array_intersect`. Right below ~10⁵ grams: exact (no false
+    * drops) and cheaper per row than bloom hashing. */
+  final case class ExactGrams(hashes: Seq[Long]) extends BenchGrams
+
+  /** Serialized Spark [[org.apache.spark.util.sketch.BloomFilter]] over the
+    * gram hashes — the scale path for multi-million-gram decontamination
+    * corpora. Size is governed by `fpp` alone (≈ 1.44·log₂(1/fpp) bits per
+    * gram — e.g. 10M grams at fpp 1e-6 ≈ 34 MiB), independent of gram-string
+    * length.
+    *
+    * FPR bound: `fpp` is PER PROBED GRAM, so a clean document with G distinct
+    * n-grams is falsely dropped with probability ≤ 1 − (1 − fpp)^G ≈ G·fpp
+    * (decontamination errs toward dropping, never toward leaking benchmark
+    * text — there are NO false negatives). At the default fpp 1e-6, a
+    * 10k-gram document's false-drop probability is ≤ 1%. */
+  final case class BloomGrams(bytes: Array[Byte], fpp: Double, nGrams: Long)
+    extends BenchGrams
+
+  /** Distinct 60-bit gram hashes of a benchmark table — the c01 n-gram
+    * hashing as a DataFrame (no driver materialization). */
+  private def gramHashes(benchmark: DataFrame, textCol: String, n: Int): DataFrame =
+    benchmark
+      .withColumn("__tk", toks(col(textCol)))
+      .select(explode_outer(array_distinct(ngramsExact(col("__tk"), n))).as("__ng"))
+      .filter(col("__ng").isNotNull)
+      .select(h60(col("__ng")).as("__gh")).distinct()
+
+  /** Size-adaptive benchmark gram set: exact hashes for small eval suites
+    * (≤ `maxExactGrams` distinct grams), a Bloom filter past it. The switch
+    * is measured from the actual distinct-gram count — one aggregation
+    * either way; the bloom build is a distributed `stat.bloomFilter`
+    * aggregation whose driver-side footprint is the serialized sketch only. */
+  def benchmarkGrams(benchmark: DataFrame, textCol: String, n: Int = 8,
+      maxExactGrams: Long = 100000L, fpp: Double = 1e-6): BenchGrams = {
+    import benchmark.sparkSession.implicits._
+    val grams = gramHashes(benchmark, textCol, n)
+    val cnt = grams.count()
+    if (cnt <= maxExactGrams)
+      ExactGrams(grams.as[Long].collect().toSeq)
+    else {
+      val bf = grams.stat.bloomFilter("__gh", math.max(cnt, 1L), fpp)
+      val bos = new ByteArrayOutputStream()
+      bf.writeTo(bos)
+      BloomGrams(bos.toByteArray, fpp, cnt)
+    }
+  }
+
   /** Apply the three curation stages to a streaming `docs` frame that
-    * already carries a watermark (required by the dedup stage). Columns
-    * `text` is read; all input columns pass through. */
-  def curate(docs: DataFrame, benchHashes: Seq[Long], minTokens: Int,
+    * already carries a watermark (required by the dedup stage). Column
+    * `text` is read; all input columns pass through (plus `n_tok`). */
+  def curate(docs: DataFrame, bench: BenchGrams, minTokens: Int,
       n: Int = 8): DataFrame = {
-    val bench = typedLit(benchHashes)
+    val clean: Column = bench match {
+      case ExactGrams(hashes) =>
+        size(array_intersect(col("__ghs"), typedLit(hashes))) === 0
+      case b: BloomGrams =>
+        !graft.functions.BloomExprs.containsAny(lit(b.bytes), col("__ghs"))
+    }
     docs
       .withColumn("__tk", toks(col("text")))
       .withColumn("n_tok", size(col("__tk")).cast("long"))
       .filter(col("n_tok") >= minTokens)
       .withColumn("__ghs",
         transform(array_distinct(ngramsExact(col("__tk"), n)), g => h60(g)))
-      .filter(size(array_intersect(col("__ghs"), bench)) === 0)
+      .filter(clean)
       .withColumn("__digest", md5(col("text")))
       .dropDuplicatesWithinWatermark("__digest")
       .drop("__tk", "__ghs", "__digest")
   }
 
+  /** Exact-hash-set entry point (kept for small in-code suites; prefer
+    * [[benchmarkGrams]] + the [[BenchGrams]] overload, which picks the
+    * physical form by measured size). */
+  def curate(docs: DataFrame, benchHashes: Seq[Long], minTokens: Int,
+      n: Int): DataFrame =
+    curate(docs, ExactGrams(benchHashes), minTokens, n)
+
   /** Driver-side benchmark hash set from a static benchmark table — the
-    * c01 n-gram hashing, collected (eval sets are small by construction). */
+    * exact form only; callers that cannot bound the eval suite should use
+    * [[benchmarkGrams]], which switches to the Bloom form past
+    * `maxExactGrams`. */
   def benchmarkHashes(benchmark: DataFrame, textCol: String, n: Int = 8): Seq[Long] = {
     import benchmark.sparkSession.implicits._
-    benchmark
-      .withColumn("__tk", toks(col(textCol)))
-      .select(explode_outer(array_distinct(ngramsExact(col("__tk"), n))).as("__ng"))
-      .filter(col("__ng").isNotNull)
-      .select(h60(col("__ng"))).distinct().as[Long].collect().toSeq
+    gramHashes(benchmark, textCol, n).as[Long].collect().toSeq
   }
 }

@@ -1,8 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
-  TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming exact-dedup with a state TTL — the transformWithState twin of
   * `dropDuplicatesWithinWatermark` for pipelines that key on PROCESSING
@@ -65,5 +65,64 @@ object TwsDedup {
       .groupByKey(key)
       .transformWithState(new DedupProcessor[T](ttl),
         TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
+  /** Event-time twin of [[DedupProcessor]]: state TTL measured on EVENT time
+    * (Spark's `TTLConfig` is processing-time only, so expiry here is a
+    * first-class event-time TIMER armed at firstSeen + ttl — the same
+    * mechanism [[TwsSessions]] uses). A key is emitted on first sight and
+    * suppressed until the WATERMARK passes its expiry; the fired timer
+    * clears the state, and a later arrival re-emits and re-arms.
+    *
+    * Operationally this is the variant that needs NO
+    * `noDataMicroBatches.enabled=false` precondition: event-time TWS does
+    * not loop no-data micro-batches (the round-3 repro was specific to
+    * processing-time cleanup batches), and expiry is driven by the data's
+    * own clock — a paused stream expires nothing, exactly what replaying a
+    * backlog wants. State: one (expiry, timer) pair per distinct key inside
+    * the TTL horizon, on RocksDB. */
+  final class EventTimeDedupProcessor[T](ttlMs: Long, eventTimeMs: T => Long)
+      extends StatefulProcessor[String, T, T] {
+    @transient private var expiresAt: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      expiresAt = getHandle.getValueState[Long]("expiresAt",
+        Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[T],
+        tv: TimerValues): Iterator[T] = {
+      if (!rows.hasNext || expiresAt.exists()) Iterator.empty
+      else {
+        val first = rows.next()
+        val exp = eventTimeMs(first) + ttlMs
+        expiresAt.update(exp)
+        getHandle.registerTimer(exp)
+        Iterator.single(first)
+      }
+    }
+
+    override def handleExpiredTimer(key: String, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[T] = {
+      // guard like TwsSessions: only a timer covering the CURRENT horizon
+      // clears (a re-armed key's stale timer must not expire the new state)
+      if (expiresAt.exists() && expiresAt.get() <= info.getExpiryTimeInMs)
+        expiresAt.clear()
+      Iterator.empty
+    }
+  }
+
+  /** Dedup `events` on `key`, suppressing repeats for `ttl` of EVENT time:
+    * the first event per key is emitted; duplicates are dropped until the
+    * watermark passes firstSeen + ttl, after which the key may re-emit.
+    * `events` must carry a watermark (`withWatermark` upstream). */
+  def dedupWithTtlEventTime[T: Encoder](events: Dataset[T], key: T => String,
+      eventTime: T => java.sql.Timestamp,
+      ttl: java.time.Duration): Dataset[T] = {
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    events
+      .groupByKey(key)
+      .transformWithState(
+        new EventTimeDedupProcessor[T](ttl.toMillis, t => eventTime(t).getTime),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -1,9 +1,12 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 /** Driver-contract invariants (the builder brief's SparkEntry spec): these
   * are what the external harness depends on, so breaking any of them zeroes
   * the round regardless of how good the queries are. */
 class ContractSpec extends SparkSpec {
+  import spark.implicits._
 
   test("every oracle key has a query implementation") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
@@ -23,6 +26,59 @@ class ContractSpec extends SparkSpec {
 
   test("flagship entry returns rows on sf0.001 (the driver smoke check)") {
     assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q26 approx aggregates sit inside their sketch error bounds (exact companions)") {
+    // q26 is the one rows-only oracle entry (sketch values are engine-
+    // specific, DuckDB can't replay them) — this is its quantitative check:
+    // each approximate aggregate against the exact batch answer, within the
+    // sketch's own published bound.
+    val dir = "/root/testdata/sf0.001"
+    val approx = analytics.Queries.q26ApproxAgg(spark, dir).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r).toMap
+    val exact = Tables.load(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        countDistinct($"l_partkey").as("parts"),
+        countDistinct($"l_suppkey").as("supps"),
+        expr("percentile(l_extendedprice, 0.45)").as("p45"),
+        expr("percentile(l_extendedprice, 0.55)").as("p55"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[String]("l_returnflag") -> r).toMap
+    assert(approx.nonEmpty && approx.keySet == exact.keySet)
+    for ((flag, a) <- approx) {
+      val e = exact(flag)
+      // HLL++ at the default rsd 0.05: assert within 3 standard errors
+      def inBound(ap: Long, ex: Long) =
+        math.abs(ap - ex) <= math.max(1L, math.round(3 * 0.05 * ex))
+      assert(inBound(a.getAs[Long]("approx_parts"), e.getAs[Long]("parts")),
+        s"$flag approx_parts=${a.getAs[Long]("approx_parts")} vs exact ${e.getAs[Long]("parts")}")
+      assert(inBound(a.getAs[Long]("approx_supps"), e.getAs[Long]("supps")),
+        s"$flag approx_supps=${a.getAs[Long]("approx_supps")} vs exact ${e.getAs[Long]("supps")}")
+      // percentile_approx rank guarantee (accuracy=10000 => rank error <=
+      // n/10000): the reported median must lie within the exact 45th..55th
+      // percentile band — a 500x-looser rank window, deterministic here
+      val med = a.getAs[Double]("approx_median")
+      assert(med >= e.getAs[Double]("p45") - 0.01 && med <= e.getAs[Double]("p55") + 0.01,
+        s"$flag approx_median=$med outside exact p45..p55 " +
+          s"[${e.getAs[Double]("p45")}, ${e.getAs[Double]("p55")}]")
+      assert(a.getAs[Long]("n_rows") == e.getAs[Long]("n"))
+    }
+  }
+
+  test("q35FunnelSingleScan returns exactly q35Funnel from one events scan") {
+    val dir = "/root/testdata/sf0.001"
+    val chained = analytics.Queries.q35Funnel(spark, dir).collect().toSeq
+    val single = analytics.Queries.q35FunnelSingleScan(spark, dir)
+    assert(single.collect().toSeq == chained,
+      "single-scan funnel must be row-identical to the chained oracle form")
+    // the point of the variant: ONE scan of the event log (the chained form
+    // reads it once per stage) and no join in the plan at all
+    // (sparkPlan, not executedPlan: AQE's printout repeats the initial plan)
+    val plan = single.queryExecution.sparkPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected exactly one events scan, got $scans:\n$plan")
+    assert(!plan.contains("Join"), s"single-scan funnel must not join:\n$plan")
   }
 
   test("every query runs and returns rows at sf0.001") {

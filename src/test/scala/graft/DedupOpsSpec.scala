@@ -140,16 +140,47 @@ class DedupOpsSpec extends SparkSpec {
       == norm(DedupOps.jaccardPairs(docs, "doc_id", "text", "lang", 0.5)))
   }
 
+  /** Collect `graft.*.plan.N` observed metrics (the auto operators' plan-pick
+    * telemetry) fired by `body`'s actions: (metricKeySansSeq, choice) pairs.
+    * QueryExecutionListener delivery is async — poll up to 30s. */
+  private def observedPlanPicks(expected: Int)(body: => Unit): Seq[(String, String)] = {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val picks = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("graft.") && name.contains(".plan."))
+            picks.add((name.replaceAll("\\.\\d+$", ""), row.getString(0)))
+        }
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      body
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (picks.size() < expected && System.nanoTime() < deadline) Thread.sleep(50)
+      import scala.jdk.CollectionConverters._
+      picks.asScala.toSeq
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("jaccardPairsAuto surfaces its plan pick on both sides of the switch") {
     val (small, est) = DedupOps.jaccardPairsAutoChoice(docs)
     assert(small == "count" && est > 0)
     assert(DedupOps.jaccardPairsAutoChoice(docs, switchBytes = 0L)._1 == "prefix")
-    // the pick lands in the job-scoped local property (visible in the Spark
-    // event log), matching what actually ran
-    DedupOps.jaccardPairsAuto(docs, "doc_id", "text", "lang", 0.5, switchBytes = 0L)
-    assert(spark.sparkContext.getLocalProperty("graft.jaccard.plan") == "prefix")
-    DedupOps.jaccardPairsAuto(docs, "doc_id", "text", "lang", 0.5)
-    assert(spark.sparkContext.getLocalProperty("graft.jaccard.plan") == "count")
+    // the pick travels WITH the returned plan as an observed metric, so every
+    // execution reports the plan it actually ran (exact attribution — no
+    // thread-local job property that could go stale across interleaved builds)
+    val picks = observedPlanPicks(expected = 2) {
+      DedupOps.jaccardPairsAuto(docs, "doc_id", "text", "lang", 0.5,
+        switchBytes = 0L).collect()
+      DedupOps.jaccardPairsAuto(docs, "doc_id", "text", "lang", 0.5).collect()
+    }
+    assert(picks.contains(("graft.jaccard.plan", "prefix")), s"got $picks")
+    assert(picks.contains(("graft.jaccard.plan", "count")), s"got $picks")
+    // nothing left behind on the submitting thread after the actions return
+    assert(spark.sparkContext.getLocalProperty("graft.jaccard.plan") == null)
   }
 
   test("cosinePairs matches d05 at the same threshold") {
@@ -204,17 +235,38 @@ class DedupOpsSpec extends SparkSpec {
       .select($"id_a", $"id_b", round($"cosine", 4).as("c"))
       .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
     val exact = norm(DedupOps.cosinePairs(embs, "vec_id", "embedding", "label", 0.35))
-    // block side (default switch): must BE the exact plan
-    assert(norm(DedupOps.cosinePairsAuto(embs, "vec_id", "embedding",
-      Some("label"), 0.35)) == exact)
-    assert(spark.sparkContext.getLocalProperty("graft.cosine.plan") == "block")
-    // LSH side, forced via switchBytes=0 + a floor at the query threshold,
-    // with the banding measured full-recall at 0.35 on this data (w=2, L=12
-    // — the same configuration the label∧band test pins): identical output
-    assert(norm(DedupOps.cosinePairsAuto(embs, "vec_id", "embedding",
-      Some("label"), 0.35, switchBytes = 0L, lshMinThreshold = 0.35,
-      planesPerBand = 2, bands = 12)) == exact)
-    assert(spark.sparkContext.getLocalProperty("graft.cosine.plan") == "lsh")
+    val picks = observedPlanPicks(expected = 2) {
+      // block side (default switch): must BE the exact plan
+      assert(norm(DedupOps.cosinePairsAuto(embs, "vec_id", "embedding",
+        Some("label"), 0.35)) == exact)
+      // LSH side, forced via switchBytes=0 + a floor at the query threshold,
+      // with the banding measured full-recall at 0.35 on this data (w=2, L=12
+      // — the same configuration the label∧band test pins): identical output
+      assert(norm(DedupOps.cosinePairsAuto(embs, "vec_id", "embedding",
+        Some("label"), 0.35, switchBytes = 0L, lshMinThreshold = 0.35,
+        planesPerBand = 2, bands = 12)) == exact)
+    }
+    assert(picks.contains(("graft.cosine.plan", "block")), s"got $picks")
+    assert(picks.contains(("graft.cosine.plan", "lsh")), s"got $picks")
+    assert(spark.sparkContext.getLocalProperty("graft.cosine.plan") == null)
+  }
+
+  test("cosine-LSH rejects embeddings whose width != dim (no silent truncation)") {
+    // the hyperplanes have exactly `dim` components: a 768-dim embedding with
+    // the default dim=64 used to hash only its first 64 components — recall
+    // silently degraded; now it must raise
+    val wide = (1L to 4L).map(i => (i, Array.fill(768)(0.01 * i)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      DedupOps.cosinePairsLsh(wide, "vec_id", "embedding", 0.9).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("dim mismatch")),
+      s"expected the dim-mismatch error, got: ${messages(e).mkString(" | ")}")
+    // the guard admits matching widths (testdata embeddings are 64-dim)
+    assert(DedupOps.cosinePairsLsh(embs, "vec_id", "embedding", 0.9999,
+      blockCol = Some("label")).count() >= 0)
   }
 
   test("cosinePairsLsh at a near-dup threshold: wide bands prune hard at full recall") {

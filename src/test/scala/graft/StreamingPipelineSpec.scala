@@ -261,6 +261,52 @@ class StreamingPipelineSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation: bloom decontamination path matches the exact path") {
+    import graft.streaming.CurationStream
+    val benchmark = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    // size switch: the small suite stays exact; forcing the switch to zero
+    // exercises the distributed bloom build end-to-end
+    val exact = CurationStream.benchmarkGrams(benchmark, "text")
+    assert(exact.isInstanceOf[CurationStream.ExactGrams], "small suite stays exact")
+    val bloom = CurationStream.benchmarkGrams(benchmark, "text", maxExactGrams = 0L)
+    val bg = bloom match {
+      case b: CurationStream.BloomGrams => b
+      case other => fail(s"forced switch must build the bloom form; got $other")
+    }
+    assert(bg.nGrams > 0 && bg.bytes.nonEmpty)
+    // no false negatives: every benchmark gram hash probes true (batch path —
+    // the same codegen'd expression the stream uses)
+    val hashes = CurationStream.benchmarkHashes(benchmark, "text")
+    val hits = hashes.toDF("h")
+      .select(graft.functions.BloomExprs.containsAny(lit(bg.bytes), array($"h")))
+      .as[Boolean].collect()
+    assert(hashes.nonEmpty && hits.forall(identity),
+      "a bloom filter must never miss an inserted gram")
+
+    def run(bench: CurationStream.BenchGrams, qname: String): Seq[Long] = {
+      val mem = MemoryStream[StreamDoc]
+      val out = CurationStream.curate(
+        mem.toDF().withWatermark("ts", "10 minutes"), bench, minTokens = 4)
+      val q = out.writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      try {
+        mem.addData(
+          StreamDoc(1, "too short", ts(0)),
+          StreamDoc(2, "prefix words alpha beta gamma delta epsilon zeta eta theta", ts(1)),
+          StreamDoc(3, "a perfectly clean document with enough tokens", ts(2)),
+          StreamDoc(4, "a perfectly clean document with enough tokens", ts(3)),
+          StreamDoc(5, "another clean and unique document entirely", ts(4)))
+        q.processAllAvailable()
+        spark.table(qname).collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+      } finally q.stop()
+    }
+    assert(run(exact, "cur_exact") == Seq(3L, 5L))
+    assert(run(bloom, "cur_bloom") == Seq(3L, 5L),
+      "bloom path must drop/keep exactly the exact path's documents here " +
+        "(false-positive probability at fpp=1e-6 is negligible for this corpus)")
+  }
+
   test("transformWithState sessionizer matches the flatMapGroupsWithState twin") {
     import graft.streaming.TwsSessions
     import graft.streaming.StatefulSessions.UserEvent
@@ -346,10 +392,13 @@ class StreamingPipelineSpec extends SparkSpec {
     val prev = knobs.keys.map(k => k -> spark.conf.getOption(k)).toMap
     knobs.foreach { case (k, v) => spark.conf.set(k, v) }
     try {
+      // SUPPRESSION under a TTL far beyond the test's runtime: an ambient
+      // stall between batches can no longer expire the key early (the old
+      // 10s-TTL + 11s-sleep form was wall-clock flaky and cost 11s per run)
       val mem = MemoryStream[StreamEvt]
       val out = TwsDedup.dedupWithTtl[StreamEvt](mem.toDS(),
-        e => e.event_id.toString, java.time.Duration.ofSeconds(10))
-      val q = out.writeStream.format("memory").queryName("ttl_out")
+        e => e.event_id.toString, java.time.Duration.ofMinutes(10))
+      val q = out.writeStream.format("memory").queryName("ttl_sup")
         .outputMode("append").start()
       try {
         // batch 1: two copies of key 1 in one batch -> one emit; key 2 emits
@@ -359,16 +408,70 @@ class StreamingPipelineSpec extends SparkSpec {
         // batch 2, inside the TTL: key 1 suppressed by state
         mem.addData(StreamEvt(1, 1, "click", ts(4)))
         q.processAllAvailable()
-        assert(spark.table("ttl_out").collect()
+        assert(spark.table("ttl_sup").collect()
           .map(_.getAs[Long]("event_id")).sorted.toSeq == Seq(1L, 2L))
-        // past the TTL, the store expired the entry: key 1 emits again
-        Thread.sleep(11000)
-        mem.addData(StreamEvt(1, 3, "click", ts(5)))
-        q.processAllAvailable()
-        val again = spark.table("ttl_out").collect()
+      } finally q.stop()
+      // EXPIRY in its own short-TTL query: the assert only needs ENOUGH time
+      // to have passed, so stalls push in the safe direction (more expired)
+      val mem2 = MemoryStream[StreamEvt]
+      val out2 = TwsDedup.dedupWithTtl[StreamEvt](mem2.toDS(),
+        e => e.event_id.toString, java.time.Duration.ofSeconds(1))
+      val q2 = out2.writeStream.format("memory").queryName("ttl_exp")
+        .outputMode("append").start()
+      try {
+        mem2.addData(StreamEvt(1, 1, "click", ts(1)))
+        q2.processAllAvailable()
+        Thread.sleep(1500) // > the 1s TTL; lateness only helps
+        mem2.addData(StreamEvt(1, 3, "click", ts(5)))
+        q2.processAllAvailable()
+        val again = spark.table("ttl_exp").collect()
           .map(_.getAs[Long]("event_id")).sorted.toSeq
-        assert(again == Seq(1L, 1L, 2L),
+        assert(again == Seq(1L, 1L),
           s"key 1 must re-emit after its state TTL expires; got $again")
+      } finally q2.stop()
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("event-time TTL dedup: suppression and expiry driven by the watermark, not the wall clock") {
+    import graft.streaming.TwsDedup
+    // event-time TWS: RocksDB provider only — NO noDataMicroBatches knob is
+    // required (the processing-time loop repro does not apply here)
+    val knobs = GraftSession.rocksDbStateConfs()
+    val prev = knobs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    knobs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val mem = MemoryStream[StreamEvt]
+      val out = TwsDedup.dedupWithTtlEventTime[StreamEvt](
+        mem.toDS().withWatermark("ts", "1 second").as[StreamEvt],
+        e => e.event_id.toString, e => e.ts, java.time.Duration.ofMinutes(1))
+      val q = out.writeStream.format("memory").queryName("ttl_evt")
+        .outputMode("append").start()
+      try {
+        def ids() = spark.table("ttl_evt").collect()
+          .map(_.getAs[Long]("event_id")).sorted.toSeq
+        // first sight at 00:00 emits once (in-batch duplicate suppressed);
+        // expiry timer armed at 00:01 event time
+        mem.addData(StreamEvt(1, 1, "click", ts(0)), StreamEvt(1, 1, "click", ts(0)))
+        q.processAllAvailable()
+        // a duplicate inside the event-time TTL is suppressed
+        mem.addData(StreamEvt(1, 2, "click", ts(0, 30)))
+        q.processAllAvailable()
+        assert(ids() == Seq(1L), s"inside the TTL key 1 must stay suppressed; got ${ids()}")
+        // advance the WATERMARK past 00:01 with another key (two batches: the
+        // watermark used by batch N is computed from data through N-1); the
+        // fired timer clears key 1's state
+        mem.addData(StreamEvt(9, 9, "view", ts(10)))
+        q.processAllAvailable()
+        mem.addData(StreamEvt(9, 9, "view", ts(11)))
+        q.processAllAvailable()
+        // key 1 re-emits after its event-time TTL expired — no sleeps anywhere
+        mem.addData(StreamEvt(1, 3, "click", ts(12)))
+        q.processAllAvailable()
+        assert(ids() == Seq(1L, 1L, 9L),
+          s"key 1 must re-emit once its event-time TTL passed the watermark; got ${ids()}")
       } finally q.stop()
     } finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
