@@ -93,6 +93,48 @@ object CurationOps {
     }
   }
 
+  /** [[decontaminate]] with a Bloom PRE-FILTER on the corpus side — the
+    * shape for decontamination corpora past broadcast size. The two-pass
+    * form's gram join stays corpus-shuffle-free only while the benchmark
+    * hash set fits a runtime broadcast; a web-scale eval suite (10⁸ grams ≈
+    * 800 MB of 8-byte hashes) forces that join to shuffle EVERY corpus
+    * gram. Here the benchmark grams aggregate into a fixed-size Bloom
+    * sketch (≈ 14.4 bits/gram at the default fpp 1e-3, ~4.4× smaller than
+    * the hash set; the build is distributed, the driver holds only the
+    * sketch), every corpus row probes it scan-side with the codegen'd
+    * [[graft.functions.BloomContainsAny]], and only CANDIDATE docs (true
+    * hits plus the fpp sliver) explode into the exact gram join.
+    *
+    * EXACT result, not approximate: a Bloom filter has no false negatives,
+    * so every truly contaminated doc reaches the verification join, and a
+    * false-positive candidate is then kept by the exact count — output ≡
+    * [[decontaminate]] (CurationSpec parity). Streaming twin:
+    * [[graft.streaming.CurationStream.benchmarkGrams]]. */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 13, minOverlap: Long = 1L,
+      fpp: Double = 1e-3): DataFrame = {
+    val bench = grams(benchmark, idCol, textCol, n, "__bid")
+      .select(col("__h")).distinct()
+    val nGrams = bench.count()
+    if (nGrams == 0L) return corpus // gram-less benchmark: nothing overlaps
+    val bf = bench.stat.bloomFilter("__h", nGrams, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val bloom = lit(bos.toByteArray)
+    val cand = corpus
+      .withColumn("__tk", toks(col(textCol)))
+      .withColumn("__ghs",
+        transform(array_distinct(ngramsExact(col("__tk"), n)), g => h60(g)))
+      .filter(graft.functions.BloomExprs.containsAny(bloom, col("__ghs")))
+      .select(col(idCol), explode_outer(col("__ghs")).as("__h"))
+      .filter(col("__h").isNotNull) // outer: no inferred-filter re-eval
+    val bad = cand.join(bench, Seq("__h"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__hit"))
+      .filter(col("__hit") >= minOverlap)
+      .select(col(idCol))
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
+
   /** Concat-then-chunk sequence packing: within each `partCol` partition,
     * documents are concatenated in `orderCol` order and the token stream is
     * split at `maxLen` boundaries. Adds `n_tok`, `bin` (which chunk the

@@ -93,6 +93,23 @@ class CurationSpec extends SparkSpec {
     assert(rels(CurationOps.decontaminate(c, b, "doc_id", "text", n = 8)) == 4)
   }
 
+  test("decontaminateBloom returns exactly decontaminate (pre-filter is exact)") {
+    // hand case, including the gram-less short doc
+    val kept = CurationOps.decontaminateBloom(corpus, bench, "doc_id", "text", n = 8)
+    assert(kept.columns.toSeq == corpus.columns.toSeq)
+    assert(kept.select($"doc_id").as[Long].collect().sorted.toSeq == Seq(2L, 3L))
+    // testdata parity on the same id-split the c01 agreement test uses
+    val c = docs.filter($"doc_id" % 10 =!= 0)
+    val b = docs.filter($"doc_id" % 10 === 0)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(ids(CurationOps.decontaminateBloom(c, b, "doc_id", "text", n = 8))
+      == ids(CurationOps.decontaminate(c, b, "doc_id", "text", n = 8)))
+    // a benchmark with no grams at all cannot flag anything
+    assert(CurationOps.decontaminateBloom(corpus,
+      bench.filter(lit(false)), "doc_id", "text", n = 8).count() == corpus.count())
+  }
+
   test("packSequences computes concat-then-chunk bins and offsets") {
     val df = Seq(
       ("s", 1L, "t t t t"), ("s", 2L, "t t t t t"),
