@@ -271,8 +271,14 @@ object DedupOps {
       blockCol: String, threshold: Double, shingleLen: Int = 3,
       maxDf: Long = Long.MaxValue): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0)
-    val (candidates, docsH) = prefixParts(df, idCol, textCol, blockCol,
+    val (candidates0, docsH) = prefixParts(df, idCol, textCol, blockCol,
       threshold, shingleLen, maxDf, freqOrder = true)
+    // pruning-effectiveness telemetry: every execution reports how many
+    // candidate pairs survived the prefix filter + df cap (observed metric,
+    // same exact-attribution mechanism as the plan picks)
+    val candidates = candidates0.observe(
+      s"graft.jaccard.candidates.${planTagSeq.incrementAndGet()}",
+      count(lit(1)).as("n_candidates"))
     val da = docsH.select(col("__id").as("id_a"), col("__hs").as("__ha"), col("__n").as("__na"))
     val db = docsH.select(col("__id").as("id_b"), col("__hs").as("__hb"), col("__n").as("__nb"))
     candidates

@@ -140,18 +140,20 @@ class DedupOpsSpec extends SparkSpec {
       == norm(DedupOps.jaccardPairs(docs, "doc_id", "text", "lang", 0.5)))
   }
 
-  /** Collect `graft.*.plan.N` observed metrics (the auto operators' plan-pick
-    * telemetry) fired by `body`'s actions: (metricKeySansSeq, choice) pairs.
-    * QueryExecutionListener delivery is async — poll up to 30s. */
-  private def observedPlanPicks(expected: Int)(body: => Unit): Seq[(String, String)] = {
+  /** Collect `graft.*` observed metrics whose name (sans the uniqueness
+    * suffix) matches `nameFilter`, fired by `body`'s actions. Delivery via
+    * QueryExecutionListener is async — poll up to 30s for `expected` hits. */
+  private def observedMetrics(expected: Int, nameFilter: String => Boolean)(
+      body: => Unit): Seq[(String, org.apache.spark.sql.Row)] = {
     import org.apache.spark.sql.execution.QueryExecution
     import org.apache.spark.sql.util.QueryExecutionListener
-    val picks = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val hits = new java.util.concurrent.ConcurrentLinkedQueue[
+      (String, org.apache.spark.sql.Row)]()
     val listener = new QueryExecutionListener {
       override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
         qe.observedMetrics.foreach { case (name, row) =>
-          if (name.startsWith("graft.") && name.contains(".plan."))
-            picks.add((name.replaceAll("\\.\\d+$", ""), row.getString(0)))
+          val key = name.replaceAll("\\.\\d+$", "")
+          if (name.startsWith("graft.") && nameFilter(key)) hits.add((key, row))
         }
       override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
     }
@@ -159,11 +161,16 @@ class DedupOpsSpec extends SparkSpec {
     try {
       body
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-      while (picks.size() < expected && System.nanoTime() < deadline) Thread.sleep(50)
+      while (hits.size() < expected && System.nanoTime() < deadline) Thread.sleep(50)
       import scala.jdk.CollectionConverters._
-      picks.asScala.toSeq
+      hits.asScala.toSeq
     } finally spark.listenerManager.unregister(listener)
   }
+
+  /** The plan-pick metrics only: (metricKeySansSeq, choice). */
+  private def observedPlanPicks(expected: Int)(body: => Unit): Seq[(String, String)] =
+    observedMetrics(expected, _.contains(".plan"))(body)
+      .map { case (k, row) => (k, row.getString(0)) }
 
   test("jaccardPairsAuto surfaces its plan pick on both sides of the switch") {
     val (small, est) = DedupOps.jaccardPairsAutoChoice(docs)
@@ -181,6 +188,17 @@ class DedupOpsSpec extends SparkSpec {
     assert(picks.contains(("graft.jaccard.plan", "count")), s"got $picks")
     // nothing left behind on the submitting thread after the actions return
     assert(spark.sparkContext.getLocalProperty("graft.jaccard.plan") == null)
+  }
+
+  test("jaccardPairsPrefix reports its candidate count as an observed metric") {
+    val expected = DedupOps.prefixParts(docs, "doc_id", "text", "lang",
+      0.5, 3, Long.MaxValue, freqOrder = true)._1.count()
+    val ms = observedMetrics(1, _.contains(".candidates")) {
+      DedupOps.jaccardPairsPrefix(docs, "doc_id", "text", "lang", 0.5).collect()
+    }
+    assert(ms.nonEmpty, "candidate-count metric must be observed")
+    assert(ms.head._1 == "graft.jaccard.candidates" && ms.head._2.getLong(0) == expected,
+      s"metric must report the true surviving-candidate count $expected; got $ms")
   }
 
   test("cosinePairs matches d05 at the same threshold") {
