@@ -652,9 +652,30 @@ object Queries {
       .orderBy($"user_id")
   }
 
+  // ---------------------------------------------------------------- q36
+  /** Salted skewed join — the oracle row for [[graft.operators.Skew]]: a
+    * deterministic per-row salt scatters the big (lineitem) side across
+    * `salt` reducers and replicates the small (part) side once per salt
+    * value, preserving equi-join semantics exactly. The DuckDB twin is the
+    * PLAIN join — identical output is the whole point (DedupOpsSpec asserts
+    * it in-engine; this row proves it against an independent engine). */
+  val q36SaltedJoin: Q = (s, dir) => {
+    import s.implicits._
+    val li = t(s, dir, "lineitem").filter($"l_quantity" > 45.0)
+    val p  = t(s, dir, "part")
+    graft.operators.Skew.saltedJoin(li, p, "l_partkey", "p_partkey", salt = 8)
+      .select($"l_orderkey", $"l_linenumber".cast("long").as("line_no"),
+        $"l_partkey", $"p_name", round($"p_retailprice", 2).as("price"))
+      .orderBy($"l_orderkey", $"line_no")
+  }
+
   val queries: Map[String, Q] = Map(
     "q34_zorder" -> q34Zorder,
-    "q35_funnel" -> q35Funnel,
+    // single-scan form registered as THE q35 (one events scan, one user-keyed
+    // shuffle, zero joins — the plan to run at 100 TB); the chained
+    // three-join form stays as the in-engine parity witness (ContractSpec).
+    "q35_funnel" -> q35FunnelSingleScan,
+    "q36_salted_join" -> q36SaltedJoin,
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_revenue_by_nation" -> q02RevenueByNation,
     "q03_top_orders" -> q03TopOrders,
@@ -964,5 +985,11 @@ object Queries {
         |        + CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |       LEFT JOIN p ON v.user_id = p.user_id
-        |ORDER BY v.user_id""".stripMargin)
+        |ORDER BY v.user_id""".stripMargin,
+    "q36_salted_join" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+        | l_partkey, p_name, round(p_retailprice, 2) AS price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_quantity > 45.0
+        |ORDER BY l_orderkey, line_no""".stripMargin)
 }

@@ -195,8 +195,28 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- c06
+  /** Bloom-prefiltered decontamination — the oracle row for
+    * [[CurationOps.decontaminateBloom]]: same id-split benchmark as c01, but
+    * the corpus probes a distributed Bloom sketch of the benchmark grams
+    * scan-side and only candidate docs enter the exact gram join. The result
+    * is EXACT (no Bloom false negatives; false positives die in the verify
+    * join), so the DuckDB twin is the plain shared-gram anti-join — identical
+    * output to [[CurationOps.decontaminate]] is the operator's contract
+    * (CurationSpec asserts it in-engine; this row proves it against an
+    * independent engine). */
+  val c06DecontaminateBloom: Q = (s, dir) => {
+    import s.implicits._
+    val corpus = docs(s, dir).filter($"doc_id" % 20 =!= 0)
+    val bench  = docs(s, dir).filter($"doc_id" % 20 === 0)
+    CurationOps.decontaminateBloom(corpus, bench, "doc_id", "text", n = ContamN)
+      .select($"doc_id", $"lang", $"source")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "c01_decontaminate" -> c01Decontaminate,
+    "c06_decontaminate_bloom" -> c06DecontaminateBloom,
     "c02_pack_sequences" -> c02PackSequences,
     "c03_stratified_sample" -> c03StratifiedSample,
     "c04_mixture_weights" -> c04MixtureWeights,
@@ -225,6 +245,19 @@ object Curation {
           | CAST(CASE WHEN n.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS contaminated
           |FROM documents d LEFT JOIN n ON d.doc_id = n.doc_id
           |WHERE d.doc_id % 20 != 0
+          |ORDER BY d.doc_id""".stripMargin),
+    "c06_decontaminate_bloom" ->
+      (toksCte +
+        """, g AS (
+          |  SELECT DISTINCT doc_id,
+          |   CAST(CAST(('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')),1,15)) AS UBIGINT) AS BIGINT) AS h
+          |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-6)) AS i FROM l)),
+          | b AS (SELECT DISTINCT h FROM g WHERE doc_id % 20 = 0),
+          | bad AS (
+          |  SELECT DISTINCT g.doc_id FROM g JOIN b ON g.h = b.h
+          |  WHERE g.doc_id % 20 != 0)
+          |SELECT d.doc_id, d.lang, d.source FROM documents d
+          |WHERE d.doc_id % 20 != 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)
           |ORDER BY d.doc_id""".stripMargin),
     "c02_pack_sequences" ->
       (toksCte +

@@ -282,9 +282,26 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("id"), col("cosine"))
   }
 
+  // ---------------------------------------------------------------- s03
+  /** IVF ANN at full probe (nprobe = nlist) — the oracle row for [[ivfKnn]]:
+    * probing every inverted list makes the candidate set the whole corpus,
+    * so the result must equal brute-force cosine top-5 over unit vectors
+    * (DedupOpsSpec asserts the full-probe ≡ brute property in-engine; this
+    * row proves it against the DuckDB brute-force answer). Ranking is on the
+    * raw cosine with lower-id tie-break, exactly the [[topkUdaf]] contract. */
+  val s03IvfFullprobe: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.loadSpread(s, dir, "embeddings")
+    val q = e.filter($"vec_id" < 20)
+    ivfKnn(e, q, "vec_id", "embedding", k = 5, nlist = 8, nprobe = 8, iters = 2)
+      .withColumn("cosine", round($"cosine", 4))
+      .orderBy($"query_id", $"rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_knn_brute" -> s01KnnBrute,
-    "s02_ann_lsh" -> s02AnnLsh)
+    "s02_ann_lsh" -> s02AnnLsh,
+    "s03_ivf_fullprobe" -> s03IvfFullprobe)
 
   private val vecsCte =
     """WITH e AS (
@@ -329,5 +346,18 @@ object Similarity {
           |             e2.vec_id) AS BIGINT) AS rk
           | FROM eb q JOIN eb e2 ON q.bucket = e2.bucket
           |   AND q.vec_id < 20 AND q.vec_id <> e2.vec_id) t
-          |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin))
+          |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin),
+    "s03_ivf_fullprobe" ->
+      """WITH u AS (
+        |  SELECT vec_id,
+        |   list_transform(embedding::DOUBLE[],
+        |     x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y)))) AS u
+        |  FROM embeddings)
+        |SELECT query_id, rk AS "rank", id, round(cos, 4) AS cosine FROM (
+        | SELECT q.vec_id AS query_id, e.vec_id AS id,
+        |  list_dot_product(q.u, e.u) AS cos,
+        |  CAST(row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_dot_product(q.u, e.u) DESC, e.vec_id) AS BIGINT) AS rk
+        | FROM u q JOIN u e ON q.vec_id < 20 AND q.vec_id <> e.vec_id) t
+        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin)
 }

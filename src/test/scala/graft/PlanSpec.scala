@@ -75,6 +75,15 @@ class PlanSpec extends SparkSpec {
       s"document text must not reach the shuffle:\n$partial")
   }
 
+  test("q35: single-scan funnel — one events scan, one user-keyed exchange, zero joins") {
+    val p = plan("q35_funnel")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      s"funnel must read events exactly once:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"funnel must shuffle once, on user_id:\n$p")
+    assert(!p.contains("Join"), s"single-scan funnel must not join:\n$p")
+  }
+
   test("q12: pure scalar projection has no exchange at all") {
     val p = plan("q12_scalar_funcs")
     // one final sort for the deterministic output order is expected; no
