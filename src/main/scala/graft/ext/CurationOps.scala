@@ -120,12 +120,16 @@ object CurationOps {
     val bf = bench.stat.bloomFilter("__h", nGrams, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
-    val bloom = lit(bos.toByteArray)
+    // broadcast handle, not a plan literal: a web-scale sketch (10⁸ grams at
+    // fpp 1e-3 ≈ 170 MiB) embedded in the plan would inflate driver plan
+    // memory and every analyzer/optimizer copy; the broadcast torrents it to
+    // each executor once and the plan carries only the handle
+    val bloom = corpus.sparkSession.sparkContext.broadcast(bos.toByteArray)
     val cand = corpus
       .withColumn("__tk", toks(col(textCol)))
       .withColumn("__ghs",
         transform(array_distinct(ngramsExact(col("__tk"), n)), g => h60(g)))
-      .filter(graft.functions.BloomExprs.containsAny(bloom, col("__ghs")))
+      .filter(graft.functions.BloomExprs.containsAnyBroadcast(bloom, col("__ghs")))
       .select(col(idCol), explode_outer(col("__ghs")).as("__h"))
       .filter(col("__h").isNotNull) // outer: no inferred-filter re-eval
     val bad = cand.join(bench, Seq("__h"))

@@ -21,10 +21,11 @@ import graft.ext.TextOps._
   * Scale notes: stage 2's gram set never holds driver memory hostage — above
   * [[CurationStream.benchmarkGrams]]'s `maxExactGrams` the set is a
   * fixed-size Bloom filter built by a DISTRIBUTED aggregation (only the
-  * serialized sketch, sized by `fpp` alone, crosses the driver), probed by a
-  * codegen'd short-circuit expression
-  * ([[graft.functions.BloomContainsAny]]); below it the exact plan-literal
-  * hash array is cheaper (no per-element hashing at probe time). Dedup state
+  * serialized sketch, sized by `fpp` alone, crosses the driver), shipped as
+  * a BROADCAST (the per-micro-batch plan stays sketch-size-free) and probed
+  * by a codegen'd short-circuit expression
+  * ([[graft.functions.BloomBroadcastContainsAny]]); below it the exact
+  * plan-literal hash array is cheaper (no per-element hashing). Dedup state
   * is bounded by the watermark, not the stream length — the standard trade:
   * only duplicates arriving within the horizon collapse.
   */
@@ -52,7 +53,17 @@ object CurationStream {
     * text — there are NO false negatives). At the default fpp 1e-6, a
     * 10k-gram document's false-drop probability is ≤ 1%. */
   final case class BloomGrams(bytes: Array[Byte], fpp: Double, nGrams: Long)
-    extends BenchGrams
+    extends BenchGrams {
+    // Array[Byte] equality is reference-based; value semantics for a case
+    // class holding the sketch bytes need the content compare
+    override def equals(o: Any): Boolean = o match {
+      case that: BloomGrams => java.util.Arrays.equals(bytes, that.bytes) &&
+        fpp == that.fpp && nGrams == that.nGrams
+      case _ => false
+    }
+    override def hashCode(): Int =
+      (java.util.Arrays.hashCode(bytes), fpp, nGrams).hashCode()
+  }
 
   /** Distinct 60-bit gram hashes of a benchmark table — the c01 n-gram
     * hashing as a DataFrame (no driver materialization). */
@@ -92,7 +103,11 @@ object CurationStream {
       case ExactGrams(hashes) =>
         size(array_intersect(col("__ghs"), typedLit(hashes))) === 0
       case b: BloomGrams =>
-        !graft.functions.BloomExprs.containsAny(lit(b.bytes), col("__ghs"))
+        // sketch behind a broadcast handle, not a plan literal — in
+        // streaming doubly important: the plan is re-serialized per
+        // micro-batch, the broadcast ships once
+        val bc = docs.sparkSession.sparkContext.broadcast(b.bytes)
+        !graft.functions.BloomExprs.containsAnyBroadcast(bc, col("__ghs"))
     }
     docs
       .withColumn("__tk", toks(col("text")))

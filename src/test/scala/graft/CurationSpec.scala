@@ -110,6 +110,39 @@ class CurationSpec extends SparkSpec {
       bench.filter(lit(false)), "doc_id", "text", n = 8).count() == corpus.count())
   }
 
+  test("bloom broadcast probe keeps the sketch out of the plan") {
+    import org.apache.spark.util.sketch.BloomFilter
+    def bloomBytes(n: Long): Array[Byte] = {
+      val bf = BloomFilter.create(n, 0.03)
+      bf.putLong(42L)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos); bos.toByteArray
+    }
+    val small = bloomBytes(100L)
+    val big = bloomBytes(10000000L) // multi-MB sketch
+    assert(big.length > 1000000 && small.length < 10000)
+    def planLens(bytes: Array[Byte]): (Int, Int) = {
+      val bc = spark.sparkContext.broadcast(bytes)
+      val df = Seq(Seq(42L), Seq(7L)).toDF("hs")
+        .filter(graft.functions.BloomExprs.containsAnyBroadcast(bc, $"hs"))
+      (df.queryExecution.optimizedPlan.toString.length,
+        df.queryExecution.executedPlan.toString.length)
+    }
+    // a plan literal would embed the sketch; the broadcast handle must keep
+    // both the optimized and the physical plan size-independent
+    val (optS, exeS) = planLens(small)
+    val (optB, exeB) = planLens(big)
+    assert(math.abs(optB - optS) < 500, s"optimized plan grew: $optS -> $optB")
+    assert(math.abs(exeB - exeS) < 500, s"executed plan grew: $exeS -> $exeB")
+    // and the probe is live through codegen: 42 present, 7 absent, [] clean
+    val bc = spark.sparkContext.broadcast(small)
+    val got = Seq((1L, Seq(42L)), (2L, Seq(7L)), (3L, Seq.empty[Long]))
+      .toDF("id", "hs")
+      .filter(graft.functions.BloomExprs.containsAnyBroadcast(bc, $"hs"))
+      .select($"id").as[Long].collect().toSeq
+    assert(got == Seq(1L))
+  }
+
   test("packSequences computes concat-then-chunk bins and offsets") {
     val df = Seq(
       ("s", 1L, "t t t t"), ("s", 2L, "t t t t t"),
