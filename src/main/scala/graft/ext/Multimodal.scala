@@ -9,10 +9,15 @@ import org.apache.spark.sql.types._
   * `BinaryType` payloads plus a typed metadata struct, with decode /
   * feature-extract implemented as distributed per-partition transforms.
   *
-  * The real decoder libraries are not in this container, so the decode step is
-  * a clearly-marked deterministic STUB ([[stubDecode]]); everything Spark-side
-  * — schema, batching, partitioning, the transform's signature — is real and
-  * tested (MultimodalSpec). LLM-pipeline extension (SURVEY.md §2.8 scope).
+  * IMAGES decode for real via the JDK's built-in `javax.imageio.ImageIO`
+  * (PNG/JPEG/BMP/GIF — `java.desktop`, zero external deps): [[decodeImage]] /
+  * [[resizeImage]], exercised per-partition by [[decodeFeatures]] /
+  * [[resize]]. Payloads ImageIO cannot read (audio, video, arbitrary bytes)
+  * fall back to the clearly-marked deterministic STUBs
+  * ([[stubDecode]]/[[stubResize]]) — only those codecs are genuinely
+  * environment-blocked; the Spark-side plumbing (schema, batching,
+  * partitioning, transform signatures) is real and tested either way
+  * (MultimodalSpec). LLM-pipeline extension (SURVEY.md §2.8 scope).
   */
 object Multimodal {
   type Q = (SparkSession, String) => DataFrame
@@ -46,44 +51,78 @@ object Multimodal {
         md5($"payload").as("digest")))
   }
 
-  /** STUB decoder: a real deployment would decode image/audio bytes here
-    * (e.g. via an image library on the executors). The stub derives
-    * deterministic fake dimensions from the payload so the distributed
-    * plumbing (per-partition batch transform, schema evolution, no driver
-    * collect) is exercised end-to-end. */
+  /** Real image decode via JDK ImageIO: (width, height, n_frames=1) for any
+    * payload ImageIO can read (PNG/JPEG/BMP/GIF), None otherwise so callers
+    * fall back to [[stubDecode]]. Runs on executors inside the mapPartitions
+    * transforms — headless-safe, no display needed. */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None else Some((img.getWidth, img.getHeight, 1))
+    } catch { case _: Exception => None }
+
+  /** Real image resample via Graphics2D bilinear draw onto a w×h RGB raster,
+    * re-encoded as PNG; None when the payload is not a decodable image so
+    * callers fall back to [[stubResize]]. Deterministic on a given JDK (the
+    * spec pins the thumbnail digest). */
+  def resizeImage(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val out = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case _: Exception => None }
+
+  /** STUB decoder — the fallback for payloads ImageIO cannot read (audio /
+    * video / arbitrary bytes; those codec libraries are not in this
+    * container). Derives deterministic fake dimensions from the payload so
+    * the distributed plumbing (per-partition batch transform, schema
+    * evolution, no driver collect) is exercised end-to-end regardless of
+    * payload kind. */
   def stubDecode(payload: Array[Byte]): (Int, Int, Int) = {
-    // ??? <- real decoder goes here; deterministic fake below.
+    // ??? <- real audio/video decoder goes here; deterministic fake below.
     val n = payload.length
     (64 + n % 512, 64 + (n / 7) % 512, 1 + n % 30)
   }
 
   /** Distributed decode/feature-extract: mapPartitions over Rows so each
     * executor batch-decodes its partition locally (the Scala analogue of a
-    * `mapInPandas` batch UDF). */
+    * `mapInPandas` batch UDF). Images decode for real ([[decodeImage]]);
+    * everything else takes the stub fallback. */
   def decodeFeatures(media: DataFrame): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(featureSchema)
     media.mapPartitions { rows =>
       rows.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
-        val (w, h, f) = stubDecode(payload)
+        val (w, h, f) = decodeImage(payload).getOrElse(stubDecode(payload))
         Row.fromSeq(r.toSeq ++ Seq(w, h, f))
       }
     }(enc)
   }
 
-  /** STUB resize: a real deployment decodes and resamples pixels here; the
-    * stub derives a deterministic thumbnail payload from (digest, w, h) so
-    * the plumbing (binary-in/binary-out per-partition transform, schema
-    * evolution) is exercised. */
+  /** STUB resize — the fallback for non-image payloads: a deterministic
+    * digest-derived thumbnail payload, so the binary-in/binary-out
+    * per-partition transform shape is exercised for every payload kind. */
   def stubResize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    // ??? <- real image resample goes here; deterministic fake below.
+    // ??? <- real audio/video resample goes here; deterministic fake below.
     val d = java.security.MessageDigest.getInstance("MD5")
     d.update(payload); d.update(s":$w:$h".getBytes("UTF-8"))
     d.digest()
   }
 
   /** Distributed resize: appends (thumb BINARY, thumb_w, thumb_h). Same
-    * mapPartitions batch shape a Pandas-UDF decode would use. */
+    * mapPartitions batch shape a Pandas-UDF decode would use. Images
+    * resample for real ([[resizeImage]]); everything else takes the stub. */
   def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
     val schema = StructType(media.schema.fields ++ Seq(
       StructField("thumb", BinaryType, nullable = false),
@@ -93,7 +132,8 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
-        Row.fromSeq(r.toSeq ++ Seq(stubResize(payload, w, h), w, h))
+        val thumb = resizeImage(payload, w, h).getOrElse(stubResize(payload, w, h))
+        Row.fromSeq(r.toSeq ++ Seq(thumb, w, h))
       }
     }(enc)
   }
@@ -217,8 +257,20 @@ object Multimodal {
     * and the DuckDB oracle replays it with `read_blob` over the same files.
     * The fixture pins the planner's edges: a multi-chunk file, an exact
     * chunk-multiple file, an EMPTY file (one empty chunk — every asset
-    * survives transport), and a sub-chunk file. */
-  private[graft] val chunkFixtureDir = "/root/repo/src/test/resources/chunkfix"
+    * survives transport), and a sub-chunk file.
+    *
+    * Resolution order (no hardcoded checkout path): `-Dgraft.chunkfix.dir`,
+    * the classpath (test runs — sbt puts `src/test/resources` there), then
+    * the repo-relative path against the working directory (the driver's
+    * `runMain graft.Verify` from the repo root). The oracle SQL below is
+    * built from the SAME resolved path, so both engines read one directory
+    * wherever the repo is checked out. */
+  private[graft] val chunkFixtureDir: String =
+    sys.props.get("graft.chunkfix.dir")
+      .orElse(Option(getClass.getResource("/chunkfix"))
+        .filter(_.getProtocol == "file")
+        .map(u => new java.io.File(u.toURI).getAbsolutePath))
+      .getOrElse(new java.io.File("src/test/resources/chunkfix").getAbsolutePath)
 
   /** Oracle-checked `graft-chunks` ingest: per-file chunk accounting (count,
     * rows, total bytes) plus a reassembly digest proving the chunk rows
@@ -261,13 +313,13 @@ object Multimodal {
         |           ELSE n % 100 END AS BIGINT) AS tail_bytes
         |FROM b ORDER BY media_id""".stripMargin,
     "m03_chunked_read" ->
-      """SELECT 'file:' || filename AS media_id,
-        | CAST(CASE WHEN size = 0 THEN 1
-        |           ELSE CAST(ceil(size / 7.0) AS BIGINT) END AS BIGINT) AS n_chunks,
-        | CAST(CASE WHEN size = 0 THEN 1
-        |           ELSE CAST(ceil(size / 7.0) AS BIGINT) END AS BIGINT) AS rows_read,
-        | CAST(size AS BIGINT) AS total_bytes,
-        | md5(hex(content)) AS hex_digest
-        |FROM read_blob('/root/repo/src/test/resources/chunkfix/*')
-        |ORDER BY media_id""".stripMargin)
+      s"""SELECT 'file:' || filename AS media_id,
+         | CAST(CASE WHEN size = 0 THEN 1
+         |           ELSE CAST(ceil(size / 7.0) AS BIGINT) END AS BIGINT) AS n_chunks,
+         | CAST(CASE WHEN size = 0 THEN 1
+         |           ELSE CAST(ceil(size / 7.0) AS BIGINT) END AS BIGINT) AS rows_read,
+         | CAST(size AS BIGINT) AS total_bytes,
+         | md5(hex(content)) AS hex_digest
+         |FROM read_blob('$chunkFixtureDir/*')
+         |ORDER BY media_id""".stripMargin)
 }

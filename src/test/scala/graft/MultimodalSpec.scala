@@ -51,6 +51,45 @@ class MultimodalSpec extends SparkSpec {
     assert(out.count() == media.count())
   }
 
+  test("images decode and resample for real via JDK ImageIO; non-images take the stub") {
+    val png = {
+      val in = getClass.getResourceAsStream("/imagefix/gradient.png")
+      val bytes = in.readAllBytes(); in.close(); bytes
+    }
+    // direct decode: the committed fixture's true dimensions
+    assert(Multimodal.decodeImage(png).contains((16, 12, 1)))
+    assert(Multimodal.decodeImage("not an image".getBytes("UTF-8")).isEmpty)
+
+    // end-to-end through the distributed transforms with mixed payload kinds
+    val media = Seq(
+      (1L, "image", png),
+      (2L, "text", "just some text bytes".getBytes("UTF-8")))
+      .toDF("media_id", "kind", "payload")
+      .withColumn("meta", struct(
+        octet_length($"payload").cast("long").as("n_bytes"),
+        md5($"payload").as("digest")))
+      .repartition(2)
+    val decoded = Multimodal.decodeFeatures(media).orderBy($"media_id").collect()
+    assert(decoded(0).getAs[Int]("width") == 16)
+    assert(decoded(0).getAs[Int]("height") == 12)
+    assert(decoded(0).getAs[Int]("n_frames") == 1)
+    val (sw, sh, _) = Multimodal.stubDecode(decoded(1).getAs[Array[Byte]]("payload"))
+    assert(decoded(1).getAs[Int]("width") == sw)
+    assert(decoded(1).getAs[Int]("height") == sh)
+
+    // real bilinear resample, byte-exact: pinned md5 of the 8×6 PNG thumbnail
+    // (deterministic on this JDK — java.desktop ImageIO + Graphics2D)
+    val out = Multimodal.resize(media, 8, 6).orderBy($"media_id").collect()
+    val thumb = out(0).getAs[Array[Byte]]("thumb")
+    val md = java.security.MessageDigest.getInstance("MD5").digest(thumb)
+    assert(md.map("%02x".format(_)).mkString == "bd170180b6c6efc6a16605a6fe705748")
+    // the thumbnail is itself a decodable 8×6 image
+    assert(Multimodal.decodeImage(thumb).contains((8, 6, 1)))
+    // the non-image payload took the stub fallback
+    assert(out(1).getAs[Array[Byte]]("thumb").toSeq ==
+      Multimodal.stubResize(out(1).getAs[Array[Byte]]("payload"), 8, 6).toSeq)
+  }
+
   test("sampleFrames emits every Nth frame of the decoded count") {
     val decoded = Multimodal.decodeFeatures(Multimodal.mediaFrom(spark, dir))
     val frames = Multimodal.sampleFrames(decoded, everyNth = 5)
