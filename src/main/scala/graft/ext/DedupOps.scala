@@ -269,14 +269,16 @@ object DedupOps {
     * with `maxDf` set no single hot key can exceed maxDf²/2 pairs. */
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, threshold: Double, shingleLen: Int = 3,
-      maxDf: Long = Long.MaxValue): DataFrame = {
+      maxDf: Long = Long.MaxValue, observeCandidates: Boolean = true): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0)
     val (candidates0, docsH) = prefixParts(df, idCol, textCol, blockCol,
       threshold, shingleLen, maxDf, freqOrder = true)
-    // pruning-effectiveness telemetry: every execution reports how many
+    // pruning-effectiveness telemetry: each execution reports how many
     // candidate pairs survived the prefix filter + df cap (observed metric,
-    // same exact-attribution mechanism as the plan picks)
-    val candidates = candidates0.observe(
+    // same exact-attribution mechanism as the plan picks). Costs one
+    // accumulator-backed count over candidates — `observeCandidates = false`
+    // opts a production caller out.
+    val candidates = if (!observeCandidates) candidates0 else candidates0.observe(
       s"graft.jaccard.candidates.${planTagSeq.incrementAndGet()}",
       count(lit(1)).as("n_candidates"))
     val da = docsH.select(col("__id").as("id_a"), col("__hs").as("__ha"), col("__n").as("__na"))
@@ -381,9 +383,13 @@ object DedupOps {
         transform(col(vecCol), x => x.cast("double")).as("__v"))
       // the hyperplanes have exactly `dim` components, so a wider embedding
       // would SILENTLY hash only its first `dim` components and recall would
-      // degrade with no signal — mismatches must error instead
+      // degrade with no signal — mismatches must error instead. NULL
+      // embeddings pass through (they hash to the zero signature and their
+      // null cosine fails every threshold — no pairs, no misleading
+      // dim-mismatch error for what is a missing input, not a wrong-width one)
       .withColumn("__v",
-        when(size(col("__v")) === dim, col("__v"))
+        when(col("__v").isNull, col("__v"))
+          .when(size(col("__v")) === dim, col("__v"))
           .otherwise(raise_error(concat(
             lit(s"cosine-LSH dim mismatch: hyperplanes have $dim components " +
               "but the embedding has "),

@@ -93,8 +93,18 @@ object TwsDedup {
         tv: TimerValues): Iterator[T] = {
       if (!rows.hasNext || expiresAt.exists()) Iterator.empty
       else {
-        val first = rows.next()
-        val exp = eventTimeMs(first) + ttlMs
+        // fold to the MINIMUM event time: a micro-batch's iterator order is
+        // not guaranteed, so "first seen" anchors on the data's own clock —
+        // which row emits and when the key expires is deterministic no
+        // matter how the batch's rows were partitioned or ordered
+        var first = rows.next()
+        var firstTs = eventTimeMs(first)
+        while (rows.hasNext) {
+          val r = rows.next()
+          val ts = eventTimeMs(r)
+          if (ts < firstTs) { first = r; firstTs = ts }
+        }
+        val exp = firstTs + ttlMs
         expiresAt.update(exp)
         getHandle.registerTimer(exp)
         Iterator.single(first)
@@ -114,7 +124,19 @@ object TwsDedup {
   /** Dedup `events` on `key`, suppressing repeats for `ttl` of EVENT time:
     * the first event per key is emitted; duplicates are dropped until the
     * watermark passes firstSeen + ttl, after which the key may re-emit.
-    * `events` must carry a watermark (`withWatermark` upstream). */
+    * `events` must carry a watermark (`withWatermark` upstream).
+    *
+    * First-seen is DETERMINISTIC: within a micro-batch the minimum-event-time
+    * row of a new key emits and anchors the expiry, whatever the batch order.
+    *
+    * Late-data contract (spec-pinned): an arrival BELOW the watermark is
+    * dropped by the operator's watermark filter before the processor runs —
+    * even for a key whose state already expired, it neither re-emits nor
+    * re-arms state. A below-watermark replay is by definition a duplicate the
+    * upstream already delivered inside the horizon; admitting it would arm an
+    * expiry timer the watermark has already passed. In-horizon arrivals after
+    * expiry re-emit (the at-least-once downstream contract, like the
+    * reference sink's delivery semantics). */
   def dedupWithTtlEventTime[T: Encoder](events: Dataset[T], key: T => String,
       eventTime: T => java.sql.Timestamp,
       ttl: java.time.Duration): Dataset[T] = {

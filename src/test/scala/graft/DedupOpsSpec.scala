@@ -201,6 +201,34 @@ class DedupOpsSpec extends SparkSpec {
       s"metric must report the true surviving-candidate count $expected; got $ms")
   }
 
+  test("jaccardPairsPrefix candidate metric can be opted out, output unchanged") {
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select($"id_a", $"id_b", round($"jaccard", 6).as("j"))
+      .as[(Long, Long, Double)].collect().sortBy(p => (p._1, p._2)).toSeq
+    val on  = DedupOps.jaccardPairsPrefix(docs, "doc_id", "text", "lang", 0.5)
+    val off = DedupOps.jaccardPairsPrefix(docs, "doc_id", "text", "lang", 0.5,
+      observeCandidates = false)
+    assert(norm(off) == norm(on))
+    // the opted-out plan carries NO observation at all (checked on the
+    // query's own execution — no async listener needed for an absence)
+    assert(off.queryExecution.observedMetrics.isEmpty,
+      s"expected no observed metrics, got ${off.queryExecution.observedMetrics.keys}")
+    assert(on.queryExecution.observedMetrics.nonEmpty)
+  }
+
+  test("cosine-LSH passes null embeddings through instead of a dim-mismatch error") {
+    // a missing embedding is not a wrong-width one: rows with null vectors
+    // must not raise, and they surface in no pair (their cosine is null)
+    val withNull = Seq(
+      (1L, Array.fill(64)(0.5f)),
+      (2L, Array.fill(64)(0.5f)),
+      (3L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    val pairs = DedupOps.cosinePairsLsh(withNull, "vec_id", "embedding", 0.9)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L)), s"got $pairs")
+  }
+
   test("cosinePairs matches d05 at the same threshold") {
     // d05 filters on round(cos,4) >= 0.35; the generic op on the raw cosine.
     // Compare on the pairs both report above a slightly-safe threshold.

@@ -479,6 +479,59 @@ class StreamingPipelineSpec extends SparkSpec {
     }
   }
 
+  test("event-time TTL dedup: deterministic first-seen (min event time) and the late-data contract") {
+    import graft.streaming.TwsDedup
+    val knobs = GraftSession.rocksDbStateConfs()
+    val prev = knobs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    knobs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val mem = MemoryStream[StreamEvt]
+      val out = TwsDedup.dedupWithTtlEventTime[StreamEvt](
+        mem.toDS().withWatermark("ts", "1 second").as[StreamEvt],
+        e => e.event_id.toString, e => e.ts, java.time.Duration.ofMinutes(1))
+      val q = out.writeStream.format("memory").queryName("ttl_late")
+        .outputMode("append").start()
+      try {
+        def rows() = spark.table("ttl_late").collect()
+          .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id")))
+          .sorted.toSeq
+        // DETERMINISTIC FIRST-SEEN: one batch carries key 1 with two distinct
+        // event times, the later one listed first — the emitted row must be
+        // the MIN-event-time one (user_id 10 at 00:01), regardless of the
+        // batch iterator's order, and expiry anchors at 00:01 + 1min
+        mem.addData(StreamEvt(1, 20, "click", ts(2)), StreamEvt(1, 10, "click", ts(1)))
+        q.processAllAvailable()
+        assert(rows() == Seq((1L, 10L)),
+          s"the min-event-time row must emit; got ${rows()}")
+        // advance the watermark past key 1's expiry (00:02) -> timer fires,
+        // state clears (two batches: batch N uses data-through-N-1's watermark)
+        mem.addData(StreamEvt(9, 9, "view", ts(10)))
+        q.processAllAvailable()
+        mem.addData(StreamEvt(9, 9, "view", ts(11)))
+        q.processAllAvailable()
+        // LATE-DATA CONTRACT: key 1 returns with an event time OLDER than the
+        // current watermark (~00:10). The watermark filter drops it BEFORE
+        // the processor — no re-emit, no state. This is the right default: a
+        // below-watermark replay is by definition a duplicate the upstream
+        // already delivered, and admitting it would re-arm a timer the
+        // watermark has already passed (an expiry that could never fire).
+        mem.addData(StreamEvt(1, 30, "click", ts(3)))
+        q.processAllAvailable()
+        assert(rows() == Seq((1L, 10L), (9L, 9L)),
+          s"a below-watermark arrival after expiry must be dropped; got ${rows()}")
+        // an IN-HORIZON arrival after expiry re-emits (the at-least-once
+        // downstream contract: expired keys may deliver again)
+        mem.addData(StreamEvt(1, 40, "click", ts(12)))
+        q.processAllAvailable()
+        assert(rows() == Seq((1L, 10L), (1L, 40L), (9L, 9L)),
+          s"an in-horizon arrival after expiry must re-emit; got ${rows()}")
+      } finally q.stop()
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("stream-stream interval join: purchases attribute to clicks within the window") {
     val clicks = MemoryStream[StreamEvt]
     val buys = MemoryStream[StreamEvt]
