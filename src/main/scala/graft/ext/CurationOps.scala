@@ -127,8 +127,12 @@ object CurationOps {
     val bloom = corpus.sparkSession.sparkContext.broadcast(bos.toByteArray)
     val cand = corpus
       .withColumn("__tk", toks(col(textCol)))
-      .withColumn("__ghs",
-        transform(array_distinct(ngramsExact(col("__tk"), n)), g => h60(g)))
+      // materialized: predicate pushdown would otherwise inline the whole
+      // tokenize+gram chain into the probe filter, where the token array
+      // inside the n-gram lambda re-evaluates PER GRAM (measured 17× at
+      // sf1.0) — the probe must reference the computed attribute
+      .withColumn("__ghs", graft.functions.Materialize.materialized(
+        transform(array_distinct(ngramsExact(col("__tk"), n)), g => h60(g))))
       .filter(graft.functions.BloomExprs.containsAnyBroadcast(bloom, col("__ghs")))
       .select(col(idCol), explode_outer(col("__ghs")).as("__h"))
       .filter(col("__h").isNotNull) // outer: no inferred-filter re-eval

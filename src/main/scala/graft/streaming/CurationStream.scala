@@ -113,8 +113,11 @@ object CurationStream {
       .withColumn("__tk", toks(col("text")))
       .withColumn("n_tok", size(col("__tk")).cast("long"))
       .filter(col("n_tok") >= minTokens)
-      .withColumn("__ghs",
-        transform(array_distinct(ngramsExact(col("__tk"), n)), g => h60(g)))
+      // materialized: same 17×-at-sf1.0 hazard as decontaminateBloom — the
+      // decontamination filter must probe the computed gram attribute, not a
+      // pushdown-inlined copy whose token array re-evaluates per gram
+      .withColumn("__ghs", graft.functions.Materialize.materialized(
+        transform(array_distinct(ngramsExact(col("__tk"), n)), g => h60(g))))
       .filter(clean)
       .withColumn("__digest", md5(col("text")))
       .dropDuplicatesWithinWatermark("__digest")

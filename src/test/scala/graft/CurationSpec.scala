@@ -110,6 +110,26 @@ class CurationSpec extends SparkSpec {
       bench.filter(lit(false)), "doc_id", "text", n = 8).count() == corpus.count())
   }
 
+  test("decontaminateBloom probes a MATERIALIZED gram attribute (no per-gram retokenization)") {
+    // predicate pushdown used to substitute the tokenize+gram chain into the
+    // probe filter, where the token array inside the n-gram lambda
+    // re-evaluates per gram position — 41.6s vs 2.4s for the exact c01 at
+    // sf1.0. The Materialize barrier pins the gram array to its Project; the
+    // probe must reference that attribute, never an expression tree.
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val c = docs.filter($"doc_id" % 20 =!= 0)
+    val b = docs.filter($"doc_id" % 20 === 0)
+    val res = CurationOps.decontaminateBloom(c, b, "doc_id", "text", n = 8)
+    val probes = res.queryExecution.optimizedPlan.collect {
+      case f: LFilter => f.condition.collect {
+        case p: graft.functions.BloomBroadcastContainsAny => p }
+    }.flatten
+    assert(probes.nonEmpty, "expected a Bloom probe filter in the optimized plan")
+    assert(probes.forall(_.values.isInstanceOf[AttributeReference]),
+      s"probe must take a materialized attribute, got: ${probes.map(_.values)}")
+  }
+
   test("bloom broadcast probe keeps the sketch out of the plan") {
     import org.apache.spark.util.sketch.BloomFilter
     def bloomBytes(n: Long): Array[Byte] = {
