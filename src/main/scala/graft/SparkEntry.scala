@@ -20,7 +20,7 @@ object SparkEntry {
     analytics.Queries.queries ++
       ext.Dedup.queries ++ ext.Similarity.queries ++
       ext.TextAnalysis.queries ++ ext.Multimodal.queries ++
-      ext.Curation.queries
+      ext.Curation.queries ++ ext.Retrieval.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +28,5 @@ object SparkEntry {
     analytics.Queries.oracles ++
       ext.Dedup.oracles ++ ext.Similarity.oracles ++
       ext.TextAnalysis.oracles ++ ext.Multimodal.oracles ++
-      ext.Curation.oracles
+      ext.Curation.oracles ++ ext.Retrieval.oracles
 }

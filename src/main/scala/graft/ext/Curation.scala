@@ -214,9 +214,25 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- c07
+  /** Temperature sampling at alpha = 0.5, half the token budget — the oracle
+    * row for [[CurationOps.sampleTemperature]]: low-resource languages are
+    * upweighted relative to their natural share (the multilingual-pretraining
+    * standard), high-resource ones downsampled to fit the budget; membership
+    * is the deterministic salted-hash threshold, so DuckDB replays the exact
+    * same kept set. */
+  val c07TemperatureSample: Q = (s, dir) => {
+    import s.implicits._
+    CurationOps.sampleTemperature(docs(s, dir), "lang", "doc_id", "text",
+      alpha = 0.5, budgetFrac = 0.5)
+      .select($"doc_id", $"lang")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "c01_decontaminate" -> c01Decontaminate,
     "c06_decontaminate_bloom" -> c06DecontaminateBloom,
+    "c07_temperature_sample" -> c07TemperatureSample,
     "c02_pack_sequences" -> c02PackSequences,
     "c03_stratified_sample" -> c03StratifiedSample,
     "c04_mixture_weights" -> c04MixtureWeights,
@@ -258,6 +274,23 @@ object Curation {
           |  WHERE g.doc_id % 20 != 0)
           |SELECT d.doc_id, d.lang, d.source FROM documents d
           |WHERE d.doc_id % 20 != 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+          |ORDER BY d.doc_id""".stripMargin),
+    "c07_temperature_sample" ->
+      (toksCte +
+        """, p AS (
+          |  SELECT lang, CAST(sum(len(toks)) AS DOUBLE) AS tokens
+          |  FROM l GROUP BY lang),
+          | tt AS (SELECT sum(tokens) AS tot FROM p),
+          | zz AS (SELECT sum(pow(tokens / tot, 0.5)) AS z FROM p, tt),
+          | thr AS (
+          |  SELECT lang,
+          |   CAST(floor(least(1.0,
+          |     pow(tokens / tot, 0.5) / z * 0.5 * tot / tokens) * 1e6 + 1e-7)
+          |    AS BIGINT) AS thr
+          |  FROM p, tt, zz)
+          |SELECT d.doc_id, d.lang
+          |FROM documents d JOIN thr ON d.lang = thr.lang
+          |WHERE CAST(CAST(('0x' || substr(md5('temp' || CAST(d.doc_id AS VARCHAR)),1,15)) AS UBIGINT) AS BIGINT) % 1000000 < thr.thr
           |ORDER BY d.doc_id""".stripMargin),
     "c02_pack_sequences" ->
       (toksCte +

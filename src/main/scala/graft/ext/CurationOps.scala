@@ -183,6 +183,50 @@ object CurationOps {
       .drop("__thr")
   }
 
+  /** Temperature-based mixture sampling — the standard multilingual
+    * rebalancing (sampling probability ∝ token-share^alpha, renormalized):
+    * alpha = 1 reproduces the natural mixture, alpha → 0 approaches uniform,
+    * the published mBERT/XLM-R setting is alpha ≈ 0.3–0.7. `budgetFrac`
+    * scales the total token budget (1.0 = as many tokens as the corpus has;
+    * strata whose target exceeds their size are kept in full — no
+    * upsampling, matching the hash-threshold mechanism).
+    *
+    * Scale shape (same contract as [[sampleStratified]]): two |strata|-row
+    * aggregations (token totals, then the alpha-power normalizer) and a
+    * broadcast threshold table; the corpus itself never shuffles and each
+    * row's keep decision is the stateless salted-hash threshold — the same
+    * row is kept on every run, engine, and data subset. */
+  def sampleTemperature(df: DataFrame, strataCol: String, idCol: String,
+      textCol: String, alpha: Double, budgetFrac: Double = 1.0,
+      salt: String = "temp"): DataFrame = {
+    require(alpha > 0.0, s"alpha must be > 0, got $alpha")
+    require(budgetFrac > 0.0 && budgetFrac <= 1.0,
+      s"budgetFrac must be in (0, 1], got $budgetFrac")
+    val perStratum = df
+      .withColumn("__ntok", size(toks(col(textCol))).cast("double"))
+      .groupBy(col(strataCol)).agg(sum(col("__ntok")).as("__tokens"))
+    val tot = perStratum.agg(sum(col("__tokens")).as("__tot"))
+    val withTot = perStratum.crossJoin(broadcast(tot))
+    val z = withTot
+      .agg(sum(pow(col("__tokens") / col("__tot"), alpha)).as("__z"))
+    // rate_l = min(1, q_l * budget / tokens_l) with q_l = p_l^alpha / Z and
+    // budget = budgetFrac * total tokens; arithmetic kept left-to-right so
+    // the DuckDB oracle reproduces it operation-for-operation
+    val thr = withTot.crossJoin(broadcast(z))
+      .withColumn("__rate", least(lit(1.0),
+        pow(col("__tokens") / col("__tot"), alpha) / col("__z")
+          * budgetFrac * col("__tot") / col("__tokens")))
+      // +1e-7 pushes both engines' floor off exact-integer boundaries (the
+      // rate is a ratio of irrational alpha-powers — accumulated last-ulp
+      // differences are ~1e-10, three orders below the epsilon)
+      .withColumn("__thr", floor(col("__rate") * 1e6 + 1e-7).cast("long"))
+      .select(col(strataCol), col("__thr"))
+    val hv = h60(concat(lit(salt), col(idCol).cast("string"))) % 1000000
+    df.join(broadcast(thr), Seq(strataCol))
+      .filter(hv < col("__thr"))
+      .drop("__thr")
+  }
+
   /** Balanced variant: every stratum downsampled to (approximately) the
     * smallest stratum's size, thresholds computed from the data in one
     * |strata|-row aggregation (the c03 query's generic form). */

@@ -1,0 +1,129 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import TextOps._
+
+/** Corpus-scale text retrieval: BM25 ranking of documents against a (small)
+  * query set — the lexical-retrieval twin of [[Similarity]]'s dense kNN, and
+  * the operator a training-data pipeline uses for targeted corpus slicing
+  * (pull the documents "about" a topic) and RAG-style indexing experiments.
+  * LLM-pipeline extension (SURVEY.md §2.8 scope).
+  *
+  * Scale design: the posting build is one doc+term-keyed aggregation over
+  * the tokenized corpus (d04's inverted-index shape); the query term set and
+  * the per-term document frequencies OF THOSE TERMS are broadcast (both tiny
+  * — |query vocab| rows), so the corpus never shuffles for the join: only
+  * documents containing at least one query term leave the scan, and only
+  * (query, doc) scored pairs — bounded by the postings of the query terms —
+  * reach the ranking exchange. At a deployment that runs many query batches,
+  * the postings aggregation is the part you materialize once as a table;
+  * this operator computes it inline from the raw corpus.
+  *
+  * Scoring is the standard Robertson/Lucene BM25:
+  * `idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))`,
+  * `score(q,d) = Σ_t idf·tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))` —
+  * arithmetic kept in a fixed operation order so the DuckDB oracle
+  * reproduces it; ranking orders on round(score, 6) with doc-id tie-break
+  * (the s01 determinism pattern).
+  */
+object Retrieval {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** BM25 top-`k` documents per query. `queries` has columns (qid, qtext);
+    * both sides tokenize with [[TextOps.toks]]. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1)
+    val d = docs
+      .select(col(idCol).as("__did"), toks(col(textCol)).as("__tk"))
+      .withColumn("__dl", size(col("__tk")).cast("double"))
+    // corpus stats: one row (count + mean doc length), broadcast
+    val stats = d.agg(count(lit(1)).cast("double").as("__n"), avg(col("__dl")).as("__avgdl"))
+    // postings: (doc, term) -> tf, via the d04-style explode + keyed agg
+    val postings = d
+      .select(col("__did"), col("__dl"), explode_outer(col("__tk")).as("__t"))
+      .filter(col("__t").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
+      .groupBy(col("__did"), col("__dl"), col("__t"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    val qterms = queries
+      .select(col("qid"), explode_outer(array_distinct(toks(col("qtext")))).as("__t"))
+      .filter(col("__t").isNotNull)
+    // document frequencies restricted to the query vocabulary: semi-join the
+    // (tiny, broadcast) term set BEFORE the df aggregation, so the corpus-wide
+    // term dictionary is never materialized
+    val dfreq = postings
+      .join(broadcast(qterms.select(col("__t")).distinct()), Seq("__t"), "left_semi")
+      .groupBy(col("__t")).agg(count(lit(1)).cast("double").as("__df"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("__s6").desc, col("__did"))
+    postings
+      .join(broadcast(qterms), Seq("__t"))
+      .join(broadcast(dfreq), Seq("__t"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__part",
+        log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5))
+          * (col("__tf") * (k1 + 1.0))
+          / (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+      .groupBy(col("qid"), col("__did"))
+      .agg(sum(col("__part")).as("__score"))
+      .withColumn("__s6", round(col("__score"), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("__did").as("doc_id"),
+        round(col("__score"), 4).as("score"))
+  }
+
+  /** The s04 query set — three fixed multi-term topics over the testdata's
+    * fixed vocabulary (non-vacuous at every SF). */
+  private val s04Queries = Seq(
+    ("q1", "hash join column"),
+    ("q2", "stream window agg"),
+    ("q3", "vector scan data"))
+
+  // ---------------------------------------------------------------- s04
+  /** Oracle-checked BM25 top-10 per query over `documents`. */
+  val s04Bm25: Q = (s, dir) => {
+    import s.implicits._
+    val q = s04Queries.toDF("qid", "qtext")
+    bm25TopK(Tables.loadSpread(s, dir, "documents"), q, "doc_id", "text", k = 10)
+      .orderBy($"qid", $"rank")
+  }
+
+  val queries: Map[String, Q] = Map("s04_bm25" -> s04Bm25)
+
+  private val qtermValues = s04Queries
+    .flatMap { case (qid, text) => text.split(" ").distinct.map(t => s"('$qid', '$t')") }
+    .mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "s04_bm25" ->
+      s"""WITH l AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS toks
+         |  FROM documents),
+         | d AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM l),
+         | st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM d),
+         | p AS (SELECT doc_id, dl, unnest(toks) AS t FROM d),
+         | tfq AS (
+         |  SELECT doc_id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+         |  FROM p GROUP BY doc_id, dl, t),
+         | q AS (SELECT * FROM (VALUES $qtermValues) AS v(qid, t)),
+         | dfq AS (
+         |  SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tfq
+         |  WHERE t IN (SELECT t FROM q) GROUP BY t),
+         | sc AS (
+         |  SELECT q.qid, tfq.doc_id, sum(
+         |    ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+         |    * (tfq.tf * (1.2 + 1.0))
+         |    / (tfq.tf + 1.2 * (1.0 - 0.75 + 0.75 * tfq.dl / st.avgdl))) AS score
+         |  FROM tfq JOIN q ON tfq.t = q.t JOIN dfq ON tfq.t = dfq.t, st
+         |  GROUP BY q.qid, tfq.doc_id)
+         |SELECT qid, rk AS "rank", doc_id, round(score, 4) AS score FROM (
+         | SELECT qid, doc_id, score,
+         |  CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY round(score, 6) DESC, doc_id) AS BIGINT) AS rk
+         | FROM sc) t
+         |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin)
+}

@@ -163,6 +163,32 @@ class CurationSpec extends SparkSpec {
     assert(got == Seq(1L))
   }
 
+  test("sampleTemperature: alpha=1 at full budget is the identity; lower alpha flattens") {
+    // alpha=1, budgetFrac=1: rate_l = (p_l/Z) * tot / tokens_l = 1 for every
+    // stratum (Z = Σ p_l = 1) — nothing is dropped
+    val all = CurationOps.sampleTemperature(docs, "lang", "doc_id", "text",
+      alpha = 1.0, budgetFrac = 1.0)
+    assert(all.count() == docs.count())
+    // determinism: the same rows are kept on every run
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id").as[Long].collect().sorted.toSeq
+    val s1 = CurationOps.sampleTemperature(docs, "lang", "doc_id", "text", 0.5, 0.5)
+    val s2 = CurationOps.sampleTemperature(docs, "lang", "doc_id", "text", 0.5, 0.5)
+    assert(ids(s1) == ids(s2))
+    // temperature flattening: at alpha=0.5 the SMALLEST language's keep-rate
+    // must exceed the largest language's (low-resource upweighting)
+    val natural = docs.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = s1.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val smallest = natural.minBy(_._2)._1
+    val largest = natural.maxBy(_._2)._1
+    val rSmall = kept.getOrElse(smallest, 0L).toDouble / natural(smallest)
+    val rLarge = kept.getOrElse(largest, 0L).toDouble / natural(largest)
+    assert(rSmall > rLarge,
+      s"alpha<1 must upweight the low-resource stratum: $smallest=$rSmall vs $largest=$rLarge")
+  }
+
   test("packSequences computes concat-then-chunk bins and offsets") {
     val df = Seq(
       ("s", 1L, "t t t t"), ("s", 2L, "t t t t t"),

@@ -1,0 +1,59 @@
+package graft
+
+import graft.ext.Retrieval
+import org.apache.spark.sql.functions._
+
+/** BM25 retrieval: hand-computed scores on a tiny corpus, determinism, and
+  * the broadcast-query plan shape (the corpus must never shuffle for the
+  * query join). */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bm25TopK matches a hand-computed score on a tiny corpus") {
+    // corpus: 3 docs; query "cat dog"
+    //   d1 = "cat cat fish"  (dl=3, tf_cat=2)
+    //   d2 = "cat dog"       (dl=2, tf_cat=1, tf_dog=1)
+    //   d3 = "fish fish"     (dl=2)
+    // N=3, avgdl=7/3; df_cat=2, df_dog=1
+    val docs = Seq((1L, "cat cat fish"), (2L, "cat dog"), (3L, "fish fish"))
+      .toDF("doc_id", "text")
+    val q = Seq(("q1", "cat dog")).toDF("qid", "qtext")
+    val got = Retrieval.bm25TopK(docs, q, "doc_id", "text", k = 3)
+      .select($"doc_id", $"score").as[(Long, Double)].collect().toMap
+    val (k1, b, n, avgdl) = (1.2, 0.75, 3.0, 7.0 / 3.0)
+    def idf(df: Double) = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def part(tf: Double, dl: Double, df: Double) =
+      idf(df) * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+    val d1 = part(2, 3, 2)
+    val d2 = part(1, 2, 2) + part(1, 2, 1)
+    assert(got.keySet == Set(1L, 2L), s"d3 shares no term with the query: $got")
+    assert(math.abs(got(1L) - math.round(d1 * 1e4) / 1e4) < 1e-9, s"d1: $got vs $d1")
+    assert(math.abs(got(2L) - math.round(d2 * 1e4) / 1e4) < 1e-9, s"d2: $got vs $d2")
+    // d2 matches both terms (one rare) and must outrank d1
+    assert(got(2L) > got(1L))
+  }
+
+  test("bm25TopK ranks deterministically and caps at k") {
+    val out = Retrieval.s04Bm25(spark, dir).collect()
+    assert(out.nonEmpty)
+    val perQ = out.groupBy(_.getAs[String]("qid"))
+    assert(perQ.values.forall(_.length <= 10))
+    perQ.values.foreach { rows =>
+      val ranks = rows.map(_.getAs[Long]("rank")).sorted.toSeq
+      assert(ranks == (1L to rows.length).toSeq, s"dense ranks expected: $ranks")
+    }
+    // repeatable bit-for-bit
+    val again = Retrieval.s04Bm25(spark, dir).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("bm25 plan: query side broadcasts, no all-pairs join") {
+    val df = Retrieval.s04Bm25(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"query/dfreq joins must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"bm25 must not fall back to an all-pairs product:\n$p")
+  }
+}
