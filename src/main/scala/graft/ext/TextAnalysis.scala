@@ -187,13 +187,49 @@ object TextAnalysis {
       .orderBy($"df".desc, $"tok")
   }
 
+  // ---------------------------------------------------------------- t07
+  /** Unigram cross-entropy per document — the CCNet-style LM-perplexity
+    * quality proxy with the corpus's own unigram distribution standing in
+    * for the language model: surprise(d) = mean over d's token INSTANCES of
+    * −ln(count(t)/total_tokens). Documents built from rare/garbled tokens
+    * score high; formulaic boilerplate scores low — both tails are the ones
+    * a curation pipeline clips.
+    *
+    * Scale shape: one token-keyed aggregation builds the frequency table,
+    * one 1-row total broadcast, and one token-keyed join back to the token
+    * instances (vocab-sized build side — keyed hash join; AQE broadcasts it
+    * when the vocabulary fits) followed by a doc-keyed mean. No driver-side
+    * state, no all-pairs anything. */
+  /** Generic form of t07 over any (id, text) frame. */
+  def unigramSurprise(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val inst = df
+      .withColumn("__tk", toks(col(textCol)))
+      .select(col(idCol), explode_outer(col("__tk")).as("__tok"))
+      .filter(col("__tok").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
+    val freq = inst.groupBy(col("__tok")).agg(count(lit(1)).cast("double").as("__cnt"))
+    val tot = freq.agg(sum(col("__cnt")).as("__tot"))
+    inst
+      .join(freq, Seq("__tok"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"),
+        round(avg(-log(col("__cnt") / col("__tot"))) + 1e-9, 4).as("surprise"))
+  }
+
+  val t07UnigramSurprise: Q = (s, dir) => {
+    import s.implicits._
+    unigramSurprise(docs(s, dir), "doc_id", "text").orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_lang_id" -> t01LangId,
     "t02_quality" -> t02Quality,
     "t03_token_stats" -> t03TokenStats,
     "t04_fingerprint" -> t04Fingerprint,
     "t05_repetition" -> t05Repetition,
-    "t06_common_tokens" -> t06CommonTokens)
+    "t06_common_tokens" -> t06CommonTokens,
+    "t07_unigram_surprise" -> t07UnigramSurprise)
 
   private val toksCte =
     """WITH l AS (
@@ -289,5 +325,14 @@ object TextAnalysis {
           |SELECT tok, CAST(df AS BIGINT) AS df,
           | round(CAST(df AS DOUBLE) / n_docs + 1e-9, 4) AS df_frac
           |FROM d, n WHERE CAST(df AS DOUBLE) / n_docs >= 0.02
-          |ORDER BY df DESC, tok""".stripMargin))
+          |ORDER BY df DESC, tok""".stripMargin),
+    "t07_unigram_surprise" ->
+      (toksCte +
+        """, u AS (SELECT doc_id, unnest(toks) AS tok FROM l),
+          | f AS (SELECT tok, CAST(count(*) AS DOUBLE) AS cnt FROM u GROUP BY tok),
+          | tt AS (SELECT sum(cnt) AS tot FROM f)
+          |SELECT u.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+          | round(avg(-ln(f.cnt / tt.tot)) + 1e-9, 4) AS surprise
+          |FROM u JOIN f ON u.tok = f.tok, tt
+          |GROUP BY u.doc_id ORDER BY u.doc_id""".stripMargin))
 }
