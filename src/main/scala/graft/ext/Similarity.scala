@@ -131,6 +131,21 @@ object Similarity {
   private def dotLit(u: Column, cen: Seq[Double]): Column =
     graft.functions.VectorExprs.dot(u, array(cen.map(lit): _*))
 
+  /** Deterministic md5-hash sample of ≈ `maxRows` rows of a (id, __u) frame
+    * for quantizer training (no-op when the frame is already smaller). Same
+    * stateless-threshold mechanism as the corpus samplers — reproducible on
+    * every run and data subset, unlike `df.sample`'s seed-and-partition-
+    * dependent Bernoulli. One cheap count() sizes the rate. */
+  private def trainSample(c: DataFrame, maxRows: Long): DataFrame = {
+    if (maxRows == Long.MaxValue) return c
+    val n = c.count()
+    if (n <= maxRows) c
+    else {
+      val thr = math.max(1L, (maxRows.toDouble / n * 1e6).toLong)
+      c.filter(h60(concat(lit("ivftrain"), col("id").cast("string"))) % 1000000L < thr)
+    }
+  }
+
   /** Nearest-centroid id for a unit-vector column; the centroid matrix is
     * folded into the plan as literals — no shuffle, no UDF. */
   private[ext] def assignExpr(u: Column, centroids: IndexedSeq[Seq[Double]]): Column = {
@@ -188,11 +203,21 @@ object Similarity {
     centroids
   }
 
+  /** @param trainSampleRows cap on the rows the Lloyd iterations touch: a
+    *   deterministic md5-hash sample of the corpus trains the quantizer (the
+    *   universal IVF practice at scale — training needs only a sketch of the
+    *   density, and iterating a 100 TB corpus twice to place 16–65k
+    *   centroids is pure waste). Assignment and search always use the FULL
+    *   corpus, so recall semantics are unchanged — only centroid positions
+    *   (an approximation either way) derive from the sample. Pass
+    *   `Long.MaxValue` to train on everything (the spec's determinism
+    *   baseline). Hash-based, so the same rows train on every run/engine. */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-      k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+      k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
+      trainSampleRows: Long = 262144L): DataFrame = {
     def unit(df: DataFrame, id: String): DataFrame = unitVecs(df, idCol, vecCol, id)
     val c = unit(corpus, "id")
-    val centroids = trainCentroids(c, nlist, iters)
+    val centroids = trainCentroids(trainSample(c, trainSampleRows), nlist, iters)
     val lists = c.withColumn("__cid", assignExpr(col("__u"), centroids))
     val q = unit(queries, "query_id")
     // top-nprobe centroid ids per query: sort (dot, cid) structs descending
@@ -236,14 +261,17 @@ object Similarity {
     * doubles folded into the plan as literals, like the IVF centroids. */
   def pqKnn(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, m: Int = 8, ksub: Int = 16, iters: Int = 2,
-      refine: Int = 4): DataFrame = {
+      refine: Int = 4, trainSampleRows: Long = 262144L): DataFrame = {
     val c = unitVecs(corpus, idCol, vecCol, "id")
     val dim = c.select(size(col("__u"))).head.getInt(0)
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
     val dsub = dim / m
     def sub(u: Column, s: Int): Column = slice(u, s * dsub + 1, dsub)
+    // codebooks train on the deterministic sample (see ivfKnn); encoding and
+    // the exact rerank always run over the full corpus
+    val ct = trainSample(c, trainSampleRows)
     val codebooks: IndexedSeq[IndexedSeq[Seq[Double]]] = (0 until m).map { s =>
-      trainCentroids(c.select(col("id"), sub(col("__u"), s).as("__u")),
+      trainCentroids(ct.select(col("id"), sub(col("__u"), s).as("__u")),
         ksub, iters, l2 = true)
     }
     // compressed corpus: id + m codes (this is what a 100 TB deployment

@@ -377,6 +377,15 @@ class DedupOpsSpec extends SparkSpec {
     }
     assert(recall.sum / recall.size > 0.5,
       s"mean recall@5 too low: ${recall.sum / recall.size}")
+    // sampled quantizer training (the 100 TB practice: Lloyd never iterates
+    // the full corpus) must not change full-probe correctness — centroid
+    // positions shift, the probed candidate set is still everything
+    val sampled = Similarity.ivfKnn(embs, queries, "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 8, iters = 1, trainSampleRows = 64L)
+      .select($"query_id", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(sampled == brute,
+      "full-probe result must be training-sample-independent")
   }
 
   test("pqKnn: exact when the refine window covers the corpus; useful recall at defaults") {

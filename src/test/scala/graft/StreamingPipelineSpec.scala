@@ -532,6 +532,35 @@ class StreamingPipelineSpec extends SparkSpec {
     }
   }
 
+  test("hash-threshold samplers are stateless: a stream keeps exactly the batch rows") {
+    import graft.ext.CurationOps
+    // the sampler's contract — the same row is kept on every run, engine,
+    // and data subset — means it composes with readStream unchanged: no
+    // state, no watermark, just a broadcast threshold table + hash filter
+    val docsB = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"lang", $"text")
+    val rates = Map("en" -> 0.4, "de" -> 1.0, "fr" -> 0.1)
+    val batchKept = CurationOps.sampleStratified(docsB, "lang", "doc_id", rates)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val mem = MemoryStream[(Long, String, String)]
+    val streamed = CurationOps.sampleStratified(
+      mem.toDF().toDF("doc_id", "lang", "text"), "lang", "doc_id", rates)
+    val q = streamed.writeStream.format("memory").queryName("samp_stream")
+      .outputMode("append").start()
+    try {
+      val rows = docsB.as[(Long, String, String)].collect()
+      // two batches: statelessness means the split cannot matter
+      mem.addData(rows.take(rows.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(rows.drop(rows.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+      val streamKept = spark.table("samp_stream")
+        .select($"doc_id").as[Long].collect().sorted.toSeq
+      assert(streamKept == batchKept,
+        s"stream kept ${streamKept.size} rows, batch kept ${batchKept.size}")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: purchases attribute to clicks within the window") {
     val clicks = MemoryStream[StreamEvt]
     val buys = MemoryStream[StreamEvt]
