@@ -42,8 +42,12 @@ object DedupOps {
     * call). Docs that produce no shingle rows (null/empty text) never enter
     * the shingle relation, so the anti-join retains them — they are not
     * duplicates of anything. */
-  def dropNearDuplicatesMinhash(df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 4, rowsPerBand: Int = 4, shingleLen: Int = 3): DataFrame = {
+  /** Per-doc MinHash band postings (__id, band, bsig) in the d02 signature
+    * layout — the candidate unit both [[dropNearDuplicatesMinhash]] and the
+    * incremental streaming dedup
+    * ([[graft.streaming.CurationStream.nearDedupBatch]]) key on. */
+  private[graft] def bandPostings(df: DataFrame, idCol: String, textCol: String,
+      bands: Int, rowsPerBand: Int, shingleLen: Int): DataFrame = {
     val n = bands * rowsPerBand
     val sh = df
       .withColumn("__tk", toks(col(textCol)))
@@ -58,10 +62,14 @@ object DedupOps {
         concat_ws(",", (0 until rowsPerBand).map(i =>
           col(s"__mh${rowsPerBand * b + i}").cast("string")): _*).as("bsig"))
     }
-    val w = Window.partitionBy(col("band"), col("bsig"))
-    val dropIds = sig
-      .select(col("__id"), explode(array(bandCols: _*)).as("__bb"))
+    sig.select(col("__id"), explode(array(bandCols: _*)).as("__bb"))
       .select(col("__id"), col("__bb.band").as("band"), col("__bb.bsig").as("bsig"))
+  }
+
+  def dropNearDuplicatesMinhash(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, rowsPerBand: Int = 4, shingleLen: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("band"), col("bsig"))
+    val dropIds = bandPostings(df, idCol, textCol, bands, rowsPerBand, shingleLen)
       .withColumn("__mn", min(col("__id")).over(w))
       .groupBy(col("__id")).agg(min(col("__mn")).as("__gmin"))
       .filter(col("__gmin") =!= col("__id"))

@@ -131,6 +131,75 @@ object CurationStream {
       n: Int): DataFrame =
     curate(docs, ExactGrams(benchHashes), minTokens, n)
 
+  // ------------------------------------------------- incremental near-dup
+  /** Incremental MinHash near-dup dedup for a STREAM, as a `foreachBatch`
+    * body: each micro-batch (1) greedily dedups within itself
+    * ([[graft.ext.DedupOps.dropNearDuplicatesMinhash]]'s smallest-id-wins
+    * contract), (2) drops any remaining doc whose band signature collides
+    * with a KEPT doc of an EARLIER batch (first-seen wins — arrival order is
+    * the greedy order across batches), and (3) appends the survivors'
+    * postings to a parquet signature index under `batch=<id>`, with
+    * overwrite — a replayed micro-batch rewrites exactly its own partition,
+    * the standard foreachBatch idempotency contract.
+    *
+    * This is deliberately the stream-to-batch production shape, not a
+    * chained stateful operator: Spark restricts stateful-after-stateful
+    * chains, while a columnar signature index is unbounded-corpus-scale
+    * state that restarts resume from, other jobs can read, and a compaction
+    * job can rewrite. Per micro-batch cost: one signature aggregation over
+    * the batch and one (band, bsig)-keyed join against the index — the
+    * index side is pruned to distinct signatures and AQE broadcasts it
+    * while it fits; past that it is a plain keyed shuffle join.
+    *
+    * Returns the surviving rows of `batch` (all columns). Wire it as:
+    * {{{
+    * docs.writeStream.foreachBatch { (b, id) =>
+    *   val kept = CurationStream.nearDedupBatch(indexDir, "doc_id", "text")(b, id)
+    *   sink(kept)    // deliver survivors wherever the pipeline sends them
+    * }.start()
+    * }}} */
+  def nearDedupBatch(indexDir: String, idCol: String, textCol: String,
+      bands: Int = 4, rowsPerBand: Int = 4, shingleLen: Int = 3)
+      (batch: DataFrame, batchId: Long): DataFrame = {
+    import graft.ext.DedupOps
+    val inBatch = DedupOps.dropNearDuplicatesMinhash(
+      batch, idCol, textCol, bands, rowsPerBand, shingleLen)
+    val posts = DedupOps.bandPostings(
+      inBatch, idCol, textCol, bands, rowsPerBand, shingleLen)
+    val survivors = earlierIndex(batch, indexDir, batchId) match {
+      case Some(idx) =>
+        val dropIds = posts
+          .join(idx.select(col("band"), col("bsig")).distinct(), Seq("band", "bsig"))
+          .select(col("__id")).distinct()
+        inBatch.join(dropIds.withColumnRenamed("__id", idCol), Seq(idCol), "left_anti")
+      case None => inBatch
+    }
+    val survivorPosts = posts.join(
+      survivors.select(col(idCol).as("__id")), Seq("__id"), "left_semi")
+    // skip the write when nothing survived: an empty parquet dir has no
+    // schema to read back, and an absent partition is equivalent
+    if (!survivorPosts.isEmpty)
+      survivorPosts.write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+    survivors
+  }
+
+  /** The signature-index partitions of batches BEFORE `batchId` (a replayed
+    * batch must not see its own previous postings). */
+  private def earlierIndex(batch: DataFrame, indexDir: String,
+      batchId: Long): Option[DataFrame] = {
+    val spark = batch.sparkSession
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return None
+    val dirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith("batch=") &&
+          p.getName.stripPrefix("batch=").toLongOption.exists(_ < batchId)
+      }
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs.map(_.toString).toIndexedSeq: _*))
+  }
+
   /** Driver-side benchmark hash set from a static benchmark table — the
     * exact form only; callers that cannot bound the eval suite should use
     * [[benchmarkGrams]], which switches to the Bloom form past

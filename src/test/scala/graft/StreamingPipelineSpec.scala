@@ -532,6 +532,46 @@ class StreamingPipelineSpec extends SparkSpec {
     }
   }
 
+  test("incremental near-dup dedup: the signature index drops later arrivals across batches") {
+    import graft.streaming.CurationStream
+    val dir = Files.createTempDirectory("neardup_idx").toString
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tB = "one two three four five six seven eight nine ten"
+    val keptPerBatch = new java.util.concurrent.ConcurrentHashMap[Long, Seq[Long]]()
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        val kept = CurationStream.nearDedupBatch(dir, "doc_id", "text")(b, id)
+        keptPerBatch.put(id,
+          kept.select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq)
+        ()
+      }
+      .start()
+    try {
+      // batch 0: in-batch duplicate of tA collapses greedily (smallest id)
+      mem.addData((1L, tA), (2L, tA))
+      q.processAllAvailable()
+      // batch 1: tA returns -> dropped by the index; tB is new -> kept
+      mem.addData((3L, tA), (4L, tB))
+      q.processAllAvailable()
+      // batch 2: tB returns -> dropped by batch 1's index partition
+      mem.addData((5L, tB))
+      q.processAllAvailable()
+      assert(keptPerBatch.get(0L) == Seq(1L), s"batch 0: ${keptPerBatch.get(0L)}")
+      assert(keptPerBatch.get(1L) == Seq(4L), s"batch 1: ${keptPerBatch.get(1L)}")
+      assert(keptPerBatch.get(2L) == Seq(), s"batch 2: ${keptPerBatch.get(2L)}")
+    } finally q.stop()
+    // micro-batch REPLAY idempotency: re-running batch 1 against the index
+    // (its own partition now exists and must be invisible to itself) yields
+    // the same survivors and rewrites, not duplicates, its postings
+    val replay = Seq((3L, tA), (4L, tB)).toDF("doc_id", "text")
+    val again = CurationStream.nearDedupBatch(dir, "doc_id", "text")(replay, 1L)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(again == Seq(4L), s"replayed batch 1 must keep the same rows: $again")
+    val idxRows = spark.read.parquet(s"$dir/batch=1").count()
+    assert(idxRows == 4L, s"batch 1's index partition must hold ONE doc's 4 band rows: $idxRows")
+  }
+
   test("hash-threshold samplers are stateless: a stream keeps exactly the batch rows") {
     import graft.ext.CurationOps
     // the sampler's contract — the same row is kept on every run, engine,
