@@ -183,6 +183,42 @@ object CurationStream {
     survivors
   }
 
+  /** Compact the [[nearDedupBatch]] signature index: merge every partition
+    * STRICTLY below `uptoBatchId` into one partition named after the highest
+    * merged id, deleting the originals — small-file hygiene for a
+    * long-running stream (one partition per micro-batch adds up). The
+    * earlier-than-current invariant survives: every merged id < any future
+    * batch id, so future batches still see all compacted postings.
+    *
+    * PRECONDITION: `uptoBatchId` must not exceed the streaming checkpoint's
+    * committed horizon. A committed micro-batch is never replayed, so
+    * folding its postings forward is safe; compacting an uncommitted batch
+    * would let its replay see its own postings and drop its own documents.
+    * Crash-safety is write-tmp → delete-olds → rename (a crash between the
+    * last two steps leaves the data in the dot-dir, invisible until a
+    * re-run; a production deployment would wrap this in a manifest/table
+    * format commit). */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      uptoBatchId: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    val parts = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .flatMap { p =>
+        Option(p.getName).filter(_.startsWith("batch="))
+          .flatMap(_.stripPrefix("batch=").toLongOption)
+          .filter(_ < uptoBatchId).map(_ -> p)
+      }
+    if (parts.length < 2) return // nothing to merge
+    val maxId = parts.map(_._1).max
+    val tmp = new org.apache.hadoop.fs.Path(root, s".compact-$maxId")
+    spark.read.parquet(parts.map(_._2.toString).toIndexedSeq: _*)
+      .write.mode("overwrite").parquet(tmp.toString)
+    parts.foreach { case (_, p) => fs.delete(p, true) }
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(root, s"batch=$maxId"))
+    ()
+  }
+
   /** The signature-index partitions of batches BEFORE `batchId` (a replayed
     * batch must not see its own previous postings). */
   private def earlierIndex(batch: DataFrame, indexDir: String,

@@ -572,6 +572,27 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(idxRows == 4L, s"batch 1's index partition must hold ONE doc's 4 band rows: $idxRows")
   }
 
+  test("near-dup index compaction merges partitions and preserves drop behavior") {
+    import graft.streaming.CurationStream
+    val dir = Files.createTempDirectory("neardup_cpt").toString
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tB = "one two three four five six seven eight nine ten"
+    val tC = "red orange yellow green blue indigo violet black white gray"
+    def run(id: Long, rows: (Long, String)*): Seq[Long] =
+      CurationStream.nearDedupBatch(dir, "doc_id", "text")(
+        rows.toSeq.toDF("doc_id", "text"), id)
+        .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(run(0L, (1L, tA)) == Seq(1L))
+    assert(run(1L, (2L, tB)) == Seq(2L))
+    // both micro-batches committed -> safe to compact everything below 2
+    CurationStream.compactIndex(spark, dir, uptoBatchId = 2L)
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("batch=")).sorted.toSeq
+    assert(dirs == Seq("batch=1"), s"expected one merged partition: $dirs")
+    // the merged index still drops both earlier texts; new text survives
+    assert(run(2L, (3L, tA), (4L, tB), (5L, tC)) == Seq(5L))
+  }
+
   test("hash-threshold samplers are stateless: a stream keeps exactly the batch rows") {
     import graft.ext.CurationOps
     // the sampler's contract — the same row is kept on every run, engine,
