@@ -102,7 +102,8 @@ object CurationOps {
     * sketch (≈ 14.4 bits/gram at the default fpp 1e-3, ~4.4× smaller than
     * the hash set; the build is distributed, the driver holds only the
     * sketch), every corpus row probes it scan-side with the codegen'd
-    * [[graft.functions.BloomContainsAny]], and only CANDIDATE docs (true
+    * broadcast-handle [[graft.functions.BloomBroadcastContainsAny]] (the
+    * plan never carries the sketch bytes), and only CANDIDATE docs (true
     * hits plus the fpp sliver) explode into the exact gram join.
     *
     * EXACT result, not approximate: a Bloom filter has no false negatives,

@@ -30,18 +30,6 @@ object DedupOps {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** MinHash-LSH near-dup removal: word-shingle minhash signatures in
-    * `bands`×`rowsPerBand` layout; a row is dropped when any band bucket
-    * contains a row with a smaller `idCol` (greedy keep-first, like d02).
-    *
-    * Scale contract (100 TB): the final join is a LEFT ANTI against the set
-    * of ids that LOST the greedy — i.e. only the duplicates, a small
-    * fraction of the corpus — with no broadcast hint (a keep-set semi-join
-    * would carry one id per retained doc ≈ the whole corpus; AQE may still
-    * broadcast the drop-set when it genuinely fits, which is the right
-    * call). Docs that produce no shingle rows (null/empty text) never enter
-    * the shingle relation, so the anti-join retains them — they are not
-    * duplicates of anything. */
   /** Per-doc MinHash band postings (__id, band, bsig) in the d02 signature
     * layout — the candidate unit both [[dropNearDuplicatesMinhash]] and the
     * incremental streaming dedup
@@ -66,6 +54,18 @@ object DedupOps {
       .select(col("__id"), col("__bb.band").as("band"), col("__bb.bsig").as("bsig"))
   }
 
+  /** MinHash-LSH near-dup removal: word-shingle minhash signatures in
+    * `bands`×`rowsPerBand` layout; a row is dropped when any band bucket
+    * contains a row with a smaller `idCol` (greedy keep-first, like d02).
+    *
+    * Scale contract (100 TB): the final join is a LEFT ANTI against the set
+    * of ids that LOST the greedy — i.e. only the duplicates, a small
+    * fraction of the corpus — with no broadcast hint (a keep-set semi-join
+    * would carry one id per retained doc ≈ the whole corpus; AQE may still
+    * broadcast the drop-set when it genuinely fits, which is the right
+    * call). Docs that produce no shingle rows (null/empty text) never enter
+    * the shingle relation, so the anti-join retains them — they are not
+    * duplicates of anything. */
   def dropNearDuplicatesMinhash(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 4, rowsPerBand: Int = 4, shingleLen: Int = 3): DataFrame = {
     val w = Window.partitionBy(col("band"), col("bsig"))
@@ -414,6 +414,11 @@ object DedupOps {
       struct(lit(b).as("band"), bits.as("bsig"))
     }
     val posting = e
+      // null embeddings never enter the postings: they can produce no pair
+      // (their cosine is null), and since every null row hashes to the
+      // all-zero signature they would otherwise pile into ONE bucket whose
+      // self-join is quadratic in the null-row count
+      .filter(col("__v").isNotNull)
       .select(col("__id"), col("__blk"), explode(array(bandCols: _*)).as("__bb"))
       .select(col("__id"), col("__blk"),
         col("__bb.band").as("__band"), col("__bb.bsig").as("__bsig"))

@@ -51,12 +51,20 @@ object Multimodal {
         md5($"payload").as("digest")))
   }
 
+  /** ImageIO's default read path wraps every InputStream in a DISK-backed
+    * cache file (useCache=true) — one temp-file create/write/delete per
+    * payload per row inside mapPartitions, for bytes that are already in
+    * memory. Flipping the JVM-wide flag once keeps decodes heap-only. */
+  private lazy val imageIoNoDiskCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** Real image decode via JDK ImageIO: (width, height, n_frames=1) for any
     * payload ImageIO can read (PNG/JPEG/BMP/GIF), None otherwise so callers
     * fall back to [[stubDecode]]. Runs on executors inside the mapPartitions
     * transforms — headless-safe, no display needed. */
   def decodeImage(payload: Array[Byte]): Option[(Int, Int, Int)] =
     try {
+      imageIoNoDiskCache
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       if (img == null) None else Some((img.getWidth, img.getHeight, 1))
     } catch { case _: Exception => None }
@@ -67,6 +75,7 @@ object Multimodal {
     * spec pins the thumbnail digest). */
   def resizeImage(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
     try {
+      imageIoNoDiskCache
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       if (img == null) None
       else {

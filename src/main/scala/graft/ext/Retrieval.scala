@@ -68,11 +68,14 @@ object Retrieval {
           / (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
       .groupBy(col("qid"), col("__did"))
       .agg(sum(col("__part")).as("__score"))
-      .withColumn("__s6", round(col("__score"), 6))
+      // +1e-9 before round on BOTH engines: the sum accumulates in
+      // engine-specific order, so last-ulp noise must not straddle a
+      // rounding boundary (the t06/t07 guard)
+      .withColumn("__s6", round(col("__score") + 1e-9, 6))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("__did").as("doc_id"),
-        round(col("__score"), 4).as("score"))
+        round(col("__score") + 1e-9, 4).as("score"))
   }
 
   /** The s04 query set — three fixed multi-term topics over the testdata's
@@ -120,10 +123,10 @@ object Retrieval {
          |    / (tfq.tf + 1.2 * (1.0 - 0.75 + 0.75 * tfq.dl / st.avgdl))) AS score
          |  FROM tfq JOIN q ON tfq.t = q.t JOIN dfq ON tfq.t = dfq.t, st
          |  GROUP BY q.qid, tfq.doc_id)
-         |SELECT qid, rk AS "rank", doc_id, round(score, 4) AS score FROM (
+         |SELECT qid, rk AS "rank", doc_id, round(score + 1e-9, 4) AS score FROM (
          | SELECT qid, doc_id, score,
          |  CAST(row_number() OVER (PARTITION BY qid
-         |    ORDER BY round(score, 6) DESC, doc_id) AS BIGINT) AS rk
+         |    ORDER BY round(score + 1e-9, 6) DESC, doc_id) AS BIGINT) AS rk
          | FROM sc) t
          |WHERE rk <= 10 ORDER BY qid, rk""".stripMargin)
 }

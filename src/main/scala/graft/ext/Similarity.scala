@@ -141,8 +141,11 @@ object Similarity {
     val n = c.count()
     if (n <= maxRows) c
     else {
-      val thr = math.max(1L, (maxRows.toDouble / n * 1e6).toLong)
-      c.filter(h60(concat(lit("ivftrain"), col("id").cast("string"))) % 1000000L < thr)
+      // threshold in the hash's FULL 60-bit range: a coarser (per-million)
+      // threshold would floor to its minimum on huge corpora and overshoot
+      // the row cap by n/1e6 instead of staying ≈ maxRows
+      val thr = math.max(1L, (maxRows.toDouble / n * (1L << 60).toDouble).toLong)
+      c.filter(h60(concat(lit("ivftrain"), col("id").cast("string"))) < thr)
     }
   }
 

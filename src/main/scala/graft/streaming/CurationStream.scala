@@ -162,25 +162,35 @@ object CurationStream {
       bands: Int = 4, rowsPerBand: Int = 4, shingleLen: Int = 3)
       (batch: DataFrame, batchId: Long): DataFrame = {
     import graft.ext.DedupOps
+    // the minhash window-agg and posting build each feed several actions
+    // (emptiness check, index write, the caller's sink) — persist both so
+    // the expensive aggregations run once per micro-batch, and hand the
+    // caller an eagerly-materialized result whose lineage no longer
+    // references the persisted parents (so they can be freed here)
     val inBatch = DedupOps.dropNearDuplicatesMinhash(
-      batch, idCol, textCol, bands, rowsPerBand, shingleLen)
+      batch, idCol, textCol, bands, rowsPerBand, shingleLen).persist()
     val posts = DedupOps.bandPostings(
-      inBatch, idCol, textCol, bands, rowsPerBand, shingleLen)
-    val survivors = earlierIndex(batch, indexDir, batchId) match {
-      case Some(idx) =>
-        val dropIds = posts
-          .join(idx.select(col("band"), col("bsig")).distinct(), Seq("band", "bsig"))
-          .select(col("__id")).distinct()
-        inBatch.join(dropIds.withColumnRenamed("__id", idCol), Seq(idCol), "left_anti")
-      case None => inBatch
+      inBatch, idCol, textCol, bands, rowsPerBand, shingleLen).persist()
+    try {
+      val survivors = earlierIndex(batch, indexDir, batchId) match {
+        case Some(idx) =>
+          val dropIds = posts
+            .join(idx.select(col("band"), col("bsig")).distinct(), Seq("band", "bsig"))
+            .select(col("__id")).distinct()
+          inBatch.join(dropIds.withColumnRenamed("__id", idCol), Seq(idCol), "left_anti")
+        case None => inBatch
+      }
+      val survivorPosts = posts.join(
+        survivors.select(col(idCol).as("__id")), Seq("__id"), "left_semi")
+      // skip the write when nothing survived: an empty parquet dir has no
+      // schema to read back, and an absent partition is equivalent
+      if (!survivorPosts.isEmpty)
+        survivorPosts.write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+      survivors.localCheckpoint(true)
+    } finally {
+      posts.unpersist(false)
+      inBatch.unpersist(false)
     }
-    val survivorPosts = posts.join(
-      survivors.select(col(idCol).as("__id")), Seq("__id"), "left_semi")
-    // skip the write when nothing survived: an empty parquet dir has no
-    // schema to read back, and an absent partition is equivalent
-    if (!survivorPosts.isEmpty)
-      survivorPosts.write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
-    survivors
   }
 
   /** Compact the [[nearDedupBatch]] signature index: merge every partition
@@ -194,10 +204,16 @@ object CurationStream {
     * committed horizon. A committed micro-batch is never replayed, so
     * folding its postings forward is safe; compacting an uncommitted batch
     * would let its replay see its own postings and drop its own documents.
-    * Crash-safety is write-tmp → delete-olds → rename (a crash between the
-    * last two steps leaves the data in the dot-dir, invisible until a
-    * re-run; a production deployment would wrap this in a manifest/table
-    * format commit). */
+    *
+    * Crash-safety: write-tmp → delete ONLY the conflicting `batch=<maxId>`
+    * → rename tmp into place → delete the remaining merged partitions. A
+    * crash after the rename leaves old partitions coexisting with the
+    * merged one — postings are then duplicated, which is harmless (every
+    * consumer distincts the signatures) and self-heals on the next
+    * compaction. The one remaining unsafe window is between the conflicting
+    * delete and the rename (that batch's postings alone would be lost); a
+    * production deployment would wrap this in a manifest/table-format
+    * commit. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
       uptoBatchId: Long): Unit = {
     val root = new org.apache.hadoop.fs.Path(indexDir)
@@ -214,9 +230,12 @@ object CurationStream {
     val tmp = new org.apache.hadoop.fs.Path(root, s".compact-$maxId")
     spark.read.parquet(parts.map(_._2.toString).toIndexedSeq: _*)
       .write.mode("overwrite").parquet(tmp.toString)
-    parts.foreach { case (_, p) => fs.delete(p, true) }
-    fs.rename(tmp, new org.apache.hadoop.fs.Path(root, s"batch=$maxId"))
-    ()
+    val target = new org.apache.hadoop.fs.Path(root, s"batch=$maxId")
+    fs.delete(target, true) // the only partition the rename conflicts with
+    require(fs.rename(tmp, target),
+      s"compactIndex: rename $tmp -> $target failed; merged data left in $tmp")
+    parts.collect { case (id, p) if id != maxId => p }
+      .foreach(p => fs.delete(p, true))
   }
 
   /** The signature-index partitions of batches BEFORE `batchId` (a replayed

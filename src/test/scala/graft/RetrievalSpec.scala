@@ -28,9 +28,10 @@ class RetrievalSpec extends SparkSpec {
       idf(df) * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
     val d1 = part(2, 3, 2)
     val d2 = part(1, 2, 2) + part(1, 2, 1)
+    def r4(x: Double) = math.round((x + 1e-9) * 1e4) / 1e4
     assert(got.keySet == Set(1L, 2L), s"d3 shares no term with the query: $got")
-    assert(math.abs(got(1L) - math.round(d1 * 1e4) / 1e4) < 1e-9, s"d1: $got vs $d1")
-    assert(math.abs(got(2L) - math.round(d2 * 1e4) / 1e4) < 1e-9, s"d2: $got vs $d2")
+    assert(math.abs(got(1L) - r4(d1)) < 1e-9, s"d1: $got vs $d1")
+    assert(math.abs(got(2L) - r4(d2)) < 1e-9, s"d2: $got vs $d2")
     // d2 matches both terms (one rare) and must outrank d1
     assert(got(2L) > got(1L))
   }
