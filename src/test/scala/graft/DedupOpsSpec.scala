@@ -400,6 +400,14 @@ class DedupOpsSpec extends SparkSpec {
       .select($"query_id", $"id").as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     assert(limit == brute)
+    // ...and stays exact under sampled codebook training: codebooks shape
+    // only the ADC ordering, which the covering rerank window erases
+    val sampled = Similarity.pqKnn(embs, queries, "vec_id", "embedding",
+        k = 5, m = 8, ksub = 16, iters = 1, refine = 200, trainSampleRows = 64L)
+      .select($"query_id", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(sampled == brute,
+      "covering-rerank result must be training-sample-independent")
     // default refine: approximate recall must stay useful
     val approx = Similarity.pqKnn(embs, queries, "vec_id", "embedding", k = 5)
       .select($"query_id", $"id").as[(Long, Long)].collect()
