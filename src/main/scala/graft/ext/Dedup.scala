@@ -169,13 +169,29 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  // ---------------------------------------------------------------- d07
+  /** Near-dup clusters: connected components over d06's Hamming-pair graph,
+    * labeling every paired doc with its component's minimum doc_id. The
+    * DuckDB twin computes reachability with a recursive CTE — an
+    * independent fixpoint formulation proving the iterative min-label
+    * propagation ([[DedupOps.connectedComponents]]) labels identically. */
+  val d07NearDupComponents: Q = (s, dir) => {
+    import s.implicits._
+    val pairs = DedupOps.simhashPairs(docs(s, dir), "doc_id", "text",
+      bands = 2, bitsPerBand = 15, maxHamming = 1)
+    DedupOps.connectedComponents(pairs, "id_a", "id_b")
+      .select($"id".as("doc_id"), $"component")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_exact_dedup" -> d01ExactDedup,
     "d02_minhash_lsh" -> d02MinhashLsh,
     "d03_simhash" -> d03Simhash,
     "d04_ngram_jaccard" -> d04NgramJaccard,
     "d05_embedding_neardup" -> d05EmbeddingNearDup,
-    "d06_simhash_hamming" -> d06SimhashHamming)
+    "d06_simhash_hamming" -> d06SimhashHamming,
+    "d07_neardup_components" -> d07NearDupComponents)
 
   /** Shared DuckDB SQL prelude: tokens per doc (same split + empty-filter as
     * [[TextOps.toks]]). */
@@ -280,5 +296,42 @@ object Dedup {
           |  GROUP BY a.doc_id, b.doc_id)
           |SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
           |FROM cand WHERE bit_count(xor(sa, sb)) <= 1
-          |ORDER BY doc_a, doc_b""".stripMargin))
+          |ORDER BY doc_a, doc_b""".stripMargin),
+    "d07_neardup_components" ->
+      (toksCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, t AS (SELECT doc_id, unnest(toks) AS tok FROM l),
+          | h AS (
+          |  SELECT doc_id,
+          |   CAST(CAST(('0x' || substr(md5(tok),1,15)) AS UBIGINT) % 2147483647 AS BIGINT) AS hm
+          |  FROM t),
+          | g AS (SELECT doc_id, hm, count(*) AS cnt FROM h GROUP BY doc_id, hm),
+          | b AS (
+          |  SELECT doc_id, j,
+          |   sum(CASE WHEN (hm >> j) & 1 = 1 THEN cnt ELSE -cnt END) AS sgn
+          |  FROM g, (SELECT unnest(range(0,30)) AS j) GROUP BY doc_id, j),
+          | sig AS (
+          |  SELECT doc_id,
+          |   CAST(sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+          |  FROM b GROUP BY doc_id),
+          | bands AS (
+          |  SELECT doc_id, simhash, bd, (simhash >> (15*bd)) & 32767 AS bv
+          |  FROM sig, (SELECT unnest(range(0,2)) AS bd)),
+          | cand AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |   any_value(a.simhash) AS sa, any_value(b.simhash) AS sb
+          |  FROM bands a JOIN bands b ON a.bd = b.bd AND a.bv = b.bv AND a.doc_id < b.doc_id
+          |  GROUP BY a.doc_id, b.doc_id),
+          | pairs AS (
+          |  SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sa, sb)) <= 1),
+          | e AS (
+          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+          |  UNION SELECT doc_b, doc_a FROM pairs),
+          | n AS (SELECT DISTINCT src AS id FROM e),
+          | reach(id, r) AS (
+          |  SELECT id, id FROM n
+          |  UNION
+          |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
+          |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+          |FROM reach GROUP BY id
+          |ORDER BY doc_id""".stripMargin))
 }

@@ -170,6 +170,55 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Connected components of a near-dup PAIR graph: every id that appears
+    * in a pair is labeled with the MINIMUM id reachable from it (the
+    * component representative) — the cluster-collapse step that turns the
+    * pair-producing operators ([[jaccardPairs]] / [[simhashPairs]] /
+    * [[cosinePairs]]) into a dedup decision: keep the representative, drop
+    * the rest. Near-dup similarity is not transitive, so pairs alone
+    * over-keep (A~B, B~C but A gets kept twice under per-pair greedy);
+    * components make the drop set well-defined.
+    *
+    * Implementation: iterative min-label propagation over the PAIR relation
+    * (which is orders of magnitude smaller than the corpus — only
+    * duplicates appear in it). Each round is one keyed join + one keyed
+    * min-aggregation, both distributed; the driver only loops and checks
+    * the changed-label count. Rounds needed = graph diameter — near-dup
+    * clusters are dense clique-ish groups, so convergence is typically 2–3
+    * rounds; `maxIters` bounds pathological chains and the operator raises
+    * rather than return a partial labeling. A localCheckpoint per round
+    * truncates the otherwise-exponential lineage. Returns (id, component). */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 20): DataFrame = {
+    val e = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = e.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val neighbor = e
+        .join(labels.select(col("id").as("dst"), col("component")), Seq("dst"))
+        .select(col("src").as("id"), col("component"))
+      val next = labels.union(neighbor)
+        .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.select(col("id"), col("component").as("__old")), Seq("id"))
+        .filter(col("component") =!= col("__old")).count()
+      labels = next
+      it += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge within $maxIters rounds " +
+        "(graph diameter exceeds the bound) - raise maxIters")
+    labels
+  }
+
   /** Exact n-gram Jaccard near-dup pairs above `threshold`, blocked by
     * `blockCol` (inverted-index candidates, like d04). Returns
     * (id_a, id_b, jaccard). */

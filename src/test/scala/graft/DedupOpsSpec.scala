@@ -419,6 +419,26 @@ class DedupOpsSpec extends SparkSpec {
       s"mean PQ recall@5 too low: ${recall.sum / recall.size}")
   }
 
+  test("connectedComponents labels pair graphs with the min reachable id") {
+    // chain 1-2, 2-3 plus disjoint pair 10-11 plus triangle 20-21-22
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
+      .toDF("id_a", "id_b")
+    val got = DedupOps.connectedComponents(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L), s"got $got")
+    // a long chain needs diameter rounds — converges within the bound
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = DedupOps.connectedComponents(chain, "id_a", "id_b")
+      .as[(Long, Long)].collect().toSeq
+    assert(labels.forall(_._2 == 1L), s"chain must collapse to one component: $labels")
+    // too few rounds raises instead of returning a partial labeling
+    val e = intercept[IllegalArgumentException] {
+      DedupOps.connectedComponents(chain, "id_a", "id_b", maxIters = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("simhashPairs banded index equals brute-force all-pairs at the threshold") {
     // pigeonhole exactness: at maxHamming <= bands-1 the band equi-join must
     // surface EXACTLY the pairs an all-pairs hamming scan finds
