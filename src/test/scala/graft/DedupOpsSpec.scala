@@ -423,18 +423,28 @@ class DedupOpsSpec extends SparkSpec {
     // chain 1-2, 2-3 plus disjoint pair 10-11 plus triangle 20-21-22
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
       .toDF("id_a", "id_b")
-    val got = DedupOps.connectedComponents(pairs, "id_a", "id_b")
-      .as[(Long, Long)].collect().sortBy(_._1).toSeq
-    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
-      20L -> 20L, 21L -> 20L, 22L -> 20L), s"got $got")
-    // a long chain needs diameter rounds — converges within the bound
+    val expected = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L)
+    def labelsOf(df: org.apache.spark.sql.DataFrame, maxDriverEdges: Long) =
+      DedupOps.connectedComponents(df, "id_a", "id_b", maxDriverEdges = maxDriverEdges)
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    // driver union-find path (default: graph fits)
+    assert(labelsOf(pairs, 5000000L) == expected)
+    // distributed min-label + pointer-jump path (forced) must agree exactly
+    assert(labelsOf(pairs, 0L) == expected)
+    // a long chain converges within the log-round bound on both paths
     val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val labels = DedupOps.connectedComponents(chain, "id_a", "id_b")
-      .as[(Long, Long)].collect().toSeq
-    assert(labels.forall(_._2 == 1L), s"chain must collapse to one component: $labels")
-    // too few rounds raises instead of returning a partial labeling
+    assert(labelsOf(chain, 0L).forall(_._2 == 1L))
+    assert(labelsOf(chain, 5000000L).forall(_._2 == 1L))
+    // the real d06 graph: both paths produce identical labelings
+    val real = DedupOps.simhashPairs(docs, "doc_id", "text",
+      bands = 2, bitsPerBand = 15, maxHamming = 1)
+    assert(labelsOf(real.select($"id_a", $"id_b"), 0L)
+      == labelsOf(real.select($"id_a", $"id_b"), 5000000L))
+    // too few distributed rounds raises instead of returning a partial labeling
     val e = intercept[IllegalArgumentException] {
-      DedupOps.connectedComponents(chain, "id_a", "id_b", maxIters = 2)
+      DedupOps.connectedComponents(chain, "id_a", "id_b",
+        maxIters = 2, maxDriverEdges = 0L)
     }
     assert(e.getMessage.contains("did not converge"))
   }
