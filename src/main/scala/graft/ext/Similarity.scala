@@ -329,10 +329,29 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  // ---------------------------------------------------------------- s05
+  /** PQ ANN in the covering-rerank configuration — the oracle row for
+    * [[pqKnn]]: `refine × k = 1000 ≥ |corpus|` makes the ADC candidate set
+    * the whole corpus, so the exact-cosine rerank must equal brute-force
+    * top-5 (DedupOpsSpec proves the ≡-brute property in-engine AND its
+    * independence from sampled codebook training; this row proves it against
+    * the DuckDB brute-force answer). Same ranking contract as s03: raw
+    * cosine descending, lower-id tie-break. */
+  val s05PqRerank: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.loadSpread(s, dir, "embeddings")
+    val q = e.filter($"vec_id" < 20)
+    pqKnn(e, q, "vec_id", "embedding", k = 5, m = 8, ksub = 16, iters = 2,
+        refine = 200)
+      .withColumn("cosine", round($"cosine", 4))
+      .orderBy($"query_id", $"rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_knn_brute" -> s01KnnBrute,
     "s02_ann_lsh" -> s02AnnLsh,
-    "s03_ivf_fullprobe" -> s03IvfFullprobe)
+    "s03_ivf_fullprobe" -> s03IvfFullprobe,
+    "s05_pq_rerank" -> s05PqRerank)
 
   private val vecsCte =
     """WITH e AS (
@@ -379,6 +398,21 @@ object Similarity {
           |   AND q.vec_id < 20 AND q.vec_id <> e2.vec_id) t
           |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin),
     "s03_ivf_fullprobe" ->
+      """WITH u AS (
+        |  SELECT vec_id,
+        |   list_transform(embedding::DOUBLE[],
+        |     x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y)))) AS u
+        |  FROM embeddings)
+        |SELECT query_id, rk AS "rank", id, round(cos, 4) AS cosine FROM (
+        | SELECT q.vec_id AS query_id, e.vec_id AS id,
+        |  list_dot_product(q.u, e.u) AS cos,
+        |  CAST(row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_dot_product(q.u, e.u) DESC, e.vec_id) AS BIGINT) AS rk
+        | FROM u q JOIN u e ON q.vec_id < 20 AND q.vec_id <> e.vec_id) t
+        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // covering rerank ≡ brute force — the s03 oracle verbatim (same ranking
+    // contract: raw cosine over unit vectors, lower-id tie-break)
+    "s05_pq_rerank" ->
       """WITH u AS (
         |  SELECT vec_id,
         |   list_transform(embedding::DOUBLE[],
