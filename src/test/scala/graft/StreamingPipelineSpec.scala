@@ -593,6 +593,135 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(run(2L, (3L, tA), (4L, tB), (5L, tC)) == Seq(5L))
   }
 
+  test("compaction is crash-safe: every injected crash window heals without posting loss") {
+    import graft.streaming.CurationStream
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tB = "one two three four five six seven eight nine ten"
+    val tC = "red orange yellow green blue indigo violet black white gray"
+    for (step <- Seq("merged", "aside", "committed")) {
+      val dir = Files.createTempDirectory(s"neardup_crash_$step").toString
+      def run(id: Long, rows: (Long, String)*): Seq[Long] =
+        CurationStream.nearDedupBatch(dir, "doc_id", "text")(
+          rows.toSeq.toDF("doc_id", "text"), id)
+          .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+      assert(run(0L, (1L, tA)) == Seq(1L))
+      assert(run(1L, (2L, tB)) == Seq(2L))
+      val boom = intercept[RuntimeException] {
+        CurationStream.compactIndex(spark, dir, uptoBatchId = 2L,
+          onStep = s => if (s == step) throw new RuntimeException(s"crash at $s"))
+      }
+      assert(boom.getMessage == s"crash at $step")
+      // the next reader heals the interrupted state in-line; no posting was
+      // lost — both earlier texts still drop, new text survives
+      assert(run(2L, (3L, tA), (4L, tB), (5L, tC)) == Seq(5L),
+        s"crash window '$step' lost postings")
+      // a subsequent compaction completes and leaves no recovery residue
+      CurationStream.compactIndex(spark, dir, uptoBatchId = 3L)
+      val residue = new java.io.File(dir).listFiles().map(_.getName)
+        .filter(n => n.startsWith(".old-") || n.startsWith(".compact-")).toSeq
+      assert(residue.isEmpty, s"crash window '$step' left $residue")
+      assert(run(3L, (6L, tA), (7L, tB), (8L, tC)) == Seq(),
+        s"post-compaction index after crash window '$step' must drop all three")
+    }
+  }
+
+  test("a replay that yields zero survivors deletes its stale index partition") {
+    import graft.streaming.CurationStream
+    val dir = Files.createTempDirectory("neardup_stale").toString
+    val tB = "one two three four five six seven eight nine ten"
+    def run(id: Long, rows: (Long, String)*): Seq[Long] =
+      CurationStream.nearDedupBatch(dir, "doc_id", "text")(
+        rows.toSeq.toDF("doc_id", "text"), id)
+        .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    // attempt A of batch 1 keeps its doc and writes postings
+    assert(run(1L, (4L, tB)) == Seq(4L))
+    assert(new java.io.File(s"$dir/batch=1").isDirectory)
+    // the VISIBLE index changes between attempts (the scenario the
+    // idempotency contract must survive): batch 0 now also carries tB
+    assert(run(0L, (1L, tB)) == Seq(1L))
+    // the replay of batch 1 now loses everything to batch 0 — zero
+    // survivors must REMOVE attempt A's partition, not merely skip the
+    // write, or the dead postings would keep droppings docs forever
+    assert(run(1L, (4L, tB)) == Seq())
+    assert(!new java.io.File(s"$dir/batch=1").exists(),
+      "stale partition from the earlier attempt must be deleted")
+  }
+
+  test("the cross-batch probe prunes the index scan: pushed In filter + row-group skipping") {
+    import graft.streaming.CurationStream
+    val dir = Files.createTempDirectory("neardup_prune").toString
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val oldBlock = Option(hconf.get("parquet.block.size"))
+    // small parquet row groups so the sorted index yields many of them —
+    // the unit under test is the (band,bsig)-sorted LAYOUT enabling
+    // stats-based group skipping, which one giant row group would mask
+    hconf.set("parquet.block.size", "4096")
+    try {
+      val docs0 = (0 until 2000).map(i =>
+        (i.toLong, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i"))
+        .toDF("doc_id", "text")
+      CurationStream.nearDedupBatch(dir, "doc_id", "text")(docs0, 0L)
+      val idxRows = spark.read.parquet(s"$dir/batch=0").count()
+      assert(idxRows == 2000L * 4, s"expected 8000 postings, got $idxRows")
+      // capture the executions of the batch-1 probe to inspect its scan
+      val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(fn: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, d: Long): Unit =
+          captured.add(qe.executedPlan.toString)
+        override def onFailure(fn: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+      }
+      spark.listenerManager.register(listener)
+      val kept =
+        try {
+          val docs1 = Seq(
+            (9000L, "alpha5 beta5 gamma5 delta5 epsilon5 zeta5 eta5"), // dup of doc 5
+            (9001L, "wholly novel content with no earlier twin at all"))
+            .toDF("doc_id", "text")
+          CurationStream.nearDedupBatch(dir, "doc_id", "text")(docs1, 1L)
+            .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+        } finally {
+          // listener delivery is async — poll for the probe plan, then drop
+          val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+          while (!captured.toArray(Array.empty[String])
+              .exists(p => p.contains("batch=0") && p.contains("In(bsig")) &&
+              System.nanoTime() < deadline) Thread.sleep(100)
+          spark.listenerManager.unregister(listener)
+        }
+      assert(kept == Seq(9001L), s"cross-batch drop must still hold: $kept")
+      val plans = captured.toArray(Array.empty[String])
+      assert(plans.exists(p => p.contains("batch=0") && p.contains("In(bsig")),
+        "the index scan must carry a pushed In(bsig, ...) filter")
+      // mechanism check on the operator-written layout: probing the index
+      // with a handful of signatures must SKIP most row groups (the sorted
+      // write is what makes the min/max stats selective)
+      val sigs = graft.ext.DedupOps.bandPostings(
+        Seq((9000L, "alpha5 beta5 gamma5 delta5 epsilon5 zeta5 eta5"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", 4, 4, 3)
+        .select(col("bsig")).distinct().collect().map(_.getString(0)).toSeq
+      val thrKey = "spark.sql.parquet.pushdown.inFilterThreshold"
+      val thrOld = spark.conf.getOption(thrKey)
+      spark.conf.set(thrKey, "100001")
+      try {
+        val probe = spark.read.parquet(s"$dir/batch=0")
+          .filter(col("bsig").isInCollection(sigs))
+        probe.collect()
+        val scanRows = probe.queryExecution.executedPlan.collectLeaves()
+          .map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum
+        assert(scanRows > 0 && scanRows < idxRows / 2,
+          s"sorted index must prune row groups: scan emitted $scanRows of $idxRows")
+      } finally thrOld match {
+        case Some(v) => spark.conf.set(thrKey, v)
+        case None => spark.conf.unset(thrKey)
+      }
+    } finally oldBlock match {
+      case Some(v) => hconf.set("parquet.block.size", v)
+      case None => hconf.unset("parquet.block.size")
+    }
+  }
+
   test("hash-threshold samplers are stateless: a stream keeps exactly the batch rows") {
     import graft.ext.CurationOps
     // the sampler's contract — the same row is kept on every run, engine,
