@@ -252,13 +252,21 @@ object DedupOps {
           .join(labels.select(col("id").as("component"), col("component").as("__c2")),
             Seq("component"))
           .select(col("id"), col("__c2").as("component"))
-        val next = labels.union(neighbor).union(jump)
-          .groupBy(col("id")).agg(min(col("component")).as("component"))
+        // convergence detection folded into the SAME per-id aggregation:
+        // the labels rows carry their current component through as __old
+        // (min ignores the nulls on neighbor/jump rows — every id has
+        // exactly one labels row, so min(__old) IS the previous label), and
+        // "changed" becomes a cheap scan of the just-checkpointed result
+        // instead of a second shuffle join back against the previous labels
+        val next = labels
+          .select(col("id"), col("component"), col("component").as("__old"))
+          .union(neighbor.withColumn("__old", lit(null).cast("long")))
+          .union(jump.withColumn("__old", lit(null).cast("long")))
+          .groupBy(col("id")).agg(min(col("component")).as("component"),
+            min(col("__old")).as("__old"))
           .localCheckpoint(true)
-        changed = next
-          .join(labels.select(col("id"), col("component").as("__old")), Seq("id"))
-          .filter(col("component") =!= col("__old")).count()
-        labels = next
+        changed = next.filter(col("component") =!= col("__old")).count()
+        labels = next.select(col("id"), col("component"))
         it += 1
       }
       require(changed == 0,

@@ -12,15 +12,16 @@ import TextOps._
   * (pull the documents "about" a topic) and RAG-style indexing experiments.
   * LLM-pipeline extension (SURVEY.md §2.8 scope).
   *
-  * Scale design: the posting build is one doc+term-keyed aggregation over
-  * the tokenized corpus (d04's inverted-index shape); the query term set and
-  * the per-term document frequencies OF THOSE TERMS are broadcast (both tiny
-  * — |query vocab| rows), so the corpus never shuffles for the join: only
-  * documents containing at least one query term leave the scan, and only
-  * (query, doc) scored pairs — bounded by the postings of the query terms —
-  * reach the ranking exchange. At a deployment that runs many query batches,
-  * the postings aggregation is the part you materialize once as a table;
-  * this operator computes it inline from the raw corpus.
+  * Scale design: the posting build ([[bm25Index]]) is one doc+term-keyed
+  * aggregation over the tokenized corpus (d04's inverted-index shape),
+  * materializable as a term-sorted table; ranking ([[bm25Search]]) prunes
+  * the postings to the query vocabulary with a pushed literal filter, and
+  * the query term set plus the per-term document frequencies OF THOSE TERMS
+  * are broadcast (both tiny — |query vocab| rows), so the corpus never
+  * shuffles for the join: only documents containing at least one query term
+  * leave the scan, and only (query, doc) scored pairs — bounded by the
+  * postings of the query terms — reach the ranking exchange. [[bm25TopK]]
+  * composes the two inline for one-shot use.
   *
   * Scoring is the standard Robertson/Lucene BM25:
   * `idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))`,
@@ -32,36 +33,63 @@ import TextOps._
 object Retrieval {
   type Q = (SparkSession, String) => DataFrame
 
-  /** BM25 top-`k` documents per query. `queries` has columns (qid, qtext);
-    * both sides tokenize with [[TextOps.toks]]. */
-  def bm25TopK(docs: DataFrame, queries: DataFrame, idCol: String,
-      textCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(k >= 1)
+  /** A BM25 index: the two relations a deployment materializes ONCE and
+    * ranks many query batches against — `postings` is (__did, __dl, __t,
+    * __tf), `stats` is the single corpus row (__n, __avgdl). Write
+    * `postings` SORTED BY `__t` (and `stats` beside it) as parquet tables:
+    * [[bm25Search]] probes the postings with a literal `In` on the query
+    * vocabulary, so a term-sorted layout lets row-group min/max stats skip
+    * everything outside the queried terms — per-search IO then scales with
+    * the query vocabulary's posting lists, not the corpus. */
+  final case class Bm25Index(postings: DataFrame, stats: DataFrame)
+
+  /** Build the [[Bm25Index]] relations from a raw corpus: one tokenize +
+    * doc/term-keyed aggregation scan for the postings (the d04
+    * inverted-index shape), one tokenize scan for the stats row. The stats
+    * deliberately come from the corpus, not the postings — a zero-token
+    * document contributes to N and avgdl but has no posting rows. */
+  def bm25Index(docs: DataFrame, idCol: String, textCol: String): Bm25Index = {
     val d = docs
       .select(col(idCol).as("__did"), toks(col(textCol)).as("__tk"))
       .withColumn("__dl", size(col("__tk")).cast("double"))
-    // corpus stats: one row (count + mean doc length), broadcast
-    val stats = d.agg(count(lit(1)).cast("double").as("__n"), avg(col("__dl")).as("__avgdl"))
-    // postings: (doc, term) -> tf, via the d04-style explode + keyed agg
     val postings = d
       .select(col("__did"), col("__dl"), explode_outer(col("__tk")).as("__t"))
       .filter(col("__t").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
       .groupBy(col("__did"), col("__dl"), col("__t"))
       .agg(count(lit(1)).cast("double").as("__tf"))
+    val stats = d.agg(count(lit(1)).cast("double").as("__n"), avg(col("__dl")).as("__avgdl"))
+    Bm25Index(postings, stats)
+  }
+
+  /** BM25 top-`k` per query against a prebuilt [[Bm25Index]] — the corpus is
+    * never touched. The query vocabulary is collected driver-side (query
+    * sets are tiny by contract — they broadcast anyway) and pushed into the
+    * postings relation as a literal `In` filter, so a table-backed index is
+    * scanned with row-group pruning; document frequencies derive from the
+    * SAME pruned postings, never from a corpus-wide dictionary.
+    *
+    * `materializeProbe` eagerly materializes the pruned postings
+    * (localCheckpoint) so the probe is computed once instead of twice (the
+    * dfreq broadcast and the scoring stream are separate consumers).
+    * [[bm25TopK]] sets it — there the probe's parent is the full
+    * tokenize+aggregation, worth running once; on a table-backed index the
+    * default (two pruned scans) avoids pinning executor storage. */
+  def bm25Search(index: Bm25Index, queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      materializeProbe: Boolean = false): DataFrame = {
+    require(k >= 1)
     val qterms = queries
       .select(col("qid"), explode_outer(array_distinct(toks(col("qtext")))).as("__t"))
       .filter(col("__t").isNotNull)
-    // document frequencies restricted to the query vocabulary: semi-join the
-    // (tiny, broadcast) term set BEFORE the df aggregation, so the corpus-wide
-    // term dictionary is never materialized
-    val dfreq = postings
-      .join(broadcast(qterms.select(col("__t")).distinct()), Seq("__t"), "left_semi")
-      .groupBy(col("__t")).agg(count(lit(1)).cast("double").as("__df"))
+    val vocab = qterms.select(col("__t")).distinct().collect().map(_.getString(0)).toSeq
+    val pruned = index.postings.filter(col("__t").isInCollection(vocab))
+    val qpost = if (materializeProbe) pruned.localCheckpoint(true) else pruned
+    val dfreq = qpost.groupBy(col("__t")).agg(count(lit(1)).cast("double").as("__df"))
     val w = Window.partitionBy(col("qid")).orderBy(col("__s6").desc, col("__did"))
-    postings
+    qpost
       .join(broadcast(qterms), Seq("__t"))
       .join(broadcast(dfreq), Seq("__t"))
-      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(index.stats))
       .withColumn("__part",
         log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5))
           * (col("__tf") * (k1 + 1.0))
@@ -77,6 +105,16 @@ object Retrieval {
       .select(col("qid"), col("rank"), col("__did").as("doc_id"),
         round(col("__score") + 1e-9, 4).as("score"))
   }
+
+  /** BM25 top-`k` documents per query, inline from the raw corpus. `queries`
+    * has columns (qid, qtext); both sides tokenize with [[TextOps.toks]].
+    * Exactly [[bm25Index]] + [[bm25Search]], with the pruned probe
+    * materialized so the corpus pays ONE tokenize+aggregation scan for the
+    * postings (plus the one-row stats scan) per call. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, idCol: String,
+      textCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Search(bm25Index(docs, idCol, textCol), queries, k, k1, b,
+      materializeProbe = true)
 
   /** The s04 query set — three fixed multi-term topics over the testdata's
     * fixed vocabulary (non-vacuous at every SF). */

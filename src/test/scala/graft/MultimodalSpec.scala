@@ -77,14 +77,17 @@ class MultimodalSpec extends SparkSpec {
     assert(decoded(1).getAs[Int]("width") == sw)
     assert(decoded(1).getAs[Int]("height") == sh)
 
-    // real bilinear resample, byte-exact: pinned md5 of the 8×6 PNG thumbnail
-    // (deterministic on this JDK — java.desktop ImageIO + Graphics2D)
+    // real bilinear resample: structural assertions only — a byte-exact
+    // digest would pin the JDK vendor's Graphics2D resampler + PNG encoder,
+    // failing on a different JDK even though resize behaves correctly
     val out = Multimodal.resize(media, 8, 6).orderBy($"media_id").collect()
     val thumb = out(0).getAs[Array[Byte]]("thumb")
-    val md = java.security.MessageDigest.getInstance("MD5").digest(thumb)
-    assert(md.map("%02x".format(_)).mkString == "bd170180b6c6efc6a16605a6fe705748")
     // the thumbnail is itself a decodable 8×6 image
     assert(Multimodal.decodeImage(thumb).contains((8, 6, 1)))
+    // ...and the resample is deterministic across runs in this process
+    val out2 = Multimodal.resize(media, 8, 6).orderBy($"media_id").collect()
+    assert(out2(0).getAs[Array[Byte]]("thumb").toSeq == thumb.toSeq,
+      "resize must be deterministic for identical input")
     // the non-image payload took the stub fallback
     assert(out(1).getAs[Array[Byte]]("thumb").toSeq ==
       Multimodal.stubResize(out(1).getAs[Array[Byte]]("payload"), 8, 6).toSeq)

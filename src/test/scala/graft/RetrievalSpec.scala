@@ -50,6 +50,30 @@ class RetrievalSpec extends SparkSpec {
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("bm25Search on a written index equals inline bm25TopK; the postings scan is pruned") {
+    val docs = Tables.loadSpread(spark, dir, "documents")
+    val q = Seq(("q1", "hash join column"), ("q2", "stream window agg"))
+      .toDF("qid", "qtext")
+    val inline = Retrieval.bm25TopK(docs, q, "doc_id", "text", k = 10)
+      .collect().map(_.toString).sorted.toSeq
+    // materialize the index the way the scaladoc prescribes: postings
+    // term-sorted (row-group-prunable), stats beside it
+    val idx = Retrieval.bm25Index(docs, "doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("bm25_idx").toString
+    idx.postings.sort($"__t").write.parquet(s"$tmp/postings")
+    idx.stats.write.parquet(s"$tmp/stats")
+    val stored = Retrieval.Bm25Index(
+      spark.read.parquet(s"$tmp/postings"), spark.read.parquet(s"$tmp/stats"))
+    val viaIndex = Retrieval.bm25Search(stored, q, k = 10)
+    assert(viaIndex.collect().map(_.toString).sorted.toSeq == inline,
+      "search-on-index must reproduce the inline ranking exactly")
+    // the query vocabulary reaches the postings table scan as a pushed
+    // filter — per-search IO scales with the queried terms, not the corpus
+    val scan = viaIndex.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [In(__t") || scan.contains("In(__t, ["),
+      s"postings scan must carry the pushed query-vocabulary filter:\n$scan")
+  }
+
   test("bm25 plan: query side broadcasts, no all-pairs join") {
     val df = Retrieval.s04Bm25(spark, dir)
     val p = df.queryExecution.executedPlan.toString

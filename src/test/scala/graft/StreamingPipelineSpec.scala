@@ -722,6 +722,82 @@ class StreamingPipelineSpec extends SparkSpec {
     }
   }
 
+  test("end-to-end: curate feeds the incremental near-dup index in one streaming graph") {
+    import graft.streaming.CurationStream
+    // the full production composition — quality gate + decontamination +
+    // watermarked exact dedup (stateful) draining into the foreachBatch
+    // near-dup stage — run as ONE streaming query: the stateful-operator →
+    // foreachBatch boundary is exactly where Spark's restrictions on
+    // stateful chaining would bite if the shape were wrong
+    val dir = Files.createTempDirectory("curate_neardup").toString
+    val benchmark = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val bench = CurationStream.benchmarkGrams(benchmark, "text", n = 8)
+    val tGood = "splendid unique prose spanning ten whole tokens easily counted here"
+    val tNear = tGood + " omega" // near-dup of tGood: same shingles + one
+    val tOther = "entirely different words compose this second legitimate document body"
+    // (batchId -> (curated rows fed to the near-dup stage, survivor ids))
+    val seen = new java.util.concurrent.ConcurrentHashMap[
+      Long, (Seq[(Long, String)], Seq[Long])]()
+    val mem = MemoryStream[StreamDoc]
+    val curated = CurationStream.curate(
+      mem.toDF().withWatermark("ts", "10 minutes"), bench, minTokens = 4, n = 8)
+    val q = curated.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        val kept = CurationStream.nearDedupBatch(dir, "doc_id", "text")(b, id)
+        seen.put(id, (
+          b.select(col("doc_id"), col("text")).collect()
+            .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq,
+          kept.select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq))
+        ()
+      }
+      .start()
+    try {
+      // batch 0 exercises every curation stage before the near-dup index:
+      // 1 too short, 2 contaminated, 3/4 exact dups, 5+6 clean and distinct
+      mem.addData(
+        StreamDoc(1, "too short", ts(0)),
+        StreamDoc(2, "prefix words alpha beta gamma delta epsilon zeta eta theta", ts(1)),
+        StreamDoc(3, tGood, ts(2)),
+        StreamDoc(4, tGood, ts(3)),
+        StreamDoc(5, tOther, ts(4)))
+      q.processAllAvailable()
+      // batch 1: a NEAR duplicate of doc 3 — it passes the exact-digest
+      // dedup (different md5) and must fall to the cross-batch signature
+      // index; doc 7 is new and survives
+      mem.addData(
+        StreamDoc(6, tNear, ts(5)),
+        StreamDoc(7, "completely fresh material closing out the composition test", ts(6)))
+      q.processAllAvailable()
+      ()
+    } finally q.stop()
+    // locate the two data-carrying micro-batches by content — watermark
+    // bookkeeping can interleave no-data batches, shifting the raw batch ids
+    import scala.jdk.CollectionConverters._
+    val dataBatches = seen.asScala.toSeq.filter(_._2._1.nonEmpty).sortBy(_._1)
+    assert(dataBatches.length == 2, s"expected two data batches: $seen")
+    val (id0, (in0, kept0)) = dataBatches(0)
+    val (id1, (in1, kept1)) = dataBatches(1)
+    assert(in0.map(_._1) == Seq(3L, 5L),
+      s"curate must pass only 3 and 5 to the near-dup stage: $in0")
+    assert(kept0 == Seq(3L, 5L))
+    assert(in1.map(_._1) == Seq(6L, 7L),
+      s"the near-dup must reach the index stage: $in1")
+    assert(kept1 == Seq(7L),
+      s"doc 6 must be dropped by the earlier batch's signature index: $kept1")
+    // micro-batch REPLAY idempotency across the whole composition: re-running
+    // the near-dup stage with the second batch's exact curated input yields
+    // the same survivors and rewrites (not duplicates) its index partition
+    val again = CurationStream.nearDedupBatch(dir, "doc_id", "text")(
+      in1.toDF("doc_id", "text"), id1)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(again == Seq(7L), s"replayed batch $id1 must keep the same rows: $again")
+    val idxDocs = spark.read.parquet(s"$dir/batch=$id1")
+      .select(col("__id")).distinct().collect().map(_.getLong(0)).toSeq
+    assert(idxDocs == Seq(7L),
+      s"the replayed partition must hold exactly its surviving doc's postings: $idxDocs")
+  }
+
   test("hash-threshold samplers are stateless: a stream keeps exactly the batch rows") {
     import graft.ext.CurationOps
     // the sampler's contract — the same row is kept on every run, engine,
