@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling bench for the API-only operators — the ones CORRECTNESS covers by
+  * spec rather than a SQL oracle ([[graft.ext.Similarity.pqKnn]] at its
+  * approximate defaults, [[graft.ext.DedupOps.semanticDedup]], and the
+  * streaming [[graft.streaming.CurationStream.nearDedupBatch]] driven as a
+  * 4-micro-batch sequence). Same methodology as [[Bench]]: untimed sf0.001
+  * warmup, three interleaved sweeps, per-op minimum, one JSON line. Run at
+  * sf0.1 and the self-generated sf1.0 to fill the scaling table
+  * (`scripts/scaling_report.py`) for operators Bench cannot see. */
+object BenchApi {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def drainDf(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val ops: Seq[(String, String => Unit)] = Seq(
+      "pq_knn" -> { dir =>
+        val e = Tables.loadSpread(spark, dir, "embeddings")
+        drainDf(graft.ext.Similarity.pqKnn(
+          e, e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5))
+      },
+      "semantic_dedup" -> { dir =>
+        drainDf(graft.ext.DedupOps.semanticDedup(
+          Tables.loadSpread(spark, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.9))
+      },
+      "neardup_batch" -> { dir =>
+        // four sequential micro-batches into a fresh signature index — the
+        // timed unit includes the in-batch dedup, the cross-batch probe
+        // against the accumulating index, and the sorted partition writes
+        val idx = java.nio.file.Files.createTempDirectory("bench_ndidx").toString
+        val docs = Tables.loadSpread(spark, dir, "documents")
+        (0L until 4L).foreach { b =>
+          graft.streaming.CurationStream.nearDedupBatch(idx, "doc_id", "text")(
+            docs.filter(pmod(col("doc_id"), lit(4)) === b), b)
+        }
+      })
+
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory)
+      ops.foreach { case (_, f) => try f(warmDir) catch { case _: Throwable => () } }
+
+    def once(f: String => Unit): Double = {
+      val t0 = System.nanoTime()
+      try { f(sfDir); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        // surface the failure (a fast failure must not bench silently) but
+        // keep sweeping the remaining ops
+        System.err.println(s"[bench-api] ${e.getClass.getName}: ${e.getMessage}")
+        Double.NaN
+      }
+    }
+    val sweeps = (1 to 3).map(_ => ops.map { case (n, f) => n -> once(f) }.toMap)
+    val results = ops.map { case (n, _) =>
+      val ok = sweeps.map(_(n)).filterNot(_.isNaN)
+      n -> (if (ok.isEmpty) -1.0 else ok.min)
+    }
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val qjson = results.map { case (n, v) => s""""$n":${f"$v%.3f"}""" }.mkString(",")
+    println(s"""{"metric":"api_total","value":${f"$total%.3f"},"unit":"sec","queries":{$qjson},"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}

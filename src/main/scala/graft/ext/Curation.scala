@@ -229,6 +229,31 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- c08
+  /** Overlapping token-window chunking (32-token windows, 8-token overlap)
+    * — the oracle row for [[CurationOps.chunkTokens]]: every document
+    * becomes its RAG/context-window chunk rows, the last chunk ragged, and
+    * both engines must agree on every chunk boundary and byte of re-joined
+    * text. */
+  val c08RagChunks: Q = (s, dir) => {
+    import s.implicits._
+    CurationOps.chunkTokens(docs(s, dir), "doc_id", "text",
+      chunkLen = 32, overlap = 8)
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  // ---------------------------------------------------------------- c09
+  /** Deterministic 8-shard training assignment — the oracle row for
+    * [[CurationOps.assignShards]]: shard membership and the dense within-
+    * shard position both derive from salted md5 hashes, so DuckDB replays
+    * the identical (shard, pos) for every document. */
+  val c09TrainShards: Q = (s, dir) => {
+    import s.implicits._
+    CurationOps.assignShards(docs(s, dir), "doc_id", shards = 8)
+      .select($"doc_id", $"shard", $"pos")
+      .orderBy($"shard", $"pos")
+  }
+
   val queries: Map[String, Q] = Map(
     "c01_decontaminate" -> c01Decontaminate,
     "c06_decontaminate_bloom" -> c06DecontaminateBloom,
@@ -236,7 +261,9 @@ object Curation {
     "c02_pack_sequences" -> c02PackSequences,
     "c03_stratified_sample" -> c03StratifiedSample,
     "c04_mixture_weights" -> c04MixtureWeights,
-    "c05_curation_pipeline" -> c05CurationPipeline)
+    "c05_curation_pipeline" -> c05CurationPipeline,
+    "c08_rag_chunks" -> c08RagChunks,
+    "c09_train_shards" -> c09TrainShards)
 
   private val toksCte =
     """WITH l AS (
@@ -319,6 +346,29 @@ object Curation {
           | round(CAST(tokens AS DOUBLE) / tot + 1e-9, 4) AS share,
           | round((CAST(tot AS DOUBLE) / nl) / tokens + 1e-9, 4) AS weight
           |FROM p, t ORDER BY lang""".stripMargin),
+    "c08_rag_chunks" ->
+      """WITH l AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        | s AS (SELECT doc_id, toks, len(toks) AS n FROM l WHERE len(toks) > 0),
+        | st AS (
+        |  SELECT doc_id, toks,
+        |   unnest(range(0, greatest(n - 8 - 1, 0) + 1, 24)) AS start
+        |  FROM s)
+        |SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_idx,
+        | array_to_string(toks[start+1:start+32], ' ') AS chunk_text,
+        | CAST(len(toks[start+1:start+32]) AS BIGINT) AS n_tok
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+    "c09_train_shards" ->
+      """WITH a AS (
+        | SELECT doc_id,
+        |  CAST(CAST(('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)),1,15)) AS UBIGINT) AS BIGINT) % 8 AS shard,
+        |  CAST(CAST(('0x' || substr(md5('shard:ord' || CAST(doc_id AS VARCHAR)),1,15)) AS UBIGINT) AS BIGINT) AS ord
+        | FROM documents)
+        |SELECT doc_id, shard,
+        | CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1 AS BIGINT) AS pos
+        |FROM a ORDER BY shard, pos""".stripMargin,
     "c05_curation_pipeline" -> {
       val scores = TextAnalysis.stop
         .map { case (l, ws) => s"${TextAnalysis.duckCount(ws)} AS s_$l" }

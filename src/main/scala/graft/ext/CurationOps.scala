@@ -228,6 +228,62 @@ object CurationOps {
       .drop("__thr")
   }
 
+  /** Overlapping token-window chunking — the RAG/context-window splitter: a
+    * document becomes `ceil(max(n - overlap, 1) / stride)` chunks of up to
+    * `chunkLen` tokens, consecutive chunks sharing `overlap` tokens
+    * (stride = chunkLen − overlap). Chunk starts run while `start <
+    * n − overlap` (plus the mandatory start 0), so a final window fully
+    * contained in its predecessor is never emitted; zero-token documents
+    * produce no chunks. Output: (idCol, chunk_idx, chunk_text, n_tok) —
+    * the last chunk of a document may be shorter than `chunkLen`.
+    *
+    * Scale shape: pure per-row projection + generator — no shuffle, no
+    * state; the explode follows the posexplode_outer + isNotNull house
+    * pattern so no inferred filter re-tokenizes at the scan. */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      chunkLen: Int, overlap: Int = 0): DataFrame = {
+    require(chunkLen > 0, s"chunkLen must be > 0, got $chunkLen")
+    require(overlap >= 0 && overlap < chunkLen,
+      s"overlap must be in [0, chunkLen), got $overlap")
+    val stride = chunkLen - overlap
+    df.withColumn("__tk", toks(col(textCol)))
+      .withColumn("__n", size(col("__tk")))
+      .filter(col("__n") > 0)
+      .select(col(idCol), col("__tk"),
+        posexplode_outer(sequence(lit(0),
+          greatest(col("__n") - overlap - 1, lit(0)), lit(stride)))
+          .as(Seq("chunk_idx", "__start")))
+      .filter(col("__start").isNotNull) // outer: no inferred-filter re-eval
+      .withColumn("__chunk", slice(col("__tk"), col("__start") + 1, lit(chunkLen)))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        array_join(col("__chunk"), " ").as("chunk_text"),
+        size(col("__chunk")).cast("long").as("n_tok"))
+  }
+
+  /** Deterministic training-shard assignment — the reproducible global
+    * shuffle a training run needs: every row gets a stable (shard, pos)
+    * from salted hashes of its id, so the exact same ordering can be
+    * re-derived on any engine/run/subset instead of stored (the
+    * [[sampleStratified]] philosophy applied to data ordering). `pos` is
+    * dense 0..count−1 within each shard, ordered by an independent hash
+    * with id tie-break.
+    *
+    * Scale shape: one hash-keyed exchange into `shards` partitions and a
+    * per-shard sort — exactly the shuffle a sharded training-data write
+    * performs anyway, so the operator adds nothing beyond it. Shard sizes
+    * concentrate around n/shards (hash uniformity); no driver state. */
+  def assignShards(df: DataFrame, idCol: String, shards: Int,
+      salt: String = "shard"): DataFrame = {
+    require(shards > 0, s"shards must be > 0, got $shards")
+    val w = Window.partitionBy(col("shard")).orderBy(col("__ord"), col(idCol))
+    df.withColumn("shard",
+        h60(concat(lit(salt), col(idCol).cast("string"))) % shards)
+      .withColumn("__ord",
+        h60(concat(lit(salt + ":ord"), col(idCol).cast("string"))))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("__ord")
+  }
+
   /** Balanced variant: every stratum downsampled to (approximately) the
     * smallest stratum's size, thresholds computed from the data in one
     * |strata|-row aggregation (the c03 query's generic form). */

@@ -161,10 +161,19 @@ object CurationStream {
   /** Probed-signature cap for the index-scan pruning path: the batch's
     * distinct band signatures are collected driver-side (micro-batch-bounded
     * state, the same order of magnitude as broadcasting the batch) and pushed
-    * down the index scan as an exact parquet `In` filter. Past the cap the
+    * down the index scan as exact parquet `In` filters. Past the cap the
     * plain keyed join stands alone — correctness never depends on the
     * prefilter. */
-  private val MaxProbeSigs = 100000
+  private val MaxProbeSigs = 8192
+
+  /** Values per pushed `In` filter. Spark translates an exact pushed In into
+    * a RECURSIVE Or-chain of parquet predicates whose evaluation depth is the
+    * value count — measured: 500 values fine, 1000 = task StackOverflowError.
+    * The probe therefore splits its sorted signatures into ≤256-value chunks,
+    * one scan branch per chunk (disjoint, so a plain union), keeping every
+    * pushed filter shallow while the union of branches still touches only
+    * the row groups holding probed signatures. */
+  private val ProbeInChunk = 256
 
   def nearDedupBatch(indexDir: String, idCol: String, textCol: String,
       bands: Int = 4, rowsPerBand: Int = 4, shingleLen: Int = 3)
@@ -183,22 +192,25 @@ object CurationStream {
     // Spark translates a pushed `In` whose value count exceeds this
     // threshold into a bare min/max RANGE filter — worthless on hash-uniform
     // signatures (measured: a 200-sig probe over a 40k-row sorted index read
-    // 39 825 rows under the range form). Raise it for the micro-batch's
-    // actions so the exact per-value form reaches parquet, where row-group
-    // stats + dictionaries on the (band,bsig)-sorted index skip every group
-    // holding none of the probed signatures: per-batch index IO scales with
-    // the BATCH, not the index. Restored in the finally.
+    // 39 825 rows under the range form). Raise it past the chunk size so the
+    // exact per-value form reaches parquet, where row-group stats +
+    // dictionaries on the (band,bsig)-sorted index skip every group holding
+    // none of the probed signatures: per-batch index IO scales with the
+    // BATCH, not the index. Restored in the finally.
     val thrKey = "spark.sql.parquet.pushdown.inFilterThreshold"
     val thrOld = spark.conf.getOption(thrKey)
-    spark.conf.set(thrKey, (MaxProbeSigs + 1).toString)
+    spark.conf.set(thrKey, (ProbeInChunk + 1).toString)
     try {
       val survivors = earlierIndex(batch, indexDir, batchId) match {
         case Some(idx) =>
           val probeSigs = posts.select(col("bsig")).distinct()
             .limit(MaxProbeSigs + 1).collect().map(_.getString(0)).toSeq
           val pruned =
-            if (probeSigs.length <= MaxProbeSigs)
-              idx.filter(col("bsig").isInCollection(probeSigs))
+            if (probeSigs.isEmpty) idx.filter(lit(false)) // no-data batch
+            else if (probeSigs.length <= MaxProbeSigs)
+              probeSigs.sorted.grouped(ProbeInChunk)
+                .map(chunk => idx.filter(col("bsig").isInCollection(chunk)))
+                .reduce(_ union _)
             else idx
           val dropIds = posts
             .join(pruned.select(col("band"), col("bsig")).distinct(), Seq("band", "bsig"))

@@ -213,6 +213,62 @@ class CurationSpec extends SparkSpec {
     assert(q.toSeq == api.toSeq)
   }
 
+  test("chunkTokens: boundaries, overlap, ragged tail, and full coverage") {
+    // 10 tokens, chunkLen 4, overlap 2 (stride 2): starts 0,2,4,6 —
+    // start 8 is NOT emitted (10 - overlap = 8, and chunk@6 covers 6..9)
+    val one = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")).toDF("doc_id", "text")
+    val got = CurationOps.chunkTokens(one, "doc_id", "text", chunkLen = 4, overlap = 2)
+      .select($"chunk_idx", $"chunk_text", $"n_tok")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, "t0 t1 t2 t3", 4L), (1L, "t2 t3 t4 t5", 4L),
+      (2L, "t4 t5 t6 t7", 4L), (3L, "t6 t7 t8 t9", 4L)))
+    // ragged tail: 9 tokens -> last chunk shorter
+    val ragged = Seq((2L, "t0 t1 t2 t3 t4 t5 t6 t7 t8")).toDF("doc_id", "text")
+    val tail = CurationOps.chunkTokens(ragged, "doc_id", "text", 4, 2)
+      .orderBy($"chunk_idx").select($"chunk_text").as[String].collect().toSeq
+    assert(tail == Seq("t0 t1 t2 t3", "t2 t3 t4 t5", "t4 t5 t6 t7", "t6 t7 t8"))
+    // a doc shorter than one chunk emits exactly one chunk; empty emits none
+    val shorty = Seq((3L, "a b"), (4L, "   ")).toDF("doc_id", "text")
+    val sc = CurationOps.chunkTokens(shorty, "doc_id", "text", 4, 2)
+      .select($"doc_id", $"chunk_text").as[(Long, String)].collect().toSeq
+    assert(sc == Seq((3L, "a b")))
+    // zero overlap reconstructs every document exactly on the testdata
+    val rebuilt = CurationOps.chunkTokens(docs, "doc_id", "text", 32, 0)
+      .groupBy($"doc_id")
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(chunk_idx, chunk_text))), e -> e.chunk_text)"),
+        " ").as("re"))
+    val mismatch = docs
+      .select($"doc_id", array_join(graft.ext.TextOps.toks($"text"), " ").as("norm"))
+      .join(rebuilt, Seq("doc_id"))
+      .filter($"re" =!= $"norm").count()
+    assert(mismatch == 0, "stride == chunkLen must partition every document")
+  }
+
+  test("assignShards: deterministic dense positions, hash-balanced shards") {
+    val a = CurationOps.assignShards(docs, "doc_id", shards = 8)
+      .select($"doc_id", $"shard", $"pos").as[(Long, Long, Long)].collect()
+    val b = CurationOps.assignShards(docs, "doc_id", shards = 8)
+      .select($"doc_id", $"shard", $"pos").as[(Long, Long, Long)].collect()
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq, "must be reproducible")
+    val n = docs.count()
+    assert(a.length == n, "every row is assigned exactly once")
+    // positions are dense 0..count-1 within each shard
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      val pos = rows.map(_._3).sorted.toSeq
+      assert(pos == (0L until rows.length).toSeq, s"shard $shard positions: $pos")
+    }
+    // hash balance: no shard is pathologically loaded (≤ 3x the mean)
+    val maxLoad = a.groupBy(_._2).values.map(_.length).max
+    assert(maxLoad <= 3 * n / 8, s"worst shard holds $maxLoad of $n rows")
+    // a different salt reshuffles membership
+    val salted = CurationOps.assignShards(docs, "doc_id", 8, salt = "other")
+      .select($"doc_id", $"shard").as[(Long, Long)].collect().toMap
+    val same = a.count { case (id, s, _) => salted(id) == s }
+    assert(same < n, "an independent salt must not reproduce the same layout")
+  }
+
   test("sampleStratified: deterministic, rate-bounded, missing strata kept") {
     val df = docs.select($"doc_id", $"lang")
     val rates = Map("en" -> 0.5, "de" -> 0.0)

@@ -722,6 +722,25 @@ class StreamingPipelineSpec extends SparkSpec {
     }
   }
 
+  test("a wide probe splits into bounded In chunks: no stack overflow, drops exact") {
+    import graft.streaming.CurationStream
+    // >256 distinct signatures force the chunked-union probe path (a single
+    // pushed In of thousands of values overflows the task stack — the sf0.1
+    // bench found this); survivors must still be exactly the novel docs
+    val dir = Files.createTempDirectory("neardup_wide").toString
+    def text(i: Int) = s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i"
+    val docs0 = (0 until 600).map(i => (i.toLong, text(i))).toDF("doc_id", "text")
+    CurationStream.nearDedupBatch(dir, "doc_id", "text")(docs0, 0L)
+    // batch 1: 300 dups of batch 0 + 100 new -> 400 docs, 1600 band sigs
+    val docs1 = ((0 until 300).map(i => (10000L + i, text(i))) ++
+      (0 until 100).map(i => (20000L + i, s"novel$i fresh$i unseen$i wholly$i distinct$i new$i words$i")))
+      .toDF("doc_id", "text")
+    val kept = CurationStream.nearDedupBatch(dir, "doc_id", "text")(docs1, 1L)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == (0 until 100).map(20000L + _).toSeq,
+      s"all 300 index collisions must drop, all 100 novel docs survive: ${kept.length} kept")
+  }
+
   test("end-to-end: curate feeds the incremental near-dup index in one streaming graph") {
     import graft.streaming.CurationStream
     // the full production composition — quality gate + decontamination +
