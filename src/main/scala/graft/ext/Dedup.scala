@@ -184,6 +184,17 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- d08
+  /** Exact-substring span masking over the corpus (8-token windows repeated
+    * in ≥ 2 distinct docs) — the oracle row for
+    * [[DedupOps.maskRepeatedSpans]]: both engines must agree on every
+    * masked position and every byte of rebuilt text. */
+  val d08SpanMask: Q = (s, dir) => {
+    import s.implicits._
+    DedupOps.maskRepeatedSpans(docs(s, dir), "doc_id", "text", n = 8, minDocs = 2)
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_exact_dedup" -> d01ExactDedup,
     "d02_minhash_lsh" -> d02MinhashLsh,
@@ -191,7 +202,8 @@ object Dedup {
     "d04_ngram_jaccard" -> d04NgramJaccard,
     "d05_embedding_neardup" -> d05EmbeddingNearDup,
     "d06_simhash_hamming" -> d06SimhashHamming,
-    "d07_neardup_components" -> d07NearDupComponents)
+    "d07_neardup_components" -> d07NearDupComponents,
+    "d08_span_mask" -> d08SpanMask)
 
   /** Shared DuckDB SQL prelude: tokens per doc (same split + empty-filter as
     * [[TextOps.toks]]). */
@@ -333,5 +345,27 @@ object Dedup {
           |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
           |SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
           |FROM reach GROUP BY id
-          |ORDER BY doc_id""".stripMargin))
+          |ORDER BY doc_id""".stripMargin),
+    "d08_span_mask" ->
+      (toksCte +
+        """, g AS (
+          |  SELECT doc_id, i, md5(array_to_string(toks[i:i+7], ' ')) AS gh
+          |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-6)) AS i FROM l)),
+          | rep AS (SELECT gh FROM g GROUP BY gh HAVING count(DISTINCT doc_id) >= 2),
+          | cov AS (
+          |  SELECT DISTINCT doc_id, unnest(range(i, i+8)) AS p
+          |  FROM g JOIN rep USING (gh)),
+          | tp AS (
+          |  SELECT doc_id, generate_subscripts(toks, 1) AS p, unnest(toks) AS tok
+          |  FROM l),
+          | rb AS (
+          |  SELECT doc_id, array_to_string(list(tok ORDER BY p), ' ') AS clean_text,
+          |   count(*) AS n_kept
+          |  FROM tp ANTI JOIN cov USING (doc_id, p)
+          |  GROUP BY doc_id)
+          |SELECT l.doc_id, coalesce(rb.clean_text, '') AS clean_text,
+          | CAST(coalesce(rb.n_kept, 0) AS BIGINT) AS n_kept,
+          | CAST(len(l.toks) - coalesce(rb.n_kept, 0) AS BIGINT) AS n_removed
+          |FROM l LEFT JOIN rb ON l.doc_id = rb.doc_id
+          |ORDER BY l.doc_id""".stripMargin))
 }

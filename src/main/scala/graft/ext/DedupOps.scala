@@ -275,6 +275,60 @@ object DedupOps {
     }
   }
 
+  /** Exact-substring span masking — the distributable fixed-window form of
+    * Lee et al. 2022's ExactSubstr deduplication ("Deduplicating Training
+    * Data Makes Language Models Better", the suffix-array step): every token
+    * position covered by an `n`-token window occurring in at least `minDocs`
+    * DISTINCT documents is removed and the document re-joined from the
+    * surviving tokens. Any repeated cross-document span of length ≥ n is a
+    * union of repeated n-windows, so whole repeated spans vanish while
+    * unique text stays; spans repeated only WITHIN one document are
+    * deliberately untouched (that is the t05 repetition-signal family's
+    * job). Returns (idCol, clean_text, n_kept, n_removed), clean_text = ""
+    * when everything was repeated.
+    *
+    * Scale shape: occurrence rows are (doc, position, 8-byte gram hash); the
+    * document-frequency aggregation and the cover join are gram-hash-keyed
+    * (the d04 inverted-index shape — a suffix array needs a dedicated host,
+    * this needs only keyed shuffles), and the rebuild is one doc-keyed
+    * aggregation whose per-group state is bounded by document length. */
+  def maskRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(n >= 2 && minDocs >= 2, s"need n >= 2 and minDocs >= 2")
+    val tk = df.select(col(idCol).as("__id"), toks(col(textCol)).as("__tk"))
+    // every n-window occurrence with its 0-based start position
+    val occ = tk
+      .select(col("__id"), posexplode_outer(ngramsExact(col("__tk"), n))
+        .as(Seq("__i", "__ng")))
+      .filter(col("__ng").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
+      .select(col("__id"), col("__i"), h60(col("__ng")).as("__gh"))
+    val rep = occ.groupBy(col("__gh"))
+      .agg(countDistinct(col("__id")).as("__df"))
+      .filter(col("__df") >= minDocs)
+      .select(col("__gh"))
+    // positions covered by some cross-document-repeated window
+    val cov = occ.join(rep, Seq("__gh"))
+      .select(col("__id"),
+        explode_outer(sequence(col("__i"), col("__i") + (n - 1))).as("__p"))
+      .filter(col("__p").isNotNull)
+      .distinct()
+    val pos = tk
+      .select(col("__id"), posexplode_outer(col("__tk")).as(Seq("__p", "__tok")))
+      .filter(col("__tok").isNotNull)
+    val rebuilt = pos.join(cov, Seq("__id", "__p"), "left_anti")
+      .groupBy(col("__id"))
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(__p, __tok))), e -> e.__tok)"),
+        " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    tk.select(col("__id"), size(col("__tk")).cast("long").as("__ntok"))
+      .join(rebuilt, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__ntok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs above `threshold`, blocked by
     * `blockCol` (inverted-index candidates, like d04). Returns
     * (id_a, id_b, jaccard). */

@@ -449,6 +449,31 @@ class DedupOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("maskRepeatedSpans removes cross-doc repeated windows, keeps unique and within-doc text") {
+    val span = "s1 s2 s3 s4 s5 s6 s7 s8" // the 8-token window docs A and B share
+    val data = Seq(
+      (1L, s"a1 a2 $span"),              // span at positions 2..9
+      (2L, s"$span b1"),                 // span at positions 0..7
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9"), // unique -> untouched
+      (4L, "s1 s2 s3"),                  // <8 tokens: no windows -> untouched
+      (5L, "e1 e2 e3 e4 e5 e6 e7 e8 e1 e2 e3 e4 e5 e6 e7 e8")) // within-doc repeat only
+      .toDF("doc_id", "text")
+    val got = DedupOps.maskRepeatedSpans(data, "doc_id", "text", n = 8, minDocs = 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "a1 a2", 2L, 8L),
+      (2L, "b1", 1L, 8L),
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9", 9L, 0L),
+      (4L, "s1 s2 s3", 3L, 0L),
+      (5L, "e1 e2 e3 e4 e5 e6 e7 e8 e1 e2 e3 e4 e5 e6 e7 e8", 16L, 0L)),
+      s"got $got")
+    // a doc that is ENTIRELY a repeated span comes back empty, not absent
+    val wipe = Seq((1L, span), (2L, span)).toDF("doc_id", "text")
+    val wiped = DedupOps.maskRepeatedSpans(wipe, "doc_id", "text", 8, 2)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(wiped == Seq((1L, "", 0L, 8L), (2L, "", 0L, 8L)))
+  }
+
   test("simhashPairs banded index equals brute-force all-pairs at the threshold") {
     // pigeonhole exactness: at maxHamming <= bands-1 the band equi-join must
     // surface EXACTLY the pairs an all-pairs hamming scan finds
