@@ -254,6 +254,18 @@ object Curation {
       .orderBy($"shard", $"pos")
   }
 
+  // ---------------------------------------------------------------- c10
+  /** DSIR importance weights against the English slice — the oracle row for
+    * [[CurationOps.dsirWeights]]: both engines must agree on every
+    * document's mean unigram log-likelihood ratio (target = `lang = 'en'`)
+    * and the derived selection flag. */
+  val c10DsirWeights: Q = (s, dir) => {
+    import s.implicits._
+    CurationOps.dsirWeights(docs(s, dir), "doc_id", "text",
+      targetPred = $"lang" === "en")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "c01_decontaminate" -> c01Decontaminate,
     "c06_decontaminate_bloom" -> c06DecontaminateBloom,
@@ -263,7 +275,8 @@ object Curation {
     "c04_mixture_weights" -> c04MixtureWeights,
     "c05_curation_pipeline" -> c05CurationPipeline,
     "c08_rag_chunks" -> c08RagChunks,
-    "c09_train_shards" -> c09TrainShards)
+    "c09_train_shards" -> c09TrainShards,
+    "c10_dsir_weights" -> c10DsirWeights)
 
   private val toksCte =
     """WITH l AS (
@@ -369,6 +382,22 @@ object Curation {
         |SELECT doc_id, shard,
         | CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) - 1 AS BIGINT) AS pos
         |FROM a ORDER BY shard, pos""".stripMargin,
+    "c10_dsir_weights" ->
+      (toksCte +
+        """, u AS (SELECT doc_id, (lang = 'en') AS tgt, unnest(toks) AS tok FROM l),
+          | f AS (
+          |  SELECT tok, CAST(count(*) AS DOUBLE) AS ca,
+          |   CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS DOUBLE) AS ct
+          |  FROM u GROUP BY tok),
+          | t AS (SELECT sum(ca) AS ta, sum(ct) AS tt, CAST(count(*) AS DOUBLE) AS v FROM f),
+          | sc AS (
+          |  SELECT u.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+          |   round(avg(ln((f.ct + 0.5) / (t.tt + 0.5 * t.v)) -
+          |             ln((f.ca + 0.5) / (t.ta + 0.5 * t.v))) + 1e-9, 4) AS dsir_logratio
+          |  FROM u JOIN f USING (tok), t GROUP BY u.doc_id)
+          |SELECT doc_id, n_tok, dsir_logratio,
+          | CAST(CASE WHEN dsir_logratio > 0 THEN 1 ELSE 0 END AS BIGINT) AS selected
+          |FROM sc ORDER BY doc_id""".stripMargin),
     "c05_curation_pipeline" -> {
       val scores = TextAnalysis.stop
         .map { case (l, ws) => s"${TextAnalysis.duckCount(ws)} AS s_$l" }

@@ -284,6 +284,47 @@ object CurationOps {
       .drop("__ord")
   }
 
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", hashed-unigram form):
+    * score every document by the MEAN unigram log-likelihood ratio between
+    * the TARGET slice's token distribution and the full raw corpus, with
+    * add-`lambda` smoothing so tokens absent from the target stay finite.
+    * Documents whose rounded score is positive look more target-like than
+    * raw-corpus-like and carry `selected = 1` — the standard way to skim a
+    * web-scale crawl for in-domain training data. Returns
+    * (idCol, n_tok, dsir_logratio, selected); zero-token documents are
+    * absent (they have no tokens to score).
+    *
+    * Scale shape: identical to [[TextAnalysis.unigramSurprise]] — one
+    * token-keyed aggregation builds BOTH distributions in the same pass
+    * (conditional count for the target), a 1-row totals broadcast, a
+    * vocab-sized keyed join back to the token instances (AQE broadcasts it
+    * when the vocabulary fits), and a doc-keyed mean. The corpus is
+    * scanned once; no driver state. */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, lambda: Double = 0.5): DataFrame = {
+    require(lambda > 0, s"lambda must be > 0, got $lambda")
+    val inst = df
+      .withColumn("__tk", toks(col(textCol)))
+      .withColumn("__tgt", targetPred)
+      .select(col(idCol), col("__tgt"), explode_outer(col("__tk")).as("__tok"))
+      .filter(col("__tok").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
+    val freq = inst.groupBy(col("__tok"))
+      .agg(count(lit(1)).cast("double").as("__ca"),
+        sum(when(col("__tgt"), 1L).otherwise(0L)).cast("double").as("__ct"))
+    val tot = freq.agg(sum(col("__ca")).as("__ta"), sum(col("__ct")).as("__tt"),
+      count(lit(1)).cast("double").as("__v"))
+    inst.join(freq, Seq("__tok"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"),
+        round(avg(
+          log((col("__ct") + lambda) / (col("__tt") + col("__v") * lambda)) -
+          log((col("__ca") + lambda) / (col("__ta") + col("__v") * lambda)))
+          + 1e-9, 4).as("dsir_logratio"))
+      .withColumn("selected", (col("dsir_logratio") > 0).cast("long"))
+  }
+
   /** Balanced variant: every stratum downsampled to (approximately) the
     * smallest stratum's size, thresholds computed from the data in one
     * |strata|-row aggregation (the c03 query's generic form). */

@@ -347,11 +347,54 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  // ---------------------------------------------------------------- s06
+  /** Embedding outlier detection — the curation step that drops vectors far
+    * from their class centroid (mislabeled/noise rows; the within-cluster
+    * half of the SemDeDup family): cosine of every vector against its
+    * label's mean vector, flagged when below `threshold`.
+    *
+    * Scale shape: the centroid is a partial aggregation (Spark ML
+    * `Summarizer.mean` — ObjectHashAggregate with map-side combine, state =
+    * |labels| × dim on each task, never the corpus), broadcast back as a
+    * |labels|-row build side; the cosine is the codegen'd
+    * [[graft.functions.VectorExprs]] loop in a single corpus scan. */
+  def embeddingOutliers(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, threshold: Double): DataFrame = {
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.stat.Summarizer
+    val v = df.select(col(idCol), col(labelCol),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    val cen = v.groupBy(col(labelCol))
+      .agg(vector_to_array(Summarizer.mean(array_to_vector(col("__v"))))
+        .as("__c"))
+    // two-stage rounding (6 then 4), the s01 contract: absorbs cross-engine
+    // float-summation noise before the reported 4-decimal value
+    val cos6 = round(graft.functions.VectorExprs.dot(col("__v"), col("__c")) /
+      (graft.functions.VectorExprs.l2(col("__v")) *
+        graft.functions.VectorExprs.l2(col("__c"))), 6)
+    // +1e-9 before the 4-decimal round: the centroid mean's cross-engine
+    // float-summation noise can land cos6 EXACTLY on a .00005 boundary
+    // (sf0.01 vec 262 did) — the house half-way-tie guard (see t05)
+    v.join(broadcast(cen), Seq(labelCol))
+      .withColumn("__cos6", cos6)
+      .select(col(idCol), col(labelCol),
+        round(col("__cos6") + 1e-9, 4).as("cos_centroid"),
+        (round(col("__cos6") + 1e-9, 4) < threshold).cast("long").as("outlier"))
+  }
+
+  val s06EmbeddingOutliers: Q = (s, dir) => {
+    import s.implicits._
+    embeddingOutliers(Tables.loadSpread(s, dir, "embeddings"),
+      "vec_id", "embedding", "label", threshold = 0.0)
+      .orderBy($"vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_knn_brute" -> s01KnnBrute,
     "s02_ann_lsh" -> s02AnnLsh,
     "s03_ivf_fullprobe" -> s03IvfFullprobe,
-    "s05_pq_rerank" -> s05PqRerank)
+    "s05_pq_rerank" -> s05PqRerank,
+    "s06_embedding_outliers" -> s06EmbeddingOutliers)
 
   private val vecsCte =
     """WITH e AS (
@@ -424,5 +467,22 @@ object Similarity {
         |  CAST(row_number() OVER (PARTITION BY q.vec_id
         |    ORDER BY list_dot_product(q.u, e.u) DESC, e.vec_id) AS BIGINT) AS rk
         | FROM u q JOIN u e ON q.vec_id < 20 AND q.vec_id <> e.vec_id) t
-        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin)
+        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    "s06_embedding_outliers" ->
+      (vecsCte +
+        """, ev AS (
+          |  SELECT vec_id, label, generate_subscripts(v, 1) AS d, unnest(v) AS x
+          |  FROM e),
+          | cen AS (SELECT label, d, avg(x) AS c FROM ev GROUP BY label, d),
+          | cnrm AS (SELECT label, sqrt(sum(c * c)) AS cnrm FROM cen GROUP BY label),
+          | dots AS (
+          |  SELECT ev.vec_id, ev.label, sum(ev.x * cen.c) AS dp
+          |  FROM ev JOIN cen USING (label, d) GROUP BY ev.vec_id, ev.label),
+          | sc AS (
+          |  SELECT e.vec_id, e.label,
+          |   round(round(dots.dp / (e.nrm * cnrm.cnrm), 6) + 1e-9, 4) AS cos_centroid
+          |  FROM e JOIN dots USING (vec_id) JOIN cnrm ON e.label = cnrm.label)
+          |SELECT vec_id, label, cos_centroid,
+          | CAST(CASE WHEN cos_centroid < 0.0 THEN 1 ELSE 0 END AS BIGINT) AS outlier
+          |FROM sc ORDER BY vec_id""".stripMargin))
 }

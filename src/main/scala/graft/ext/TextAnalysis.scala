@@ -222,6 +222,97 @@ object TextAnalysis {
     unigramSurprise(docs(s, dir), "doc_id", "text").orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- t08
+  /** PII redaction patterns (name, regex, replacement) — public shapes
+    * (email, IPv4, NANP-style phone), written in the RE2 ∩ java.util.regex
+    * dialect (character classes, bounded repeats, `\b`; no lookaround, no
+    * backreferences) so Spark and the DuckDB oracle match identically.
+    * Applied IN ORDER, each stage counting on the previous stage's output,
+    * so an IPv4 inside an already-redacted email domain is never
+    * double-counted. */
+  private[ext] val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("phone", "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b", "<PHONE>"))
+
+  /** PII redaction, the standard pre-training scrub (e.g. Dolma/FineWeb
+    * pipelines): replace emails, IPv4 addresses and phone numbers with typed
+    * placeholder tokens and count each category. Pure codegen'd regexp
+    * projection — linear scan, no shuffle, embarrassingly parallel at any
+    * scale. Returns (idCol, redacted, n_email, n_ip, n_phone). */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val staged = piiPatterns.zipWithIndex.foldLeft(
+      df.select(col(idCol), col(textCol).as("__s0"))) {
+      case (acc, ((name, pat, rep), i)) =>
+        acc.withColumn(s"n_$name",
+            regexp_count(col(s"__s$i"), lit(pat)).cast("long"))
+          .withColumn(s"__s${i + 1}", regexp_replace(col(s"__s$i"), pat, rep))
+    }
+    staged.select(col(idCol) +:
+      col(s"__s${piiPatterns.size}").as("redacted") +:
+      piiPatterns.map { case (n, _, _) => col(s"n_$n") }: _*)
+  }
+
+  /** The t08 oracle row injects deterministic synthetic PII derived from
+    * doc_id (the corpus itself is PII-free, which would make a redaction
+    * oracle a trivial pass-through) — both engines build the same injected
+    * text, so they must agree on every redacted byte and every count. */
+  val t08PiiRedact: Q = (s, dir) => {
+    import s.implicits._
+    val injected = docs(s, dir).withColumn("text", concat($"text",
+      when(pmod($"doc_id", lit(3)) === 0, concat(lit(" mail user"),
+        $"doc_id".cast("string"), lit("@example.com"))).otherwise(lit("")),
+      when(pmod($"doc_id", lit(4)) === 0, concat(lit(" from 10."),
+        pmod($"doc_id", lit(200)).cast("string"), lit(".0."),
+        pmod($"doc_id", lit(250)).cast("string"))).otherwise(lit("")),
+      when(pmod($"doc_id", lit(5)) === 0, concat(lit(" call "),
+        (pmod($"doc_id", lit(900)) + 100).cast("string"), lit("-555-"),
+        lpad(pmod($"doc_id", lit(10000)).cast("string"), 4, "0")))
+        .otherwise(lit(""))))
+    redactPii(injected, "doc_id", "text").orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------- t09
+  /** Cross-source n-gram overlap matrix — the dataset-analysis staple for
+    * "how much does slice A repeat slice B" (cross-dump overlap in
+    * CommonCrawl curation): for every unordered source pair, the count of
+    * distinct 3-shingle hashes both contain and the Jaccard overlap of their
+    * shingle sets. Zero-overlap pairs are kept (left join + coalesce).
+    *
+    * Scale shape: one distinct over (source, shingle-hash) — gram-keyed
+    * shuffle — then a gram-hash equi self-join whose per-key fan-out is
+    * bounded by |sources|², and |sources|-row side tables the optimizer
+    * broadcasts. The corpus itself is scanned once; no all-pairs anything. */
+  def sourceOverlap(df: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val gs = df
+      .withColumn("__tk", toks(col(textCol)))
+      .select(col(srcCol).as("__src"),
+        explode_outer(shingles3(col("__tk"))).as("__sh"))
+      .filter(col("__sh").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
+      .select(col("__src"), h60(col("__sh")).as("__gh"))
+      .distinct()
+    val sizes = gs.groupBy(col("__src")).agg(count(lit(1)).as("__n"))
+    val common = gs.as("a")
+      .join(gs.as("b"),
+        col("a.__gh") === col("b.__gh") && col("a.__src") < col("b.__src"))
+      .groupBy(col("a.__src").as("src_a"), col("b.__src").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val pairs = sizes.as("x")
+      .join(sizes.as("y"), col("x.__src") < col("y.__src"))
+      .select(col("x.__src").as("src_a"), col("y.__src").as("src_b"),
+        col("x.__n").as("n_a"), col("y.__n").as("n_b"))
+    pairs.join(common, Seq("src_a", "src_b"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"), col("n_common"),
+        round(col("n_common") / (col("n_a") + col("n_b") - col("n_common")) + 1e-9, 4)
+          .as("jaccard"))
+  }
+
+  val t09SourceOverlap: Q = (s, dir) => {
+    import s.implicits._
+    sourceOverlap(docs(s, dir), "source", "text").orderBy($"src_a", $"src_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_lang_id" -> t01LangId,
     "t02_quality" -> t02Quality,
@@ -229,7 +320,9 @@ object TextAnalysis {
     "t04_fingerprint" -> t04Fingerprint,
     "t05_repetition" -> t05Repetition,
     "t06_common_tokens" -> t06CommonTokens,
-    "t07_unigram_surprise" -> t07UnigramSurprise)
+    "t07_unigram_surprise" -> t07UnigramSurprise,
+    "t08_pii_redact" -> t08PiiRedact,
+    "t09_source_overlap" -> t09SourceOverlap)
 
   private val toksCte =
     """WITH l AS (
@@ -334,5 +427,56 @@ object TextAnalysis {
           |SELECT u.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
           | round(avg(-ln(f.cnt / tt.tot)) + 1e-9, 4) AS surprise
           |FROM u JOIN f ON u.tok = f.tok, tt
-          |GROUP BY u.doc_id ORDER BY u.doc_id""".stripMargin))
+          |GROUP BY u.doc_id ORDER BY u.doc_id""".stripMargin),
+    "t08_pii_redact" ->
+      """WITH inj AS (
+        |  SELECT doc_id, text ||
+        |   CASE WHEN doc_id % 3 = 0
+        |    THEN ' mail user' || doc_id || '@example.com' ELSE '' END ||
+        |   CASE WHEN doc_id % 4 = 0
+        |    THEN ' from 10.' || (doc_id % 200) || '.0.' || (doc_id % 250) ELSE '' END ||
+        |   CASE WHEN doc_id % 5 = 0
+        |    THEN ' call ' || (doc_id % 900 + 100) || '-555-' ||
+        |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS s0
+        |  FROM documents),
+        | s1 AS (
+        |  SELECT doc_id,
+        |   CAST(len(regexp_extract_all(s0, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+        |   regexp_replace(s0, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g') AS s
+        |  FROM inj),
+        | s2 AS (
+        |  SELECT doc_id, n_email,
+        |   CAST(len(regexp_extract_all(s, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ip,
+        |   regexp_replace(s, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS s
+        |  FROM s1),
+        | s3 AS (
+        |  SELECT doc_id, n_email, n_ip,
+        |   CAST(len(regexp_extract_all(s, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phone,
+        |   regexp_replace(s, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g') AS s
+        |  FROM s2)
+        |SELECT doc_id, s AS redacted, n_email, n_ip, n_phone
+        |FROM s3 ORDER BY doc_id""".stripMargin,
+    "t09_source_overlap" ->
+      """WITH l AS (
+        |  SELECT source,
+        |   list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        | sh AS (
+        |  SELECT DISTINCT source,
+        |   CAST(CAST(('0x' || substr(md5(array_to_string(toks[i:i+2], ' ')),1,15)) AS UBIGINT) AS BIGINT) AS gh
+        |  FROM (SELECT source, toks, unnest(range(1, len(toks)+1)) AS i FROM l)),
+        | sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY source),
+        | cm AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n_common
+        |  FROM sh a JOIN sh b ON a.gh = b.gh AND a.source < b.source
+        |  GROUP BY 1, 2),
+        | pr AS (
+        |  SELECT x.source AS src_a, y.source AS src_b, x.n AS n_a, y.n AS n_b
+        |  FROM sz x JOIN sz y ON x.source < y.source)
+        |SELECT pr.src_a, pr.src_b, pr.n_a, pr.n_b,
+        | coalesce(cm.n_common, 0) AS n_common,
+        | round(CAST(coalesce(cm.n_common, 0) AS DOUBLE) /
+        |   (pr.n_a + pr.n_b - coalesce(cm.n_common, 0)) + 1e-9, 4) AS jaccard
+        |FROM pr LEFT JOIN cm ON pr.src_a = cm.src_a AND pr.src_b = cm.src_b
+        |ORDER BY pr.src_a, pr.src_b""".stripMargin)
 }

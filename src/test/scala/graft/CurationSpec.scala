@@ -302,6 +302,21 @@ class CurationSpec extends SparkSpec {
       "threshold for the smallest stratum is exactly 1e6 — kept in full")
   }
 
+  test("dsirWeights: hand-computed add-lambda unigram log-likelihood ratios") {
+    // corpus: doc 1 "a b" (target), doc 2 "a c" (raw). freq: a ca=2 ct=1;
+    // b ca=1 ct=1; c ca=1 ct=0. totals ta=4 tt=2 v=3; lambda=0.5.
+    val d = Seq((1L, "a b", "en"), (2L, "a c", "de")).toDF("doc_id", "text", "lang")
+    def lr(ct: Double, ca: Double) =
+      math.log((ct + 0.5) / (2.0 + 0.5 * 3)) - math.log((ca + 0.5) / (4.0 + 0.5 * 3))
+    def r4(x: Double) = math.round((x + 1e-9) * 1e4) / 1e4
+    val exp1 = r4((lr(1, 2) + lr(1, 1)) / 2) // tokens a, b
+    val exp2 = r4((lr(1, 2) + lr(0, 1)) / 2) // tokens a, c
+    val got = CurationOps.dsirWeights(d, "doc_id", "text", col("lang") === "en")
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2L, exp1, 1L), (2L, 2L, exp2, 0L)), s"got $got")
+    assert(exp1 > 0 && exp2 < 0, "target-slice doc scores positive, raw negative")
+  }
+
   test("c01 query agrees with contaminationCounts on the id-split testdata") {
     val c = docs.filter($"doc_id" % 20 =!= 0)
     val b = docs.filter($"doc_id" % 20 === 0)

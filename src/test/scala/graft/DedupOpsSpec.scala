@@ -419,6 +419,21 @@ class DedupOpsSpec extends SparkSpec {
       s"mean PQ recall@5 too low: ${recall.sum / recall.size}")
   }
 
+  test("embeddingOutliers flags vectors below the centroid-cosine threshold") {
+    // label 0: two identical unit vectors -> centroid = themselves, cos 1.0
+    // label 1: orthogonal pair -> centroid (0.5, 0.5), cos = 0.5/0.7071... = 0.7071
+    val d = Seq(
+      (1L, 0, Array(1.0f, 0.0f)), (2L, 0, Array(1.0f, 0.0f)),
+      (3L, 1, Array(1.0f, 0.0f)), (4L, 1, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.embeddingOutliers(d, "vec_id", "embedding", "label",
+        threshold = 0.8)
+      .as[(Long, Int, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 0, 1.0, 0L), (2L, 0, 1.0, 0L),
+      (3L, 1, 0.7071, 1L), (4L, 1, 0.7071, 1L)), s"got $got")
+  }
+
   test("connectedComponents labels pair graphs with the min reachable id") {
     // chain 1-2, 2-3 plus disjoint pair 10-11 plus triangle 20-21-22
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))

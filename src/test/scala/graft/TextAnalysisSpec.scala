@@ -21,4 +21,37 @@ class TextAnalysisSpec extends SparkSpec {
     // rare-token documents must score strictly higher
     assert(got(1)._3 > got(0)._3)
   }
+
+  test("redactPii replaces emails, ips, phones with typed placeholders and counts each") {
+    val docs = Seq(
+      (1L, "contact bob@test.com or a1.b@ex.org now"),
+      (2L, "host 10.0.0.1 and 192.168.255.3 up"),
+      (3L, "call 555-123-4567 today"),
+      (4L, "clean text with no pii at all"),
+      (5L, "octets 1.2.3.4.5 chain")) // IP regex takes the first 4 octets
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.redactPii(docs, "doc_id", "text")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "contact <EMAIL> or <EMAIL> now", 2L, 0L, 0L),
+      (2L, "host <IP> and <IP> up", 0L, 2L, 0L),
+      (3L, "call <PHONE> today", 0L, 0L, 1L),
+      (4L, "clean text with no pii at all", 0L, 0L, 0L),
+      (5L, "octets <IP>.5 chain", 0L, 1L, 0L)), s"got $got")
+  }
+
+  test("sourceOverlap computes shingle-set Jaccard per source pair, zero-overlap pairs kept") {
+    // A: shingles {x y z, y z w, z w, w}; B: {x y z, y z q, z q, q} -> share 1 of 7
+    // C: {c1} -> no overlap with either
+    val docs = Seq(("A", "x y z w"), ("B", "x y z q"), ("C", "c1"))
+      .toDF("source", "text")
+    val got = TextAnalysis.sourceOverlap(docs, "source", "text")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    def r4(x: Double) = math.round((x + 1e-9) * 1e4) / 1e4
+    assert(got == Seq(
+      ("A", "B", 4L, 4L, 1L, r4(1.0 / 7.0)),
+      ("A", "C", 4L, 1L, 0L, 0.0),
+      ("B", "C", 4L, 1L, 0L, 0.0)), s"got $got")
+  }
 }
