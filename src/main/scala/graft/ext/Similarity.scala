@@ -182,8 +182,14 @@ object Similarity {
       }
     def assign(u: Column, cs: IndexedSeq[Seq[Double]]): Column =
       if (l2) assignL2Expr(u, cs) else assignExpr(u, cs)
+    // the seed collect plus every Lloyd iteration re-reads this frame —
+    // persist it once (it is the BOUNDED training sample, ≤ trainSampleRows
+    // rows even on a 100 TB corpus) instead of re-scanning + re-normalizing
+    // the source 1 + iters times
+    val cp = c.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     // deterministic seed: the nlist lowest-id unit vectors
-    var centroids: IndexedSeq[Seq[Double]] = c.orderBy(col("id")).limit(nlist)
+    var centroids: IndexedSeq[Seq[Double]] = cp.orderBy(col("id")).limit(nlist)
       .select(col("__u")).collect().toIndexedSeq.map(_.getSeq[Double](0))
     for (_ <- 0 until iters) {
       // per-cluster SUM per position plus member count: the true mean is
@@ -191,7 +197,7 @@ object Similarity {
       // direction), but L2 mode MUST divide, otherwise centroid norms scale
       // with cluster size and the −|c|²/2 assignment term collapses
       // everything into whichever centroid stays small
-      val means = c.withColumn("__cid", assign(col("__u"), centroids))
+      val means = cp.withColumn("__cid", assign(col("__u"), centroids))
         .select(col("__cid"), posexplode_outer(col("__u")).as(Seq("__p", "__x")))
         .filter(col("__x").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
         .groupBy(col("__cid"), col("__p")).agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
@@ -204,6 +210,7 @@ object Similarity {
         means.get(i).map(normalize).getOrElse(centroids(i)))
     }
     centroids
+    } finally cp.unpersist(false)
   }
 
   /** @param trainSampleRows cap on the rows the Lloyd iterations touch: a
@@ -271,12 +278,51 @@ object Similarity {
     val dsub = dim / m
     def sub(u: Column, s: Int): Column = slice(u, s * dsub + 1, dsub)
     // codebooks train on the deterministic sample (see ivfKnn); encoding and
-    // the exact rerank always run over the full corpus
+    // the exact rerank always run over the full corpus. All m subspaces
+    // train JOINTLY: one aggregation job per Lloyd iteration keyed by
+    // (subspace, centroid, position) instead of m independent trainings —
+    // same seeds, same assignment formula, same means (bit-for-bit the
+    // per-subspace result), but 1 + iters passes over the persisted sample
+    // rather than m × (1 + iters) separate jobs.
     val ct = trainSample(c, trainSampleRows)
-    val codebooks: IndexedSeq[IndexedSeq[Seq[Double]]] = (0 until m).map { s =>
-      trainCentroids(ct.select(col("id"), sub(col("__u"), s).as("__u")),
-        ksub, iters, l2 = true)
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codebooks: IndexedSeq[IndexedSeq[Seq[Double]]] = try {
+      // seed: the ksub lowest-id sample vectors, sliced per subspace —
+      // identical to seeding each subspace training separately
+      var cbs: IndexedSeq[IndexedSeq[Seq[Double]]] = {
+        val seeds = ct.orderBy(col("id")).limit(ksub).select(col("__u"))
+          .collect().toIndexedSeq.map(_.getSeq[Double](0))
+        (0 until m).map(s => seeds.map(v => v.slice(s * dsub, (s + 1) * dsub)))
+      }
+      for (_ <- 0 until iters) {
+        val cids = array((0 until m).map(s =>
+          assignL2Expr(sub(col("__u"), s), cbs(s))): _*)
+        // driver result is m × ksub × dsub rows (the codebook size), never
+        // corpus-shaped; the __cids carrier is materialized by the Generate
+        // input so the assignment exprs evaluate once per row, not per dim
+        val rows = ct.withColumn("__cids", cids)
+          .select(col("__cids"), posexplode_outer(col("__u")).as(Seq("__p", "__x")))
+          .filter(col("__x").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
+          .withColumn("__s", (col("__p") / dsub).cast("int"))
+          .groupBy(col("__s"),
+            element_at(col("__cids"), col("__s") + 1).as("__cid"),
+            (col("__p") % dsub).as("__sp"))
+          .agg(sum(col("__x")).as("__sum"), count(lit(1)).as("__n"))
+          .collect()
+        val bySub = rows.groupBy(r => (r.getInt(0), r.getInt(1)))
+        cbs = (0 until m).map { s =>
+          (0 until ksub).map { k0 =>
+            bySub.get((s, k0)).map { rs =>
+              val n = rs.head.getLong(4)
+              val arr = new Array[Double](dsub)
+              rs.foreach(r => arr(r.getInt(2)) = r.getDouble(3) / n)
+              arr.toSeq
+            }.getOrElse(cbs(s)(k0)) // empty cluster keeps its centroid
+          }
+        }
+      }
+      cbs
+    } finally ct.unpersist(false)
     // compressed corpus: id + m codes (this is what a 100 TB deployment
     // stores; the full vectors are only touched again by the rerank join)
     val codes = c.select(col("id"),
