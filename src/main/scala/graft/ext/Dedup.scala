@@ -195,6 +195,22 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- d09
+  /** Cross-corpus near-dup decontamination on the c01 id-split (reference =
+    * every 20th doc) — the oracle row for
+    * [[DedupOps.dropNearDuplicatesAgainst]]: both engines must agree on
+    * exactly which corpus docs share a MinHash band bucket with the
+    * reference slice. */
+  val d09CrossCorpusNearDup: Q = (s, dir) => {
+    import s.implicits._
+    val d = docs(s, dir)
+    DedupOps.dropNearDuplicatesAgainst(
+        d.filter($"doc_id" % 20 =!= 0), d.filter($"doc_id" % 20 === 0),
+        "doc_id", "text")
+      .select($"doc_id", $"lang", $"source")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_exact_dedup" -> d01ExactDedup,
     "d02_minhash_lsh" -> d02MinhashLsh,
@@ -203,7 +219,8 @@ object Dedup {
     "d05_embedding_neardup" -> d05EmbeddingNearDup,
     "d06_simhash_hamming" -> d06SimhashHamming,
     "d07_neardup_components" -> d07NearDupComponents,
-    "d08_span_mask" -> d08SpanMask)
+    "d08_span_mask" -> d08SpanMask,
+    "d09_crosscorpus_neardup" -> d09CrossCorpusNearDup)
 
   /** Shared DuckDB SQL prelude: tokens per doc (same split + empty-filter as
     * [[TextOps.toks]]). */
@@ -367,5 +384,29 @@ object Dedup {
           | CAST(coalesce(rb.n_kept, 0) AS BIGINT) AS n_kept,
           | CAST(len(l.toks) - coalesce(rb.n_kept, 0) AS BIGINT) AS n_removed
           |FROM l LEFT JOIN rb ON l.doc_id = rb.doc_id
-          |ORDER BY l.doc_id""".stripMargin))
+          |ORDER BY l.doc_id""".stripMargin),
+    "d09_crosscorpus_neardup" ->
+      (toksCte +
+        """, sh AS (
+          |  SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS sh
+          |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks)+1)) AS i FROM l)),
+          | h AS (
+          |  SELECT doc_id,
+          |   CAST(CAST(('0x' || substr(md5(sh),1,15)) AS UBIGINT) % 2147483647 AS BIGINT) AS hm
+          |  FROM sh),
+          | sig AS (
+          |  SELECT doc_id, k,
+          |   min((CAST(2*k+1 AS BIGINT) * hm + (12345 + 41*k)) % 2147483647) AS mh
+          |  FROM h, (SELECT unnest(range(0,16)) AS k) GROUP BY doc_id, k),
+          | band AS (
+          |  SELECT doc_id, k // 4 AS band,
+          |   string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k) AS bsig
+          |  FROM sig GROUP BY doc_id, k // 4),
+          | refb AS (SELECT DISTINCT band, bsig FROM band WHERE doc_id % 20 = 0),
+          | bad AS (
+          |  SELECT DISTINCT b.doc_id FROM band b JOIN refb USING (band, bsig)
+          |  WHERE b.doc_id % 20 != 0)
+          |SELECT d.doc_id, d.lang, d.source FROM documents d
+          |WHERE d.doc_id % 20 != 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+          |ORDER BY d.doc_id""".stripMargin))
 }

@@ -77,6 +77,30 @@ object DedupOps {
     df.join(dropIds.withColumnRenamed("__id", idCol), Seq(idCol), "left_anti")
   }
 
+  /** Cross-corpus MinHash near-dup drop — near-dup DECONTAMINATION: remove
+    * every corpus doc whose MinHash signature collides with a REFERENCE doc
+    * (eval/benchmark set, an earlier training corpus, opt-out content) in
+    * any LSH band. Same signature layout as [[dropNearDuplicatesMinhash]],
+    * pointed across two tables instead of within one; where c01/c06 catch
+    * verbatim n-gram overlap, this catches paraphrase-level near-duplicates.
+    * Docs with no shingles (null/empty text) produce no postings and are
+    * always kept.
+    *
+    * Scale contract (100 TB): the reference's (band, bsig) posting set is
+    * distinct'd and is benchmark-sized, so AQE broadcasts the semi-join
+    * build side when it fits; the corpus then sheds non-colliding rows
+    * before the final LEFT ANTI, which carries only the matched ids. */
+  def dropNearDuplicatesAgainst(corpus: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, bands: Int = 4, rowsPerBand: Int = 4,
+      shingleLen: Int = 3): DataFrame = {
+    val cp = bandPostings(corpus, idCol, textCol, bands, rowsPerBand, shingleLen)
+    val rp = bandPostings(reference, idCol, textCol, bands, rowsPerBand, shingleLen)
+      .select(col("band"), col("bsig")).distinct()
+    val dropIds = cp.join(rp, Seq("band", "bsig"), "left_semi")
+      .select(col("__id")).distinct()
+    corpus.join(dropIds.withColumnRenamed("__id", idCol), Seq(idCol), "left_anti")
+  }
+
   /** Token hash for a `bits`-wide simhash: the folded 31-bit [[hm]] only
     * carries signal in bits 0..30, so wider fingerprints (the 100 TB
     * setting — band buckets saturate as the corpus grows, see

@@ -313,6 +313,55 @@ object TextAnalysis {
     sourceOverlap(docs(s, dir), "source", "text").orderBy($"src_a", $"src_b")
   }
 
+  // ---------------------------------------------------------------- t10
+  /** Linear text-classifier inference — the classifier-based filtering
+    * step of modern curation pipelines (fastText-style bag-of-words: the
+    * quality/educational-value scorers of FineWeb-edu/DCLM): score =
+    * sigmoid(bias + mean over token instances of weight(token)),
+    * out-of-vocabulary tokens weigh 0, `label` = score ≥ 0.5. `weights` is
+    * a caller-supplied (token, weight) model — training happens offline;
+    * this operator is the corpus-scale inference pass. Zero-token docs are
+    * absent (nothing to score).
+    *
+    * Scale shape: token instances left-join the vocab-sized weights table
+    * (AQE broadcasts a fitting model — a fastText vocab is ≤ millions of
+    * rows) followed by one doc-keyed mean; the corpus never shuffles
+    * whole. */
+  def scoreLinear(df: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, bias: Double = 0.0): DataFrame = {
+    val cols = weights.columns
+    require(cols.length == 2, s"weights must be (token, weight), got ${cols.toSeq}")
+    val w = weights.select(col(cols(0)).as("__tok"), col(cols(1)).as("__w"))
+    val inst = df
+      .withColumn("__tk", toks(col(textCol)))
+      .select(col(idCol), explode_outer(col("__tk")).as("__tok"))
+      .filter(col("__tok").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
+    val score = round(lit(1.0) /
+      (lit(1.0) + exp(-(lit(bias) + avg(coalesce(col("__w"), lit(0.0)))))) + 1e-9, 4)
+    inst.join(w, Seq("__tok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"), score.as("score"))
+      .withColumn("label", (col("score") >= 0.5).cast("long"))
+  }
+
+  /** The t10 oracle derives a deterministic model from the corpus itself
+    * (the t06 heavy-hitter vocabulary with md5-derived weights in [-1, 1])
+    * so DuckDB can rebuild the identical model and replay the inference. */
+  val t10ClassifierFilter: Q = (s, dir) => {
+    import s.implicits._
+    val d = docs(s, dir)
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val weights = d
+      .withColumn("tk", toks($"text"))
+      .select(explode_outer(array_distinct($"tk")).as("tok"))
+      .filter($"tok".isNotNull)
+      .groupBy($"tok").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .filter($"df".cast("double") / $"n_docs" >= 0.02)
+      .select($"tok", ((h60(concat(lit("w:"), $"tok")) % 2001 - 1000) / 1000.0).as("w"))
+    scoreLinear(d, "doc_id", "text", weights).orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_lang_id" -> t01LangId,
     "t02_quality" -> t02Quality,
@@ -322,7 +371,8 @@ object TextAnalysis {
     "t06_common_tokens" -> t06CommonTokens,
     "t07_unigram_surprise" -> t07UnigramSurprise,
     "t08_pii_redact" -> t08PiiRedact,
-    "t09_source_overlap" -> t09SourceOverlap)
+    "t09_source_overlap" -> t09SourceOverlap,
+    "t10_classifier_filter" -> t10ClassifierFilter)
 
   private val toksCte =
     """WITH l AS (
@@ -478,5 +528,22 @@ object TextAnalysis {
         | round(CAST(coalesce(cm.n_common, 0) AS DOUBLE) /
         |   (pr.n_a + pr.n_b - coalesce(cm.n_common, 0)) + 1e-9, 4) AS jaccard
         |FROM pr LEFT JOIN cm ON pr.src_a = cm.src_a AND pr.src_b = cm.src_b
-        |ORDER BY pr.src_a, pr.src_b""".stripMargin)
+        |ORDER BY pr.src_a, pr.src_b""".stripMargin,
+    "t10_classifier_filter" ->
+      (toksCte +
+        """, u AS (SELECT doc_id, unnest(toks) AS tok FROM l),
+          | t AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM l),
+          | n AS (SELECT count(*) AS n_docs FROM documents),
+          | v AS (
+          |  SELECT tok,
+          |   (CAST(CAST(('0x' || substr(md5('w:' || tok),1,15)) AS UBIGINT) % 2001 AS BIGINT) - 1000) / 1000.0 AS w
+          |  FROM (SELECT tok, count(*) AS df FROM t GROUP BY tok), n
+          |  WHERE CAST(df AS DOUBLE) / n_docs >= 0.02),
+          | sc AS (
+          |  SELECT u.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+          |   round(1.0 / (1.0 + exp(-avg(coalesce(v.w, 0.0)))) + 1e-9, 4) AS score
+          |  FROM u LEFT JOIN v USING (tok) GROUP BY u.doc_id)
+          |SELECT doc_id, n_tok, score,
+          | CAST(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS label
+          |FROM sc ORDER BY doc_id""".stripMargin))
 }

@@ -419,6 +419,22 @@ class DedupOpsSpec extends SparkSpec {
       s"mean PQ recall@5 too low: ${recall.sum / recall.size}")
   }
 
+  test("dropNearDuplicatesAgainst drops corpus docs colliding with the reference, keeps the rest") {
+    val ref = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // identical -> all bands collide
+      (2L, "totally different words here entirely now"),
+      (3L, "")) // no shingles -> no postings -> kept
+      .toDF("doc_id", "text")
+    val kept = DedupOps.dropNearDuplicatesAgainst(corpus, ref, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 3L), s"got $kept")
+    // an empty reference drops nothing
+    val none = DedupOps.dropNearDuplicatesAgainst(corpus, ref.limit(0), "doc_id", "text")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(none == Seq(1L, 2L, 3L))
+  }
+
   test("embeddingOutliers flags vectors below the centroid-cosine threshold") {
     // label 0: two identical unit vectors -> centroid = themselves, cos 1.0
     // label 1: orthogonal pair -> centroid (0.5, 0.5), cos = 0.5/0.7071... = 0.7071

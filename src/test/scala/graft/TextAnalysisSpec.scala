@@ -40,6 +40,26 @@ class TextAnalysisSpec extends SparkSpec {
       (5L, "octets <IP>.5 chain", 0L, 1L, 0L)), s"got $got")
   }
 
+  test("scoreLinear: sigmoid of mean token weight, OOV weighs zero, label at 0.5") {
+    val w = Seq(("good", 2.0), ("bad", -2.0)).toDF("token", "weight")
+    val docs = Seq(
+      (1L, "good good"),        // mean 2.0 -> sigmoid 0.8808
+      (2L, "bad bad bad"),      // mean -2.0 -> 0.1192
+      (3L, "good bad"),         // mean 0 -> 0.5 -> label 1 (>= 0.5)
+      (4L, "unknown words only")) // all OOV -> 0.5
+      .toDF("doc_id", "text")
+    def sig(x: Double) = math.round((1.0 / (1.0 + math.exp(-x)) + 1e-9) * 1e4) / 1e4
+    val got = TextAnalysis.scoreLinear(docs, "doc_id", "text", w)
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 2L, sig(2.0), 1L), (2L, 3L, sig(-2.0), 0L),
+      (3L, 2L, 0.5, 1L), (4L, 3L, 0.5, 1L)), s"got $got")
+    // bias shifts every score
+    val biased = TextAnalysis.scoreLinear(docs, "doc_id", "text", w, bias = -3.0)
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(biased.map(_._4) == Seq(0L, 0L, 0L, 0L))
+  }
+
   test("sourceOverlap computes shingle-set Jaccard per source pair, zero-overlap pairs kept") {
     // A: shingles {x y z, y z w, z w, w}; B: {x y z, y z q, z q, q} -> share 1 of 7
     // C: {c1} -> no overlap with either
