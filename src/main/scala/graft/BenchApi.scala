@@ -71,8 +71,11 @@ object BenchApi {
       n -> (if (ok.isEmpty) -1.0 else ok.min)
     }
     val total = results.map(_._2).filter(_ >= 0).sum
-    val qjson = results.map { case (n, v) => s""""$n":${f"$v%.3f"}""" }.mkString(",")
-    println(s"""{"metric":"api_total","value":${f"$total%.3f"},"unit":"sec","queries":{$qjson},"sf":"$sfDir"}""")
+    // Locale.ROOT: the f"" interpolator uses the JVM default locale, which
+    // renders decimal COMMAS (de_DE, tr_TR, ...) and breaks the JSON line
+    def d3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    val qjson = results.map { case (n, v) => s""""$n":${d3(v)}""" }.mkString(",")
+    println(s"""{"metric":"api_total","value":${d3(total)},"unit":"sec","queries":{$qjson},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

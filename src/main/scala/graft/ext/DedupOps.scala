@@ -713,9 +713,15 @@ object DedupOps {
     * LEFT ANTI against the dropped ids only (duplicates ≪ corpus), no
     * broadcast hint. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nlist: Int = 16, iters: Int = 2): DataFrame = {
+      threshold: Double, nlist: Int = 16, iters: Int = 2,
+      trainSampleRows: Long = 262144L): DataFrame = {
     val c = Similarity.unitVecs(df.filter(col(vecCol).isNotNull), idCol, vecCol, "id")
-    val centroids = Similarity.trainCentroids(c, nlist, iters)
+    // k-means trains on the deterministic hash sample (the ivfKnn/pqKnn
+    // practice — centroid placement needs a density sketch, not the corpus);
+    // cluster ASSIGNMENT below always runs over every row
+    val centroids = Similarity.trainCentroids(
+      Similarity.trainSample(c, trainSampleRows), nlist, iters,
+      persistInput = trainSampleRows != Long.MaxValue)
     val clustered = df.filter(col(vecCol).isNotNull)
       .withColumn("__cid", Similarity.assignExpr(
         transform(col(vecCol), x => x.cast("double")), centroids))

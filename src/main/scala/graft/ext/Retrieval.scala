@@ -82,7 +82,20 @@ object Retrieval {
       .select(col("qid"), explode_outer(array_distinct(toks(col("qtext")))).as("__t"))
       .filter(col("__t").isNotNull)
     val vocab = qterms.select(col("__t")).distinct().collect().map(_.getString(0)).toSeq
-    val pruned = index.postings.filter(col("__t").isInCollection(vocab))
+    // chunked In probe (see graft.Pushdown): one ≤256-value In per scan
+    // branch with the threshold raised past the chunk size — a single
+    // unchunked In beyond the session threshold (default 10) silently
+    // degrades to a min/max RANGE filter, which on terms spanning the
+    // dictionary reads every row group and voids the term-sorted index's
+    // whole IO contract
+    val pruned =
+      if (vocab.isEmpty) index.postings.filter(lit(false))
+      else {
+        graft.Pushdown.ensureInThreshold(queries.sparkSession)
+        vocab.sorted.grouped(graft.Pushdown.InChunk)
+          .map(chunk => index.postings.filter(col("__t").isInCollection(chunk)))
+          .reduce(_ union _)
+      }
     val qpost = if (materializeProbe) pruned.localCheckpoint(true) else pruned
     val dfreq = qpost.groupBy(col("__t")).agg(count(lit(1)).cast("double").as("__df"))
     val w = Window.partitionBy(col("qid")).orderBy(col("__s6").desc, col("__did"))

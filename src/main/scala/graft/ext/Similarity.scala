@@ -136,7 +136,7 @@ object Similarity {
     * stateless-threshold mechanism as the corpus samplers — reproducible on
     * every run and data subset, unlike `df.sample`'s seed-and-partition-
     * dependent Bernoulli. One cheap count() sizes the rate. */
-  private def trainSample(c: DataFrame, maxRows: Long): DataFrame = {
+  private[ext] def trainSample(c: DataFrame, maxRows: Long): DataFrame = {
     if (maxRows == Long.MaxValue) return c
     val n = c.count()
     if (n <= maxRows) c
@@ -170,7 +170,8 @@ object Similarity {
     * one keyed aggregation over the corpus. `c` must have columns
     * (id, __u) as produced by [[unitVecs]]. */
   private[ext] def trainCentroids(c: DataFrame, nlist: Int,
-      iters: Int, l2: Boolean = false): IndexedSeq[Seq[Double]] = {
+      iters: Int, l2: Boolean = false,
+      persistInput: Boolean = true): IndexedSeq[Seq[Double]] = {
     import org.apache.spark.sql.Row
     // IVF (cosine) mode keeps centroids on the unit sphere; L2 mode (PQ
     // sub-codebooks) keeps the raw means — normalizing would distort the
@@ -183,10 +184,14 @@ object Similarity {
     def assign(u: Column, cs: IndexedSeq[Seq[Double]]): Column =
       if (l2) assignL2Expr(u, cs) else assignExpr(u, cs)
     // the seed collect plus every Lloyd iteration re-reads this frame —
-    // persist it once (it is the BOUNDED training sample, ≤ trainSampleRows
-    // rows even on a 100 TB corpus) instead of re-scanning + re-normalizing
-    // the source 1 + iters times
-    val cp = c.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persist it once (callers pass the BOUNDED training sample, ≤
+    // trainSampleRows rows even on a 100 TB corpus) instead of re-scanning
+    // + re-normalizing the source 1 + iters times. persistInput = false is
+    // the opt-out for the explicit train-on-everything path
+    // (trainSampleRows = Long.MaxValue), where caching a corpus-sized frame
+    // would cost more storage than the rescans it saves.
+    val cp = if (persistInput)
+      c.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else c
     try {
     // deterministic seed: the nlist lowest-id unit vectors
     var centroids: IndexedSeq[Seq[Double]] = cp.orderBy(col("id")).limit(nlist)
@@ -210,7 +215,7 @@ object Similarity {
         means.get(i).map(normalize).getOrElse(centroids(i)))
     }
     centroids
-    } finally cp.unpersist(false)
+    } finally if (persistInput) { cp.unpersist(false); () }
   }
 
   /** @param trainSampleRows cap on the rows the Lloyd iterations touch: a
@@ -227,7 +232,8 @@ object Similarity {
       trainSampleRows: Long = 262144L): DataFrame = {
     def unit(df: DataFrame, id: String): DataFrame = unitVecs(df, idCol, vecCol, id)
     val c = unit(corpus, "id")
-    val centroids = trainCentroids(trainSample(c, trainSampleRows), nlist, iters)
+    val centroids = trainCentroids(trainSample(c, trainSampleRows), nlist, iters,
+      persistInput = trainSampleRows != Long.MaxValue)
     val lists = c.withColumn("__cid", assignExpr(col("__u"), centroids))
     val q = unit(queries, "query_id")
     // top-nprobe centroid ids per query: sort (dot, cid) structs descending
@@ -284,8 +290,13 @@ object Similarity {
     // same seeds, same assignment formula, same means (bit-for-bit the
     // per-subspace result), but 1 + iters passes over the persisted sample
     // rather than m × (1 + iters) separate jobs.
-    val ct = trainSample(c, trainSampleRows)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persist only the BOUNDED sample; the explicit train-on-everything
+    // opt-in (trainSampleRows = Long.MaxValue) re-scans lazily instead of
+    // pinning a corpus-sized frame to executor storage
+    val doPersist = trainSampleRows != Long.MaxValue
+    val ct0 = trainSample(c, trainSampleRows)
+    val ct = if (doPersist)
+      ct0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else ct0
     val codebooks: IndexedSeq[IndexedSeq[Seq[Double]]] = try {
       // seed: the ksub lowest-id sample vectors, sliced per subspace —
       // identical to seeding each subspace training separately
@@ -322,7 +333,7 @@ object Similarity {
         }
       }
       cbs
-    } finally ct.unpersist(false)
+    } finally if (doPersist) { ct.unpersist(false); () }
     // compressed corpus: id + m codes (this is what a 100 TB deployment
     // stores; the full vectors are only touched again by the rerank join)
     val codes = c.select(col("id"),
@@ -387,8 +398,13 @@ object Similarity {
     import s.implicits._
     val e = Tables.loadSpread(s, dir, "embeddings")
     val q = e.filter($"vec_id" < 20)
+    // refine derives from the live corpus size so refine × k ≥ |corpus| — the
+    // covering invariant — holds at EVERY scale factor (a fixed refine held
+    // only up to sf0.01's 500 rows and would silently turn approximate, and
+    // oracle-mismatching, on bigger directories)
+    val refine = math.max(1L, (e.count() + 4) / 5).toInt
     pqKnn(e, q, "vec_id", "embedding", k = 5, m = 8, ksub = 16, iters = 2,
-        refine = 200)
+        refine = refine)
       .withColumn("cosine", round($"cosine", 4))
       .orderBy($"query_id", $"rank")
   }

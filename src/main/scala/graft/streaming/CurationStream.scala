@@ -166,14 +166,26 @@ object CurationStream {
     * prefilter. */
   private val MaxProbeSigs = 8192
 
-  /** Values per pushed `In` filter. Spark translates an exact pushed In into
-    * a RECURSIVE Or-chain of parquet predicates whose evaluation depth is the
-    * value count — measured: 500 values fine, 1000 = task StackOverflowError.
-    * The probe therefore splits its sorted signatures into ≤256-value chunks,
-    * one scan branch per chunk (disjoint, so a plain union), keeping every
-    * pushed filter shallow while the union of branches still touches only
-    * the row groups holding probed signatures. */
-  private val ProbeInChunk = 256
+  /** Values per pushed `In` filter — see [[graft.Pushdown]]: the probe
+    * splits its sorted signatures into ≤256-value chunks, one scan branch
+    * per chunk (disjoint, so a plain union), keeping every pushed filter's
+    * recursive Or-chain shallow while the union of branches still touches
+    * only the row groups holding probed signatures. */
+  private val ProbeInChunk = graft.Pushdown.InChunk
+
+  /** Per-indexDir JVM lock serializing [[nearDedupBatch]]'s index
+    * read/write against [[compactIndex]]: an unserialized heal (run before
+    * every index read) could catch a live compaction between its rename
+    * steps and either delete its in-flight tmp or restore the aside under
+    * it, aborting the compaction spuriously. Same-JVM callers (the
+    * supported shape — foreachBatch and maintenance compaction both run on
+    * the stream's driver) are fully serialized; compacting from a SEPARATE
+    * process while the stream runs needs external coordination and is not
+    * supported. */
+  private val indexLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(dir: String): Object =
+    indexLocks.computeIfAbsent(dir, _ => new Object)
 
   def nearDedupBatch(indexDir: String, idCol: String, textCol: String,
       bands: Int = 4, rowsPerBand: Int = 4, shingleLen: Int = 3)
@@ -189,18 +201,14 @@ object CurationStream {
     val posts = DedupOps.bandPostings(
       inBatch, idCol, textCol, bands, rowsPerBand, shingleLen).persist()
     val spark = batch.sparkSession
-    // Spark translates a pushed `In` whose value count exceeds this
-    // threshold into a bare min/max RANGE filter — worthless on hash-uniform
-    // signatures (measured: a 200-sig probe over a 40k-row sorted index read
-    // 39 825 rows under the range form). Raise it past the chunk size so the
-    // exact per-value form reaches parquet, where row-group stats +
-    // dictionaries on the (band,bsig)-sorted index skip every group holding
-    // none of the probed signatures: per-batch index IO scales with the
-    // BATCH, not the index. Restored in the finally.
-    val thrKey = "spark.sql.parquet.pushdown.inFilterThreshold"
-    val thrOld = spark.conf.getOption(thrKey)
-    spark.conf.set(thrKey, (ProbeInChunk + 1).toString)
-    try {
+    // Raise the In-pushdown threshold past the chunk size so the exact
+    // per-value form reaches parquet, where row-group stats + dictionaries
+    // on the (band,bsig)-sorted index skip every group holding none of the
+    // probed signatures: per-batch index IO scales with the BATCH, not the
+    // index. STICKY (see graft.Pushdown): a per-batch set/restore raced
+    // concurrent streams on the same session.
+    graft.Pushdown.ensureInThreshold(spark)
+    try lockFor(indexDir).synchronized {
       val survivors = earlierIndex(batch, indexDir, batchId) match {
         case Some(idx) =>
           val probeSigs = posts.select(col("bsig")).distinct()
@@ -238,10 +246,6 @@ object CurationStream {
       }
       survivors.localCheckpoint(true)
     } finally {
-      thrOld match {
-        case Some(v) => spark.conf.set(thrKey, v)
-        case None => spark.conf.unset(thrKey)
-      }
       posts.unpersist(false)
       inBatch.unpersist(false)
     }
@@ -271,7 +275,8 @@ object CurationStream {
     * test seam: the crash-injection spec throws from it to exercise each
     * window. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
-      uptoBatchId: Long, onStep: String => Unit = _ => ()): Unit = {
+      uptoBatchId: Long, onStep: String => Unit = _ => ()): Unit =
+      lockFor(indexDir).synchronized {
     val root = new org.apache.hadoop.fs.Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return

@@ -28,7 +28,8 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, "host 10.0.0.1 and 192.168.255.3 up"),
       (3L, "call 555-123-4567 today"),
       (4L, "clean text with no pii at all"),
-      (5L, "octets 1.2.3.4.5 chain")) // IP regex takes the first 4 octets
+      (5L, "octets 1.2.3.4.5 chain"), // IP regex takes the first 4 octets
+      (6L, "write Bob.Smith@Example.COM today")) // mixed case still redacts
       .toDF("doc_id", "text")
     val got = TextAnalysis.redactPii(docs, "doc_id", "text")
       .as[(Long, String, Long, Long, Long)].collect().sortBy(_._1).toSeq
@@ -37,7 +38,8 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, "host <IP> and <IP> up", 0L, 2L, 0L),
       (3L, "call <PHONE> today", 0L, 0L, 1L),
       (4L, "clean text with no pii at all", 0L, 0L, 0L),
-      (5L, "octets <IP>.5 chain", 0L, 1L, 0L)), s"got $got")
+      (5L, "octets <IP>.5 chain", 0L, 1L, 0L),
+      (6L, "write <EMAIL> today", 1L, 0L, 0L)), s"got $got")
   }
 
   test("scoreLinear: sigmoid of mean token weight, OOV weighs zero, label at 0.5") {
