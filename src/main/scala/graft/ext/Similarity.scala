@@ -396,15 +396,18 @@ object Similarity {
     * cosine descending, lower-id tie-break. */
   val s05PqRerank: Q = (s, dir) => {
     import s.implicits._
-    val e = Tables.loadSpread(s, dir, "embeddings")
+    // fixed 500-vector corpus slice (every SF has ≥ 500 embeddings, ids are
+    // dense from 0) so refine × k = 1000 ≥ |slice| — the covering-rerank
+    // invariant — holds at EVERY scale factor. A fixed refine over the whole
+    // table held only up to sf0.01 and silently turned approximate (and
+    // oracle-mismatching) on bigger directories; scaling refine WITH the
+    // table made the witness cost brute-force × a corpus-sized rerank heap
+    // (60 s at sf1.0). The slice keeps the oracle exact and SF-stable; the
+    // at-scale exact-mode bench signal is s03's full-probe job.
+    val e = Tables.loadSpread(s, dir, "embeddings").filter($"vec_id" < 500)
     val q = e.filter($"vec_id" < 20)
-    // refine derives from the live corpus size so refine × k ≥ |corpus| — the
-    // covering invariant — holds at EVERY scale factor (a fixed refine held
-    // only up to sf0.01's 500 rows and would silently turn approximate, and
-    // oracle-mismatching, on bigger directories)
-    val refine = math.max(1L, (e.count() + 4) / 5).toInt
     pqKnn(e, q, "vec_id", "embedding", k = 5, m = 8, ksub = 16, iters = 2,
-        refine = refine)
+        refine = 200)
       .withColumn("cosine", round($"cosine", 4))
       .orderBy($"query_id", $"rank")
   }
@@ -515,14 +518,15 @@ object Similarity {
         |    ORDER BY list_dot_product(q.u, e.u) DESC, e.vec_id) AS BIGINT) AS rk
         | FROM u q JOIN u e ON q.vec_id < 20 AND q.vec_id <> e.vec_id) t
         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
-    // covering rerank ≡ brute force — the s03 oracle verbatim (same ranking
-    // contract: raw cosine over unit vectors, lower-id tie-break)
+    // covering rerank ≡ brute force — the s03 oracle over the same fixed
+    // 500-vector corpus slice the Spark side uses (same ranking contract:
+    // raw cosine over unit vectors, lower-id tie-break)
     "s05_pq_rerank" ->
       """WITH u AS (
         |  SELECT vec_id,
         |   list_transform(embedding::DOUBLE[],
         |     x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y)))) AS u
-        |  FROM embeddings)
+        |  FROM embeddings WHERE vec_id < 500)
         |SELECT query_id, rk AS "rank", id, round(cos, 4) AS cosine FROM (
         | SELECT q.vec_id AS query_id, e.vec_id AS id,
         |  list_dot_product(q.u, e.u) AS cos,
