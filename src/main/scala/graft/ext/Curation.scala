@@ -266,8 +266,26 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- c11
+  /** Leakage-safe split over the d06 near-dup pair graph — the oracle row
+    * for [[CurationOps.splitLeakageSafe]]: DuckDB recomputes the simhash
+    * pairs, reaches components with a recursive CTE (the d07 fixpoint
+    * formulation), and replays the salted group hash, so both engines must
+    * agree on every document's (split_group, split) — including that near-
+    * duplicate documents never straddle the train/held-out boundary. */
+  val c11LeakageSplit: Q = (s, dir) => {
+    import s.implicits._
+    val d = docs(s, dir)
+    val pairs = DedupOps.simhashPairs(d, "doc_id", "text",
+      bands = 2, bitsPerBand = 15, maxHamming = 1)
+    CurationOps.splitLeakageSafe(d, "doc_id", pairs, "id_a", "id_b")
+      .select($"doc_id", $"split_group", $"split")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "c01_decontaminate" -> c01Decontaminate,
+    "c11_leakage_split" -> c11LeakageSplit,
     "c06_decontaminate_bloom" -> c06DecontaminateBloom,
     "c07_temperature_sample" -> c07TemperatureSample,
     "c02_pack_sequences" -> c02PackSequences,
@@ -285,6 +303,57 @@ object Curation {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // d07's simhash-pair + recursive-reachability machinery, then the
+    // salted component hash decides the split (same h60-md5 form as c09)
+    "c11_leakage_split" ->
+      """WITH RECURSIVE l AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        | t AS (SELECT doc_id, unnest(toks) AS tok FROM l),
+        | h AS (
+        |  SELECT doc_id,
+        |   CAST(CAST(('0x' || substr(md5(tok),1,15)) AS UBIGINT) % 2147483647 AS BIGINT) AS hm
+        |  FROM t),
+        | g AS (SELECT doc_id, hm, count(*) AS cnt FROM h GROUP BY doc_id, hm),
+        | b AS (
+        |  SELECT doc_id, j,
+        |   sum(CASE WHEN (hm >> j) & 1 = 1 THEN cnt ELSE -cnt END) AS sgn
+        |  FROM g, (SELECT unnest(range(0,30)) AS j) GROUP BY doc_id, j),
+        | sig AS (
+        |  SELECT doc_id,
+        |   CAST(sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM b GROUP BY doc_id),
+        | bands AS (
+        |  SELECT doc_id, simhash, bd, (simhash >> (15*bd)) & 32767 AS bv
+        |  FROM sig, (SELECT unnest(range(0,2)) AS bd)),
+        | cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |   any_value(a.simhash) AS sa, any_value(b.simhash) AS sb
+        |  FROM bands a JOIN bands b ON a.bd = b.bd AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        | pairs AS (
+        |  SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sa, sb)) <= 1),
+        | e AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        | n AS (SELECT DISTINCT src AS id FROM e),
+        | reach(id, r) AS (
+        |  SELECT id, id FROM n
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+        | comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        | sg AS (
+        |  SELECT d.doc_id,
+        |   CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS split_group
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+        | pc AS (
+        |  SELECT doc_id, split_group,
+        |   CAST(CAST(('0x' || substr(md5('split' || CAST(split_group AS VARCHAR)),1,15)) AS UBIGINT) AS BIGINT) % 100 AS pct
+        |  FROM sg)
+        |SELECT doc_id, split_group,
+        | CASE WHEN pct < 90 THEN 'train' WHEN pct < 95 THEN 'val' ELSE 'test' END AS split
+        |FROM pc ORDER BY doc_id""".stripMargin,
     "c01_decontaminate" ->
       (toksCte +
         """, g AS (

@@ -325,6 +325,46 @@ object CurationOps {
       .withColumn("selected", (col("dsir_logratio") > 0).cast("long"))
   }
 
+  /** Leakage-safe train/val/test split: documents connected by a near-dup
+    * pair relation (any of the `DedupOps.*Pairs` operators) land in the SAME
+    * split, so paraphrases of a training document can never leak into the
+    * held-out sets — the within-corpus counterpart of c01/d09's
+    * train-vs-benchmark decontamination. Every document gets a
+    * `split_group` (its near-dup component's minimum id via
+    * [[DedupOps.connectedComponents]]; its own id when unpaired) and the
+    * GROUP is hashed into the split, so membership is deterministic,
+    * engine-replayable, and stable under corpus growth that doesn't touch
+    * the group (the [[assignShards]] philosophy applied to splitting).
+    * `fractions` are percentage points and must sum to 100.
+    *
+    * Scale shape: the pair relation holds only duplicates — orders of
+    * magnitude smaller than the corpus — so the component labeling is the
+    * size-adaptive [[DedupOps.connectedComponents]] machinery and the label
+    * join back to the corpus is a small-side join AQE broadcasts; the split
+    * itself is a pure hash projection. No corpus-sized shuffle anywhere. */
+  def splitLeakageSafe(df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String,
+      fractions: Seq[(String, Int)] = Seq("train" -> 90, "val" -> 5, "test" -> 5),
+      salt: String = "split"): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0),
+      s"fractions must be positive, got $fractions")
+    require(fractions.map(_._2).sum == 100,
+      s"fractions must sum to 100, got ${fractions.map(_._2).sum}")
+    val comp = DedupOps.connectedComponents(pairs, aCol, bCol)
+      .select(col("id").as("__cid"), col("component"))
+    val grouped = df
+      .join(comp, col(idCol).cast("long") === col("__cid"), "left")
+      .withColumn("split_group",
+        coalesce(col("component"), col(idCol).cast("long")))
+      .drop("__cid", "component")
+    val pct = h60(concat(lit(salt), col("split_group").cast("string"))) % 100
+    val splitCol = fractions.tail
+      .foldLeft((fractions.head._2, when(pct < fractions.head._2, fractions.head._1))) {
+        case ((cum, acc), (name, w)) => (cum + w, acc.when(pct < cum + w, name))
+      }._2
+    grouped.withColumn("split", splitCol)
+  }
+
   /** Balanced variant: every stratum downsampled to (approximately) the
     * smallest stratum's size, thresholds computed from the data in one
     * |strata|-row aggregation (the c03 query's generic form). */

@@ -454,12 +454,100 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  // ------------------------------------------------------------- int8 / s07
+  /** Per-dimension (min, max) quantization ranges of a vector column, as ONE
+    * 1-row frame `(q_min, q_max)` — the calibration step of scalar int8
+    * quantization. Spark ML `Summarizer` min/max is a partial aggregation
+    * whose state is 2 × dim doubles per task (never the corpus), so the
+    * calibration is a single streaming scan at any scale. */
+  def int8Ranges(df: DataFrame, vecCol: String): DataFrame = {
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.stat.Summarizer
+    df.select(transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .agg(
+        vector_to_array(Summarizer.min(array_to_vector(col("__v")))).as("q_min"),
+        vector_to_array(Summarizer.max(array_to_vector(col("__v")))).as("q_max"))
+  }
+
+  /** Scalar int8 encoding against `ranges` ([[int8Ranges]] output): each
+    * dimension maps affinely to a 0..255 code, `round((x − min_d) / step_d)`
+    * with `step_d = (max_d − min_d)/255` (code 0 when the dimension is
+    * constant). The 1-row ranges frame rides a broadcast cross join, so
+    * encoding is a pure codegen'd projection over the corpus — this is the
+    * 4× memory/shuffle-bandwidth lever for embedding pipelines at scale
+    * (store/move codes, dequantize only where a score is computed; a
+    * production sink would pack the codes array into a BinaryType blob). */
+  def encodeInt8(df: DataFrame, vecCol: String, ranges: DataFrame,
+      out: String = "codes"): DataFrame =
+    df.crossJoin(broadcast(ranges))
+      .withColumn(out, transform(transform(col(vecCol), x => x.cast("double")),
+        (x, i) => {
+          val mn = element_at(col("q_min"), i + 1)
+          val step = (element_at(col("q_max"), i + 1) - mn) / lit(255.0)
+          when(step > 0.0d, round((x - mn) / step).cast("int")).otherwise(lit(0))
+        }))
+
+  /** Unit-normalized dequantized vectors (idOut, __u) — shared by the search
+    * and the spec's error-bound check. Requires q_min/q_max + codes cols. */
+  private def dequantUnit(enc: DataFrame, idCol: String, idOut: String,
+      codesCol: String = "codes"): DataFrame =
+    enc
+      .withColumn("__y", transform(col(codesCol), (c, i) => {
+        val mn = element_at(col("q_min"), i + 1)
+        val step = (element_at(col("q_max"), i + 1) - mn) / lit(255.0)
+        mn + c.cast("double") * step
+      }))
+      .withColumn("__nrm", graft.functions.VectorExprs.l2(col("__y")))
+      .select(col(idCol).as(idOut),
+        transform(col("__y"), y => y / col("__nrm")).as("__u"))
+
+  /** Brute-force cosine top-k in int8-quantized space: calibrate ranges on
+    * the corpus, encode BOTH sides, rank by the dequantized cosine (raw
+    * cosine over unit vectors, lower-id tie-break — the s03 ranking
+    * contract). The search the codes representation admits: the corpus
+    * streams as 64-byte codes instead of 256-byte floats, queries ride a
+    * broadcast, and the ranking shuffle is capped at k rows per map
+    * partition per query by the bounded-heap aggregator ([[topkUdaf]]).
+    * Quantization error is bounded per dimension by step/2, so ranking
+    * inversions are confined to near-ties (spec pins recall vs exact). */
+  def knnInt8(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val ranges = int8Ranges(corpus, vecCol)
+    val c = dequantUnit(encodeInt8(corpus, vecCol, ranges), idCol, "id")
+    val q = dequantUnit(encodeInt8(queries, vecCol, ranges), idCol, "query_id")
+      .withColumnRenamed("__u", "__qu")
+    broadcast(q).join(c, col("query_id") =!= col("id"))
+      .withColumn("cosine", // unit vectors: cosine == dot
+        graft.functions.VectorExprs.dot(col("__qu"), col("__u")))
+      .groupBy(col("query_id"))
+      .agg(topkUdaf(k)(col("cosine"), col("id")).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__p", "__t")))
+      .select(col("query_id"), (col("__p") + 1).cast("long").as("rank"),
+        col("__t._1").as("id"), col("__t._2").as("cosine"))
+  }
+
+  // ---------------------------------------------------------------- s07
+  /** Int8-quantized brute KNN as an oracle row: both engines calibrate the
+    * same per-dim ranges, produce the same codes (the affine transform and
+    * the round land on identical doubles), and rank by the same dequantized
+    * cosine — so the top-5 matches DuckDB exactly, proving the quantizer is
+    * deterministic end-to-end, not just approximately right. */
+  val s07Int8Knn: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.loadSpread(s, dir, "embeddings")
+    val q = e.filter($"vec_id" < 20)
+    knnInt8(e, q, "vec_id", "embedding", k = 5)
+      .withColumn("cosine", round($"cosine", 4))
+      .orderBy($"query_id", $"rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_knn_brute" -> s01KnnBrute,
     "s02_ann_lsh" -> s02AnnLsh,
     "s03_ivf_fullprobe" -> s03IvfFullprobe,
     "s05_pq_rerank" -> s05PqRerank,
-    "s06_embedding_outliers" -> s06EmbeddingOutliers)
+    "s06_embedding_outliers" -> s06EmbeddingOutliers,
+    "s07_int8_knn" -> s07Int8Knn)
 
   private val vecsCte =
     """WITH e AS (
@@ -527,6 +615,31 @@ object Similarity {
         |   list_transform(embedding::DOUBLE[],
         |     x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y)))) AS u
         |  FROM embeddings WHERE vec_id < 500)
+        |SELECT query_id, rk AS "rank", id, round(cos, 4) AS cosine FROM (
+        | SELECT q.vec_id AS query_id, e.vec_id AS id,
+        |  list_dot_product(q.u, e.u) AS cos,
+        |  CAST(row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_dot_product(q.u, e.u) DESC, e.vec_id) AS BIGINT) AS rk
+        | FROM u q JOIN u e ON q.vec_id < 20 AND q.vec_id <> e.vec_id) t
+        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // int8 quantize → dequantize → brute cosine: the affine code/decode is
+    // replayed exactly (same doubles, same away-from-zero rounding on the
+    // non-negative (x−mn)/step), then the s03 ranking contract
+    "s07_int8_knn" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | ev AS (SELECT vec_id, generate_subscripts(v,1) AS d, unnest(v) AS x FROM e),
+        | mm AS (SELECT d, min(x) AS mn, max(x) AS mx FROM ev GROUP BY d),
+        | dq AS (
+        |  SELECT ev.vec_id, ev.d,
+        |   CASE WHEN mm.mx > mm.mn
+        |    THEN mm.mn + round((ev.x - mm.mn) / ((mm.mx - mm.mn)/255.0))
+        |         * ((mm.mx - mm.mn)/255.0)
+        |    ELSE mm.mn END AS y
+        |  FROM ev JOIN mm USING (d)),
+        | dv AS (SELECT vec_id, list(y ORDER BY d) AS y FROM dq GROUP BY vec_id),
+        | u AS (SELECT vec_id,
+        |   list_transform(y, t -> t / sqrt(list_sum(list_transform(y, z -> z*z)))) AS u
+        |  FROM dv)
         |SELECT query_id, rk AS "rank", id, round(cos, 4) AS cosine FROM (
         | SELECT q.vec_id AS query_id, e.vec_id AS id,
         |  list_dot_product(q.u, e.u) AS cos,

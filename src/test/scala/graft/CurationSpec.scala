@@ -317,6 +317,37 @@ class CurationSpec extends SparkSpec {
     assert(exp1 > 0 && exp2 < 0, "target-slice doc scores positive, raw negative")
   }
 
+  test("splitLeakageSafe: paired docs share a split, total coverage, deterministic") {
+    import graft.ext.DedupOps
+    val d = docs
+    val pairs = DedupOps.simhashPairs(d, "doc_id", "text",
+      bands = 2, bitsPerBand = 15, maxHamming = 1)
+    val out = CurationOps.splitLeakageSafe(d, "doc_id", pairs, "id_a", "id_b")
+    // every document exactly once, every row assigned
+    assert(out.count() == d.count())
+    assert(out.filter($"split".isNull || $"split_group".isNull).count() == 0)
+    // the leakage contract: both endpoints of every near-dup pair carry the
+    // same group AND the same split
+    val sp = out.select($"doc_id", $"split_group", $"split")
+    val leak = pairs
+      .join(sp.select($"doc_id".as("id_a"), $"split_group".as("ga"), $"split".as("sa")), "id_a")
+      .join(sp.select($"doc_id".as("id_b"), $"split_group".as("gb"), $"split".as("sb")), "id_b")
+      .filter($"sa" =!= $"sb" || $"ga" =!= $"gb").count()
+    assert(leak == 0, "a near-dup pair straddled the split boundary")
+    // all three splits materialize at 90/5/5 over ~500 groups
+    assert(out.select($"split").distinct().as[String].collect().toSet ==
+      Set("train", "val", "test"))
+    // hash-derived, so a second run is identical
+    val again = CurationOps.splitLeakageSafe(d, "doc_id", pairs, "id_a", "id_b")
+      .select($"doc_id", $"split_group", $"split")
+    assert(sp.except(again).isEmpty && again.except(sp).isEmpty)
+    // fractions must sum to 100
+    intercept[IllegalArgumentException] {
+      CurationOps.splitLeakageSafe(d, "doc_id", pairs, "id_a", "id_b",
+        fractions = Seq("train" -> 50))
+    }
+  }
+
   test("c01 query agrees with contaminationCounts on the id-split testdata") {
     val c = docs.filter($"doc_id" % 20 =!= 0)
     val b = docs.filter($"doc_id" % 20 === 0)

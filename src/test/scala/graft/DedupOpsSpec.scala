@@ -586,6 +586,48 @@ class DedupOpsSpec extends SparkSpec {
     assert(keptNull.contains(200001L))
   }
 
+  test("knnInt8: codes bounded, per-dim error <= step/2, high recall vs exact") {
+    val queries = embs.filter($"vec_id" < 20)
+    val ranges = Similarity.int8Ranges(embs, "embedding")
+    val enc = Similarity.encodeInt8(embs, "embedding", ranges)
+    // every code is an 8-bit level
+    assert(enc.select(explode($"codes").as("c"))
+      .filter($"c" < 0 || $"c" > 255).count() == 0)
+    // affine reconstruction: per-dimension |x - dequant(code)| <= step/2
+    // (half-up rounding's exact bound) + float-noise epsilon
+    val viol = enc
+      .withColumn("__y", expr(
+        """transform(codes, (c, i) ->
+          |  element_at(q_min, i+1) + CAST(c AS DOUBLE) *
+          |  (element_at(q_max, i+1) - element_at(q_min, i+1)) / 255.0)""".stripMargin))
+      .withColumn("__excess", expr(
+        """aggregate(zip_with(
+          |  zip_with(transform(embedding, x -> CAST(x AS DOUBLE)), __y,
+          |           (a, b) -> abs(a - b)),
+          |  zip_with(q_max, q_min, (a, b) -> (a - b) / 255.0),
+          |  (e, s) -> e - s / 2), 0D, (acc, v) -> greatest(acc, v))""".stripMargin))
+      .filter($"__excess" > 1e-9).count()
+    assert(viol == 0, "reconstruction error exceeded step/2 on some dimension")
+    // constant dimensions encode as code 0 and reconstruct exactly
+    val const = Seq((1L, Array(1.0f, 5.0f)), (2L, Array(2.0f, 5.0f)),
+      (3L, Array(3.0f, 5.0f))).toDF("vec_id", "embedding")
+    val cenc = Similarity.encodeInt8(const, "embedding",
+      Similarity.int8Ranges(const, "embedding"))
+    assert(cenc.select(element_at($"codes", 2)).as[Int].collect().forall(_ == 0))
+    // 256-level quantization barely moves 64-dim cosines: recall@5 vs exact
+    val brute = DedupOps.knn(embs, queries, "vec_id", "embedding", 5)
+      .select($"query_id", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val q8 = Similarity.knnInt8(embs, queries, "vec_id", "embedding", 5)
+      .select($"query_id", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = brute.keys.toSeq.map { q =>
+      (q8.getOrElse(q, Set.empty[Long]) & brute(q)).size.toDouble / brute(q).size
+    }
+    assert(recall.sum / recall.size > 0.9,
+      s"int8 recall@5 too low: ${recall.sum / recall.size}")
+  }
+
   test("saltedJoin returns exactly the unsalted join result") {
     val li = Tables.load(spark, dir, "lineitem").select($"l_orderkey", $"l_quantity")
     val o = Tables.load(spark, dir, "orders").select($"o_orderkey", $"o_totalprice")
