@@ -472,7 +472,10 @@ object Similarity {
   /** Scalar int8 encoding against `ranges` ([[int8Ranges]] output): each
     * dimension maps affinely to a 0..255 code, `round((x − min_d) / step_d)`
     * with `step_d = (max_d − min_d)/255` (code 0 when the dimension is
-    * constant). The 1-row ranges frame rides a broadcast cross join, so
+    * constant), saturating at 0/255 for values outside the calibration
+    * ranges — queries or late-arriving rows beyond the corpus min/max
+    * quantize to the nearest representable level instead of overflowing
+    * the code domain. The 1-row ranges frame rides a broadcast cross join, so
     * encoding is a pure codegen'd projection over the corpus — this is the
     * 4× memory/shuffle-bandwidth lever for embedding pipelines at scale
     * (store/move codes, dequantize only where a score is computed; a
@@ -484,7 +487,9 @@ object Similarity {
         (x, i) => {
           val mn = element_at(col("q_min"), i + 1)
           val step = (element_at(col("q_max"), i + 1) - mn) / lit(255.0)
-          when(step > 0.0d, round((x - mn) / step).cast("int")).otherwise(lit(0))
+          when(step > 0.0d,
+            greatest(lit(0), least(lit(255), round((x - mn) / step).cast("int"))))
+            .otherwise(lit(0))
         }))
 
   /** Unit-normalized dequantized vectors (idOut, __u) — shared by the search

@@ -614,6 +614,14 @@ class DedupOpsSpec extends SparkSpec {
     val cenc = Similarity.encodeInt8(const, "embedding",
       Similarity.int8Ranges(const, "embedding"))
     assert(cenc.select(element_at($"codes", 2)).as[Int].collect().forall(_ == 0))
+    // out-of-calibration values saturate at the code-domain edges instead
+    // of overflowing (a query vector beyond the corpus min/max)
+    val oob = Similarity.encodeInt8(
+      Seq((9L, Array(99.0f, 5.0f)), (10L, Array(-99.0f, 5.0f)))
+        .toDF("vec_id", "embedding"),
+      "embedding", Similarity.int8Ranges(const, "embedding"))
+      .select($"vec_id", element_at($"codes", 1)).as[(Long, Int)].collect().toMap
+    assert(oob == Map(9L -> 255, 10L -> 0))
     // 256-level quantization barely moves 64-dim cosines: recall@5 vs exact
     val brute = DedupOps.knn(embs, queries, "vec_id", "embedding", 5)
       .select($"query_id", $"id").as[(Long, Long)].collect()
