@@ -362,6 +362,106 @@ object TextAnalysis {
     scoreLinear(d, "doc_id", "text", weights).orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- t11
+  /** The stopwords whose PRESENCE (≥ 2 distinct) the Gopher rule-set
+    * requires — a document with none of these is unlikely to be running
+    * English prose. */
+  private[ext] val gopherStop: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style quality rule filter (Rae et al. 2021, Appendix A) — the
+    * published heuristic rule-set complementing t02's composite score and
+    * t05's repetition signals: token-count bounds, mean-token-length bounds,
+    * symbol-to-word ratio (# / ellipsis), bullet-start and ellipsis-end line
+    * fractions, alphabetic-word fraction, and required-stopword presence.
+    * `pass` ANDs all seven rules on the UNROUNDED ratios (identical
+    * integer-ratio doubles in both engines, the t05 contract); displayed
+    * ratios take the +1e-9 half-way-tie guard.
+    *
+    * Pure codegen'd scalar projection over one tokenize — no shuffle, no
+    * join; embarrassingly parallel at 100 TB. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val base = df
+      .withColumn("__tk", toks(t))
+      .withColumn("__ln", split(t, "\n"))
+      .withColumn("n_tok", size(col("__tk")).cast("long"))
+      .withColumn("__sumlen",
+        aggregate(col("__tk"), lit(0L), (acc, x) => acc + length(x)))
+      .withColumn("__nsym",
+        (regexp_count(t, lit("#")) + regexp_count(t, lit("\\.\\.\\."))).cast("long"))
+      .withColumn("__nbul",
+        size(filter(col("__ln"), l =>
+          substring(l, 1, 2) === "- " || substring(l, 1, 2) === "* ")).cast("long"))
+      .withColumn("__nell",
+        size(filter(col("__ln"), l => l.endsWith("..."))).cast("long"))
+      .withColumn("__nalpha",
+        size(filter(col("__tk"), x => x.rlike("[a-z]"))).cast("long"))
+      .withColumn("n_stop_hit",
+        size(filter(array(gopherStop.map(lit): _*),
+          w => array_contains(col("__tk"), w))).cast("long"))
+    val meanLen = col("__sumlen").cast("double") / col("n_tok")
+    val symR = col("__nsym").cast("double") / col("n_tok")
+    val bulR = col("__nbul").cast("double") / size(col("__ln"))
+    val ellR = col("__nell").cast("double") / size(col("__ln"))
+    val alpR = col("__nalpha").cast("double") / col("n_tok")
+    val pass = col("n_tok").between(50L, 100000L) &&
+      meanLen >= 3.0 && meanLen <= 10.0 && symR <= 0.1 &&
+      bulR <= 0.9 && ellR <= 0.3 && alpR >= 0.8 && col("n_stop_hit") >= 2L
+    base.select(col(idCol), col("n_tok"),
+      round(meanLen + 1e-9, 4).as("mean_tok_len"),
+      round(symR + 1e-9, 4).as("sym_ratio"),
+      round(bulR + 1e-9, 4).as("bullet_frac"),
+      round(ellR + 1e-9, 4).as("ellipsis_frac"),
+      round(alpR + 1e-9, 4).as("alpha_frac"),
+      col("n_stop_hit"),
+      when(col("n_tok") > 0 && pass, 1L).otherwise(0L).as("pass"))
+  }
+
+  val t11GopherRules: Q = (s, dir) => {
+    import s.implicits._
+    gopherRules(docs(s, dir), "doc_id", "text").orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------- t12
+  /** Bigram-LM cross-entropy per document — the next step up from t07's
+    * unigram surprise, the same CCNet "perplexity under a corpus LM" quality
+    * proxy but with first-order context: surprise(d) = mean over d's bigram
+    * INSTANCES of −ln P(t₂|t₁), where P(t₂|t₁) = c(t₁t₂) / c(t₁·) and
+    * c(t₁·) counts t₁'s occurrences in bigram-prefix position (so the
+    * conditional sums to 1 exactly; the model is the corpus itself, so every
+    * scored bigram is in-vocabulary and no smoothing is needed). Formulaic
+    * word-by-word boilerplate scores LOW even when its unigrams are rare;
+    * garbled token soup scores HIGH even when built from common words — the
+    * two tails t07 cannot separate.
+    *
+    * Scale shape: one tokenize → bigram explode, one bigram-keyed count and
+    * one prefix-keyed count (both vocabulary-bounded keyed aggregations with
+    * map-side combine), two keyed joins back to the instances, one doc-keyed
+    * mean. The corpus never shuffles whole; linear at 100 TB. Docs with < 2
+    * tokens have no bigram and are absent (the t04 contract). */
+  def bigramSurprise(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val inst = df
+      .withColumn("__tk", toks(col(textCol)))
+      .withColumn("__bgs", ngramsExact(col("__tk"), 2))
+      .select(col(idCol), explode_outer(col("__bgs")).as("__bg"))
+      .filter(col("__bg").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
+      .withColumn("__t1", substring_index(col("__bg"), " ", 1))
+    val fb = inst.groupBy(col("__bg")).agg(count(lit(1)).cast("double").as("__cb"))
+    val ff = inst.groupBy(col("__t1")).agg(count(lit(1)).cast("double").as("__cf"))
+    inst
+      .join(fb, Seq("__bg"))
+      .join(ff, Seq("__t1"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_big"),
+        round(avg(-log(col("__cb") / col("__cf"))) + 1e-9, 4).as("bi_surprise"))
+  }
+
+  val t12BigramSurprise: Q = (s, dir) => {
+    import s.implicits._
+    bigramSurprise(docs(s, dir), "doc_id", "text").orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_lang_id" -> t01LangId,
     "t02_quality" -> t02Quality,
@@ -372,7 +472,9 @@ object TextAnalysis {
     "t07_unigram_surprise" -> t07UnigramSurprise,
     "t08_pii_redact" -> t08PiiRedact,
     "t09_source_overlap" -> t09SourceOverlap,
-    "t10_classifier_filter" -> t10ClassifierFilter)
+    "t10_classifier_filter" -> t10ClassifierFilter,
+    "t11_gopher_rules" -> t11GopherRules,
+    "t12_bigram_surprise" -> t12BigramSurprise)
 
   private val toksCte =
     """WITH l AS (
@@ -545,5 +647,51 @@ object TextAnalysis {
           |  FROM u LEFT JOIN v USING (tok) GROUP BY u.doc_id)
           |SELECT doc_id, n_tok, score,
           | CAST(CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS label
-          |FROM sc ORDER BY doc_id""".stripMargin))
+          |FROM sc ORDER BY doc_id""".stripMargin),
+    "t11_gopher_rules" ->
+      (toksCte +
+        s""", g AS (
+           |  SELECT doc_id, toks, text,
+           |   string_split(text, chr(10)) AS lns,
+           |   CAST(len(toks) AS BIGINT) AS n_tok,
+           |   CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sumlen,
+           |   CAST(len(regexp_extract_all(text, '#')) +
+           |     len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS nsym,
+           |   CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS nalpha,
+           |   CAST(len(list_filter([${gopherStop.map(w => s"'$w'").mkString(",")}],
+           |     w -> list_contains(toks, w))) AS BIGINT) AS n_stop_hit
+           |  FROM l),
+           | r AS (
+           |  SELECT doc_id, n_tok, n_stop_hit,
+           |   CAST(sumlen AS DOUBLE) / n_tok AS mean_len,
+           |   CAST(nsym AS DOUBLE) / n_tok AS sym_r,
+           |   CAST(len(list_filter(lns, x -> substr(x,1,2) IN ('- ', '* ')))
+           |     AS DOUBLE) / len(lns) AS bul_r,
+           |   CAST(len(list_filter(lns, x -> right(x,3) = '...'))
+           |     AS DOUBLE) / len(lns) AS ell_r,
+           |   CAST(nalpha AS DOUBLE) / n_tok AS alp_r
+           |  FROM g)
+           |SELECT doc_id, n_tok,
+           | round(mean_len + 1e-9, 4) AS mean_tok_len,
+           | round(sym_r + 1e-9, 4) AS sym_ratio,
+           | round(bul_r + 1e-9, 4) AS bullet_frac,
+           | round(ell_r + 1e-9, 4) AS ellipsis_frac,
+           | round(alp_r + 1e-9, 4) AS alpha_frac,
+           | n_stop_hit,
+           | CAST(CASE WHEN n_tok > 0 AND n_tok BETWEEN 50 AND 100000
+           |   AND mean_len >= 3.0 AND mean_len <= 10.0 AND sym_r <= 0.1
+           |   AND bul_r <= 0.9 AND ell_r <= 0.3 AND alp_r >= 0.8
+           |   AND n_stop_hit >= 2 THEN 1 ELSE 0 END AS BIGINT) AS pass
+           |FROM r ORDER BY doc_id""".stripMargin),
+    "t12_bigram_surprise" ->
+      (toksCte +
+        """, b AS (
+          |  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bg, toks[i] AS t1
+          |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM l)),
+          | fb AS (SELECT bg, CAST(count(*) AS DOUBLE) AS cb FROM b GROUP BY bg),
+          | ff AS (SELECT t1, CAST(count(*) AS DOUBLE) AS cf FROM b GROUP BY t1)
+          |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_big,
+          | round(avg(-ln(fb.cb / ff.cf)) + 1e-9, 4) AS bi_surprise
+          |FROM b JOIN fb USING (bg) JOIN ff USING (t1)
+          |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin))
 }

@@ -62,6 +62,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(biased.map(_._4) == Seq(0L, 0L, 0L, 0L))
   }
 
+  test("gopherRules: each rule trips independently; clean prose passes") {
+    val five = "the and that have with" // 5 tokens, lens 3+3+4+4+4 = 18
+    val a = Array.fill(10)(five).mkString(" ") // 50 tokens, mean len 3.6
+    val docs = Seq(
+      (1L, a),                                      // passes all seven rules
+      (2L, five),                                   // 5 tokens < 50
+      (3L, a + " # # # # # #"),                     // sym 6/56 > 0.1
+      (4L, s"- $five $five\n- $five $five"),        // all lines bullet-start
+      (5L, a + "..."),                              // all lines ellipsis-end
+      (6L, "the and " + Array.fill(24)("11 22").mkString(" "))) // alpha 2/50
+      .toDF("doc_id", "text")
+    def r4(x: Double) = math.round((x + 1e-9) * 1e4) / 1e4
+    val got = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .select($"doc_id", $"n_tok", $"mean_tok_len", $"sym_ratio",
+        $"bullet_frac", $"ellipsis_frac", $"alpha_frac", $"n_stop_hit", $"pass")
+      .as[(Long, Long, Double, Double, Double, Double, Double, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got(0) == (1L, 50L, 3.6, 0.0, 0.0, 0.0, 1.0, 5L, 1L), s"got ${got(0)}")
+    assert(got(1)._2 == 5L && got(1)._9 == 0L)                 // too short
+    assert(got(2)._4 == r4(6.0 / 56) && got(2)._9 == 0L)       // symbol ratio
+    assert(got(3)._5 == 1.0 && got(3)._9 == 0L)                // bullet lines
+    assert(got(4)._6 == 1.0 && got(4)._9 == 0L)                // ellipsis ends
+    assert(got(5)._7 == r4(2.0 / 50) && got(5)._9 == 0L)       // non-alpha words
+    // doc 4's alpha fraction stays above the 0.8 bound — the bullet rule is
+    // what fails it (2 of 22 tokens are the dashes, carrying no [a-z])
+    assert(got(3)._7 == r4(20.0 / 22) && got(3)._8 >= 2L)
+  }
+
+  test("bigramSurprise: mean -ln P(t2|t1) under the corpus bigram model") {
+    // corpus bigrams: "a b"x2, "b a"x1 (doc 1), "a c"x1 (doc 2);
+    // prefix counts: a->3, b->1. Doc 3 has no bigram and is absent.
+    val docs = Seq((1L, "a b a b"), (2L, "a c"), (3L, "z")).toDF("doc_id", "text")
+    def r4(x: Double) = math.round((x + 1e-9) * 1e4) / 1e4
+    val got = TextAnalysis.bigramSurprise(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val s1 = 2.0 * math.log(3.0 / 2.0) / 3.0 // two -ln(2/3), one -ln(1/1)
+    val s2 = math.log(3.0)                   // -ln(1/3)
+    assert(got == Seq((1L, 3L, r4(s1)), (2L, 1L, r4(s2))), s"got $got")
+    // the formulaic doc scores lower than the rare-continuation doc
+    assert(got(0)._3 < got(1)._3)
+  }
+
   test("sourceOverlap computes shingle-set Jaccard per source pair, zero-overlap pairs kept") {
     // A: shingles {x y z, y z w, z w, w}; B: {x y z, y z q, z q, q} -> share 1 of 7
     // C: {c1} -> no overlap with either
