@@ -258,6 +258,50 @@ object Similarity {
         col("__t._1").as("id"), col("__t._2").as("cosine"))
   }
 
+  /** Joint Lloyd training of the m per-subspace PQ codebooks over a
+    * (persisted) training sample `ct` of (id, __u) rows: ONE aggregation job
+    * per iteration keyed by (subspace, centroid, position) — bit-identical
+    * to training each subspace separately, at 1 + iters passes instead of
+    * m × (1 + iters). Seeds are the ksub lowest-id sample vectors sliced per
+    * subspace. Shared by [[pqKnn]] and [[ivfPqKnn]]. */
+  private[ext] def trainPqCodebooks(ct: DataFrame, m: Int, ksub: Int,
+      dsub: Int, iters: Int): IndexedSeq[IndexedSeq[Seq[Double]]] = {
+    def sub(u: Column, s: Int): Column = slice(u, s * dsub + 1, dsub)
+    var cbs: IndexedSeq[IndexedSeq[Seq[Double]]] = {
+      val seeds = ct.orderBy(col("id")).limit(ksub).select(col("__u"))
+        .collect().toIndexedSeq.map(_.getSeq[Double](0))
+      (0 until m).map(s => seeds.map(v => v.slice(s * dsub, (s + 1) * dsub)))
+    }
+    for (_ <- 0 until iters) {
+      val cids = array((0 until m).map(s =>
+        assignL2Expr(sub(col("__u"), s), cbs(s))): _*)
+      // driver result is m × ksub × dsub rows (the codebook size), never
+      // corpus-shaped; the __cids carrier is materialized by the Generate
+      // input so the assignment exprs evaluate once per row, not per dim
+      val rows = ct.withColumn("__cids", cids)
+        .select(col("__cids"), posexplode_outer(col("__u")).as(Seq("__p", "__x")))
+        .filter(col("__x").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
+        .withColumn("__s", (col("__p") / dsub).cast("int"))
+        .groupBy(col("__s"),
+          element_at(col("__cids"), col("__s") + 1).as("__cid"),
+          (col("__p") % dsub).as("__sp"))
+        .agg(sum(col("__x")).as("__sum"), count(lit(1)).as("__n"))
+        .collect()
+      val bySub = rows.groupBy(r => (r.getInt(0), r.getInt(1)))
+      cbs = (0 until m).map { s =>
+        (0 until ksub).map { k0 =>
+          bySub.get((s, k0)).map { rs =>
+            val n = rs.head.getLong(4)
+            val arr = new Array[Double](dsub)
+            rs.foreach(r => arr(r.getInt(2)) = r.getDouble(3) / n)
+            arr.toSeq
+          }.getOrElse(cbs(s)(k0)) // empty cluster keeps its centroid
+        }
+      }
+    }
+    cbs
+  }
+
   // ------------------------------------------------------------- PQ ANN
   /** Product-quantization ANN: split the unit vector into `m` subspaces,
     * k-means each subspace into a `ksub`-centroid codebook (L2 mode — raw
@@ -297,43 +341,9 @@ object Similarity {
     val ct0 = trainSample(c, trainSampleRows)
     val ct = if (doPersist)
       ct0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else ct0
-    val codebooks: IndexedSeq[IndexedSeq[Seq[Double]]] = try {
-      // seed: the ksub lowest-id sample vectors, sliced per subspace —
-      // identical to seeding each subspace training separately
-      var cbs: IndexedSeq[IndexedSeq[Seq[Double]]] = {
-        val seeds = ct.orderBy(col("id")).limit(ksub).select(col("__u"))
-          .collect().toIndexedSeq.map(_.getSeq[Double](0))
-        (0 until m).map(s => seeds.map(v => v.slice(s * dsub, (s + 1) * dsub)))
-      }
-      for (_ <- 0 until iters) {
-        val cids = array((0 until m).map(s =>
-          assignL2Expr(sub(col("__u"), s), cbs(s))): _*)
-        // driver result is m × ksub × dsub rows (the codebook size), never
-        // corpus-shaped; the __cids carrier is materialized by the Generate
-        // input so the assignment exprs evaluate once per row, not per dim
-        val rows = ct.withColumn("__cids", cids)
-          .select(col("__cids"), posexplode_outer(col("__u")).as(Seq("__p", "__x")))
-          .filter(col("__x").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
-          .withColumn("__s", (col("__p") / dsub).cast("int"))
-          .groupBy(col("__s"),
-            element_at(col("__cids"), col("__s") + 1).as("__cid"),
-            (col("__p") % dsub).as("__sp"))
-          .agg(sum(col("__x")).as("__sum"), count(lit(1)).as("__n"))
-          .collect()
-        val bySub = rows.groupBy(r => (r.getInt(0), r.getInt(1)))
-        cbs = (0 until m).map { s =>
-          (0 until ksub).map { k0 =>
-            bySub.get((s, k0)).map { rs =>
-              val n = rs.head.getLong(4)
-              val arr = new Array[Double](dsub)
-              rs.foreach(r => arr(r.getInt(2)) = r.getDouble(3) / n)
-              arr.toSeq
-            }.getOrElse(cbs(s)(k0)) // empty cluster keeps its centroid
-          }
-        }
-      }
-      cbs
-    } finally if (doPersist) { ct.unpersist(false); () }
+    val codebooks: IndexedSeq[IndexedSeq[Seq[Double]]] =
+      try trainPqCodebooks(ct, m, ksub, dsub, iters)
+      finally if (doPersist) { ct.unpersist(false); () }
     // compressed corpus: id + m codes (this is what a 100 TB deployment
     // stores; the full vectors are only touched again by the rerank join)
     val codes = c.select(col("id"),
@@ -368,6 +378,108 @@ object Similarity {
       .withColumn("rank", row_number().over(wX).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("id"), col("cosine"))
+  }
+
+  // ----------------------------------------------------------- IVF-PQ ANN
+  /** Composed IVF + PQ search (the FAISS IVFADC architecture — the canonical
+    * billion-vector layout): a coarse k-means quantizer partitions the corpus
+    * into `nlist` inverted lists, every vector is stored as its list id plus
+    * `m` PQ codes, and a query (a) probes only its `nprobe` nearest lists and
+    * (b) scores the probed candidates by asymmetric distance (one m × ksub
+    * lookup table per query) before an exact-cosine rerank of the top
+    * `refine × k`. The two levers compose multiplicatively: IVF cuts the
+    * candidate COUNT to ~nprobe/nlist of the corpus, PQ cuts the per-candidate
+    * COST to m lookups and the stored corpus to ~m bytes + a list id per row.
+    *
+    * Codes are built from the raw unit vectors (FAISS `by_residual=false`):
+    * one shared codebook set keeps encode/search a pure projection and makes
+    * the covering configuration (nprobe = nlist, refine × k ≥ |corpus|)
+    * EXACTLY brute force — the oracle witness (s08). Residual encoding would
+    * buy finer cells at the cost of per-list LUTs; the seam to add it is the
+    * encode/LUT pair below.
+    *
+    * Scale shape: both trainings ride ONE persisted deterministic sample
+    * (coarse centroids + all m sub-codebooks; the corpus itself is scanned
+    * once to encode), centroids/codebooks fold into the plan as literals,
+    * queries + LUTs broadcast against the code table, and the per-query
+    * heap caps the ranking shuffle at refine·k rows per map partition
+    * ([[graft.functions.Aggregators.TopKAgg]]); only refine·k candidate ids
+    * per query join back to full vectors for the rerank. */
+  def ivfPqKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4, m: Int = 8,
+      ksub: Int = 16, iters: Int = 2, refine: Int = 4,
+      trainSampleRows: Long = 262144L): DataFrame = {
+    val c = unitVecs(corpus, idCol, vecCol, "id")
+    val dim = c.select(size(col("__u"))).head.getInt(0)
+    require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    val dsub = dim / m
+    def sub(u: Column, s: Int): Column = slice(u, s * dsub + 1, dsub)
+    val doPersist = trainSampleRows != Long.MaxValue
+    val ct0 = trainSample(c, trainSampleRows)
+    val ct = if (doPersist)
+      ct0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else ct0
+    val (centroids, codebooks) = try {
+      (trainCentroids(ct, nlist, iters, persistInput = false),
+        trainPqCodebooks(ct, m, ksub, dsub, iters))
+    } finally if (doPersist) { ct.unpersist(false); () }
+    // the stored corpus of an IVF-PQ deployment: (id, list id, m codes) —
+    // built in one scan; full vectors are only touched again by the rerank
+    val codes = c.select(col("id"),
+      assignExpr(col("__u"), centroids).as("__cid"),
+      array((0 until m).map(s =>
+        assignL2Expr(sub(col("__u"), s), codebooks(s))): _*).as("__code"))
+    // per-query: top-nprobe coarse lists (the s03 probe shape) + the ADC LUT
+    val probeDots = array(centroids.zipWithIndex.map { case (cen, i) =>
+      struct(dotLit(col("__u"), cen).as("d"), lit(i).as("cid"))
+    }: _*)
+    val probes = unitVecs(queries, idCol, vecCol, "query_id")
+      .withColumn("__lut", array((0 until m).map { s =>
+        array(codebooks(s).map(cen => dotLit(sub(col("__u"), s), cen)): _*)
+      }: _*))
+      .withColumn("__probe",
+        explode_outer(slice(sort_array(probeDots, asc = false), 1, nprobe)))
+      .filter(col("__probe").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
+      .select(col("query_id"), col("__u").as("__qu"), col("__lut"),
+        col("__probe.cid").as("__cid"))
+    val adc = (0 until m).map(s =>
+      col("__lut").getItem(s).getItem(col("__code").getItem(s))).reduce(_ + _)
+    val topAdc = udaf(new graft.functions.Aggregators.TopKAgg(refine * k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaLong))
+    // inverted lists partition the corpus, so a query's probed candidates
+    // are distinct ids; list-pruned join on __cid, then ADC-ranked heap
+    val cand = broadcast(probes).join(codes, Seq("__cid"))
+      .filter(col("query_id") =!= col("id"))
+      .withColumn("__adc", adc)
+      .groupBy(col("query_id"))
+      .agg(topAdc(col("__adc"), col("id")).as("__top"), first(col("__qu")).as("__qu"))
+      .select(col("query_id"), col("__qu"), explode(col("__top")).as("__t"))
+      .select(col("query_id"), col("__qu"), col("__t._1").as("id"))
+    // exact rerank: unit vectors, so cosine == dot
+    val wX = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("id"))
+    cand.join(c, Seq("id"))
+      .withColumn("cosine", graft.functions.VectorExprs.dot(col("__qu"), col("__u")))
+      .withColumn("rank", row_number().over(wX).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("cosine"))
+  }
+
+  // ---------------------------------------------------------------- s08
+  /** IVF-PQ in the covering configuration — the oracle row for [[ivfPqKnn]]:
+    * nprobe = nlist makes every inverted list a candidate source and
+    * refine × k = 1000 ≥ |slice| makes the ADC heap keep everything, so the
+    * exact-cosine rerank must equal brute-force top-5 over the same fixed
+    * 500-vector corpus slice as s05 (and the same DuckDB brute-force
+    * answer). DedupOpsSpec proves the ≡-brute property in-engine plus the
+    * approximate mode's recall floor; this row proves it cross-engine. */
+  val s08IvfPq: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.loadSpread(s, dir, "embeddings").filter($"vec_id" < 500)
+    val q = e.filter($"vec_id" < 20)
+    ivfPqKnn(e, q, "vec_id", "embedding", k = 5, nlist = 8, nprobe = 8,
+        m = 8, ksub = 16, iters = 2, refine = 200)
+      .withColumn("cosine", round($"cosine", 4))
+      .orderBy($"query_id", $"rank")
   }
 
   // ---------------------------------------------------------------- s03
@@ -552,7 +664,8 @@ object Similarity {
     "s03_ivf_fullprobe" -> s03IvfFullprobe,
     "s05_pq_rerank" -> s05PqRerank,
     "s06_embedding_outliers" -> s06EmbeddingOutliers,
-    "s07_int8_knn" -> s07Int8Knn)
+    "s07_int8_knn" -> s07Int8Knn,
+    "s08_ivfpq" -> s08IvfPq)
 
   private val vecsCte =
     """WITH e AS (
@@ -615,6 +728,21 @@ object Similarity {
     // 500-vector corpus slice the Spark side uses (same ranking contract:
     // raw cosine over unit vectors, lower-id tie-break)
     "s05_pq_rerank" ->
+      """WITH u AS (
+        |  SELECT vec_id,
+        |   list_transform(embedding::DOUBLE[],
+        |     x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y)))) AS u
+        |  FROM embeddings WHERE vec_id < 500)
+        |SELECT query_id, rk AS "rank", id, round(cos, 4) AS cosine FROM (
+        | SELECT q.vec_id AS query_id, e.vec_id AS id,
+        |  list_dot_product(q.u, e.u) AS cos,
+        |  CAST(row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_dot_product(q.u, e.u) DESC, e.vec_id) AS BIGINT) AS rk
+        | FROM u q JOIN u e ON q.vec_id < 20 AND q.vec_id <> e.vec_id) t
+        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // IVF-PQ covering configuration ≡ brute force over the same fixed
+    // 500-vector slice — identical witness to s05 (same ranking contract)
+    "s08_ivfpq" ->
       """WITH u AS (
         |  SELECT vec_id,
         |   list_transform(embedding::DOUBLE[],

@@ -419,6 +419,40 @@ class DedupOpsSpec extends SparkSpec {
       s"mean PQ recall@5 too low: ${recall.sum / recall.size}")
   }
 
+  test("ivfPqKnn: covering configuration equals brute-force; pruned+quantized recalls most") {
+    val queries = embs.filter($"vec_id" < 20)
+    val brute = DedupOps.knn(embs, queries, "vec_id", "embedding", 5)
+      .select($"query_id", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // nprobe == nlist makes every list a candidate source AND
+    // refine*k >= corpus keeps every ADC candidate -> identical to brute
+    val cover = Similarity.ivfPqKnn(embs, queries, "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 8, m = 8, ksub = 16, iters = 1, refine = 200)
+      .select($"query_id", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(cover == brute)
+    // ...independent of sampled coarse+PQ training (both ride one sample):
+    // training shapes only list assignment and ADC ordering, and the
+    // covering configuration erases both
+    val sampled = Similarity.ivfPqKnn(embs, queries, "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 8, m = 8, ksub = 16, iters = 1,
+        refine = 200, trainSampleRows = 64L)
+      .select($"query_id", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(sampled == brute,
+      "covering result must be training-sample-independent")
+    // production shape: pruned lists x quantized scoring; recall floor
+    val approx = Similarity.ivfPqKnn(embs, queries, "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 3, m = 8, ksub = 16, iters = 2, refine = 4)
+      .select($"query_id", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = brute.keys.toSeq.map { q =>
+      (approx.getOrElse(q, Set.empty[Long]) & brute(q)).size.toDouble / brute(q).size
+    }
+    assert(recall.sum / recall.size > 0.4,
+      s"mean IVF-PQ recall@5 too low: ${recall.sum / recall.size}")
+  }
+
   test("dropNearDuplicatesAgainst drops corpus docs colliding with the reference, keeps the rest") {
     val ref = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     val corpus = Seq(
