@@ -147,6 +147,118 @@ object Multimodal {
     }(enc)
   }
 
+  /** 64-bit difference hash (dHash) of a decodable image payload — the
+    * standard perceptual fingerprint for image near-dup dedup: decoded
+    * pixels are area-averaged onto a 9×8 luminance grid and each of the 64
+    * bits records one horizontal neighbor comparison (bit r·8+c set iff
+    * grid(r)(c) > grid(r)(c+1)). The downscale is pure integer/double
+    * arithmetic over `getRGB` values — deliberately NOT a Graphics2D
+    * resample, so the hash depends only on the decoded pixels (PNG is
+    * lossless → stable across JDK vendors; the resize-digest lesson).
+    * None when ImageIO cannot decode the payload. */
+  def dhashImage(payload: Array[Byte]): Option[Long] =
+    try {
+      imageIoNoDiskCache
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val grid = Array.ofDim[Double](8, 9)
+        var r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 9) {
+            val x0 = math.min(c * w / 9, w - 1)
+            val x1 = math.min(math.max((c + 1) * w / 9, x0 + 1), math.max(w, x0 + 1))
+            val y0 = math.min(r * h / 8, h - 1)
+            val y1 = math.min(math.max((r + 1) * h / 8, y0 + 1), math.max(h, y0 + 1))
+            var sum = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = img.getRGB(x, y)
+                // integer Rec.601 luma ×1000 — exact, no float resampler
+                sum += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+                  114L * (rgb & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            grid(r)(c) = sum.toDouble / ((x1 - x0).toLong * (y1 - y0))
+            c += 1
+          }
+          r += 1
+        }
+        var bits = 0L
+        r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 8) {
+            if (grid(r)(c) > grid(r)(c + 1)) bits |= 1L << (r * 8 + c)
+            c += 1
+          }
+          r += 1
+        }
+        Some(bits)
+      }
+    } catch { case _: Exception => None }
+
+  /** Distributed perceptual hashing: appends `dhash` (nullable LONG — null
+    * for payloads ImageIO cannot decode, which then fall back to exact
+    * digest dedup). Same mapPartitions batch shape as [[decodeFeatures]]. */
+  def withDhash(media: DataFrame): DataFrame = {
+    val schema = StructType(media.schema.fields :+
+      StructField("dhash", LongType, nullable = true))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    // positional access: upstream mapPartitions stages pipeline schema-less
+    // GenericRows straight into this lambda (no serialization boundary)
+    val pIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val d = dhashImage(r.getAs[Array[Byte]](pIdx)).map(Long.box).orNull
+        Row.fromSeq(r.toSeq :+ d)
+      }
+    }(enc)
+  }
+
+  /** Perceptual near-dup image pairs over a [[withDhash]] frame: the 64-bit
+    * dHash splits into `bands` equal slices; by pigeonhole, two hashes with
+    * hamming ≤ bands−1 share at least one identical band, so the per-(band,
+    * value) equi-join is an EXACT candidate generator at maxHamming ≤
+    * bands−1 and the final `bit_count(xor)` is a pure filter — the d06
+    * SimHash index machinery re-expressed over pixels. Non-decodable rows
+    * (null dhash) are excluded. Scale shape: candidate pairs only inside
+    * band buckets (one keyed shuffle reused across the self-join — see
+    * simhashPairs), never all-pairs. */
+  def imageNearDupPairs(hashed: DataFrame, idCol: String, maxHamming: Int,
+      bands: Int = 8): DataFrame = {
+    require(64 % bands == 0, s"bands=$bands must divide 64")
+    require(maxHamming <= bands - 1,
+      s"maxHamming=$maxHamming needs bands >= ${maxHamming + 1} for exact candidates")
+    val bitsPerBand = 64 / bands
+    val mask = if (bitsPerBand == 64) -1L else (1L << bitsPerBand) - 1
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("bd"),
+        expr(s"shiftright(__dh, ${bitsPerBand * b}) & $mask").as("bv"))
+    }
+    val bandRows = hashed
+      .filter(col("dhash").isNotNull)
+      .select(col(idCol).as("__id"), col("dhash").as("__dh"))
+      .select(col("__id"), col("__dh"), explode(array(bandCols: _*)).as("__bb"))
+      .select(col("__id"), col("__dh"),
+        col("__bb.bd").as("__bd"), col("__bb.bv").as("__bv"))
+    val pp = bandRows.repartition(col("__bd"), col("__bv"))
+    pp.as("a").hint("merge").join(pp.as("b"),
+        col("a.__bd") === col("b.__bd") && col("a.__bv") === col("b.__bv") &&
+          col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .agg(first(col("a.__dh")).as("__ha"), first(col("b.__dh")).as("__hb"))
+      .withColumn("hamming", expr("bit_count(__ha ^ __hb)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Frame sampling: one output row per kept frame (every `everyNth` of the
     * decoded n_frames) — a declarative explode over the decoded frame count,
     * so Catalyst handles the fan-out; the per-frame payload is the stub
@@ -298,10 +410,63 @@ object Multimodal {
     acct.join(digests, Seq("media_id")).orderBy(col("media_id"))
   }
 
+  // ---------------------------------------------------------------- m04
+  /** Image fixture resolution — same order as [[chunkFixtureDir]]. */
+  private[graft] val imageFixturePath: String =
+    sys.props.get("graft.imagefix.path")
+      .orElse(Option(getClass.getResource("/imagefix/gradient.png"))
+        .filter(_.getProtocol == "file")
+        .map(u => new java.io.File(u.toURI).getAbsolutePath))
+      .getOrElse(new java.io.File("src/test/resources/imagefix/gradient.png")
+        .getAbsolutePath)
+
+  /** Decode, bump one pixel's blue channel by `delta`, re-encode PNG —
+    * the executor-side variant generator for the m04 row (lossless
+    * round-trip: the perturbed PIXELS are exact whatever the encoder). */
+  private[graft] def perturbPixel(payload: Array[Byte], x: Int, y: Int,
+      delta: Int): Array[Byte] = {
+    imageIoNoDiskCache
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    val rgb = img.getRGB(x, y)
+    img.setRGB(x, y, (rgb & 0xffffff00) | ((rgb & 0xff) + delta) & 0xff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Perceptual image near-dup pairs over single-pixel variants of the
+    * committed PNG fixture — ROWS-ONLY by design (q26-style): pixel decode
+    * is not SQL-expressible, so no DuckDB oracle can replay the hash;
+    * MultimodalSpec pins the dHash/banding semantics instead. The OUTPUT is
+    * nonetheless fully deterministic across runs and JDK vendors: dHash
+    * reads decoded pixels (PNG is lossless), never re-encoded bytes.
+    * Variant i bumps pixel (i, i) by 32·i — variant 0 is an exact copy, so
+    * at least its 0-hamming pair always exists. */
+  val m04ImageDhash: Q = (s, _) => {
+    import s.implicits._
+    val base = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(imageFixturePath))
+    val variants = s.range(0, 8).select(col("id").as("media_id"),
+      lit(base).as("payload"))
+    val schema = StructType(Seq(
+      StructField("media_id", org.apache.spark.sql.types.LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val perturbed = variants.mapPartitions { rows =>
+      rows.map { r =>
+        val i = r.getLong(0).toInt
+        Row(r.getLong(0), perturbPixel(r.getAs[Array[Byte]]("payload"), i, i, 32 * i))
+      }
+    }(enc)
+    imageNearDupPairs(withDhash(perturbed), "media_id", maxHamming = 7)
+      .orderBy($"id_a", $"id_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "m01_binary_meta" -> m01BinaryMeta,
     "m02_chunking" -> m02Chunking,
-    "m03_chunked_read" -> m03ChunkedRead)
+    "m03_chunked_read" -> m03ChunkedRead,
+    "m04_image_dhash" -> m04ImageDhash)
 
   val oracles: Map[String, String] = Map(
     "m01_binary_meta" ->

@@ -93,6 +93,59 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.stubResize(out(1).getAs[Array[Byte]]("payload"), 8, 6).toSeq)
   }
 
+  test("dhash: perceptual fingerprint separates near-identical from distinct images") {
+    val png = {
+      val in = getClass.getResourceAsStream("/imagefix/gradient.png")
+      val bytes = in.readAllBytes(); in.close(); bytes
+    }
+    // deterministic and decodable-only
+    val h = Multimodal.dhashImage(png)
+    assert(h.isDefined && h == Multimodal.dhashImage(png))
+    assert(Multimodal.dhashImage("not an image".getBytes("UTF-8")).isEmpty)
+    // single-pixel perturbation moves at most a couple of grid cells
+    val near = Multimodal.dhashImage(Multimodal.perturbPixel(png, 3, 3, 32)).get
+    assert(java.lang.Long.bitCount(h.get ^ near) <= 6,
+      s"near-dup hamming too high: ${java.lang.Long.bitCount(h.get ^ near)}")
+    // channel inversion flips (almost) every strict neighbor comparison
+    val inverted = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        img.setRGB(x, y, ~img.getRGB(x, y) & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    val inv = Multimodal.dhashImage(inverted).get
+    assert(java.lang.Long.bitCount(h.get ^ inv) > 16,
+      s"distinct-image hamming too low: ${java.lang.Long.bitCount(h.get ^ inv)}")
+
+    // distributed: withDhash appends nullable hashes; the banded pair index
+    // finds exactly the close pairs and never consults null-hash rows
+    val media = Seq(
+      (1L, png), (2L, Multimodal.perturbPixel(png, 3, 3, 32)),
+      (3L, inverted), (4L, "text bytes".getBytes("UTF-8")))
+      .toDF("media_id", "payload").repartition(2)
+    val hashed = Multimodal.withDhash(media)
+    val byId = hashed.select($"media_id", $"dhash").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(byId(1L).contains(h.get) && byId(4L).isEmpty)
+    val pairs = Multimodal.imageNearDupPairs(hashed, "media_id", maxHamming = 7)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Long)].collect().toSet
+    assert(pairs.map(p => (p._1, p._2)) == Set((1L, 2L)), s"got $pairs")
+    // ...and the banded candidate set is exact vs brute force at the bound
+    val brute = (for {
+      a <- Seq(1L, 2L, 3L); b <- Seq(1L, 2L, 3L) if a < b
+      d = java.lang.Long.bitCount(byId(a).get.asInstanceOf[Long] ^
+        byId(b).get.asInstanceOf[Long]) if d <= 7
+    } yield (a, b, d.toLong)).toSet
+    assert(pairs == brute)
+    // the registered m04 row: exact-copy variant guarantees a 0-hamming pair
+    val m04 = Multimodal.m04ImageDhash(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    assert(m04.nonEmpty && m04.forall(_._3 <= 7))
+    assert(m04.exists(p => p._1 == 0L && p._3 == 0L),
+      "variant 0 is an exact copy of some variant set member")
+  }
+
   test("sampleFrames emits every Nth frame of the decoded count") {
     val decoded = Multimodal.decodeFeatures(Multimodal.mediaFrom(spark, dir))
     val frames = Multimodal.sampleFrames(decoded, everyNth = 5)
