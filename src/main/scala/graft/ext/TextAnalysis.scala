@@ -435,11 +435,14 @@ object TextAnalysis {
     * garbled token soup scores HIGH even when built from common words — the
     * two tails t07 cannot separate.
     *
-    * Scale shape: one tokenize → bigram explode, one bigram-keyed count and
-    * one prefix-keyed count (both vocabulary-bounded keyed aggregations with
-    * map-side combine), two keyed joins back to the instances, one doc-keyed
-    * mean. The corpus never shuffles whole; linear at 100 TB. Docs with < 2
-    * tokens have no bigram and are absent (the t04 contract). */
+    * Scale shape: one tokenize → bigram explode, ONE bigram-keyed count
+    * (vocabulary-bounded keyed aggregation with map-side combine) from which
+    * the prefix distribution derives by a vocabulary-sized re-aggregation —
+    * the corpus is tokenized twice (model build + scoring probe), never a
+    * third time for the prefixes — then two keyed joins back to the
+    * instances and one doc-keyed mean. The corpus never shuffles whole;
+    * linear at 100 TB. Docs with < 2 tokens have no bigram and are absent
+    * (the t04 contract). */
   def bigramSurprise(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val inst = df
       .withColumn("__tk", toks(col(textCol)))
@@ -448,7 +451,10 @@ object TextAnalysis {
       .filter(col("__bg").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
       .withColumn("__t1", substring_index(col("__bg"), " ", 1))
     val fb = inst.groupBy(col("__bg")).agg(count(lit(1)).cast("double").as("__cb"))
-    val ff = inst.groupBy(col("__t1")).agg(count(lit(1)).cast("double").as("__cf"))
+    // c(t1·) = sum of c(t1 t2) over the bigram VOCABULARY, not the corpus
+    val ff = fb
+      .groupBy(substring_index(col("__bg"), " ", 1).as("__t1"))
+      .agg(sum(col("__cb")).as("__cf"))
     inst
       .join(fb, Seq("__bg"))
       .join(ff, Seq("__t1"))
