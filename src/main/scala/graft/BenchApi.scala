@@ -34,6 +34,14 @@ object BenchApi {
         drainDf(graft.ext.Similarity.pqKnn(
           e, e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5))
       },
+      "ivfpq_knn" -> { dir =>
+        // production shape: pruned lists x quantized ADC scoring (the s08
+        // oracle row pins the covering configuration; this measures the
+        // approximate-default cost the covering witness deliberately avoids)
+        val e = Tables.loadSpread(spark, dir, "embeddings")
+        drainDf(graft.ext.Similarity.ivfPqKnn(
+          e, e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5))
+      },
       "semantic_dedup" -> { dir =>
         drainDf(graft.ext.DedupOps.semanticDedup(
           Tables.loadSpread(spark, dir, "embeddings"), "vec_id", "embedding",

@@ -468,6 +468,54 @@ object TextAnalysis {
     bigramSurprise(docs(s, dir), "doc_id", "text").orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- t13
+  /** Normalized URL domains per document: every `http(s)://host` match,
+    * lowercased, `www.` stripped — the extraction half of URL-based
+    * curation (RefinedWeb/C4 blocklist filtering). Pure codegen'd regexp
+    * projection; the regex is RE2 ∩ java.util.regex (the t08 dialect
+    * discipline) so DuckDB replays it byte-for-byte. */
+  def urlDomains(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      transform(
+        regexp_extract_all(col(textCol), lit("https?://([A-Za-z0-9.-]+)"), lit(1)),
+        u => regexp_replace(lower(u), "^www\\.", "")).as("domains"))
+
+  /** URL blocklist filtering: per doc, the URL count, how many hit the
+    * blocklist, and the keep decision (no blocked domain). The blocklist is
+    * a plan-literal array — the production seam swaps it for a broadcast
+    * join against a blocklist table when it outgrows a literal (same shape
+    * as t10's weights). Scale: one scan, no shuffle, no join. */
+  def urlFilter(df: DataFrame, idCol: String, textCol: String,
+      blocked: Seq[String]): DataFrame = {
+    val blockedArr = array(blocked.map(lit): _*)
+    urlDomains(df, idCol, textCol)
+      .select(col(idCol),
+        size(col("domains")).cast("long").as("n_urls"),
+        size(filter(col("domains"), d => array_contains(blockedArr, d)))
+          .cast("long").as("n_blocked"))
+      .withColumn("kept",
+        (col("n_blocked") === 0L).cast("long"))
+  }
+
+  /** The t13 oracle row injects deterministic synthetic URLs derived from
+    * doc_id (the corpus has none — the t08 pattern): every third doc gets a
+    * clean link (one of 7 hosts, `www.`-prefixed half the time to exercise
+    * normalization), every fifth a blocklisted one. */
+  val t13UrlFilter: Q = (s, dir) => {
+    import s.implicits._
+    val injected = docs(s, dir).withColumn("text", concat($"text",
+      when(pmod($"doc_id", lit(3)) === 0,
+        concat(lit(" see https://"),
+          when(pmod($"doc_id", lit(2)) === 0, lit("www.")).otherwise(lit("")),
+          lit("site"), pmod($"doc_id", lit(7)).cast("string"),
+          lit(".example.com/page"))).otherwise(lit("")),
+      when(pmod($"doc_id", lit(5)) === 0,
+        concat(lit(" ref http://bad"), pmod($"doc_id", lit(2)).cast("string"),
+          lit(".spam.net/x"))).otherwise(lit(""))))
+    urlFilter(injected, "doc_id", "text", Seq("bad0.spam.net", "bad1.spam.net"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_lang_id" -> t01LangId,
     "t02_quality" -> t02Quality,
@@ -480,7 +528,8 @@ object TextAnalysis {
     "t09_source_overlap" -> t09SourceOverlap,
     "t10_classifier_filter" -> t10ClassifierFilter,
     "t11_gopher_rules" -> t11GopherRules,
-    "t12_bigram_surprise" -> t12BigramSurprise)
+    "t12_bigram_surprise" -> t12BigramSurprise,
+    "t13_url_filter" -> t13UrlFilter)
 
   private val toksCte =
     """WITH l AS (
@@ -699,5 +748,30 @@ object TextAnalysis {
           |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_big,
           | round(avg(-ln(fb.cb / ff.cf)) + 1e-9, 4) AS bi_surprise
           |FROM b JOIN fb USING (bg) JOIN ff USING (t1)
-          |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin))
+          |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin),
+    "t13_url_filter" ->
+      """WITH inj AS (
+        |  SELECT doc_id, text ||
+        |   CASE WHEN doc_id % 3 = 0
+        |    THEN ' see https://' ||
+        |      CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END ||
+        |      'site' || (doc_id % 7) || '.example.com/page' ELSE '' END ||
+        |   CASE WHEN doc_id % 5 = 0
+        |    THEN ' ref http://bad' || (doc_id % 2) || '.spam.net/x' ELSE '' END AS t
+        |  FROM documents),
+        | d AS (
+        |  SELECT doc_id,
+        |   list_transform(regexp_extract_all(t, 'https?://([A-Za-z0-9.-]+)', 1),
+        |     u -> regexp_replace(lower(u), '^www\.', '')) AS doms
+        |  FROM inj),
+        | f AS (
+        |  SELECT doc_id, doms,
+        |   len(list_filter(doms,
+        |     x -> list_contains(['bad0.spam.net','bad1.spam.net'], x))) AS nb
+        |  FROM d)
+        |SELECT doc_id,
+        | CAST(len(doms) AS BIGINT) AS n_urls,
+        | CAST(nb AS BIGINT) AS n_blocked,
+        | CAST(CASE WHEN nb = 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM f ORDER BY doc_id""".stripMargin)
 }

@@ -13,10 +13,14 @@ class ContractSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
-  test("only the documented sketch query is rows-only (no oracle)") {
+  test("only the documented rows-only queries lack an oracle") {
+    // q26: sketch values are engine-specific (ContractSpec bounds them);
+    // m04: pixel decode is not SQL-expressible (MultimodalSpec pins the
+    // dHash/banding semantics)
+    val documented = Set("q26_approx_agg", "m04_image_dhash")
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("q26_approx_agg"),
-      s"undocumented rows-only queries: ${rowsOnly - "q26_approx_agg"}")
+    assert(rowsOnly == documented,
+      s"undocumented rows-only queries: ${rowsOnly -- documented}")
   }
 
   test("query names are filesystem-safe for Verify's output dirs") {

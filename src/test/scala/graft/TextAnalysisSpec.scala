@@ -104,6 +104,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(0)._3 < got(1)._3)
   }
 
+  test("urlFilter: extracts normalized domains, counts blocklist hits, keeps clean docs") {
+    val docs = Seq(
+      (1L, "read https://www.Good.Example.com/a and http://bad.spam.net/x now"),
+      (2L, "only https://ok.org here"),
+      (3L, "no links at all"),
+      (4L, "http://bad.spam.net http://bad.spam.net twice"))
+      .toDF("doc_id", "text")
+    val doms = TextAnalysis.urlDomains(docs, "doc_id", "text")
+      .as[(Long, Seq[String])].collect().sortBy(_._1).toSeq
+    // lowercased, www.-stripped, path excluded
+    assert(doms(0)._2 == Seq("good.example.com", "bad.spam.net"), s"got ${doms(0)}")
+    assert(doms(2)._2.isEmpty)
+    val got = TextAnalysis.urlFilter(docs, "doc_id", "text", Seq("bad.spam.net"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, 0L),  // one clean + one blocked -> dropped
+      (2L, 1L, 0L, 1L),
+      (3L, 0L, 0L, 1L),  // no URLs is fine
+      (4L, 2L, 2L, 0L)), s"got $got")
+  }
+
   test("sourceOverlap computes shingle-set Jaccard per source pair, zero-overlap pairs kept") {
     // A: shingles {x y z, y z w, z w, w}; B: {x y z, y z q, z q, q} -> share 1 of 7
     // C: {c1} -> no overlap with either
