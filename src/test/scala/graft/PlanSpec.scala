@@ -90,4 +90,34 @@ class PlanSpec extends SparkSpec {
     // hash-partitioning exchanges from the projection itself
     assert(!p.contains("hashpartitioning"), s"scalar projection must not shuffle:\n$p")
   }
+
+  test("t11/t13: rule filters are shuffle-free scalar projections") {
+    for (name <- Seq("t11_gopher_rules", "t13_url_filter")) {
+      val p = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+      assert(!p.contains("hashpartitioning"),
+        s"$name must not shuffle (pure per-row projection):\n$p")
+      assert(!p.contains("Join"), s"$name must not join:\n$p")
+    }
+  }
+
+  test("t12: bigram model joins stay keyed; the corpus never cross-products") {
+    val df = SparkEntry.queries("t12_bigram_surprise")(spark, dir)
+    df.collect() // execute df's OWN QueryExecution so AQE finalizes (PlanDump note)
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bigram scoring fell back to all-pairs:\n$p")
+    // the prefix distribution derives from the bigram count table: its copy
+    // of the count subtree rides a ReusedExchange at runtime, so at most two
+    // tokenize+ngram Generates execute (model build + probe), never a third
+    assert("Generate explode".r.findAllIn(p).size <= 2 || p.contains("ReusedExchange"),
+      s"prefix counts must re-aggregate the vocabulary, not re-explode the corpus:\n$p")
+  }
+
+  test("s08: IVF-PQ candidates ride a broadcast probe; the code table never shuffles whole") {
+    val p = plan("s08_ivfpq")
+    assert(p.contains("BroadcastHashJoin"),
+      s"probes+LUTs must broadcast against the code table:\n$p")
+    assert(p.contains("partial_topkagg") || p.contains("ObjectHashAggregate"),
+      s"ADC ranking must combine map-side (bounded-heap partial agg):\n$p")
+  }
 }
