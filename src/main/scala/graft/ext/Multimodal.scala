@@ -440,8 +440,10 @@ object Multimodal {
     * MultimodalSpec pins the dHash/banding semantics instead. The OUTPUT is
     * nonetheless fully deterministic across runs and JDK vendors: dHash
     * reads decoded pixels (PNG is lossless), never re-encoded bytes.
-    * Variant i bumps pixel (i, i) by 32·i — variant 0 is an exact copy, so
-    * at least its 0-hamming pair always exists. */
+    * Variant i bumps pixel (i, i) by 32·(i mod 7) — variants 0 and 7 both
+    * take delta 0 and are exact copies of the base, so the (0, 7) 0-hamming
+    * pair exists BY CONSTRUCTION, independent of which (if any) comparison
+    * bits the other deltas happen to flip on this fixture. */
   val m04ImageDhash: Q = (s, _) => {
     import s.implicits._
     val base = java.nio.file.Files.readAllBytes(
@@ -455,7 +457,7 @@ object Multimodal {
     val perturbed = variants.mapPartitions { rows =>
       rows.map { r =>
         val i = r.getLong(0).toInt
-        Row(r.getLong(0), perturbPixel(r.getAs[Array[Byte]]("payload"), i, i, 32 * i))
+        Row(r.getLong(0), perturbPixel(r.getAs[Array[Byte]]("payload"), i, i, 32 * (i % 7)))
       }
     }(enc)
     imageNearDupPairs(withDhash(perturbed), "media_id", maxHamming = 7)

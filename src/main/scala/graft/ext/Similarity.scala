@@ -354,18 +354,27 @@ object Similarity {
         array(codebooks(s).map(cen => dotLit(sub(col("__u"), s), cen)): _*)
       }: _*))
       .select(col("query_id"), col("__u").as("__qu"), col("__lut"))
+    adcRankRerank(broadcast(q).join(codes, col("query_id") =!= col("id")),
+      c, m, k, refine)
+  }
+
+  /** Shared ADC tail of [[pqKnn]] and [[ivfPqKnn]]: score candidates by the
+    * m-lookup asymmetric distance, keep the per-query top refine·k via the
+    * bounded-heap Aggregator (NOT a window rank — a window would shuffle
+    * every scored row; the aggregator's map-side combine caps the shuffle at
+    * refine·k rows per (map partition, query) regardless of corpus size;
+    * ties break on lower id, identical to the orderBy(desc, id) window
+    * ordering), then rerank with the EXACT cosine against full vectors.
+    * `cand0` carries (query_id, __qu, __lut, id, __code). */
+  private def adcRankRerank(cand0: DataFrame, c: DataFrame, m: Int, k: Int,
+      refine: Int): DataFrame = {
     // ADC score: sum of m LUT lookups (0-based getItem on both levels)
     val adc = (0 until m).map(s =>
       col("__lut").getItem(s).getItem(col("__code").getItem(s))).reduce(_ + _)
-    // per-query top-(refine·k) via the bounded-heap Aggregator, NOT a window
-    // rank: a window would shuffle every scored (query, corpus) row; the
-    // aggregator's map-side combine caps the shuffle at refine·k rows per
-    // (map partition, query) regardless of corpus size. Ties break on lower
-    // id, identical to the orderBy(desc, id) window ordering.
     val topAdc = udaf(new graft.functions.Aggregators.TopKAgg(refine * k),
       org.apache.spark.sql.Encoders.tuple(
         org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaLong))
-    val cand = broadcast(q).join(codes, col("query_id") =!= col("id"))
+    val cand = cand0
       .withColumn("__adc", adc)
       .groupBy(col("query_id"))
       .agg(topAdc(col("__adc"), col("id")).as("__top"), first(col("__qu")).as("__qu"))
@@ -428,40 +437,30 @@ object Similarity {
       assignExpr(col("__u"), centroids).as("__cid"),
       array((0 until m).map(s =>
         assignL2Expr(sub(col("__u"), s), codebooks(s))): _*).as("__code"))
-    // per-query: top-nprobe coarse lists (the s03 probe shape) + the ADC LUT
+    // per-query: top-nprobe coarse lists (the s03 probe shape). The probe
+    // list carries ONLY (query_id, __cid); the vector + m×ksub LUT broadcast
+    // separately at one row per query — attaching them before the explode
+    // would replicate both nprobe-fold in the broadcast.
     val probeDots = array(centroids.zipWithIndex.map { case (cen, i) =>
       struct(dotLit(col("__u"), cen).as("d"), lit(i).as("cid"))
     }: _*)
-    val probes = unitVecs(queries, idCol, vecCol, "query_id")
-      .withColumn("__lut", array((0 until m).map { s =>
-        array(codebooks(s).map(cen => dotLit(sub(col("__u"), s), cen)): _*)
-      }: _*))
+    val q = unitVecs(queries, idCol, vecCol, "query_id")
+    val probes = q
       .withColumn("__probe",
         explode_outer(slice(sort_array(probeDots, asc = false), 1, nprobe)))
       .filter(col("__probe").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
-      .select(col("query_id"), col("__u").as("__qu"), col("__lut"),
-        col("__probe.cid").as("__cid"))
-    val adc = (0 until m).map(s =>
-      col("__lut").getItem(s).getItem(col("__code").getItem(s))).reduce(_ + _)
-    val topAdc = udaf(new graft.functions.Aggregators.TopKAgg(refine * k),
-      org.apache.spark.sql.Encoders.tuple(
-        org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaLong))
+      .select(col("query_id"), col("__probe.cid").as("__cid"))
+    val qlut = q
+      .withColumn("__lut", array((0 until m).map { s =>
+        array(codebooks(s).map(cen => dotLit(sub(col("__u"), s), cen)): _*)
+      }: _*))
+      .select(col("query_id"), col("__u").as("__qu"), col("__lut"))
     // inverted lists partition the corpus, so a query's probed candidates
-    // are distinct ids; list-pruned join on __cid, then ADC-ranked heap
-    val cand = broadcast(probes).join(codes, Seq("__cid"))
+    // are distinct ids; list-pruned join on __cid, then the shared ADC tail
+    val cand0 = broadcast(probes).join(codes, Seq("__cid"))
       .filter(col("query_id") =!= col("id"))
-      .withColumn("__adc", adc)
-      .groupBy(col("query_id"))
-      .agg(topAdc(col("__adc"), col("id")).as("__top"), first(col("__qu")).as("__qu"))
-      .select(col("query_id"), col("__qu"), explode(col("__top")).as("__t"))
-      .select(col("query_id"), col("__qu"), col("__t._1").as("id"))
-    // exact rerank: unit vectors, so cosine == dot
-    val wX = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("id"))
-    cand.join(c, Seq("id"))
-      .withColumn("cosine", graft.functions.VectorExprs.dot(col("__qu"), col("__u")))
-      .withColumn("rank", row_number().over(wX).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("id"), col("cosine"))
+      .join(broadcast(qlut), Seq("query_id"))
+    adcRankRerank(cand0, c, m, k, refine)
   }
 
   // ---------------------------------------------------------------- s08
@@ -673,6 +672,22 @@ object Similarity {
       |   sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nrm
       |  FROM embeddings)""".stripMargin
 
+  /** Brute-force cosine top-5 over the fixed 500-vector corpus slice — the
+    * shared covering-configuration witness of s05 and s08. */
+  private val bruteTop5Slice500Sql =
+    """WITH u AS (
+      |  SELECT vec_id,
+      |   list_transform(embedding::DOUBLE[],
+      |     x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y)))) AS u
+      |  FROM embeddings WHERE vec_id < 500)
+      |SELECT query_id, rk AS "rank", id, round(cos, 4) AS cosine FROM (
+      | SELECT q.vec_id AS query_id, e.vec_id AS id,
+      |  list_dot_product(q.u, e.u) AS cos,
+      |  CAST(row_number() OVER (PARTITION BY q.vec_id
+      |    ORDER BY list_dot_product(q.u, e.u) DESC, e.vec_id) AS BIGINT) AS rk
+      | FROM u q JOIN u e ON q.vec_id < 20 AND q.vec_id <> e.vec_id) t
+      |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "s01_knn_brute" ->
       (vecsCte +
@@ -724,37 +739,12 @@ object Similarity {
         |    ORDER BY list_dot_product(q.u, e.u) DESC, e.vec_id) AS BIGINT) AS rk
         | FROM u q JOIN u e ON q.vec_id < 20 AND q.vec_id <> e.vec_id) t
         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
-    // covering rerank ≡ brute force — the s03 oracle over the same fixed
-    // 500-vector corpus slice the Spark side uses (same ranking contract:
-    // raw cosine over unit vectors, lower-id tie-break)
-    "s05_pq_rerank" ->
-      """WITH u AS (
-        |  SELECT vec_id,
-        |   list_transform(embedding::DOUBLE[],
-        |     x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y)))) AS u
-        |  FROM embeddings WHERE vec_id < 500)
-        |SELECT query_id, rk AS "rank", id, round(cos, 4) AS cosine FROM (
-        | SELECT q.vec_id AS query_id, e.vec_id AS id,
-        |  list_dot_product(q.u, e.u) AS cos,
-        |  CAST(row_number() OVER (PARTITION BY q.vec_id
-        |    ORDER BY list_dot_product(q.u, e.u) DESC, e.vec_id) AS BIGINT) AS rk
-        | FROM u q JOIN u e ON q.vec_id < 20 AND q.vec_id <> e.vec_id) t
-        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
-    // IVF-PQ covering configuration ≡ brute force over the same fixed
-    // 500-vector slice — identical witness to s05 (same ranking contract)
-    "s08_ivfpq" ->
-      """WITH u AS (
-        |  SELECT vec_id,
-        |   list_transform(embedding::DOUBLE[],
-        |     x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y)))) AS u
-        |  FROM embeddings WHERE vec_id < 500)
-        |SELECT query_id, rk AS "rank", id, round(cos, 4) AS cosine FROM (
-        | SELECT q.vec_id AS query_id, e.vec_id AS id,
-        |  list_dot_product(q.u, e.u) AS cos,
-        |  CAST(row_number() OVER (PARTITION BY q.vec_id
-        |    ORDER BY list_dot_product(q.u, e.u) DESC, e.vec_id) AS BIGINT) AS rk
-        | FROM u q JOIN u e ON q.vec_id < 20 AND q.vec_id <> e.vec_id) t
-        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // covering configuration ≡ brute force — the SHARED witness of s05 (PQ
+    // covering rerank) and s08 (IVF-PQ full probe + covering rerank): the
+    // s03 oracle over the same fixed 500-vector slice both Spark queries
+    // use (same ranking contract: raw cosine, lower-id tie-break)
+    "s05_pq_rerank" -> bruteTop5Slice500Sql,
+    "s08_ivfpq" -> bruteTop5Slice500Sql,
     // int8 quantize → dequantize → brute cosine: the affine code/decode is
     // replayed exactly (same doubles, same away-from-zero rounding on the
     // non-negative (x−mn)/step), then the s03 ranking contract

@@ -395,16 +395,20 @@ object TextAnalysis {
           substring(l, 1, 2) === "- " || substring(l, 1, 2) === "* ")).cast("long"))
       .withColumn("__nell",
         size(filter(col("__ln"), l => l.endsWith("..."))).cast("long"))
-      .withColumn("__nalpha",
-        size(filter(col("__tk"), x => x.rlike("[a-z]"))).cast("long"))
+      .withColumn("__nalpha", // any-case: 'NASA' is an alphabetic word
+        size(filter(col("__tk"), x => x.rlike("[a-zA-Z]"))).cast("long"))
       .withColumn("n_stop_hit",
         size(filter(array(gopherStop.map(lit): _*),
           w => array_contains(col("__tk"), w))).cast("long"))
-    val meanLen = col("__sumlen").cast("double") / col("n_tok")
-    val symR = col("__nsym").cast("double") / col("n_tok")
+    // explicit zero-token guard: Spark's x/0 is NULL but DuckDB's ieee
+    // division yields inf/nan — both engines must emit NULL for empty docs
+    def overTok(c: Column): Column =
+      when(col("n_tok") > 0, c.cast("double") / col("n_tok"))
+    val meanLen = overTok(col("__sumlen"))
+    val symR = overTok(col("__nsym"))
     val bulR = col("__nbul").cast("double") / size(col("__ln"))
     val ellR = col("__nell").cast("double") / size(col("__ln"))
-    val alpR = col("__nalpha").cast("double") / col("n_tok")
+    val alpR = overTok(col("__nalpha"))
     val pass = col("n_tok").between(50L, 100000L) &&
       meanLen >= 3.0 && meanLen <= 10.0 && symR <= 0.1 &&
       bulR <= 0.9 && ellR <= 0.3 && alpR >= 0.8 && col("n_stop_hit") >= 2L
@@ -471,13 +475,20 @@ object TextAnalysis {
   // ---------------------------------------------------------------- t13
   /** Normalized URL domains per document: every `http(s)://host` match,
     * lowercased, `www.` stripped — the extraction half of URL-based
-    * curation (RefinedWeb/C4 blocklist filtering). Pure codegen'd regexp
-    * projection; the regex is RE2 ∩ java.util.regex (the t08 dialect
-    * discipline) so DuckDB replays it byte-for-byte. */
+    * curation (RefinedWeb/C4 blocklist filtering). The host pattern skips an
+    * optional userinfo prefix (`user@host` must yield the HOST, or a blocked
+    * domain hides behind any `x@`) and is label-structured so it can never
+    * end in a dot (a sentence-ending `bad.spam.net.` must still hit the
+    * blocklist). Pure codegen'd regexp projection; the regex is RE2 ∩
+    * java.util.regex (the t08 dialect discipline — non-capturing groups, no
+    * lookaround) so DuckDB replays it byte-for-byte. */
+  private[ext] val hostPattern =
+    "https?://(?:[A-Za-z0-9._%+-]+@)?([A-Za-z0-9-]+(?:\\.[A-Za-z0-9-]+)*)"
+
   def urlDomains(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
       transform(
-        regexp_extract_all(col(textCol), lit("https?://([A-Za-z0-9.-]+)"), lit(1)),
+        regexp_extract_all(col(textCol), lit(hostPattern), lit(1)),
         u => regexp_replace(lower(u), "^www\\.", "")).as("domains"))
 
   /** URL blocklist filtering: per doc, the URL count, how many hit the
@@ -712,19 +723,19 @@ object TextAnalysis {
            |   CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS sumlen,
            |   CAST(len(regexp_extract_all(text, '#')) +
            |     len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS nsym,
-           |   CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS nalpha,
+           |   CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS nalpha,
            |   CAST(len(list_filter([${gopherStop.map(w => s"'$w'").mkString(",")}],
            |     w -> list_contains(toks, w))) AS BIGINT) AS n_stop_hit
            |  FROM l),
            | r AS (
            |  SELECT doc_id, n_tok, n_stop_hit,
-           |   CAST(sumlen AS DOUBLE) / n_tok AS mean_len,
-           |   CAST(nsym AS DOUBLE) / n_tok AS sym_r,
+           |   CASE WHEN n_tok > 0 THEN CAST(sumlen AS DOUBLE) / n_tok END AS mean_len,
+           |   CASE WHEN n_tok > 0 THEN CAST(nsym AS DOUBLE) / n_tok END AS sym_r,
            |   CAST(len(list_filter(lns, x -> substr(x,1,2) IN ('- ', '* ')))
            |     AS DOUBLE) / len(lns) AS bul_r,
            |   CAST(len(list_filter(lns, x -> right(x,3) = '...'))
            |     AS DOUBLE) / len(lns) AS ell_r,
-           |   CAST(nalpha AS DOUBLE) / n_tok AS alp_r
+           |   CASE WHEN n_tok > 0 THEN CAST(nalpha AS DOUBLE) / n_tok END AS alp_r
            |  FROM g)
            |SELECT doc_id, n_tok,
            | round(mean_len + 1e-9, 4) AS mean_tok_len,
@@ -761,7 +772,8 @@ object TextAnalysis {
         |  FROM documents),
         | d AS (
         |  SELECT doc_id,
-        |   list_transform(regexp_extract_all(t, 'https?://([A-Za-z0-9.-]+)', 1),
+        |   list_transform(regexp_extract_all(t,
+        |     'https?://(?:[A-Za-z0-9._%+-]+@)?([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)', 1),
         |     u -> regexp_replace(lower(u), '^www\.', '')) AS doms
         |  FROM inj),
         | f AS (

@@ -71,7 +71,8 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, a + " # # # # # #"),                     // sym 6/56 > 0.1
       (4L, s"- $five $five\n- $five $five"),        // all lines bullet-start
       (5L, a + "..."),                              // all lines ellipsis-end
-      (6L, "the and " + Array.fill(24)("11 22").mkString(" "))) // alpha 2/50
+      (6L, "the and " + Array.fill(24)("11 22").mkString(" ")), // alpha 2/50
+      (7L, a.toUpperCase + " the and that have with")) // caps words ARE alphabetic
       .toDF("doc_id", "text")
     def r4(x: Double) = math.round((x + 1e-9) * 1e4) / 1e4
     val got = TextAnalysis.gopherRules(docs, "doc_id", "text")
@@ -88,6 +89,10 @@ class TextAnalysisSpec extends SparkSpec {
     // doc 4's alpha fraction stays above the 0.8 bound — the bullet rule is
     // what fails it (2 of 22 tokens are the dashes, carrying no [a-z])
     assert(got(3)._7 == r4(20.0 / 22) && got(3)._8 >= 2L)
+    // doc 7: 50 uppercase + 5 lowercase tokens — caps words count as
+    // alphabetic (the Gopher rule is case-insensitive), and the lowercase
+    // tail supplies the required stopwords, so the doc passes
+    assert(got(6)._7 == 1.0 && got(6)._9 == 1L, s"got ${got(6)}")
   }
 
   test("bigramSurprise: mean -ln P(t2|t1) under the corpus bigram model") {
@@ -109,20 +114,27 @@ class TextAnalysisSpec extends SparkSpec {
       (1L, "read https://www.Good.Example.com/a and http://bad.spam.net/x now"),
       (2L, "only https://ok.org here"),
       (3L, "no links at all"),
-      (4L, "http://bad.spam.net http://bad.spam.net twice"))
+      (4L, "http://bad.spam.net http://bad.spam.net twice"),
+      (5L, "see http://bad.spam.net."),            // sentence-ending dot
+      (6L, "via https://alice@bad.spam.net/page")) // userinfo prefix
       .toDF("doc_id", "text")
     val doms = TextAnalysis.urlDomains(docs, "doc_id", "text")
       .as[(Long, Seq[String])].collect().sortBy(_._1).toSeq
     // lowercased, www.-stripped, path excluded
     assert(doms(0)._2 == Seq("good.example.com", "bad.spam.net"), s"got ${doms(0)}")
     assert(doms(2)._2.isEmpty)
+    // a trailing punctuation dot or a user@ prefix must not hide the host
+    assert(doms(4)._2 == Seq("bad.spam.net"), s"got ${doms(4)}")
+    assert(doms(5)._2 == Seq("bad.spam.net"), s"got ${doms(5)}")
     val got = TextAnalysis.urlFilter(docs, "doc_id", "text", Seq("bad.spam.net"))
       .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(got == Seq(
       (1L, 2L, 1L, 0L),  // one clean + one blocked -> dropped
       (2L, 1L, 0L, 1L),
       (3L, 0L, 0L, 1L),  // no URLs is fine
-      (4L, 2L, 2L, 0L)), s"got $got")
+      (4L, 2L, 2L, 0L),
+      (5L, 1L, 1L, 0L),
+      (6L, 1L, 1L, 0L)), s"got $got")
   }
 
   test("sourceOverlap computes shingle-set Jaccard per source pair, zero-overlap pairs kept") {
