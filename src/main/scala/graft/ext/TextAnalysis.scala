@@ -527,6 +527,104 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- t14
+  /** Distributed BPE merge training (Sennrich et al. 2016): learn `nMerges`
+    * subword merges from the corpus. The corpus is scanned ONCE into a
+    * word-frequency table (the textbook scalable formulation — BPE trains on
+    * the freq-weighted word VOCABULARY, never the running text); each
+    * iteration then (a) counts freq-weighted adjacent symbol pairs over the
+    * vocab, (b) takes the top pair (freq desc, then (left, right) asc — the
+    * deterministic tie-break both engines replay), and (c) merges every
+    * greedy left-to-right occurrence via a codegen'd `aggregate` fold over
+    * each word's symbol array. Driver state is ONE row per iteration (the
+    * winning pair); per-iteration jobs touch only the vocab.
+    *
+    * Returns the merge table (rank, left, right, pair_freq). Scale shape:
+    * one corpus-keyed aggregation + nMerges vocab-sized jobs; a production
+    * run at large nMerges would localCheckpoint the vocab every ~32 merges
+    * to cap plan depth — the seam is the `cur` chain below. */
+  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // one corpus pass: freq-weighted word vocabulary, split into symbols
+    var cur = df
+      .withColumn("__tk", toks(col(textCol)))
+      .select(explode_outer(col("__tk")).as("__w"))
+      .filter(col("__w").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
+      .groupBy(col("__w")).agg(count(lit(1)).as("__f"))
+      .withColumn("__sym",
+        expr("transform(sequence(1, length(__w)), i -> substring(__w, i, 1))"))
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (rank <- 1 to nMerges) {
+      val top = cur
+        // single-symbol words have no pair — and Spark's sequence(1, 0) is
+        // the DESCENDING [1, 0], which would index out of bounds (the
+        // shinglesN gotcha in TextOps)
+        .filter(size(col("__sym")) >= 2)
+        .select(col("__f"), explode_outer(
+          expr("""transform(sequence(1, size(__sym) - 1),
+                 |  i -> struct(element_at(__sym, i) AS l,
+                 |              element_at(__sym, i + 1) AS r))""".stripMargin))
+          .as("__p"))
+        .filter(col("__p").isNotNull)
+        .groupBy(col("__p.l").as("__l"), col("__p.r").as("__r"))
+        .agg(sum(col("__f")).as("__pf"))
+        .orderBy(col("__pf").desc, col("__l"), col("__r"))
+        .limit(1).as[(String, String, Long)].collect()
+      if (top.nonEmpty) {
+        val (l, r, pf) = top.head
+        merges += ((rank, l, r, pf))
+        // greedy left-to-right merge of every (l, r) occurrence: the fold
+        // consumes its own output, so overlapping runs (l = r) merge at
+        // even offsets exactly as sequential BPE does
+        cur = cur.withColumn("__sym",
+          aggregate(col("__sym"),
+            array().cast("array<string>"),
+            (acc, x) =>
+              when(size(acc) > 0 &&
+                  element_at(acc, -1) === lit(l) && x === lit(r),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+                .otherwise(concat(acc, array(x)))))
+      }
+    }
+    merges.result()
+      .toDF("rank", "left", "right", "pair_freq")
+      .select(col("rank").cast("long"), col("left"), col("right"), col("pair_freq"))
+  }
+
+  /** Apply a learned merge list to a corpus: segment every doc's words with
+    * the merges in rank order (same greedy fold as training). The merge list
+    * rides the plan as literals — chained folds, one per merge, so cap the
+    * list (~64) or checkpoint between groups when applying deep vocabularies.
+    * Returns (idCol, n_words, n_subwords). */
+  def bpeSegment(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = df
+      .withColumn("__tk", toks(col(textCol)))
+      .select(col(idCol), explode_outer(col("__tk")).as("__w"))
+      .filter(col("__w").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
+      .withColumn("__sym",
+        expr("transform(sequence(1, length(__w)), i -> substring(__w, i, 1))"))
+    val segmented = merges.foldLeft(words) { case (acc0, (l, r)) =>
+      acc0.withColumn("__sym",
+        aggregate(col("__sym"),
+          array().cast("array<string>"),
+          (acc, x) =>
+            when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(l) && x === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+              .otherwise(concat(acc, array(x)))))
+    }
+    segmented.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(size(col("__sym"))).cast("long").as("n_subwords"))
+  }
+
+  val t14BpeMerges: Q = (s, dir) => {
+    import s.implicits._
+    bpeTrain(docs(s, dir), "text", nMerges = 8).orderBy($"rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_lang_id" -> t01LangId,
     "t02_quality" -> t02Quality,
@@ -540,7 +638,60 @@ object TextAnalysis {
     "t10_classifier_filter" -> t10ClassifierFilter,
     "t11_gopher_rules" -> t11GopherRules,
     "t12_bigram_surprise" -> t12BigramSurprise,
-    "t13_url_filter" -> t13UrlFilter)
+    "t13_url_filter" -> t13UrlFilter,
+    "t14_bpe_merges" -> t14BpeMerges)
+
+  /** Generated DuckDB twin of [[bpeTrain]]: one word-frequency CTE, then per
+    * merge rank k a pair-count CTE (p_k), a deterministic top-1 CTE (t_k),
+    * and a RECURSIVE fold CTE (f_k) that replays the greedy left-to-right
+    * merge element by element — the exact `aggregate` fold semantics, so the
+    * whole iterative training (not just one stage) is cross-engine-proven.
+    *
+    * Every stage CTE is `AS MATERIALIZED` and the recursion carries its
+    * remaining-symbols state in the ROW (no join back to the previous stage
+    * inside the recursive part): without both, DuckDB re-inlines the chain
+    * and the k-th stage re-evaluates everything before it once per
+    * recursion level — measured exponential (minutes at sf0.001). */
+  private[ext] def bpeOracleSql(nMerges: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH RECURSIVE wf AS MATERIALIZED (
+        |  SELECT w, count(*) AS f FROM (
+        |    SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+        |      x -> length(x) > 0)) AS w FROM documents) GROUP BY w),
+        | s0 AS MATERIALIZED (
+        |  SELECT w, f, list_transform(range(1, length(w) + 1),
+        |    i -> substr(w, i, 1)) AS sym FROM wf)""".stripMargin)
+    for (k <- 1 to nMerges) {
+      val mkSym = if (k < nMerges)
+        s""",
+           | s$k AS MATERIALIZED (SELECT w, f, acc AS sym FROM f$k WHERE len(rest) = 0)""".stripMargin
+      else ""
+      sb.append(s""",
+        | p$k AS MATERIALIZED (
+        |  SELECT l, r, sum(f) AS pf FROM (
+        |   SELECT f, sym[i] AS l, sym[i + 1] AS r FROM (
+        |    SELECT f, sym, unnest(range(1, len(sym))) AS i FROM s${k - 1}))
+        |  GROUP BY l, r),
+        | t$k AS MATERIALIZED (SELECT l, r, pf FROM p$k ORDER BY pf DESC, l, r LIMIT 1)""".stripMargin)
+      if (k < nMerges) sb.append(s""",
+        | f$k(w, f, rest, acc, ml, mr) AS (
+        |  SELECT s.w, s.f, s.sym, CAST([] AS VARCHAR[]), t.l, t.r
+        |  FROM s${k - 1} s, t$k t
+        |  UNION ALL
+        |  SELECT w, f, rest[2:len(rest)],
+        |   CASE WHEN len(acc) > 0 AND acc[-1] = ml AND rest[1] = mr
+        |    THEN acc[1:len(acc) - 1] || [ml || mr]
+        |    ELSE acc || [rest[1]] END,
+        |   ml, mr
+        |  FROM f$k WHERE len(rest) > 0)$mkSym""".stripMargin)
+    }
+    sb.append((1 to nMerges).map(k =>
+      s"""SELECT CAST($k AS BIGINT) AS rank, l AS "left", r AS "right",
+         | CAST(pf AS BIGINT) AS pair_freq FROM t$k""".stripMargin)
+      .mkString("\n", "\nUNION ALL\n", "\nORDER BY rank"))
+    sb.toString
+  }
 
   private val toksCte =
     """WITH l AS (
@@ -785,5 +936,6 @@ object TextAnalysis {
         | CAST(len(doms) AS BIGINT) AS n_urls,
         | CAST(nb AS BIGINT) AS n_blocked,
         | CAST(CASE WHEN nb = 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
-        |FROM f ORDER BY doc_id""".stripMargin)
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "t14_bpe_merges" -> bpeOracleSql(8))
 }

@@ -151,4 +151,40 @@ class TextAnalysisSpec extends SparkSpec {
       ("A", "C", 4L, 1L, 0L, 0.0),
       ("B", "C", 4L, 1L, 0L, 0.0)), s"got $got")
   }
+
+  test("bpeTrain learns the Sennrich toy merges in order with deterministic ties") {
+    // the classic corpus: low x5, lower x2, newest x6, widest x3
+    val docs = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower"),
+      (3L, "newest newest newest newest newest newest"),
+      (4L, "widest widest widest")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(docs, "text", nMerges = 5)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    // rank 1: es/st tie at 9 -> (e,s) by (left,right) asc; rank 3: lo/ow tie
+    // at 7 -> (l,o); rank 5: ew/ne/w-est tie at 6 -> (e,w)
+    assert(got == Seq(
+      (1L, "e", "s", 9L),
+      (2L, "es", "t", 9L),
+      (3L, "l", "o", 7L),
+      (4L, "lo", "w", 7L),
+      (5L, "e", "w", 6L)), s"got $got")
+  }
+
+  test("bpeTrain merges overlapping runs greedily left-to-right (l = r)") {
+    // "aaaa": pairs a-a x3 -> merge (a,a) folds to [aa, aa], never [aa, a, a]
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(docs, "text", nMerges = 2)
+      .as[(Long, String, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, "a", "a", 3L), (2L, "aa", "aa", 1L)), s"got $got")
+  }
+
+  test("bpeSegment applies merges in rank order; untrained words fall back to finer units") {
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
+    // lowest -> [low, est] (2); newest -> [n, e, w, est] (4)
+    val docs = Seq((1L, "lowest newest"), (2L, "zq")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeSegment(docs, "doc_id", "text", merges)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2L, 6L), (2L, 1L, 2L)), s"got $got")
+  }
 }
