@@ -283,8 +283,21 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- c12
+  /** CCNet-style perplexity tercile bucketing on the t12 bigram-LM score —
+    * the oracle row for [[CurationOps.perplexityBuckets]]: both engines
+    * must agree on every document's (score, bucket), including that equal
+    * scores never straddle a bucket boundary. */
+  val c12PerplexityBuckets: Q = (s, dir) => {
+    import s.implicits._
+    val scored = TextAnalysis.bigramSurprise(docs(s, dir), "doc_id", "text")
+    CurationOps.perplexityBuckets(scored, "doc_id", "bi_surprise")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "c01_decontaminate" -> c01Decontaminate,
+    "c12_perplexity_buckets" -> c12PerplexityBuckets,
     "c11_leakage_split" -> c11LeakageSplit,
     "c06_decontaminate_bloom" -> c06DecontaminateBloom,
     "c07_temperature_sample" -> c07TemperatureSample,
@@ -506,5 +519,27 @@ object Curation {
          |SELECT doc_id, lang, n_tok FROM dd
          |WHERE doc_id % 20 != 0 AND doc_id NOT IN (SELECT doc_id FROM cg)
          |ORDER BY doc_id""".stripMargin
-    })
+    },
+    "c12_perplexity_buckets" ->
+      (toksCte +
+        """, b AS (
+          |  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bg, toks[i] AS t1
+          |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM l)),
+          | fb AS (SELECT bg, CAST(count(*) AS DOUBLE) AS cb FROM b GROUP BY bg),
+          | ff AS (SELECT t1, CAST(count(*) AS DOUBLE) AS cf FROM b GROUP BY t1),
+          | sc AS (
+          |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_big,
+          |   round(avg(-ln(fb.cb / ff.cf)) + 1e-9, 4) AS bi_surprise
+          |  FROM b JOIN fb USING (bg) JOIN ff USING (t1)
+          |  GROUP BY b.doc_id),
+          | h AS (SELECT bi_surprise AS s, count(*) AS c FROM sc GROUP BY 1),
+          | cm AS (SELECT s, CAST(sum(c) OVER (ORDER BY s) AS BIGINT) AS cum FROM h),
+          | n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sc)
+          |SELECT sc.doc_id, sc.n_big, sc.bi_surprise,
+          | CASE WHEN cm.cum * 3 <= n.n THEN 'head'
+          |      WHEN cm.cum * 3 <= n.n * 2 THEN 'middle'
+          |      ELSE 'tail' END AS bucket
+          |FROM sc JOIN cm ON sc.bi_surprise = cm.s CROSS JOIN n
+          |ORDER BY sc.doc_id""".stripMargin)
+    )
 }

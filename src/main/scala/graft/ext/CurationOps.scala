@@ -325,6 +325,39 @@ object CurationOps {
       .withColumn("selected", (col("dsir_logratio") > 0).cast("long"))
   }
 
+  /** CCNet-style perplexity bucketing: assign every scored document to the
+    * head / middle / tail third of the corpus by a quality score (CCNet
+    * buckets on LM perplexity — lower = cleaner; pair with
+    * [[TextAnalysis.bigramSurprise]] for the self-trained proxy). Tie
+    * groups never straddle a boundary: the bucket is decided by each
+    * DISTINCT score's cumulative count (head iff 3·cum(s) ≤ n, middle iff
+    * 3·cum(s) ≤ 2n), so equal scores always share a bucket and the
+    * assignment is integer-exact and engine-replayable — no interpolated
+    * quantile float compare, no position-dependent ntile split.
+    *
+    * Scale shape: a score-keyed histogram aggregation (cardinality =
+    * distinct rounded scores, thousands not billions), a cumulative window
+    * over THAT histogram (the only single-partition step — histogram-sized,
+    * never corpus-sized), a 1-row total, and a broadcast join back on the
+    * score. The corpus itself is never globally sorted — the textbook
+    * ntile-over-everything formulation would range-shuffle 100 TB for a
+    * 3-way label. */
+  def perplexityBuckets(scored: DataFrame, idCol: String,
+      scoreCol: String): DataFrame = {
+    val hist = scored.groupBy(col(scoreCol).as("__s")).agg(count(lit(1)).as("__c"))
+    val cum = hist.withColumn("__cum",
+      sum(col("__c")).over(Window.orderBy(col("__s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = scored.agg(count(lit(1)).as("__n"))
+    val labels = cum.crossJoin(broadcast(tot))
+      .select(col("__s"),
+        when(col("__cum") * 3 <= col("__n"), "head")
+          .when(col("__cum") * 3 <= col("__n") * 2, "middle")
+          .otherwise("tail").as("bucket"))
+    scored.join(broadcast(labels), scored(scoreCol) === labels("__s"))
+      .drop("__s")
+  }
+
   /** Leakage-safe train/val/test split: documents connected by a near-dup
     * pair relation (any of the `DedupOps.*Pairs` operators) land in the SAME
     * split, so paraphrases of a training document can never leak into the

@@ -211,8 +211,32 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- d10
+  /** Corpus-level line dedup — the oracle row for [[DedupOps.dedupLines]].
+    * The corpus has no newlines, so the query line-ifies deterministically
+    * (a line break every 8 tokens — the t08/t13 synthetic-injection
+    * pattern, replayed by the oracle): both engines must agree on every
+    * surviving line, every rebuilt text byte, and the kept/removed counts.
+    * Replica docs (the d01 exact-dup population) guarantee repeated lines
+    * exist. */
+  val d10LineDedup: Q = (s, dir) => {
+    import s.implicits._
+    val lineified = docs(s, dir)
+      .withColumn("__tk", toks($"text"))
+      .withColumn("text8",
+        array_join(
+          transform(
+            sequence(lit(0),
+              greatest(ceil(size($"__tk") / lit(8.0)).cast("int"), lit(1)) - 1),
+            g => array_join(slice($"__tk", g * lit(8) + 1, lit(8)), " ")),
+          "\n"))
+      .select($"doc_id", $"text8")
+    DedupOps.dedupLines(lineified, "doc_id", "text8").orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_exact_dedup" -> d01ExactDedup,
+    "d10_line_dedup" -> d10LineDedup,
     "d02_minhash_lsh" -> d02MinhashLsh,
     "d03_simhash" -> d03Simhash,
     "d04_ngram_jaccard" -> d04NgramJaccard,
@@ -408,5 +432,32 @@ object Dedup {
           |  WHERE b.doc_id % 20 != 0)
           |SELECT d.doc_id, d.lang, d.source FROM documents d
           |WHERE d.doc_id % 20 != 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)
-          |ORDER BY d.doc_id""".stripMargin))
+          |ORDER BY d.doc_id""".stripMargin),
+    "d10_line_dedup" ->
+      (toksCte +
+        """, inj AS (
+          |  SELECT doc_id,
+          |   list_filter(
+          |     list_transform(
+          |       range(0, greatest(CAST(ceil(len(toks) / 8.0) AS BIGINT), 1)),
+          |       g -> array_to_string(toks[g*8+1 : g*8+8], ' ')),
+          |     x -> length(x) > 0) AS lns
+          |  FROM l),
+          | occ AS (
+          |  SELECT doc_id, generate_subscripts(lns, 1) AS p, unnest(lns) AS ln
+          |  FROM inj),
+          | fst AS (
+          |  SELECT doc_id, p, ln,
+          |   row_number() OVER (PARTITION BY md5(ln) ORDER BY doc_id, p) AS rn
+          |  FROM occ),
+          | rb AS (
+          |  SELECT doc_id,
+          |   array_to_string(list(ln ORDER BY p), chr(10)) AS clean_text,
+          |   count(*) AS n_kept
+          |  FROM fst WHERE rn = 1 GROUP BY doc_id)
+          |SELECT i.doc_id, coalesce(rb.clean_text, '') AS clean_text,
+          | CAST(coalesce(rb.n_kept, 0) AS BIGINT) AS n_kept,
+          | CAST(len(i.lns) - coalesce(rb.n_kept, 0) AS BIGINT) AS n_removed
+          |FROM inj i LEFT JOIN rb ON i.doc_id = rb.doc_id
+          |ORDER BY i.doc_id""".stripMargin))
 }

@@ -353,6 +353,42 @@ object DedupOps {
         (col("__ntok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
 
+  /** Corpus-level line/paragraph dedup (the Dolma paragraph policy, C4's
+    * line step): split `textCol` on newlines, drop empty lines, keep only
+    * the globally FIRST occurrence (smallest (id, position)) of each
+    * distinct line — every later occurrence, in the same doc or any other,
+    * is removed — then rebuild the text from the survivors in original
+    * order. Returns (idCol, clean_text, n_kept, n_removed) where the counts
+    * are LINES, not tokens (d08 masks sub-line token spans; this drops
+    * whole repeated lines).
+    *
+    * Scale shape: one explode + ONE line-keyed shuffle (the first-occurrence
+    * window partitions on the 128-bit line digest; line text rides that
+    * shuffle once because the rebuild needs it anyway) + a doc-keyed
+    * rebuild. Never all-pairs; duplicate-heavy lines skew a partition only
+    * as far as one row per occurrence, and AQE skew handling splits those. */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val nonEmpty = filter(split(col(textCol), "\n"), l => length(l) > 0)
+    val ln = df
+      .select(col(idCol).as("__id"), posexplode_outer(nonEmpty).as(Seq("__p", "__ln")))
+      .filter(col("__ln").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
+    val w = Window.partitionBy(md5(col("__ln"))).orderBy(col("__id"), col("__p"))
+    val rebuilt = ln
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy(col("__id"))
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(__p, __ln))), e -> e.__ln)"),
+        "\n").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol).as("__id"), size(nonEmpty).cast("long").as("__nl"))
+      .join(rebuilt, Seq("__id"), "left")
+      .select(col("__id").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("__nl") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Exact n-gram Jaccard near-dup pairs above `threshold`, blocked by
     * `blockCol` (inverted-index candidates, like d04). Returns
     * (id_a, id_b, jaccard). */

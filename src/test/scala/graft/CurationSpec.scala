@@ -348,6 +348,24 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("perplexityBuckets: tercile assignment is tie-safe and integer-exact") {
+    val even = (1L to 9L).map(i => (i, ((i - 1) / 3 + 1).toDouble))
+      .toDF("doc_id", "ppl") // scores 1,1,1,2,2,2,3,3,3 -> clean terciles
+    val gotEven = CurationOps.perplexityBuckets(even, "doc_id", "ppl")
+      .select($"doc_id", $"bucket").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(gotEven == Seq(1L -> "head", 2L -> "head", 3L -> "head",
+      4L -> "middle", 5L -> "middle", 6L -> "middle",
+      7L -> "tail", 8L -> "tail", 9L -> "tail"), s"got $gotEven")
+    // a 4-doc tie at the lowest score exceeds a third: the WHOLE group moves
+    // to middle together — equal scores never straddle a boundary
+    val tied = Seq((1L, 1.0), (2L, 1.0), (3L, 1.0), (4L, 1.0), (5L, 5.0), (6L, 9.0))
+      .toDF("doc_id", "ppl")
+    val gotTied = CurationOps.perplexityBuckets(tied, "doc_id", "ppl")
+      .select($"doc_id", $"bucket").as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(gotTied == Seq(1L -> "middle", 2L -> "middle", 3L -> "middle",
+      4L -> "middle", 5L -> "tail", 6L -> "tail"), s"got $gotTied")
+  }
+
   test("c01 query agrees with contaminationCounts on the id-split testdata") {
     val c = docs.filter($"doc_id" % 20 =!= 0)
     val b = docs.filter($"doc_id" % 20 === 0)

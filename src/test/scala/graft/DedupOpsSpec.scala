@@ -670,6 +670,21 @@ class DedupOpsSpec extends SparkSpec {
       s"int8 recall@5 too low: ${recall.sum / recall.size}")
   }
 
+  test("dedupLines keeps only the globally first occurrence of each line") {
+    val d = Seq(
+      (1L, "alpha beta\nshared line\ngamma"),
+      (2L, "shared line\ndelta\nshared line"), // cross-doc AND within-doc dup
+      (3L, "\n\n"),                            // empty lines only -> empty doc
+      (4L, "unique here")).toDF("doc_id", "text")
+    val got = DedupOps.dedupLines(d, "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "alpha beta\nshared line\ngamma", 3L, 0L),
+      (2L, "delta", 1L, 2L),
+      (3L, "", 0L, 0L),
+      (4L, "unique here", 1L, 0L)), s"got $got")
+  }
+
   test("saltedJoin returns exactly the unsalted join result") {
     val li = Tables.load(spark, dir, "lineitem").select($"l_orderkey", $"l_quantity")
     val o = Tables.load(spark, dir, "orders").select($"o_orderkey", $"o_totalprice")
