@@ -162,36 +162,9 @@ object Multimodal {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       if (img == null) None
       else {
-        val (w, h) = (img.getWidth, img.getHeight)
-        val grid = Array.ofDim[Double](8, 9)
-        var r = 0
-        while (r < 8) {
-          var c = 0
-          while (c < 9) {
-            val x0 = math.min(c * w / 9, w - 1)
-            val x1 = math.min(math.max((c + 1) * w / 9, x0 + 1), math.max(w, x0 + 1))
-            val y0 = math.min(r * h / 8, h - 1)
-            val y1 = math.min(math.max((r + 1) * h / 8, y0 + 1), math.max(h, y0 + 1))
-            var sum = 0L
-            var y = y0
-            while (y < y1) {
-              var x = x0
-              while (x < x1) {
-                val rgb = img.getRGB(x, y)
-                // integer Rec.601 luma ×1000 — exact, no float resampler
-                sum += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
-                  114L * (rgb & 0xff)
-                x += 1
-              }
-              y += 1
-            }
-            grid(r)(c) = sum.toDouble / ((x1 - x0).toLong * (y1 - y0))
-            c += 1
-          }
-          r += 1
-        }
+        val grid = lumaGrid(img, 8, 9)
         var bits = 0L
-        r = 0
+        var r = 0
         while (r < 8) {
           var c = 0
           while (c < 8) {
@@ -204,23 +177,126 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
-  /** Distributed perceptual hashing: appends `dhash` (nullable LONG — null
-    * for payloads ImageIO cannot decode, which then fall back to exact
-    * digest dedup). Same mapPartitions batch shape as [[decodeFeatures]]. */
-  def withDhash(media: DataFrame): DataFrame = {
+  /** Area-averaged integer Rec.601 luminance (×1000) grid — the shared
+    * downscale for both perceptual hashes. Pure integer/double arithmetic
+    * over `getRGB`, deliberately NOT a Graphics2D resample (the hash must
+    * depend only on decoded pixels — the resize-digest lesson). */
+  private def lumaGrid(img: java.awt.image.BufferedImage,
+      rows: Int, cols: Int): Array[Array[Double]] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val grid = Array.ofDim[Double](rows, cols)
+    var r = 0
+    while (r < rows) {
+      var c = 0
+      while (c < cols) {
+        val x0 = math.min(c * w / cols, w - 1)
+        val x1 = math.min(math.max((c + 1) * w / cols, x0 + 1), math.max(w, x0 + 1))
+        val y0 = math.min(r * h / rows, h - 1)
+        val y1 = math.min(math.max((r + 1) * h / rows, y0 + 1), math.max(h, y0 + 1))
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+              114L * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        grid(r)(c) = sum.toDouble / ((x1 - x0).toLong * (y1 - y0))
+        c += 1
+      }
+      r += 1
+    }
+    grid
+  }
+
+  /** DCT-II basis rows for the pHash: basis(u)(y) = cos(π(2y+1)u/64),
+    * u < 8, y < 32. StrictMath-built — Math.cos is allowed 1-ulp platform
+    * variance, StrictMath is bit-reproducible everywhere, and a knife-edge
+    * coefficient-vs-median compare must not flip across JDK vendors. */
+  private lazy val dctBasis: Array[Array[Double]] =
+    Array.tabulate(8, 32)((u, y) =>
+      StrictMath.cos(StrictMath.PI * (2 * y + 1) * u / 64.0))
+
+  /** 64-bit DCT perceptual hash (pHash, ImageHash convention): the decoded
+    * image is area-averaged onto a 32×32 luminance grid ([[lumaGrid]]), a
+    * separable 2-D DCT-II keeps the top-left 8×8 low-frequency block, and
+    * bit u·8+v records coefficient (u,v) > median of those 64. Captures the
+    * global frequency envelope, so it is robust to blur / re-encode /
+    * small local edits where [[dhashImage]] reacts to local gradient flips;
+    * both plug into [[imageNearDupPairs]]'s banded index via `hashCol`.
+    * None when ImageIO cannot decode the payload. */
+  def phashImage(payload: Array[Byte]): Option[Long] =
+    try {
+      imageIoNoDiskCache
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val g = lumaGrid(img, 32, 32)
+        // separable DCT-II, low-frequency rows only: t(u)(x) = Σ_y B(u,y)·g(y)(x)
+        val t = Array.ofDim[Double](8, 32)
+        var u = 0
+        while (u < 8) {
+          var x = 0
+          while (x < 32) {
+            var s = 0.0
+            var y = 0
+            while (y < 32) { s += dctBasis(u)(y) * g(y)(x); y += 1 }
+            t(u)(x) = s
+            x += 1
+          }
+          u += 1
+        }
+        val coef = new Array[Double](64)
+        u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            var s = 0.0
+            var x = 0
+            while (x < 32) { s += dctBasis(v)(x) * t(u)(x); x += 1 }
+            coef(u * 8 + v) = s
+            v += 1
+          }
+          u += 1
+        }
+        val sorted = coef.sorted
+        val med = (sorted(31) + sorted(32)) / 2.0
+        var bits = 0L
+        var i = 0
+        while (i < 64) { if (coef(i) > med) bits |= 1L << i; i += 1 }
+        Some(bits)
+      }
+    } catch { case _: Exception => None }
+
+  /** Distributed perceptual hashing: appends a nullable LONG hash column
+    * (null for payloads ImageIO cannot decode, which then fall back to
+    * exact digest dedup). Same mapPartitions batch shape as
+    * [[decodeFeatures]]. */
+  private def withHash64(media: DataFrame, out: String,
+      hash: Array[Byte] => Option[Long]): DataFrame = {
     val schema = StructType(media.schema.fields :+
-      StructField("dhash", LongType, nullable = true))
+      StructField(out, LongType, nullable = true))
     val enc = org.apache.spark.sql.Encoders.row(schema)
     // positional access: upstream mapPartitions stages pipeline schema-less
     // GenericRows straight into this lambda (no serialization boundary)
     val pIdx = media.schema.fieldIndex("payload")
     media.mapPartitions { rows =>
       rows.map { r =>
-        val d = dhashImage(r.getAs[Array[Byte]](pIdx)).map(Long.box).orNull
+        val d = hash(r.getAs[Array[Byte]](pIdx)).map(Long.box).orNull
         Row.fromSeq(r.toSeq :+ d)
       }
     }(enc)
   }
+
+  def withDhash(media: DataFrame): DataFrame =
+    withHash64(media, "dhash", dhashImage)
+
+  def withPhash(media: DataFrame): DataFrame =
+    withHash64(media, "phash", phashImage)
 
   /** Perceptual near-dup image pairs over a [[withDhash]] frame: the 64-bit
     * dHash splits into `bands` equal slices; by pigeonhole, two hashes with
@@ -232,7 +308,7 @@ object Multimodal {
     * band buckets (one keyed shuffle reused across the self-join — see
     * simhashPairs), never all-pairs. */
   def imageNearDupPairs(hashed: DataFrame, idCol: String, maxHamming: Int,
-      bands: Int = 8): DataFrame = {
+      bands: Int = 8, hashCol: String = "dhash"): DataFrame = {
     require(64 % bands == 0, s"bands=$bands must divide 64")
     require(maxHamming <= bands - 1,
       s"maxHamming=$maxHamming needs bands >= ${maxHamming + 1} for exact candidates")
@@ -243,8 +319,8 @@ object Multimodal {
         expr(s"shiftright(__dh, ${bitsPerBand * b}) & $mask").as("bv"))
     }
     val bandRows = hashed
-      .filter(col("dhash").isNotNull)
-      .select(col(idCol).as("__id"), col("dhash").as("__dh"))
+      .filter(col(hashCol).isNotNull)
+      .select(col(idCol).as("__id"), col(hashCol).as("__dh"))
       .select(col("__id"), col("__dh"), explode(array(bandCols: _*)).as("__bb"))
       .select(col("__id"), col("__dh"),
         col("__bb.bd").as("__bd"), col("__bb.bv").as("__bv"))
@@ -444,8 +520,7 @@ object Multimodal {
     * take delta 0 and are exact copies of the base, so the (0, 7) 0-hamming
     * pair exists BY CONSTRUCTION, independent of which (if any) comparison
     * bits the other deltas happen to flip on this fixture. */
-  val m04ImageDhash: Q = (s, _) => {
-    import s.implicits._
+  private[graft] def perturbedVariants(s: SparkSession): DataFrame = {
     val base = java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(imageFixturePath))
     val variants = s.range(0, 8).select(col("id").as("media_id"),
@@ -454,13 +529,31 @@ object Multimodal {
       StructField("media_id", org.apache.spark.sql.types.LongType, nullable = false),
       StructField("payload", BinaryType, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
-    val perturbed = variants.mapPartitions { rows =>
+    variants.mapPartitions { rows =>
       rows.map { r =>
         val i = r.getLong(0).toInt
         Row(r.getLong(0), perturbPixel(r.getAs[Array[Byte]]("payload"), i, i, 32 * (i % 7)))
       }
     }(enc)
-    imageNearDupPairs(withDhash(perturbed), "media_id", maxHamming = 7)
+  }
+
+  val m04ImageDhash: Q = (s, _) => {
+    import s.implicits._
+    imageNearDupPairs(withDhash(perturbedVariants(s)), "media_id", maxHamming = 7)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** The m04 construction over the DCT hash: single-pixel edits barely move
+    * a 32×32 area average, so every variant pair should sit within a few
+    * pHash bits — and the (0, 7) exact-copy pair is 0-hamming BY
+    * CONSTRUCTION, making rows ≥ 1 at every SF. ROWS-ONLY for the same
+    * reason as m04 (pixel decode + DCT are not SQL-expressible);
+    * MultimodalSpec pins determinism, near/far separation, and banded ≡
+    * brute for the pHash. */
+  val m05ImagePhash: Q = (s, _) => {
+    import s.implicits._
+    imageNearDupPairs(withPhash(perturbedVariants(s)), "media_id",
+        maxHamming = 7, hashCol = "phash")
       .orderBy($"id_a", $"id_b")
   }
 
@@ -468,7 +561,8 @@ object Multimodal {
     "m01_binary_meta" -> m01BinaryMeta,
     "m02_chunking" -> m02Chunking,
     "m03_chunked_read" -> m03ChunkedRead,
-    "m04_image_dhash" -> m04ImageDhash)
+    "m04_image_dhash" -> m04ImageDhash,
+    "m05_image_phash" -> m05ImagePhash)
 
   val oracles: Map[String, String] = Map(
     "m01_binary_meta" ->

@@ -17,7 +17,7 @@ class ContractSpec extends SparkSpec {
     // q26: sketch values are engine-specific (ContractSpec bounds them);
     // m04: pixel decode is not SQL-expressible (MultimodalSpec pins the
     // dHash/banding semantics)
-    val documented = Set("q26_approx_agg", "m04_image_dhash")
+    val documented = Set("q26_approx_agg", "m04_image_dhash", "m05_image_phash")
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == documented,
       s"undocumented rows-only queries: ${rowsOnly -- documented}")

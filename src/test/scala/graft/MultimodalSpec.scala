@@ -148,6 +148,60 @@ class MultimodalSpec extends SparkSpec {
       "variants 0 and 7 are identical by construction")
   }
 
+  test("phash: DCT fingerprint separates near-identical from distinct images") {
+    // deterministic pseudo-noise PNG: the committed gradient fixture is
+    // DEGENERATE for a DCT (most coefficients exactly zero -> the median
+    // sits in a cluster of exact ties and any edit reshuffles them); noise
+    // gives well-separated coefficients, the case pHash is designed for
+    def noisePng(seed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        var v = x * 2654435761L + y * 40503L + seed * 69069L
+        v ^= v >>> 13; v *= 1274126177L; v ^= v >>> 16
+        img.setRGB(x, y, (v & 0xffffff).toInt)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    val png = noisePng(1)
+    // deterministic, decodable-only, and balanced (median split => 32 bits)
+    val h = Multimodal.phashImage(png)
+    assert(h.isDefined && h == Multimodal.phashImage(png))
+    assert(java.lang.Long.bitCount(h.get) == 32, s"median split must balance: ${h.get}")
+    assert(Multimodal.phashImage("not an image".getBytes("UTF-8")).isEmpty)
+    // a single-pixel edit barely moves any 32x32 area average
+    val near = Multimodal.phashImage(Multimodal.perturbPixel(png, 3, 3, 32)).get
+    assert(java.lang.Long.bitCount(h.get ^ near) <= 6,
+      s"near-dup hamming too high: ${java.lang.Long.bitCount(h.get ^ near)}")
+    // an unrelated image shares only chance bits
+    val other = noisePng(2)
+    val inv = Multimodal.phashImage(other).get
+    assert(java.lang.Long.bitCount(h.get ^ inv) > 16,
+      s"distinct-image hamming too low: ${java.lang.Long.bitCount(h.get ^ inv)}")
+    // banded index over the phash column is exact vs brute force at the bound
+    val media = Seq(
+      (1L, png), (2L, Multimodal.perturbPixel(png, 3, 3, 32)), (3L, other))
+      .toDF("media_id", "payload").repartition(2)
+    val byId = Multimodal.withPhash(media).select($"media_id", $"phash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Multimodal.imageNearDupPairs(Multimodal.withPhash(media),
+        "media_id", maxHamming = 7, hashCol = "phash")
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Long)].collect().toSet
+    val brute = (for {
+      a <- Seq(1L, 2L, 3L); b <- Seq(1L, 2L, 3L) if a < b
+      d = java.lang.Long.bitCount(byId(a) ^ byId(b)) if d <= 7
+    } yield (a, b, d.toLong)).toSet
+    assert(pairs == brute && pairs.map(p => (p._1, p._2)) == Set((1L, 2L)),
+      s"got $pairs")
+    // the registered m05 row: the (0, 7) exact-copy pair exists by construction
+    val m05 = Multimodal.m05ImagePhash(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    assert(m05.nonEmpty && m05.forall(_._3 <= 7))
+    assert(m05.exists(p => p._1 == 0L && p._2 == 7L && p._3 == 0L),
+      "variants 0 and 7 are identical by construction")
+  }
+
   test("sampleFrames emits every Nth frame of the decoded count") {
     val decoded = Multimodal.decodeFeatures(Multimodal.mediaFrom(spark, dir))
     val frames = Multimodal.sampleFrames(decoded, everyNth = 5)
