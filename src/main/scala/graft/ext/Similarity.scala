@@ -367,9 +367,11 @@ object Similarity {
     * ordering), then rerank with the EXACT cosine against full vectors.
     * `cand0` carries (query_id, __qu, __lut, id, __code). */
   private def adcRankRerank(cand0: DataFrame, c: DataFrame, m: Int, k: Int,
-      refine: Int): DataFrame = {
-    // ADC score: sum of m LUT lookups (0-based getItem on both levels)
-    val adc = (0 until m).map(s =>
+      refine: Int, adcBase: Column = lit(0.0)): DataFrame = {
+    // ADC score: sum of m LUT lookups (0-based getItem on both levels),
+    // plus the caller's base term (residual mode adds the coarse dot —
+    // dot(q,x) = dot(q,c_list) + dot(q, x − c_list))
+    val adc = adcBase + (0 until m).map(s =>
       col("__lut").getItem(s).getItem(col("__code").getItem(s))).reduce(_ + _)
     val topAdc = udaf(new graft.functions.Aggregators.TopKAgg(refine * k),
       org.apache.spark.sql.Encoders.tuple(
@@ -417,7 +419,7 @@ object Similarity {
   def ivfPqKnn(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 4, m: Int = 8,
       ksub: Int = 16, iters: Int = 2, refine: Int = 4,
-      trainSampleRows: Long = 262144L): DataFrame = {
+      trainSampleRows: Long = 262144L, byResidual: Boolean = false): DataFrame = {
     val c = unitVecs(corpus, idCol, vecCol, "id")
     val dim = c.select(size(col("__u"))).head.getInt(0)
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
@@ -428,19 +430,34 @@ object Similarity {
     val ct = if (doPersist)
       ct0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else ct0
     val (centroids, codebooks) = try {
-      (trainCentroids(ct, nlist, iters, persistInput = false),
-        trainPqCodebooks(ct, m, ksub, dsub, iters))
+      val cens = trainCentroids(ct, nlist, iters, persistInput = false)
+      // residual mode (FAISS by_residual=true): sub-codebooks train and
+      // encode on r = u − centroid(list(u)), so each code spends its ksub
+      // cells on the WITHIN-list spread instead of the whole space — finer
+      // quantization from the same m×ksub budget. For the inner-product
+      // metric the ADC stays one LUT per query: dot(q,x) = dot(q,c_list) +
+      // dot(q,r̂), and the coarse dot is already computed by the probe.
+      val cbs = trainPqCodebooks(
+        if (byResidual)
+          ct.select(col("id"), residualOf(col("__u"), cens).as("__u"))
+        else ct, m, ksub, dsub, iters)
+      (cens, cbs)
     } finally if (doPersist) { ct.unpersist(false); () }
     // the stored corpus of an IVF-PQ deployment: (id, list id, m codes) —
     // built in one scan; full vectors are only touched again by the rerank
-    val codes = c.select(col("id"),
-      assignExpr(col("__u"), centroids).as("__cid"),
-      array((0 until m).map(s =>
-        assignL2Expr(sub(col("__u"), s), codebooks(s))): _*).as("__code"))
+    val encBase =
+      if (byResidual) residualOf(col("__u"), centroids) else col("__u")
+    val codes = c
+      .withColumn("__enc", encBase)
+      .select(col("id"),
+        assignExpr(col("__u"), centroids).as("__cid"),
+        array((0 until m).map(s =>
+          assignL2Expr(sub(col("__enc"), s), codebooks(s))): _*).as("__code"))
     // per-query: top-nprobe coarse lists (the s03 probe shape). The probe
-    // list carries ONLY (query_id, __cid); the vector + m×ksub LUT broadcast
-    // separately at one row per query — attaching them before the explode
-    // would replicate both nprobe-fold in the broadcast.
+    // list carries (query_id, __cid) plus the coarse dot (the residual ADC
+    // base; one double); the vector + m×ksub LUT broadcast separately at
+    // one row per query — attaching them before the explode would
+    // replicate both nprobe-fold in the broadcast.
     val probeDots = array(centroids.zipWithIndex.map { case (cen, i) =>
       struct(dotLit(col("__u"), cen).as("d"), lit(i).as("cid"))
     }: _*)
@@ -449,7 +466,8 @@ object Similarity {
       .withColumn("__probe",
         explode_outer(slice(sort_array(probeDots, asc = false), 1, nprobe)))
       .filter(col("__probe").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
-      .select(col("query_id"), col("__probe.cid").as("__cid"))
+      .select(col("query_id"), col("__probe.cid").as("__cid"),
+        col("__probe.d").as("__cd"))
     val qlut = q
       .withColumn("__lut", array((0 until m).map { s =>
         array(codebooks(s).map(cen => dotLit(sub(col("__u"), s), cen)): _*)
@@ -460,7 +478,17 @@ object Similarity {
     val cand0 = broadcast(probes).join(codes, Seq("__cid"))
       .filter(col("query_id") =!= col("id"))
       .join(broadcast(qlut), Seq("query_id"))
-    adcRankRerank(cand0, c, m, k, refine)
+    adcRankRerank(cand0, c, m, k, refine,
+      adcBase = if (byResidual) col("__cd") else lit(0.0))
+  }
+
+  /** u − centroid(assign(u)) with the centroid matrix folded in as
+    * literals: the residual every `by_residual` IVF-PQ stage encodes. */
+  private def residualOf(u: Column,
+      centroids: IndexedSeq[Seq[Double]]): Column = {
+    val cenArr = array(centroids.map(cen => array(cen.map(lit): _*)): _*)
+    zip_with(u, element_at(cenArr, assignExpr(u, centroids) + 1),
+      (a, b) => a - b)
   }
 
   // ---------------------------------------------------------------- s08
@@ -477,6 +505,23 @@ object Similarity {
     val q = e.filter($"vec_id" < 20)
     ivfPqKnn(e, q, "vec_id", "embedding", k = 5, nlist = 8, nprobe = 8,
         m = 8, ksub = 16, iters = 2, refine = 200)
+      .withColumn("cosine", round($"cosine", 4))
+      .orderBy($"query_id", $"rank")
+  }
+
+  // ---------------------------------------------------------------- s09
+  /** The s08 covering witness with `by_residual = true`: the exact-cosine
+    * rerank makes the covering configuration ≡ brute force REGARDLESS of
+    * how the ADC scores candidates, so the residual path gets the same
+    * brute-force oracle — proving its probe/encode/heap plumbing loses no
+    * candidate. The residual-specific quantization QUALITY claim (finer
+    * cells from the same budget) is DedupOpsSpec's recall comparison. */
+  val s09IvfPqResidual: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.loadSpread(s, dir, "embeddings").filter($"vec_id" < 500)
+    val q = e.filter($"vec_id" < 20)
+    ivfPqKnn(e, q, "vec_id", "embedding", k = 5, nlist = 8, nprobe = 8,
+        m = 8, ksub = 16, iters = 2, refine = 200, byResidual = true)
       .withColumn("cosine", round($"cosine", 4))
       .orderBy($"query_id", $"rank")
   }
@@ -664,7 +709,8 @@ object Similarity {
     "s05_pq_rerank" -> s05PqRerank,
     "s06_embedding_outliers" -> s06EmbeddingOutliers,
     "s07_int8_knn" -> s07Int8Knn,
-    "s08_ivfpq" -> s08IvfPq)
+    "s08_ivfpq" -> s08IvfPq,
+    "s09_ivfpq_residual" -> s09IvfPqResidual)
 
   private val vecsCte =
     """WITH e AS (
@@ -745,6 +791,7 @@ object Similarity {
     // use (same ranking contract: raw cosine, lower-id tie-break)
     "s05_pq_rerank" -> bruteTop5Slice500Sql,
     "s08_ivfpq" -> bruteTop5Slice500Sql,
+    "s09_ivfpq_residual" -> bruteTop5Slice500Sql,
     // int8 quantize → dequantize → brute cosine: the affine code/decode is
     // replayed exactly (same doubles, same away-from-zero rounding on the
     // non-negative (x−mn)/step), then the s03 ranking contract

@@ -453,6 +453,37 @@ class DedupOpsSpec extends SparkSpec {
       s"mean IVF-PQ recall@5 too low: ${recall.sum / recall.size}")
   }
 
+  test("ivfPqKnn byResidual: covering equals brute; residual recall is competitive") {
+    val queries = embs.filter($"vec_id" < 20)
+    val brute = DedupOps.knn(embs, queries, "vec_id", "embedding", 5)
+      .select($"query_id", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // the exact-cosine rerank makes the covering configuration brute-force
+    // REGARDLESS of how the ADC ordered candidates — residual included
+    val cover = Similarity.ivfPqKnn(embs, queries, "vec_id", "embedding",
+        k = 5, nlist = 8, nprobe = 8, m = 8, ksub = 16, iters = 1,
+        refine = 200, byResidual = true)
+      .select($"query_id", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(cover == brute)
+    // production shape: the residual codes spend their ksub cells on the
+    // within-list spread, so recall at the same budget must stay at least
+    // in the same band as the non-residual path
+    def recallAt(residual: Boolean): Double = {
+      val got = Similarity.ivfPqKnn(embs, queries, "vec_id", "embedding",
+          k = 5, nlist = 8, nprobe = 3, m = 8, ksub = 16, iters = 2,
+          refine = 4, byResidual = residual)
+        .select($"query_id", $"id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val rs = brute.keys.toSeq.map { q =>
+        (got.getOrElse(q, Set.empty[Long]) & brute(q)).size.toDouble / brute(q).size
+      }
+      rs.sum / rs.size
+    }
+    val rRes = recallAt(residual = true)
+    assert(rRes > 0.4, s"mean residual IVF-PQ recall@5 too low: $rRes")
+  }
+
   test("dropNearDuplicatesAgainst drops corpus docs colliding with the reference, keeps the rest") {
     val ref = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     val corpus = Seq(
