@@ -634,6 +634,77 @@ object TextAnalysis {
     bpeTrain(docs(s, dir), "text", nMerges = 8).orderBy($"rank")
   }
 
+  // ---------------------------------------------------------------- t15
+  /** Interpolated Kneser-Ney bigram cross-entropy per document — t12's
+    * CCNet-style quality proxy under the smoothing KenLM (CCNet's actual
+    * scorer) uses, instead of t12's unsmoothed MLE:
+    *
+    *   P(t₂|t₁) = (c(t₁t₂) − D)/c(t₁·) + λ(t₁)·P_cont(t₂)
+    *   λ(t₁)    = D·N₁₊(t₁·)/c(t₁·)        (reserved mass)
+    *   P_cont(t₂) = N₁₊(·t₂)/N₁₊(··)       (continuation probability)
+    *
+    * with absolute discount D, N₁₊(t₁·)/N₁₊(·t₂) the distinct successor /
+    * predecessor counts and N₁₊(··) the total distinct bigram types. Summed
+    * over the whole vocabulary the conditional is exactly 1 (the discounted
+    * mass is redistributed by continuation weight), so frequent-but-
+    * promiscuous continuations ("the", "of") stop dominating the way raw
+    * frequency makes them in t12 — the classic KN insight ("Francisco" is
+    * frequent but only ever follows "San"). The model is the corpus itself,
+    * so every scored bigram is in-vocabulary; smoothing still changes every
+    * probability, not just unseen ones.
+    *
+    * Scale shape: one tokenize → bigram explode, ONE bigram-keyed count; all
+    * four smoothing statistics (prefix totals, successor counts, predecessor
+    * counts, type total) derive from that bigram VOCABULARY by vocab-sized
+    * re-aggregations — never a corpus re-scan. The per-bigram probability
+    * table assembles vocab-side (two keyed joins + a broadcast 1-row total),
+    * then ONE keyed join back to the instances (vs t12's two) and a
+    * doc-keyed mean. Linear at 100 TB; the corpus never shuffles whole. */
+  def knSurprise(df: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount must be in (0,1): $discount")
+    val inst = df
+      .withColumn("__tk", toks(col(textCol)))
+      .withColumn("__bgs", ngramsExact(col("__tk"), 2))
+      .select(col(idCol), explode_outer(col("__bgs")).as("__bg"))
+      .filter(col("__bg").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
+    inst.join(knStats(inst, discount), Seq("__bg"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_big"),
+        round(avg(-log(col("__p"))) + 1e-9, 4).as("kn_surprise"))
+  }
+
+  /** The per-bigram KN probability table (`__bg`, `__p`) behind
+    * [[knSurprise]], exposed so the unit-sum property (Σ over the vocabulary
+    * of P(t₂|t₁) = 1 per prefix) is testable. `inst` must carry a `__bg`
+    * bigram column; every output row is a distinct observed bigram. */
+  private[graft] def knStats(inst: DataFrame, discount: Double): DataFrame = {
+    val fb = inst.groupBy(col("__bg")).agg(count(lit(1)).cast("double").as("__cb"))
+    // prefix totals + distinct-successor counts: one vocab-sized re-agg
+    val ff = fb
+      .groupBy(substring_index(col("__bg"), " ", 1).as("__t1"))
+      .agg(sum(col("__cb")).as("__cf"), count(lit(1)).cast("double").as("__nf"))
+    // continuation counts: distinct predecessors per suffix token
+    val bw = fb
+      .groupBy(substring_index(col("__bg"), " ", -1).as("__t2"))
+      .agg(count(lit(1)).cast("double").as("__nb"))
+    val tot = fb.agg(count(lit(1)).cast("double").as("__T"))
+    fb.withColumn("__t1", substring_index(col("__bg"), " ", 1))
+      .withColumn("__t2", substring_index(col("__bg"), " ", -1))
+      .join(ff, Seq("__t1"))
+      .join(bw, Seq("__t2"))
+      .crossJoin(broadcast(tot))
+      .select(col("__bg"),
+        (((col("__cb") - lit(discount)) / col("__cf")) +
+          (lit(discount) * col("__nf") / col("__cf")) *
+            (col("__nb") / col("__T"))).as("__p"))
+  }
+
+  val t15KnSurprise: Q = (s, dir) => {
+    import s.implicits._
+    knSurprise(docs(s, dir), "doc_id", "text").orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_lang_id" -> t01LangId,
     "t02_quality" -> t02Quality,
@@ -648,7 +719,8 @@ object TextAnalysis {
     "t11_gopher_rules" -> t11GopherRules,
     "t12_bigram_surprise" -> t12BigramSurprise,
     "t13_url_filter" -> t13UrlFilter,
-    "t14_bpe_merges" -> t14BpeMerges)
+    "t14_bpe_merges" -> t14BpeMerges,
+    "t15_kn_surprise" -> t15KnSurprise)
 
   /** Generated DuckDB twin of [[bpeTrain]]: one word-frequency CTE, then per
     * merge rank k a pair-count CTE (p_k), a deterministic top-1 CTE (t_k),
@@ -946,5 +1018,26 @@ object TextAnalysis {
         | CAST(nb AS BIGINT) AS n_blocked,
         | CAST(CASE WHEN nb = 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
         |FROM f ORDER BY doc_id""".stripMargin,
-    "t14_bpe_merges" -> bpeOracleSql(8))
+    "t14_bpe_merges" -> bpeOracleSql(8),
+    "t15_kn_surprise" ->
+      (toksCte +
+        """, b AS (
+          |  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bg
+          |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM l)),
+          | fb AS (SELECT bg, CAST(count(*) AS DOUBLE) AS cb FROM b GROUP BY bg),
+          | ff AS (SELECT split_part(bg, ' ', 1) AS t1, sum(cb) AS cf,
+          |   CAST(count(*) AS DOUBLE) AS nf FROM fb GROUP BY 1),
+          | bw AS (SELECT split_part(bg, ' ', 2) AS t2,
+          |   CAST(count(*) AS DOUBLE) AS nb FROM fb GROUP BY 1),
+          | tot AS (SELECT CAST(count(*) AS DOUBLE) AS T FROM fb),
+          | st AS (
+          |  SELECT bg, ((cb - 0.75) / cf) + (0.75 * nf / cf) * (nb / T) AS p
+          |  FROM fb
+          |  JOIN ff ON split_part(fb.bg, ' ', 1) = ff.t1
+          |  JOIN bw ON split_part(fb.bg, ' ', 2) = bw.t2
+          |  CROSS JOIN tot)
+          |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_big,
+          | round(avg(-ln(st.p)) + 1e-9, 4) AS kn_surprise
+          |FROM b JOIN st USING (bg)
+          |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin))
 }

@@ -109,6 +109,53 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(0)._3 < got(1)._3)
   }
 
+  test("knSurprise: interpolated Kneser-Ney probabilities, hand-computed") {
+    // corpus bigrams: "a b"x2, "b a"x1 (doc 1), "a c"x1 (doc 2); D = 0.75
+    // c(a.)=3 N1+(a.)=2; c(b.)=1 N1+(b.)=1; Pcont: a,b,c each 1/3; T=3
+    //   P(b|a) = (2-D)/3 + (D*2/3)*(1/3) = 7/12
+    //   P(a|b) = (1-D)/1 + (D*1/1)*(1/3) = 1/2
+    //   P(c|a) = (1-D)/3 + (D*2/3)*(1/3) = 1/4
+    // unit sum for prefix a over the full vocab {a,b,c}:
+    //   7/12 + 1/4 + lambda(a)*Pcont(a) = 7/12 + 3/12 + (1/2)*(1/3) = 1
+    val docs = Seq((1L, "a b a b"), (2L, "a c"), (3L, "z")).toDF("doc_id", "text")
+    def r4(x: Double) = math.round((x + 1e-9) * 1e4) / 1e4
+    val got = TextAnalysis.knSurprise(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val s1 = (2.0 * -math.log(7.0 / 12.0) + -math.log(0.5)) / 3.0
+    val s2 = -math.log(0.25)
+    assert(got == Seq((1L, 3L, r4(s1)), (2L, 1L, r4(s2))), s"got $got")
+    // doc 3 has no bigram and is absent (the t12 contract)
+    assert(!got.exists(_._1 == 3L))
+  }
+
+  test("knStats: the conditional sums to exactly 1 over the vocabulary") {
+    // P over SEEN bigrams plus the interpolated mass lambda(t1)*Pcont(t2)
+    // for every UNSEEN (t1, t2) vocab pair must total 1 per prefix.
+    val docs = Seq((1L, "a b a b c a"), (2L, "b c a c"), (3L, "c a b a"))
+      .toDF("doc_id", "text")
+    val inst = docs
+      .withColumn("__tk", graft.ext.TextOps.toks($"text"))
+      .select(org.apache.spark.sql.functions.explode(
+        graft.ext.TextOps.ngramsExact($"__tk", 2)).as("__bg"))
+    val d = 0.75
+    val p = TextAnalysis.knStats(inst, d)
+      .as[(String, Double)].collect().map { case (bg, pr) =>
+        val Array(t1, t2) = bg.split(" "); (t1, t2) -> pr
+      }.toMap
+    val bgs = inst.as[String].collect()
+    val cf = bgs.groupBy(_.split(" ")(0)).view.mapValues(_.length.toDouble).toMap
+    val nf = p.keys.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val nb = p.keys.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    val vocab = (p.keys.map(_._1) ++ p.keys.map(_._2)).toSet
+    val tTot = p.size.toDouble
+    for (t1 <- p.keys.map(_._1).toSet[String]) {
+      val sum = vocab.toSeq.map { t2 =>
+        p.getOrElse((t1, t2), d * nf(t1) / cf(t1) * (nb.getOrElse(t2, 0.0) / tTot))
+      }.sum
+      assert(math.abs(sum - 1.0) < 1e-12, s"prefix $t1 sums to $sum")
+    }
+  }
+
   test("urlFilter: extracts normalized domains, counts blocklist hits, keeps clean docs") {
     val docs = Seq(
       (1L, "read https://www.Good.Example.com/a and http://bad.spam.net/x now"),
