@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md).
   *
@@ -15,17 +15,28 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is parquet TIMESTAMP(NANOS), which Spark has no native type
-    // for; it is read as LongType via spark.sql.legacy.parquet.nanosAsLong
-    // (set in GraftSession/Verify/Bench) and converted here. Integer `div`
-    // keeps full precision — a double round-trip would corrupt µs at 1e18 ns.
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None    => df
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Normalize the driver-generated `ts` column to session-zoned TIMESTAMP
+    * across the encodings the generator has produced:
+    *  - TIMESTAMP(NANOS): no native Spark type — read as LongType via
+    *    spark.sql.legacy.parquet.nanosAsLong (set in GraftSession/Verify/
+    *    Bench) and converted here. Integer `div` keeps full precision — a
+    *    double round-trip would corrupt µs at 1e18 ns.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): reads natively as
+    *    TIMESTAMP_NTZ; cast interprets the wall-clock in the session zone
+    *    (UTC everywhere here), matching both the nanos path's instants and
+    *    DuckDB's naive-timestamp oracle reads.
+    * Already-LTZ data passes through untouched. */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
-  }
 
   /** Load a table and ensure downstream per-row CPU work can use the whole
     * cluster: when the scan yields fewer splits than the available

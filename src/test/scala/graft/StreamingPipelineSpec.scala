@@ -907,15 +907,15 @@ class StreamingPipelineSpec extends SparkSpec {
       .groupBy(window(col("ts"), "1 day"), col("event_type")).count()
       .select(col("window.start").as("ws"), col("event_type"), col("count"))
       .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
-    // stream the same parquet (raw nanos schema + the Tables.load conversion);
+    // stream the same parquet (raw generator schema + the shared ts
+    // normalization the batch path applies);
     // the file source wants a directory, so stage the single file into one
     val stageDir = Files.createTempDirectory("graft-parity-in")
     Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
       stageDir.resolve("events.parquet"))
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    val stream = spark.readStream.schema(raw.schema)
-      .parquet(stageDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = Tables.normalizeTs(spark.readStream.schema(raw.schema)
+      .parquet(stageDir.toString))
     val agg = stream
       .groupBy(window(col("ts"), "1 day"), col("event_type")).count()
       .select(col("window.start").as("ws"), col("event_type"), col("count"))
