@@ -705,6 +705,42 @@ object TextAnalysis {
     knSurprise(docs(s, dir), "doc_id", "text").orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- t16
+  /** Unicode NFC normalization over a text column — the canonical-composition
+    * pass that precedes hashing/dedup in every multilingual curation pipeline
+    * (decomposed `e`+U+0301 and precomposed U+00E9 render identically but
+    * fingerprint differently, so un-normalized corpora silently lose near-dup
+    * recall). Backed by the codegen'd [[graft.functions.NfcNormalize]]
+    * expression (JDK `java.text.Normalizer`, UAX #15) with an `isNormalized`
+    * zero-allocation fast path — the common all-ASCII row never rewrites.
+    * Scale: pure scalar projection inside WholeStageCodegen; no shuffle. */
+  def normalizeNfc(df: DataFrame, textCol: String,
+      outCol: String = "norm_text"): DataFrame =
+    df.withColumn(outCol, graft.functions.NfcNormalize.normalize(col(textCol)))
+
+  /** The t16 oracle row injects deterministic non-NFC text derived from
+    * doc_id (the synthetic corpus is pure ASCII — the t08/t13 injection
+    * pattern): every third doc gets decomposed accents plus the Angstrom
+    * sign U+212B (composes to U+00C5), the next third the precomposed forms
+    * (exercising the no-change fast path), the rest stay ASCII. DuckDB's
+    * `nfc_normalize` (utf8proc) and the JDK normalizer are both UAX #15
+    * conformant, which is what makes the twin byte-exact; codepoints are
+    * spelled chr()/\u-escaped on each side so both engines see identical
+    * input bytes. */
+  val t16NfcNormalize: Q = (s, dir) => {
+    import s.implicits._
+    val injected = docs(s, dir).select($"doc_id", concat($"text",
+      when(pmod($"doc_id", lit(3)) === 0,
+        lit(" cafe\u0301 \u212Bngstro\u0308m"))
+        .when(pmod($"doc_id", lit(3)) === 1,
+          lit(" caf\u00e9 \u00c5ngstr\u00f6m"))
+        .otherwise(lit(""))).as("raw"))
+    normalizeNfc(injected, "raw")
+      .select($"doc_id", $"norm_text",
+        ($"norm_text" =!= $"raw").cast("long").as("changed"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_lang_id" -> t01LangId,
     "t02_quality" -> t02Quality,
@@ -720,7 +756,8 @@ object TextAnalysis {
     "t12_bigram_surprise" -> t12BigramSurprise,
     "t13_url_filter" -> t13UrlFilter,
     "t14_bpe_merges" -> t14BpeMerges,
-    "t15_kn_surprise" -> t15KnSurprise)
+    "t15_kn_surprise" -> t15KnSurprise,
+    "t16_nfc_normalize" -> t16NfcNormalize)
 
   /** Generated DuckDB twin of [[bpeTrain]]: one word-frequency CTE, then per
     * merge rank k a pair-count CTE (p_k), a deterministic top-1 CTE (t_k),
@@ -1039,5 +1076,23 @@ object TextAnalysis {
           |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_big,
           | round(avg(-ln(st.p)) + 1e-9, 4) AS kn_surprise
           |FROM b JOIN st USING (bg)
-          |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin))
+          |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin),
+    // t16: codepoints spelled via chr() so the SQL stays pure ASCII in
+    // transport; 769=U+0301 combining acute, 8491=U+212B ANGSTROM SIGN,
+    // 776=U+0308 combining diaeresis; 233/197/246 = precomposed é/Å/ö.
+    "t16_nfc_normalize" ->
+      """WITH inj AS (
+        |  SELECT doc_id, text ||
+        |   CASE WHEN doc_id % 3 = 0
+        |    THEN ' cafe' || chr(769) || ' ' || chr(8491) || 'ngstro' ||
+        |         chr(776) || 'm'
+        |   WHEN doc_id % 3 = 1
+        |    THEN ' caf' || chr(233) || ' ' || chr(197) || 'ngstr' ||
+        |         chr(246) || 'm'
+        |   ELSE '' END AS raw
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(raw) AS norm_text,
+        | CAST(CASE WHEN nfc_normalize(raw) <> raw THEN 1 ELSE 0 END AS BIGINT)
+        |   AS changed
+        |FROM inj ORDER BY doc_id""".stripMargin)
 }

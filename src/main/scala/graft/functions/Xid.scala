@@ -94,6 +94,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.xidDescriptor)
     ext.injectFunction(Layout.zorderDescriptor)
+    ext.injectFunction(GraftExtensions.nfcDescriptor)
   }
 }
 
@@ -106,9 +107,20 @@ object GraftExtensions {
       new ExpressionInfo(classOf[Xid].getName, "xid"),
       (_: Seq[Expression]) => Xid())
 
+  /** `SELECT graft_nfc(text)` — Unicode NFC normalization (t16). */
+  val nfcDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => NfcNormalize(c)
+        case _ => throw new IllegalArgumentException(
+          s"graft_nfc expects exactly 1 argument, got ${args.size}")
+      })
+
   /** Imperative twin for sessions built without the extensions config. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(xidDescriptor, Layout.zorderDescriptor).foreach { case (id, info, builder) =>
+    Seq(xidDescriptor, Layout.zorderDescriptor, nfcDescriptor)
+      .foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
 }

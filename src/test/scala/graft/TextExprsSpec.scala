@@ -1,0 +1,82 @@
+package graft
+
+import graft.functions.{GraftExtensions, NfcNormalize}
+import graft.ext.TextAnalysis
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** NfcNormalize (t16): UAX #15 canonical composition as a codegen'd native
+  * expression. The t16 oracle proves corpus-level parity with DuckDB's
+  * nfc_normalize; this pins the expression-level contract — composition
+  * cases, the zero-allocation fast path, null propagation, codegen fusion,
+  * and SQL registration. All non-ASCII codepoints are spelled as escapes:
+  * 0301 combining acute, 0308 combining diaeresis, 030A combining ring,
+  * 212B ANGSTROM SIGN; 00E9/00F6/00C5 the precomposed forms. */
+class TextExprsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def nfc(s: String): String =
+    NfcNormalize.nfc(UTF8String.fromString(s)).toString
+
+  test("composes decomposed sequences to NFC") {
+    assert(nfc("cafe\u0301") == "caf\u00e9") // e + combining acute
+    assert(nfc("o\u0308") == "\u00f6")          // o + combining diaeresis
+    assert(nfc("\u212B") == "\u00c5")           // ANGSTROM SIGN -> A-ring
+    assert(nfc("A\u030A") == "\u00c5")          // A + combining ring
+  }
+
+  test("already-normalized input returns the same instance (fast path)") {
+    val ascii = UTF8String.fromString("plain ascii text")
+    assert(NfcNormalize.nfc(ascii) eq ascii)
+    val precomposed = UTF8String.fromString("caf\u00e9 \u00c5ngstr\u00f6m")
+    assert(NfcNormalize.nfc(precomposed) eq precomposed)
+  }
+
+  test("idempotent: nfc(nfc(x)) == nfc(x)") {
+    for (s <- Seq("cafe\u0301", "\u212Bngstro\u0308m", "", "mix \u00e9e\u0301"))
+      assert(nfc(nfc(s)) == nfc(s))
+  }
+
+  test("null propagates; facade casts non-string input") {
+    val df = Seq((1L, Some("e\u0301")), (2L, None: Option[String]))
+      .toDF("id", "t")
+      .select($"id", NfcNormalize.normalize($"t").as("n"))
+    assert(df.as[(Long, Option[String])].collect().toMap ==
+      Map(1L -> Some("\u00e9"), 2L -> None))
+    // non-string input: the Column facade casts to string first
+    val casted = spark.range(1)
+      .select(NfcNormalize.normalize(col("id")).as("n")).as[String].head()
+    assert(casted == "0")
+  }
+
+  test("stays inside WholeStageCodegen") {
+    // range (not a local Seq): ConvertToLocalRelation would fold a literal
+    // projection into a LocalTableScan with no codegen stage to observe
+    val plan = spark.range(10)
+      .select(NfcNormalize.normalize(col("id")))
+      .queryExecution.executedPlan
+    assert(plan.toString.linesIterator.next().startsWith("*("),
+      s"graft_nfc must not break the codegen pipeline; got:\n$plan")
+  }
+
+  test("registers as graft_nfc SQL function via extensions descriptor") {
+    GraftExtensions.register(spark)
+    // the SQL literal embeds the combining acute directly (Spark's chr()
+    // is ASCII-only, so it can't build the codepoint in-query)
+    val got = spark.sql("SELECT graft_nfc('cafe\u0301') AS n").as[String].head()
+    assert(got == "caf\u00e9")
+  }
+
+  test("normalizeNfc marks changed rows and leaves ASCII untouched") {
+    val docs = Seq((1L, "cafe\u0301"), (2L, "plain"), (3L, "caf\u00e9"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.normalizeNfc(docs, "text")
+      .select($"doc_id", $"norm_text",
+        ($"norm_text" =!= $"text").cast("long").as("changed"))
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "caf\u00e9", 1L), // decomposed -> composed, flagged
+      (2L, "plain", 0L),
+      (3L, "caf\u00e9", 0L))) // already NFC, untouched
+  }
+}
