@@ -741,6 +741,36 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- t17
+  /** Accent folding — NFC(strip Mn(NFD)) via the codegen'd
+    * [[graft.functions.StripAccents]] expression: the search/index
+    * normalization step that makes "café"/"cafe" collide while leaving
+    * non-accent letters (ł, ß, ligatures) intact. Pure scalar projection,
+    * pure-ASCII rows return the input instance. */
+  def stripAccents(df: DataFrame, textCol: String,
+      outCol: String = "folded_text"): DataFrame =
+    df.withColumn(outCol, graft.functions.StripAccents.fold(col(textCol)))
+
+  /** The t17 oracle: DuckDB `strip_accents` (utf8proc) on deterministic
+    * injected text — decomposed accents, precomposed accents, and a mixed
+    * row whose stroke-letter/eszett must survive folding (the negative
+    * case). Codepoints chr()/\u-spelled on each side (the t16 discipline). */
+  val t17StripAccents: Q = (s, dir) => {
+    import s.implicits._
+    val injected = docs(s, dir).select($"doc_id", concat($"text",
+      when(pmod($"doc_id", lit(4)) === 0,
+        lit(" cafe\u0301 \u212Bngstro\u0308m"))
+        .when(pmod($"doc_id", lit(4)) === 1,
+          lit(" caf\u00e9 \u00c5ngstr\u00f6m"))
+        .when(pmod($"doc_id", lit(4)) === 2,
+          lit(" na\u00efve \u0142\u00f3d\u017a stra\u00dfe"))
+        .otherwise(lit(""))).as("raw"))
+    stripAccents(injected, "raw")
+      .select($"doc_id", $"folded_text",
+        ($"folded_text" =!= $"raw").cast("long").as("changed"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_lang_id" -> t01LangId,
     "t02_quality" -> t02Quality,
@@ -757,7 +787,8 @@ object TextAnalysis {
     "t13_url_filter" -> t13UrlFilter,
     "t14_bpe_merges" -> t14BpeMerges,
     "t15_kn_surprise" -> t15KnSurprise,
-    "t16_nfc_normalize" -> t16NfcNormalize)
+    "t16_nfc_normalize" -> t16NfcNormalize,
+    "t17_strip_accents" -> t17StripAccents)
 
   /** Generated DuckDB twin of [[bpeTrain]]: one word-frequency CTE, then per
     * merge rank k a pair-count CTE (p_k), a deterministic top-1 CTE (t_k),
@@ -1093,6 +1124,26 @@ object TextAnalysis {
         |  FROM documents)
         |SELECT doc_id, nfc_normalize(raw) AS norm_text,
         | CAST(CASE WHEN nfc_normalize(raw) <> raw THEN 1 ELSE 0 END AS BIGINT)
+        |   AS changed
+        |FROM inj ORDER BY doc_id""".stripMargin,
+    // t17: 239=U+00EF ï, 322=U+0142 ł, 243=U+00F3 ó, 378=U+017A ź,
+    // 223=U+00DF ß; accents fold, stroke-letter and eszett survive.
+    "t17_strip_accents" ->
+      """WITH inj AS (
+        |  SELECT doc_id, text ||
+        |   CASE WHEN doc_id % 4 = 0
+        |    THEN ' cafe' || chr(769) || ' ' || chr(8491) || 'ngstro' ||
+        |         chr(776) || 'm'
+        |   WHEN doc_id % 4 = 1
+        |    THEN ' caf' || chr(233) || ' ' || chr(197) || 'ngstr' ||
+        |         chr(246) || 'm'
+        |   WHEN doc_id % 4 = 2
+        |    THEN ' na' || chr(239) || 've ' || chr(322) || chr(243) || 'd' ||
+        |         chr(378) || ' stra' || chr(223) || 'e'
+        |   ELSE '' END AS raw
+        |  FROM documents)
+        |SELECT doc_id, strip_accents(raw) AS folded_text,
+        | CAST(CASE WHEN strip_accents(raw) <> raw THEN 1 ELSE 0 END AS BIGINT)
         |   AS changed
         |FROM inj ORDER BY doc_id""".stripMargin)
 }

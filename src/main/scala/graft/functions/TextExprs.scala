@@ -59,3 +59,64 @@ object NfcNormalize {
     toCol(NfcNormalize(expr(c.cast("string"))))
   }
 }
+
+/** Accent folding — NFC(strip Mn(NFD(text))): decompose canonically, drop
+  * every non-spacing combining mark, recompose. The search/index
+  * normalization step ("café" matches "cafe"); the trailing NFC pass
+  * matters for scripts whose NFD form is not combining marks — Hangul
+  * decomposes to Jamo and must recompose to syllables.
+  *
+  * Cross-engine contract: this is exactly DuckDB `strip_accents`
+  * (utf8proc), verified on accent, stroke-letter (ł kept), ligature
+  * (œ/Æ/ß kept), kana-dakuten, and Hangul cases — which makes the t17
+  * oracle byte-exact. Same custom-Expression rationale as [[NfcNormalize]]:
+  * no Spark builtin, UDFs break codegen.
+  */
+case class StripAccents(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_strip_accents"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_strip_accents expects a string input, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    StripAccents.strip(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.StripAccents.strip($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object StripAccents {
+  /** Static codegen target. Fast path: a pure-ASCII byte scan (the common
+    * row) returns the input instance without decoding or allocating. */
+  def strip(s: UTF8String): UTF8String = {
+    var i = 0
+    val n = s.numBytes()
+    var ascii = true
+    while (ascii && i < n) { if ((s.getByte(i) & 0x80) != 0) ascii = false; i += 1 }
+    if (ascii) return s
+    val nfd = java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    var j = 0
+    while (j < nfd.length) {
+      val cp = nfd.codePointAt(j)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK) sb.appendCodePoint(cp)
+      j += Character.charCount(cp)
+    }
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(sb.toString, java.text.Normalizer.Form.NFC))
+  }
+
+  /** Column-level façade. */
+  def fold(c: Column): Column = {
+    import org.apache.spark.sql.classic.GraftColumnBridge.{column => toCol}
+    import org.apache.spark.sql.classic.ExpressionColumnHelper.expr
+    toCol(StripAccents(expr(c.cast("string"))))
+  }
+}

@@ -95,6 +95,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftExtensions.xidDescriptor)
     ext.injectFunction(Layout.zorderDescriptor)
     ext.injectFunction(GraftExtensions.nfcDescriptor)
+    ext.injectFunction(GraftExtensions.stripAccentsDescriptor)
   }
 }
 
@@ -117,9 +118,20 @@ object GraftExtensions {
           s"graft_nfc expects exactly 1 argument, got ${args.size}")
       })
 
+  /** `SELECT graft_strip_accents(text)` — accent folding (t17). */
+  val stripAccentsDescriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_strip_accents"),
+      new ExpressionInfo(classOf[StripAccents].getName, "graft_strip_accents"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => StripAccents(c)
+        case _ => throw new IllegalArgumentException(
+          s"graft_strip_accents expects exactly 1 argument, got ${args.size}")
+      })
+
   /** Imperative twin for sessions built without the extensions config. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(xidDescriptor, Layout.zorderDescriptor, nfcDescriptor)
+    Seq(xidDescriptor, Layout.zorderDescriptor, nfcDescriptor,
+        stripAccentsDescriptor)
       .foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{GraftExtensions, NfcNormalize}
+import graft.functions.{GraftExtensions, NfcNormalize, StripAccents}
 import graft.ext.TextAnalysis
 import org.apache.spark.sql.functions._
 import org.apache.spark.unsafe.types.UTF8String
@@ -78,5 +78,64 @@ class TextExprsSpec extends SparkSpec {
       (1L, "caf\u00e9", 1L), // decomposed -> composed, flagged
       (2L, "plain", 0L),
       (3L, "caf\u00e9", 0L))) // already NFC, untouched
+  }
+
+  // ------------------------------------------------------- StripAccents/t17
+
+  private def fold(s: String): String =
+    StripAccents.strip(UTF8String.fromString(s)).toString
+
+  test("strip: accents fold from both decomposed and precomposed forms") {
+    assert(fold("cafe\u0301") == "cafe")
+    assert(fold("caf\u00e9") == "cafe")
+    assert(fold("\u00c5ngstr\u00f6m") == "Angstrom")
+    assert(fold("\u212bngstro\u0308m") == "Angstrom")
+    assert(fold("na\u00efve") == "naive")
+    assert(fold("\u00f1") == "n")
+  }
+
+  test("strip: non-accent letters survive (the DuckDB strip_accents contract)") {
+    // stroke-l has no canonical decomposition; eszett and ligatures are
+    // letters, not letter+mark \u2014 all must pass through
+    assert(fold("\u0142\u00f3d\u017a") == "\u0142odz")
+    assert(fold("stra\u00dfe") == "stra\u00dfe")
+    assert(fold("\u0153uvre \u00c6r\u00f8") == "\u0153uvre \u00c6r\u00f8")
+  }
+
+  test("strip: scripts whose NFD is not marks recompose (Hangul), marks drop (kana dakuten)") {
+    // U+D55C U+AD6D decompose to Jamo under NFD; the trailing NFC pass must
+    // recompose them or the folded text changes byte identity for no reason
+    assert(fold("\ud55c\uad6d") == "\ud55c\uad6d")
+    // pa (U+3071) = ha (U+306F) + semi-voiced mark (Mn) -> folds to ha,
+    // matching utf8proc
+    assert(fold("\u3071") == "\u306f")
+  }
+
+  test("strip: pure-ASCII fast path returns the same instance") {
+    val ascii = UTF8String.fromString("plain ascii text")
+    assert(StripAccents.strip(ascii) eq ascii)
+  }
+
+  test("strip: idempotent and nfc-stable") {
+    for (s <- Seq("cafe\u0301", "\u0142\u00f3d\u017a", "\ud55c\uad6d", "", "stra\u00dfe")) {
+      assert(fold(fold(s)) == fold(s))
+      // folding then NFC-normalizing changes nothing: fold output is NFC
+      assert(nfc(fold(s)) == fold(s))
+    }
+  }
+
+  test("strip: registers as graft_strip_accents SQL function") {
+    GraftExtensions.register(spark)
+    val got = spark.sql("SELECT graft_strip_accents('caf\u00e9 \u0142') AS n")
+      .as[String].head()
+    assert(got == "cafe \u0142")
+  }
+
+  test("stripAccents facade stays inside WholeStageCodegen") {
+    val plan = spark.range(10)
+      .select(StripAccents.fold(col("id")))
+      .queryExecution.executedPlan
+    assert(plan.toString.linesIterator.next().startsWith("*("),
+      s"graft_strip_accents must not break the codegen pipeline; got:\n$plan")
   }
 }
