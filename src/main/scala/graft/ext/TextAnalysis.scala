@@ -771,6 +771,53 @@ object TextAnalysis {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- t18
+  /** HTML-to-text extraction — the first step of every web-scrape curation
+    * pipeline (CommonCrawl → C4/RefinedWeb): drop script/style blocks
+    * wholesale, strip remaining tags, decode the common entities, collapse
+    * whitespace. Entity decode runs AFTER tag stripping (so `&lt;tag&gt;`
+    * stays visible text) and `&amp;` decodes LAST (the classic
+    * double-decode bug, pinned by spec). All patterns are RE2 ∩ java.util
+    * .regex (the t08 dialect discipline — inline `(?is)` flags, non-greedy,
+    * no backreferences: script/style are separate patterns because RE2 has
+    * no `\1`), so DuckDB replays the chain byte-for-byte.
+    * Scale: one codegen'd scalar projection — no shuffle, no UDF. */
+  def stripHtml(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val noScript = regexp_replace(col(textCol),
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]+>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (from, to)) =>
+        regexp_replace(acc, from, to)
+      }
+    df.select(col(idCol),
+      trim(regexp_replace(decoded, "\\s+", " ")).as("clean_text"),
+      size(regexp_extract_all(col(textCol), lit("<[^>]+>"), lit(0)))
+        .cast("long").as("n_tags"))
+  }
+
+  /** The t18 oracle injects deterministic synthetic HTML (the corpus is
+    * plain text — t08/t13 pattern): markup for every 3rd doc, a script+style
+    * block (with a bare `<` inside the script body) for every 5th, entities
+    * for every 4th — additive, so doc 0 carries all three. */
+  val t18StripHtml: Q = (s, dir) => {
+    import s.implicits._
+    val injected = docs(s, dir).select($"doc_id", concat($"text",
+      when(pmod($"doc_id", lit(3)) === 0,
+        lit(" <div class=\"x\"><p>para <b>bold</b></p></div>"))
+        .otherwise(lit("")),
+      when(pmod($"doc_id", lit(5)) === 0,
+        lit(" <script type=\"a\">var x = 1 < 2;</script>" +
+          "<style>p { color: red }</style>")).otherwise(lit("")),
+      when(pmod($"doc_id", lit(4)) === 0,
+        lit(" AT&amp;T &lt;tag&gt; 1&nbsp;2 &#39;q&#39; &quot;w&quot;"))
+        .otherwise(lit(""))).as("raw"))
+    stripHtml(injected, "doc_id", "raw").orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "t01_lang_id" -> t01LangId,
     "t02_quality" -> t02Quality,
@@ -788,7 +835,8 @@ object TextAnalysis {
     "t14_bpe_merges" -> t14BpeMerges,
     "t15_kn_surprise" -> t15KnSurprise,
     "t16_nfc_normalize" -> t16NfcNormalize,
-    "t17_strip_accents" -> t17StripAccents)
+    "t17_strip_accents" -> t17StripAccents,
+    "t18_strip_html" -> t18StripHtml)
 
   /** Generated DuckDB twin of [[bpeTrain]]: one word-frequency CTE, then per
     * merge rank k a pair-count CTE (p_k), a deterministic top-1 CTE (t_k),
@@ -1145,5 +1193,40 @@ object TextAnalysis {
         |SELECT doc_id, strip_accents(raw) AS folded_text,
         | CAST(CASE WHEN strip_accents(raw) <> raw THEN 1 ELSE 0 END AS BIGINT)
         |   AS changed
-        |FROM inj ORDER BY doc_id""".stripMargin)
+        |FROM inj ORDER BY doc_id""".stripMargin,
+    // t18: same regex chain, DuckDB needs the explicit 'g' flag (default
+    // replaces only the first match); chr(39) injects the quote the &#39;
+    // entity decodes to without SQL-escaping gymnastics.
+    "t18_strip_html" ->
+      """WITH inj AS (
+        |  SELECT doc_id, text ||
+        |   CASE WHEN doc_id % 3 = 0
+        |    THEN ' <div class="x"><p>para <b>bold</b></p></div>'
+        |    ELSE '' END ||
+        |   CASE WHEN doc_id % 5 = 0
+        |    THEN ' <script type="a">var x = 1 < 2;</script>' ||
+        |         '<style>p { color: red }</style>'
+        |    ELSE '' END ||
+        |   CASE WHEN doc_id % 4 = 0
+        |    THEN ' AT&amp;T &lt;tag&gt; 1&nbsp;2 &#39;q&#39; &quot;w&quot;'
+        |    ELSE '' END AS raw
+        |  FROM documents),
+        | s1 AS (SELECT doc_id, raw,
+        |   regexp_replace(raw, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS a
+        |  FROM inj),
+        | s2 AS (SELECT doc_id, raw,
+        |   regexp_replace(a, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS a
+        |  FROM s1),
+        | s3 AS (SELECT doc_id, raw, regexp_replace(a, '<[^>]+>', ' ', 'g') AS a
+        |  FROM s2),
+        | s4 AS (SELECT doc_id, raw,
+        |   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |     regexp_replace(regexp_replace(a,
+        |     '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+        |     '&#39;', CAST(chr(39) AS VARCHAR), 'g'), '&nbsp;', ' ', 'g'),
+        |     '&amp;', '&', 'g') AS a
+        |  FROM s3)
+        |SELECT doc_id, trim(regexp_replace(a, '\s+', ' ', 'g')) AS clean_text,
+        | CAST(len(regexp_extract_all(raw, '<[^>]+>')) AS BIGINT) AS n_tags
+        |FROM s4 ORDER BY doc_id""".stripMargin)
 }

@@ -22,6 +22,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1)._3 > got(0)._3)
   }
 
+  test("stripHtml: script/style drop wholesale, tags strip, entities decode last") {
+    val docs = Seq(
+      (1L, "a <b>bold</b> text"),
+      (2L, "x <script>if (1 < 2) alert('hi')</script> y"),
+      // &amp;lt; must decode to the LITERAL '&lt;', not '<' — &amp; decodes
+      // last, pinning the classic double-decode ordering bug
+      (3L, "keep &amp;lt; literal"),
+      (4L, "A&nbsp;B &#39;s&#39;"),
+      (5L, "<style>p{a:b}</style>done"),
+      (6L, "no markup at all")).toDF("doc_id", "text")
+    val got = TextAnalysis.stripHtml(docs, "doc_id", "text")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "a bold text", 2L),
+      (2L, "x y", 2L), // the bare '<' inside the script never leaks out
+      (3L, "keep &lt; literal", 0L),
+      (4L, "A B 's'", 0L),
+      (5L, "done", 2L),
+      (6L, "no markup at all", 0L)))
+  }
+
   test("redactPii replaces emails, ips, phones with typed placeholders and counts each") {
     val docs = Seq(
       (1L, "contact bob@test.com or a1.b@ex.org now"),
