@@ -272,6 +272,46 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
+  /** 64-bit average hash (aHash): the decoded image area-averages onto an
+    * 8×8 luminance grid ([[lumaGrid]]) and bit r·8+c records
+    * grid(r)(c) > mean of the 64 cells. The bluntest of the three
+    * perceptual hashes — any local edit that keeps a cell on its side of
+    * the mean is invisible — and the cheapest: no neighbor column, no DCT.
+    * Because the threshold is the image's own mean, a uniform brightness
+    * shift moves every cell and the mean together, leaving the hash
+    * IDENTICAL (spec-pinned) — the re-grade robustness dHash's fixed
+    * neighbor comparisons only approximate. Plugs into
+    * [[imageNearDupPairs]] via `hashCol = "ahash"`.
+    * None when ImageIO cannot decode the payload. */
+  def ahashImage(payload: Array[Byte]): Option[Long] =
+    try {
+      imageIoNoDiskCache
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val grid = lumaGrid(img, 8, 8)
+        var sum = 0.0
+        var r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 8) { sum += grid(r)(c); c += 1 }
+          r += 1
+        }
+        val mean = sum / 64.0
+        var bits = 0L
+        r = 0
+        while (r < 8) {
+          var c = 0
+          while (c < 8) {
+            if (grid(r)(c) > mean) bits |= 1L << (r * 8 + c)
+            c += 1
+          }
+          r += 1
+        }
+        Some(bits)
+      }
+    } catch { case _: Exception => None }
+
   /** Distributed perceptual hashing: appends a nullable LONG hash column
     * (null for payloads ImageIO cannot decode, which then fall back to
     * exact digest dedup). Same mapPartitions batch shape as
@@ -297,6 +337,9 @@ object Multimodal {
 
   def withPhash(media: DataFrame): DataFrame =
     withHash64(media, "phash", phashImage)
+
+  def withAhash(media: DataFrame): DataFrame =
+    withHash64(media, "ahash", ahashImage)
 
   /** Perceptual near-dup image pairs over a [[withDhash]] frame: the 64-bit
     * dHash splits into `bands` equal slices; by pigeonhole, two hashes with
@@ -557,12 +600,23 @@ object Multimodal {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** The m04 construction over the average hash — ROWS-ONLY like m04/m05
+    * (pixel decode is not SQL-expressible); the (0, 7) exact-copy pair is
+    * 0-hamming by construction so rows ≥ 1 at every SF. */
+  val m06ImageAhash: Q = (s, _) => {
+    import s.implicits._
+    imageNearDupPairs(withAhash(perturbedVariants(s)), "media_id",
+        maxHamming = 7, hashCol = "ahash")
+      .orderBy($"id_a", $"id_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "m01_binary_meta" -> m01BinaryMeta,
     "m02_chunking" -> m02Chunking,
     "m03_chunked_read" -> m03ChunkedRead,
     "m04_image_dhash" -> m04ImageDhash,
-    "m05_image_phash" -> m05ImagePhash)
+    "m05_image_phash" -> m05ImagePhash,
+    "m06_image_ahash" -> m06ImageAhash)
 
   val oracles: Map[String, String] = Map(
     "m01_binary_meta" ->

@@ -202,6 +202,63 @@ class MultimodalSpec extends SparkSpec {
       "variants 0 and 7 are identical by construction")
   }
 
+  test("ahash: mean-threshold fingerprint; uniform brightness shift is invisible") {
+    // bounded-channel noise (<=127 per channel) so a +32 uniform shift
+    // cannot clip — the invariance below must hold exactly
+    def boundedNoisePng(seed: Int, shift: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(64, 64,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        var v = x * 2654435761L + y * 40503L + seed * 69069L
+        v ^= v >>> 13; v *= 1274126177L; v ^= v >>> 16
+        val base = (v & 0x7f7f7f).toInt
+        val rgb = (((base >> 16) & 0xff) + shift << 16) |
+          (((base >> 8) & 0xff) + shift << 8) | ((base & 0xff) + shift)
+        img.setRGB(x, y, rgb)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    val png = boundedNoisePng(1, 0)
+    val h = Multimodal.ahashImage(png)
+    assert(h.isDefined && h == Multimodal.ahashImage(png))
+    assert(Multimodal.ahashImage("not an image".getBytes("UTF-8")).isEmpty)
+    // the defining property: +32 on every channel moves each cell and the
+    // mean identically, so the hash must not change AT ALL
+    assert(Multimodal.ahashImage(boundedNoisePng(1, 32)) == h,
+      "uniform brightness re-grade must leave the mean-threshold hash fixed")
+    // a single-pixel edit barely moves one 8x8 cell average
+    val near = Multimodal.ahashImage(Multimodal.perturbPixel(png, 3, 3, 32)).get
+    assert(java.lang.Long.bitCount(h.get ^ near) <= 6,
+      s"near-dup hamming too high: ${java.lang.Long.bitCount(h.get ^ near)}")
+    // an unrelated image shares only chance bits
+    val other = boundedNoisePng(2, 0)
+    val far = Multimodal.ahashImage(other).get
+    assert(java.lang.Long.bitCount(h.get ^ far) > 16,
+      s"distinct-image hamming too low: ${java.lang.Long.bitCount(h.get ^ far)}")
+    // banded index over the ahash column is exact vs brute force at the bound
+    val media = Seq(
+      (1L, png), (2L, Multimodal.perturbPixel(png, 3, 3, 32)), (3L, other))
+      .toDF("media_id", "payload").repartition(2)
+    val byId = Multimodal.withAhash(media).select($"media_id", $"ahash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = Multimodal.imageNearDupPairs(Multimodal.withAhash(media),
+        "media_id", maxHamming = 7, hashCol = "ahash")
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Long)].collect().toSet
+    val brute = (for {
+      a <- Seq(1L, 2L, 3L); b <- Seq(1L, 2L, 3L) if a < b
+      d = java.lang.Long.bitCount(byId(a) ^ byId(b)) if d <= 7
+    } yield (a, b, d.toLong)).toSet
+    assert(pairs == brute && pairs.map(p => (p._1, p._2)) == Set((1L, 2L)),
+      s"got $pairs")
+    // the registered m06 row: the (0, 7) exact-copy pair exists by construction
+    val m06 = Multimodal.m06ImageAhash(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    assert(m06.nonEmpty && m06.forall(_._3 <= 7))
+    assert(m06.exists(p => p._1 == 0L && p._2 == 7L && p._3 == 0L),
+      "variants 0 and 7 are identical by construction")
+  }
+
   test("sampleFrames emits every Nth frame of the decoded count") {
     val decoded = Multimodal.decodeFeatures(Multimodal.mediaFrom(spark, dir))
     val frames = Multimodal.sampleFrames(decoded, everyNth = 5)
