@@ -15,9 +15,10 @@ class ContractSpec extends SparkSpec {
 
   test("only the documented rows-only queries lack an oracle") {
     // q26: sketch values are engine-specific (ContractSpec bounds them);
-    // m04: pixel decode is not SQL-expressible (MultimodalSpec pins the
-    // dHash/banding semantics)
-    val documented = Set("q26_approx_agg", "m04_image_dhash", "m05_image_phash")
+    // m04/m05/m06: pixel decode is not SQL-expressible (MultimodalSpec pins
+    // the dHash/pHash/aHash/banding semantics)
+    val documented = Set("q26_approx_agg", "m04_image_dhash",
+      "m05_image_phash", "m06_image_ahash")
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == documented,
       s"undocumented rows-only queries: ${rowsOnly -- documented}")
