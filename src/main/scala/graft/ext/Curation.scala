@@ -295,7 +295,20 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- c13
+  /** Token-budget prefix sampling at 2/5 of the corpus's tokens — the
+    * oracle row for [[CurationOps.sampleTokenBudget]]: DuckDB replays the
+    * straightforward global form (one cumulative window over hash order),
+    * the Spark side runs the bucketed histogram form — identical keep sets
+    * prove the decomposition exact at every SF. */
+  val c13TokenBudget: Q = (s, dir) => {
+    import s.implicits._
+    CurationOps.sampleTokenBudget(docs(s, dir), "doc_id", "text", 2L, 5L)
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "c13_token_budget" -> c13TokenBudget,
     "c01_decontaminate" -> c01Decontaminate,
     "c12_perplexity_buckets" -> c12PerplexityBuckets,
     "c11_leakage_split" -> c11LeakageSplit,
@@ -540,6 +553,25 @@ object Curation {
           |      WHEN cm.cum * 3 <= n.n * 2 THEN 'middle'
           |      ELSE 'tail' END AS bucket
           |FROM sc JOIN cm ON sc.bi_surprise = cm.s CROSS JOIN n
-          |ORDER BY sc.doc_id""".stripMargin)
+          |ORDER BY sc.doc_id""".stripMargin),
+    // c13: the straightforward global form — ONE cumulative window over
+    // (h, doc_id) order; the Spark side's bucketed decomposition must keep
+    // the identical set. h is the c03/c09 md5-60bit salted hash; budget is
+    // integer floor(T*2/5).
+    "c13_token_budget" ->
+      (toksCte +
+        """, n AS (
+          |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+          |   CAST(CAST(('0x' || substr(md5('budget' || CAST(doc_id AS VARCHAR)),1,15)) AS UBIGINT) AS BIGINT) AS h
+          |  FROM l),
+          | t AS (SELECT CAST(sum(n_tok) AS BIGINT) AS tt FROM n),
+          | c AS (
+          |  SELECT doc_id, n_tok,
+          |   CAST(coalesce(sum(n_tok) OVER (ORDER BY h, doc_id
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+          |  FROM n)
+          |SELECT c.doc_id, c.n_tok FROM c CROSS JOIN t
+          |WHERE c.cb < (t.tt * 2) // 5
+          |ORDER BY c.doc_id""".stripMargin)
     )
 }

@@ -284,6 +284,51 @@ object CurationOps {
       .drop("__ord")
   }
 
+  /** Token-budget prefix sampling — materialize a deterministic subset of
+    * (just over) `totalTokens · numer / denom` tokens: documents are
+    * ordered by a salted 60-bit hash (a reproducible global shuffle, the
+    * [[assignShards]] ordering) and the minimal prefix whose cumulative
+    * token count reaches the integer budget `floor(T·numer/denom)` is kept,
+    * crossing document included. This is the "give me N tokens of this
+    * source" step every pretraining mixture performs; unlike
+    * [[sampleStratified]] the decision depends on the corpus total, so the
+    * guarantee is per-run/per-engine determinism, not subset stability.
+    *
+    * Scale shape — NO corpus-wide sort and NO corpus-sized window (the c12
+    * histogram discipline applied to a running budget): the hash's top 16
+    * bits slice the order into 65536 ordered buckets; per-bucket token
+    * sums form a histogram whose exclusive cumulative offsets come from a
+    * histogram-sized window (the one deliberate single-partition window —
+    * 65536 rows max, never the corpus); each document's keep decision is
+    * then `bucket offset + within-bucket exclusive running sum < budget`,
+    * where the within-bucket window is PARTITIONED by bucket (~1/65536 of
+    * the corpus per partition). Budget arithmetic is all-integer — no
+    * float-threshold edge cases. */
+  def sampleTokenBudget(df: DataFrame, idCol: String, textCol: String,
+      numer: Long, denom: Long, salt: String = "budget"): DataFrame = {
+    require(numer >= 0 && denom > 0, s"bad budget fraction $numer/$denom")
+    val base = df
+      .withColumn("__ntok", size(toks(col(textCol))).cast("long"))
+      .withColumn("__h", h60(concat(lit(salt), col(idCol).cast("string"))))
+      .withColumn("__b", shiftright(col("__h"), 44))
+    val hist = base.groupBy(col("__b")).agg(sum(col("__ntok")).as("__bsum"))
+      .withColumn("__off", coalesce(
+        sum(col("__bsum")).over(
+          Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("__b"), col("__off"))
+    val total = base.agg(sum(col("__ntok")).as("__T"))
+    val within = Window.partitionBy(col("__b"))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .join(broadcast(hist), Seq("__b"))
+      .crossJoin(broadcast(total))
+      .withColumn("__cb", col("__off") + coalesce(sum(col("__ntok")).over(within), lit(0L)))
+      .filter(col("__cb") < expr(s"(__T * ${numer}L) div ${denom}L"))
+      .select(col(idCol), col("__ntok").as("n_tok"))
+  }
+
   /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling", hashed-unigram form):
     * score every document by the MEAN unigram log-likelihood ratio between

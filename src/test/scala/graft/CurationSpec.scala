@@ -375,4 +375,38 @@ class CurationSpec extends SparkSpec {
       .select($"doc_id", $"n_bad").as[(Long, Long)].collect().sortBy(_._1)
     assert(api.toSeq == q.toSeq)
   }
+
+  test("sampleTokenBudget keeps exactly the minimal hash-order prefix reaching the budget") {
+    import graft.ext.TextOps.h60Local
+    val corpus = Seq((1L, "a b c"), (2L, "d e"), (3L, "f g h i"),
+      (4L, "j"), (5L, "k l m"), (6L, ""), (7L, "n o p q r"))
+      .toDF("doc_id", "text")
+    val nTok = Map(1L -> 3L, 2L -> 2L, 3L -> 4L, 4L -> 1L, 5L -> 3L,
+      6L -> 0L, 7L -> 5L)
+    val total = nTok.values.sum // 18
+    val budget = total * 1 / 2  // 9
+    // reference model: hash order, exclusive running sum < budget
+    val order = nTok.keys.toSeq.sortBy(id => (h60Local("budget" + id), id))
+    val expected = order.zip(order.scanLeft(0L)((s, id) => s + nTok(id)))
+      .collect { case (id, cumBefore) if cumBefore < budget => id }.toSet
+    val got = CurationOps.sampleTokenBudget(corpus, "doc_id", "text", 1L, 2L)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == expected, s"got ${got.keySet}, expected $expected")
+    assert(got.forall { case (id, n) => nTok(id) == n })
+    // minimality: kept tokens reach the budget, dropping the LAST kept doc
+    // (in hash order) falls under it
+    val keptSum = expected.toSeq.map(nTok).sum
+    assert(keptSum >= budget)
+    val lastKept = order.filter(expected).last
+    assert(keptSum - nTok(lastKept) < budget)
+    // numer = 0 keeps nothing
+    assert(CurationOps.sampleTokenBudget(corpus, "doc_id", "text", 0L, 1L)
+      .count() == 0)
+    // full fraction: every doc with exclusive cumsum < T (a zero-token doc
+    // sorting exactly last would be the one legitimate exclusion)
+    val keepAll = order.zip(order.scanLeft(0L)((s, id) => s + nTok(id)))
+      .count { case (_, cumBefore) => cumBefore < total }
+    assert(CurationOps.sampleTokenBudget(corpus, "doc_id", "text", 1L, 1L)
+      .count() == keepAll)
+  }
 }
