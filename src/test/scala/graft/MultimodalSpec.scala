@@ -259,6 +259,63 @@ class MultimodalSpec extends SparkSpec {
       "variants 0 and 7 are identical by construction")
   }
 
+  test("banded index == brute force and components collapse clusters on a 64-image corpus") {
+    // a corpus-shaped workout for the banded machinery beyond the tiny
+    // fixtures: 16 procedural base images x 4 variants (original, two
+    // single-pixel edits, a clip-free uniform brightness shift). Variants
+    // of one base are near; distinct noise bases sit ~32 bits apart.
+    def noisePng(seed: Int, shift: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(48, 48,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 48; x <- 0 until 48) {
+        var v = x * 2654435761L + y * 40503L + seed * 69069L
+        v ^= v >>> 13; v *= 1274126177L; v ^= v >>> 16
+        val base = (v & 0x7f7f7f).toInt
+        val rgb = (((base >> 16) & 0xff) + shift << 16) |
+          (((base >> 8) & 0xff) + shift << 8) | ((base & 0xff) + shift)
+        img.setRGB(x, y, rgb)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    val corpus = for {
+      seed <- 0 until 16
+      (payload, variant) <- Seq(
+        (noisePng(seed, 0), 0), (Multimodal.perturbPixel(noisePng(seed, 0), 5, 5, 40), 1),
+        (Multimodal.perturbPixel(noisePng(seed, 0), 11, 2, 48), 2), (noisePng(seed, 16), 3))
+    } yield (seed.toLong * 10 + variant, payload)
+    val media = corpus.toDF("media_id", "payload").repartition(8)
+    val hashed = Multimodal.withDhash(media)
+    val byId = hashed.select($"media_id", $"dhash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId.size == 64)
+    val pairs = Multimodal.imageNearDupPairs(hashed, "media_id", maxHamming = 7)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Long)].collect().toSet
+    // exactness at corpus scale: all 2016 candidate pairs, banded == brute
+    val ids = byId.keys.toSeq.sorted
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      d = java.lang.Long.bitCount(byId(a) ^ byId(b)) if d <= 7
+    } yield (a, b, d.toLong)).toSet
+    assert(pairs == brute, s"banded vs brute diverge: ${pairs diff brute} / ${brute diff pairs}")
+    // no cross-base pair survives the bound; every base's brightness-shifted
+    // variant pairs with its original at hamming 0 (dHash compares neighbors,
+    // a uniform shift moves both sides of every comparison)
+    assert(pairs.forall { case (a, b, _) => a / 10 == b / 10 },
+      "distinct noise bases must not collide within 7 bits")
+    for (seed <- 0L until 16L)
+      assert(pairs.contains((seed * 10, seed * 10 + 3, 0L)),
+        s"brightness-shifted variant of base $seed must pair at hamming 0")
+    // collapsing the pair graph yields one component per base, never merging
+    // bases: at most 16 clusters among the paired ids
+    val comps = graft.ext.DedupOps.connectedComponents(
+      pairs.toSeq.map(p => (p._1, p._2)).toDF("id_a", "id_b"), "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(comps.keys.map(_ / 10).toSet.size <= 16)
+    for ((id, label) <- comps) assert(id / 10 == label / 10,
+      s"component label $label crossed base boundary for $id")
+  }
+
   test("sampleFrames emits every Nth frame of the decoded count") {
     val decoded = Multimodal.decodeFeatures(Multimodal.mediaFrom(spark, dir))
     val frames = Multimodal.sampleFrames(decoded, everyNth = 5)
