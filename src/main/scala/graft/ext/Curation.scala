@@ -479,7 +479,7 @@ object Curation {
         |FROM a ORDER BY shard, pos""".stripMargin,
     "c10_dsir_weights" ->
       (toksCte +
-        """, u AS (SELECT doc_id, (lang = 'en') AS tgt, unnest(toks) AS tok FROM l),
+        s""", u AS (SELECT doc_id, (lang = 'en') AS tgt, unnest(toks) AS tok FROM l),
           | f AS (
           |  SELECT tok, CAST(count(*) AS DOUBLE) AS ca,
           |   CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS DOUBLE) AS ct
@@ -487,8 +487,8 @@ object Curation {
           | t AS (SELECT sum(ca) AS ta, sum(ct) AS tt, CAST(count(*) AS DOUBLE) AS v FROM f),
           | sc AS (
           |  SELECT u.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
-          |   round(avg(ln((f.ct + 0.5) / (t.tt + 0.5 * t.v)) -
-          |             ln((f.ca + 0.5) / (t.ta + 0.5 * t.v))) + 1e-9, 4) AS dsir_logratio
+          |   ${TextOps.foldMeanSql(
+              "ln((f.ct + 0.5) / (t.tt + 0.5 * t.v)) - ln((f.ca + 0.5) / (t.ta + 0.5 * t.v))")} AS dsir_logratio
           |  FROM u JOIN f USING (tok), t GROUP BY u.doc_id)
           |SELECT doc_id, n_tok, dsir_logratio,
           | CAST(CASE WHEN dsir_logratio > 0 THEN 1 ELSE 0 END AS BIGINT) AS selected
@@ -535,14 +535,14 @@ object Curation {
     },
     "c12_perplexity_buckets" ->
       (toksCte +
-        """, b AS (
+        s""", b AS (
           |  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bg, toks[i] AS t1
           |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM l)),
           | fb AS (SELECT bg, CAST(count(*) AS DOUBLE) AS cb FROM b GROUP BY bg),
           | ff AS (SELECT t1, CAST(count(*) AS DOUBLE) AS cf FROM b GROUP BY t1),
           | sc AS (
           |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_big,
-          |   round(avg(-ln(fb.cb / ff.cf)) + 1e-9, 4) AS bi_surprise
+          |   ${TextOps.foldMeanSql("-ln(fb.cb / ff.cf)")} AS bi_surprise
           |  FROM b JOIN fb USING (bg) JOIN ff USING (t1)
           |  GROUP BY b.doc_id),
           | h AS (SELECT bi_surprise AS s, count(*) AS c FROM sc GROUP BY 1),

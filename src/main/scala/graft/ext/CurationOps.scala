@@ -344,8 +344,10 @@ object CurationOps {
     * token-keyed aggregation builds BOTH distributions in the same pass
     * (conditional count for the target), a 1-row totals broadcast, a
     * vocab-sized keyed join back to the token instances (AQE broadcasts it
-    * when the vocabulary fits), and a doc-keyed mean. The corpus is
-    * scanned once; no driver state. */
+    * when the vocabulary fits), and a doc-keyed mean via
+    * [[TextOps.foldMean]] (sorted-fold, bit-deterministic across task
+    * orders — avg(double) merge order flipped a 4-decimal rounding
+    * boundary in round 9). The corpus is scanned once; no driver state. */
   def dsirWeights(df: DataFrame, idCol: String, textCol: String,
       targetPred: Column, lambda: Double = 0.5): DataFrame = {
     require(lambda > 0, s"lambda must be > 0, got $lambda")
@@ -363,10 +365,10 @@ object CurationOps {
       .crossJoin(broadcast(tot))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tok"),
-        round(avg(
+        TextOps.foldMean(
           log((col("__ct") + lambda) / (col("__tt") + col("__v") * lambda)) -
-          log((col("__ca") + lambda) / (col("__ta") + col("__v") * lambda)))
-          + 1e-9, 4).as("dsir_logratio"))
+          log((col("__ca") + lambda) / (col("__ta") + col("__v") * lambda)),
+          count(lit(1))).as("dsir_logratio"))
       .withColumn("selected", (col("dsir_logratio") > 0).cast("long"))
   }
 

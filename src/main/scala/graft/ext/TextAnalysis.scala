@@ -198,7 +198,8 @@ object TextAnalysis {
     * Scale shape: one token-keyed aggregation builds the frequency table,
     * one 1-row total broadcast, and one token-keyed join back to the token
     * instances (vocab-sized build side — keyed hash join; AQE broadcasts it
-    * when the vocabulary fits) followed by a doc-keyed mean. No driver-side
+    * when the vocabulary fits) followed by a doc-keyed mean via
+    * [[TextOps.foldMean]] (order-deterministic sorted fold). No driver-side
     * state, no all-pairs anything. */
   /** Generic form of t07 over any (id, text) frame. */
   def unigramSurprise(df: org.apache.spark.sql.DataFrame, idCol: String,
@@ -214,7 +215,8 @@ object TextAnalysis {
       .crossJoin(broadcast(tot))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tok"),
-        round(avg(-log(col("__cnt") / col("__tot"))) + 1e-9, 4).as("surprise"))
+        TextOps.foldMean(-log(col("__cnt") / col("__tot")), count(lit(1)))
+          .as("surprise"))
   }
 
   val t07UnigramSurprise: Q = (s, dir) => {
@@ -464,7 +466,8 @@ object TextAnalysis {
       .join(ff, Seq("__t1"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_big"),
-        round(avg(-log(col("__cb") / col("__cf"))) + 1e-9, 4).as("bi_surprise"))
+        TextOps.foldMean(-log(col("__cb") / col("__cf")), count(lit(1)))
+          .as("bi_surprise"))
   }
 
   val t12BigramSurprise: Q = (s, dir) => {
@@ -671,7 +674,7 @@ object TextAnalysis {
     inst.join(knStats(inst, discount), Seq("__bg"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_big"),
-        round(avg(-log(col("__p"))) + 1e-9, 4).as("kn_surprise"))
+        TextOps.foldMean(-log(col("__p")), count(lit(1))).as("kn_surprise"))
   }
 
   /** The per-bigram KN probability table (`__bg`, `__p`) behind
@@ -987,11 +990,11 @@ object TextAnalysis {
           |ORDER BY df DESC, tok""".stripMargin),
     "t07_unigram_surprise" ->
       (toksCte +
-        """, u AS (SELECT doc_id, unnest(toks) AS tok FROM l),
+        s""", u AS (SELECT doc_id, unnest(toks) AS tok FROM l),
           | f AS (SELECT tok, CAST(count(*) AS DOUBLE) AS cnt FROM u GROUP BY tok),
           | tt AS (SELECT sum(cnt) AS tot FROM f)
           |SELECT u.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
-          | round(avg(-ln(f.cnt / tt.tot)) + 1e-9, 4) AS surprise
+          | ${foldMeanSql("-ln(f.cnt / tt.tot)")} AS surprise
           |FROM u JOIN f ON u.tok = f.tok, tt
           |GROUP BY u.doc_id ORDER BY u.doc_id""".stripMargin),
     "t08_pii_redact" ->
@@ -1099,13 +1102,13 @@ object TextAnalysis {
            |FROM r ORDER BY doc_id""".stripMargin),
     "t12_bigram_surprise" ->
       (toksCte +
-        """, b AS (
+        s""", b AS (
           |  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bg, toks[i] AS t1
           |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM l)),
           | fb AS (SELECT bg, CAST(count(*) AS DOUBLE) AS cb FROM b GROUP BY bg),
           | ff AS (SELECT t1, CAST(count(*) AS DOUBLE) AS cf FROM b GROUP BY t1)
           |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_big,
-          | round(avg(-ln(fb.cb / ff.cf)) + 1e-9, 4) AS bi_surprise
+          | ${foldMeanSql("-ln(fb.cb / ff.cf)")} AS bi_surprise
           |FROM b JOIN fb USING (bg) JOIN ff USING (t1)
           |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin),
     "t13_url_filter" ->
@@ -1137,7 +1140,7 @@ object TextAnalysis {
     "t14_bpe_merges" -> bpeOracleSql(8),
     "t15_kn_surprise" ->
       (toksCte +
-        """, b AS (
+        s""", b AS (
           |  SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS bg
           |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM l)),
           | fb AS (SELECT bg, CAST(count(*) AS DOUBLE) AS cb FROM b GROUP BY bg),
@@ -1153,7 +1156,7 @@ object TextAnalysis {
           |  JOIN bw ON split_part(fb.bg, ' ', 2) = bw.t2
           |  CROSS JOIN tot)
           |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_big,
-          | round(avg(-ln(st.p)) + 1e-9, 4) AS kn_surprise
+          | ${foldMeanSql("-ln(st.p)")} AS kn_surprise
           |FROM b JOIN st USING (bg)
           |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin),
     // t16: codepoints spelled via chr() so the SQL stays pure ASCII in

@@ -79,6 +79,34 @@ object TextOps {
         i => array_join(slice(tk, i, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
 
+  /** Order-deterministic rounded mean of a per-group float term, for use
+    * inside `.agg(...)`: the terms collect per group, sort ascending, and
+    * fold-sum left-to-right, so the result is bit-identical across runs,
+    * partition counts and task completion orders. A plain `avg(double)`
+    * merges float partial aggregates in task-completion order — scheduler
+    * luck — and one group whose true mean sits within ~1 ulp of a 4-decimal
+    * half-way boundary then rounds differently run to run (the round-9
+    * c10_dsir_weights driver flake). The `+ 1e-9` nudge shields exact-half
+    * decimal boundaries, not ulp-order reassociation; this fold removes the
+    * reassociation entirely. DuckDB replays it exactly (left fold, same
+    * 0.0+x init identity): see [[foldMeanSql]]. Group state is bounded by
+    * the group's term count (per-doc tokens) — the same bound as rebuilding
+    * the document's text, fine at 100 TB.
+    *
+    * `n` must be the group's term count (`count(lit(1))` alongside). */
+  def foldMean(term: Column, n: Column, scale: Int = 4): Column =
+    round(
+      aggregate(sort_array(collect_list(term)), lit(0.0d), (a, x) => a + x)
+        / n + 1e-9, scale)
+
+  /** The DuckDB twin of [[foldMean]] — splice into an aggregate SELECT.
+    * `list_reduce` folds left `f(f(t1,t2),t3)…`; Spark's fold is
+    * `((0.0+t1)+t2)+t3…` and `0.0 + x ≡ x` bit-exact for every non-(-0.0)
+    * double (log-ratio terms are never -0.0: `ln(1.0)` is +0.0), so the
+    * two sums are bit-identical given bit-identical sorted inputs. */
+  def foldMeanSql(term: String): String =
+    s"round(list_reduce(list_sort(list($term)), (a, x) -> a + x) / count(*) + 1e-9, 4)"
+
   /** Same 60-bit md5 hash computed driver-side (for plan-constant values such
     * as LSH hyperplanes — must agree exactly with [[h60]]/[[hm]]). */
   def h60Local(s: String): Long = {
