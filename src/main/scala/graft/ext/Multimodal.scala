@@ -554,10 +554,12 @@ object Multimodal {
   }
 
   /** Perceptual image near-dup pairs over single-pixel variants of the
-    * committed PNG fixture — ROWS-ONLY by design (q26-style): pixel decode
-    * is not SQL-expressible, so no DuckDB oracle can replay the hash;
-    * MultimodalSpec pins the dHash/banding semantics instead. The OUTPUT is
-    * nonetheless fully deterministic across runs and JDK vendors: dHash
+    * committed PNG fixture. Pixel decode is not SQL-expressible, so the
+    * DuckDB oracle cannot REPLAY the hash — instead the deterministic
+    * expected rows are pinned as a literal VALUES table ([[m04Expected]]),
+    * making the row fully hash-checkable; MultimodalSpec pins the
+    * dHash/banding semantics and the pinned rows themselves. The OUTPUT is
+    * fully deterministic across runs and JDK vendors: dHash
     * reads decoded pixels (PNG is lossless), never re-encoded bytes.
     * Variant i bumps pixel (i, i) by 32·(i mod 7) — variants 0 and 7 both
     * take delta 0 and are exact copies of the base, so the (0, 7) 0-hamming
@@ -586,23 +588,33 @@ object Multimodal {
       .orderBy($"id_a", $"id_b")
   }
 
-  /** The m04 construction over the DCT hash: single-pixel edits barely move
-    * a 32×32 area average, so every variant pair should sit within a few
-    * pHash bits — and the (0, 7) exact-copy pair is 0-hamming BY
-    * CONSTRUCTION, making rows ≥ 1 at every SF. ROWS-ONLY for the same
-    * reason as m04 (pixel decode + DCT are not SQL-expressible);
-    * MultimodalSpec pins determinism, near/far separation, and banded ≡
-    * brute for the pHash. */
+  /** The m04 construction over the DCT hash, widened to the FULL 28-pair
+    * Hamming histogram: every C(8,2) variant pair with its pHash distance,
+    * no threshold. On this fixture the DCT is SENSITIVE to the single-pixel
+    * bumps — a delta of up to 192 shifts enough 8×8 low-frequency
+    * coefficients across the median threshold to flip well over 7 bits for
+    * most non-copy pairs (round 9 measured exactly 1 pair within
+    * maxHamming=7: the by-construction (0,7) exact copy) — so a thresholded
+    * query collapses to its trivially-guaranteed row. The histogram is the
+    * stronger witness: all 28 distances are deterministic and hash-checked
+    * against a pinned-literal oracle. The all-pairs join is FIXTURE-SIZED
+    * (8 rows) by construction — the scale path for pHash near-dup remains
+    * [[imageNearDupPairs]] (banded, spec-pinned banded ≡ brute). */
   val m05ImagePhash: Q = (s, _) => {
     import s.implicits._
-    imageNearDupPairs(withPhash(perturbedVariants(s)), "media_id",
-        maxHamming = 7, hashCol = "phash")
+    val h = withPhash(perturbedVariants(s)).select($"media_id", $"phash")
+    h.as("a").join(h.as("b"), col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        expr("bit_count(a.phash ^ b.phash)").cast("long").as("hamming"))
       .orderBy($"id_a", $"id_b")
   }
 
-  /** The m04 construction over the average hash — ROWS-ONLY like m04/m05
-    * (pixel decode is not SQL-expressible); the (0, 7) exact-copy pair is
-    * 0-hamming by construction so rows ≥ 1 at every SF. */
+  /** The m04 construction over the average hash — hash-checked against the
+    * pinned [[m06Expected]] literal like m04/m05; the (0, 7) exact-copy
+    * pair is 0-hamming by construction. On this fixture EVERY pair is
+    * 0-hamming: no single-pixel bump moves an 8×8 cell mean across the
+    * global threshold (the brightness-invariance the spec pins is exactly
+    * this robustness). */
   val m06ImageAhash: Q = (s, _) => {
     import s.implicits._
     imageNearDupPairs(withAhash(perturbedVariants(s)), "media_id",
@@ -618,7 +630,43 @@ object Multimodal {
     "m05_image_phash" -> m05ImagePhash,
     "m06_image_ahash" -> m06ImageAhash)
 
+  /** Pinned expected (id_a, id_b, hamming) rows for the image-hash family.
+    * Pixel decode is not SQL-expressible, so DuckDB cannot REPLAY the hash —
+    * but the hashes are fully deterministic (pure-arithmetic downscale over
+    * losslessly-decoded PNG pixels, JDK-vendor-stable; MultimodalSpec pins
+    * determinism), so the expected rows can be pinned as literals and the
+    * driver's rows+schema+hash compare binds instead of rows-only. Measured
+    * once from the committed fixture + perturbedVariants; MultimodalSpec
+    * asserts the live queries still produce exactly these rows, so drift
+    * reddens locally before it reddens the driver. dHash: only variant 6
+    * (delta 192 at pixel (6,6)) flips a gradient bit. pHash: the 32×32 DCT
+    * is sensitive to every bump — non-copy pairs sit 16–28 bits apart.
+    * aHash: no single-pixel bump moves an 8×8 cell mean across the global
+    * threshold — all pairs identical. (0,7) is the by-construction exact
+    * copy in all three. */
+  private[graft] val m04Expected: Seq[(Long, Long, Long)] =
+    (for (a <- 0L to 6L; b <- (a + 1) to 7L)
+      yield (a, b, if (a == 6L || b == 6L) 1L else 0L)).toSeq
+  private[graft] val m05Expected: Seq[(Long, Long, Long)] = Seq(
+    (0L, 1L, 26L), (0L, 2L, 24L), (0L, 3L, 26L), (0L, 4L, 26L), (0L, 5L, 24L),
+    (0L, 6L, 28L), (0L, 7L, 0L), (1L, 2L, 16L), (1L, 3L, 22L), (1L, 4L, 24L),
+    (1L, 5L, 24L), (1L, 6L, 26L), (1L, 7L, 26L), (2L, 3L, 22L), (2L, 4L, 24L),
+    (2L, 5L, 22L), (2L, 6L, 26L), (2L, 7L, 24L), (3L, 4L, 24L), (3L, 5L, 28L),
+    (3L, 6L, 24L), (3L, 7L, 26L), (4L, 5L, 16L), (4L, 6L, 26L), (4L, 7L, 26L),
+    (5L, 6L, 26L), (5L, 7L, 24L), (6L, 7L, 28L))
+  private[graft] val m06Expected: Seq[(Long, Long, Long)] =
+    (for (a <- 0L to 6L; b <- (a + 1) to 7L) yield (a, b, 0L)).toSeq
+
+  private def pinnedPairsSql(rows: Seq[(Long, Long, Long)]): String =
+    rows.map { case (a, b, h) => s"($a, $b, $h)" }.mkString(
+      "SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, " +
+        "CAST(hamming AS BIGINT) AS hamming FROM (VALUES ",
+      ", ", ") t(id_a, id_b, hamming) ORDER BY id_a, id_b")
+
   val oracles: Map[String, String] = Map(
+    "m04_image_dhash" -> pinnedPairsSql(m04Expected),
+    "m05_image_phash" -> pinnedPairsSql(m05Expected),
+    "m06_image_ahash" -> pinnedPairsSql(m06Expected),
     "m01_binary_meta" ->
       """SELECT doc_id AS media_id, 'text' AS kind,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -194,12 +194,27 @@ class MultimodalSpec extends SparkSpec {
     } yield (a, b, d.toLong)).toSet
     assert(pairs == brute && pairs.map(p => (p._1, p._2)) == Set((1L, 2L)),
       s"got $pairs")
-    // the registered m05 row: the (0, 7) exact-copy pair exists by construction
+    // the registered m05 row: full 28-pair histogram; the (0, 7) exact-copy
+    // pair is 0-hamming by construction
     val m05 = Multimodal.m05ImagePhash(spark, dir)
       .as[(Long, Long, Long)].collect()
-    assert(m05.nonEmpty && m05.forall(_._3 <= 7))
+    assert(m05.length == 28)
     assert(m05.exists(p => p._1 == 0L && p._2 == 7L && p._3 == 0L),
       "variants 0 and 7 are identical by construction")
+  }
+
+  test("m04/m05/m06 match their pinned-literal oracle rows exactly") {
+    // the driver's DuckDB compare now binds on a pinned VALUES table; this
+    // local twin reddens first if the fixture hashes ever drift
+    val got = Seq(
+      ("m04", Multimodal.m04ImageDhash(spark, dir), Multimodal.m04Expected),
+      ("m05", Multimodal.m05ImagePhash(spark, dir), Multimodal.m05Expected),
+      ("m06", Multimodal.m06ImageAhash(spark, dir), Multimodal.m06Expected))
+    got.foreach { case (name, df, want) =>
+      val rows = df.select($"id_a", $"id_b", $"hamming")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(rows == want, s"$name drifted from pinned oracle rows")
+    }
   }
 
   test("ahash: mean-threshold fingerprint; uniform brightness shift is invisible") {
