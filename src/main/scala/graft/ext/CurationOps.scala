@@ -311,18 +311,26 @@ object CurationOps {
       .withColumn("__ntok", size(toks(col(textCol))).cast("long"))
       .withColumn("__h", h60(concat(lit(salt), col(idCol).cast("string"))))
       .withColumn("__b", shiftright(col("__h"), 44))
+    // ONE corpus aggregation feeds bucket offsets AND the grand total: the
+    // histogram (≤ 65536 rows) persists, so deriving __T from it re-reads
+    // the cached rows, never the corpus. Without this the corpus was
+    // tokenized+hashed three times per call (hist, total, probe) — the
+    // probe scan below is the only remaining re-scan, which is the right
+    // trade at 100 TB (recompute a narrow projection vs cache the corpus).
     val hist = base.groupBy(col("__b")).agg(sum(col("__ntok")).as("__bsum"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val offs = hist
       .withColumn("__off", coalesce(
         sum(col("__bsum")).over(
           Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
       .select(col("__b"), col("__off"))
-    val total = base.agg(sum(col("__ntok")).as("__T"))
+    val total = hist.agg(sum(col("__bsum")).as("__T"))
     val within = Window.partitionBy(col("__b"))
       .orderBy(col("__h"), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     base
-      .join(broadcast(hist), Seq("__b"))
+      .join(broadcast(offs), Seq("__b"))
       .crossJoin(broadcast(total))
       .withColumn("__cb", col("__off") + coalesce(sum(col("__ntok")).over(within), lit(0L)))
       .filter(col("__cb") < expr(s"(__T * ${numer}L) div ${denom}L"))

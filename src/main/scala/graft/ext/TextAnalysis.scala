@@ -745,7 +745,7 @@ object TextAnalysis {
   }
 
   // ---------------------------------------------------------------- t17
-  /** Accent folding — NFC(strip Mn(NFD)) via the codegen'd
+  /** Accent folding — NFC(strip Mn/Mc/Me(NFD)) via the codegen'd
     * [[graft.functions.StripAccents]] expression: the search/index
     * normalization step that makes "café"/"cafe" collide while leaving
     * non-accent letters (ł, ß, ligatures) intact. Pure scalar projection,
@@ -757,16 +757,23 @@ object TextAnalysis {
   /** The t17 oracle: DuckDB `strip_accents` (utf8proc) on deterministic
     * injected text — decomposed accents, precomposed accents, and a mixed
     * row whose stroke-letter/eszett must survive folding (the negative
-    * case). Codepoints chr()/\u-spelled on each side (the t16 discipline). */
+    * case), and a SPACING/ENCLOSING-mark row: Devanagari ka+i-matra
+    * (U+0915 U+093F) and Tamil na+i-matra (U+0BA8 U+0BBF) are Mc, the
+    * combining enclosing circle (U+20DD) is Me \u2014 utf8proc STRIPMARK
+    * removes ALL mark classes, not just Mn (pinned after the round-9
+    * latent-divergence finding).
+    * Codepoints chr()/\u-spelled on each side (the t16 discipline). */
   val t17StripAccents: Q = (s, dir) => {
     import s.implicits._
     val injected = docs(s, dir).select($"doc_id", concat($"text",
-      when(pmod($"doc_id", lit(4)) === 0,
+      when(pmod($"doc_id", lit(5)) === 0,
         lit(" cafe\u0301 \u212Bngstro\u0308m"))
-        .when(pmod($"doc_id", lit(4)) === 1,
+        .when(pmod($"doc_id", lit(5)) === 1,
           lit(" caf\u00e9 \u00c5ngstr\u00f6m"))
-        .when(pmod($"doc_id", lit(4)) === 2,
+        .when(pmod($"doc_id", lit(5)) === 2,
           lit(" na\u00efve \u0142\u00f3d\u017a stra\u00dfe"))
+        .when(pmod($"doc_id", lit(5)) === 3,
+          lit(" \u0915\u093f \u0ba8\u0bbf a\u20ddb"))
         .otherwise(lit(""))).as("raw"))
     stripAccents(injected, "raw")
       .select($"doc_id", $"folded_text",
@@ -1179,18 +1186,23 @@ object TextAnalysis {
         |FROM inj ORDER BY doc_id""".stripMargin,
     // t17: 239=U+00EF ï, 322=U+0142 ł, 243=U+00F3 ó, 378=U+017A ź,
     // 223=U+00DF ß; accents fold, stroke-letter and eszett survive.
+    // 2325/2367 = Devanagari ka + i-matra (Mc), 2984/3007 = Tamil na + i
+    // (Mc), 8413 = combining enclosing circle (Me): all marks strip.
     "t17_strip_accents" ->
       """WITH inj AS (
         |  SELECT doc_id, text ||
-        |   CASE WHEN doc_id % 4 = 0
+        |   CASE WHEN doc_id % 5 = 0
         |    THEN ' cafe' || chr(769) || ' ' || chr(8491) || 'ngstro' ||
         |         chr(776) || 'm'
-        |   WHEN doc_id % 4 = 1
+        |   WHEN doc_id % 5 = 1
         |    THEN ' caf' || chr(233) || ' ' || chr(197) || 'ngstr' ||
         |         chr(246) || 'm'
-        |   WHEN doc_id % 4 = 2
+        |   WHEN doc_id % 5 = 2
         |    THEN ' na' || chr(239) || 've ' || chr(322) || chr(243) || 'd' ||
         |         chr(378) || ' stra' || chr(223) || 'e'
+        |   WHEN doc_id % 5 = 3
+        |    THEN ' ' || chr(2325) || chr(2367) || ' ' || chr(2984) ||
+        |         chr(3007) || ' a' || chr(8413) || 'b'
         |   ELSE '' END AS raw
         |  FROM documents)
         |SELECT doc_id, strip_accents(raw) AS folded_text,

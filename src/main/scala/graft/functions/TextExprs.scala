@@ -60,16 +60,21 @@ object NfcNormalize {
   }
 }
 
-/** Accent folding — NFC(strip Mn(NFD(text))): decompose canonically, drop
-  * every non-spacing combining mark, recompose. The search/index
-  * normalization step ("café" matches "cafe"); the trailing NFC pass
-  * matters for scripts whose NFD form is not combining marks — Hangul
-  * decomposes to Jamo and must recompose to syllables.
+/** Accent folding — NFC(strip marks(NFD(text))): decompose canonically,
+  * drop every combining mark (Mn non-spacing accents/dakuten, Mc spacing
+  * matras, Me enclosing — utf8proc's STRIPMARK removes all three classes),
+  * recompose. The search/index normalization step ("café" matches "cafe");
+  * the trailing NFC pass matters for scripts whose NFD form is not
+  * combining marks — Hangul decomposes to Jamo and must recompose to
+  * syllables.
   *
   * Cross-engine contract: this is exactly DuckDB `strip_accents`
-  * (utf8proc), verified on accent, stroke-letter (ł kept), ligature
-  * (œ/Æ/ß kept), kana-dakuten, and Hangul cases — which makes the t17
-  * oracle byte-exact. Same custom-Expression rationale as [[NfcNormalize]]:
+  * (utf8proc STRIPMARK), verified on accent, stroke-letter (ł kept),
+  * ligature (œ/Æ/ß kept), kana-dakuten, Devanagari/Tamil matra (Mc),
+  * enclosing-circle (Me), and Hangul cases — which makes the t17 oracle
+  * byte-exact. (Round 9 dropped only Mn; DuckDB folds 'कि'→'क' while Mn-only
+  * kept the matra — a latent divergence on Indic scripts, now closed.)
+  * Same custom-Expression rationale as [[NfcNormalize]]:
   * no Spark builtin, UDFs break codegen.
   */
 case class StripAccents(child: Expression) extends UnaryExpression {
@@ -106,7 +111,12 @@ object StripAccents {
     var j = 0
     while (j < nfd.length) {
       val cp = nfd.codePointAt(j)
-      if (Character.getType(cp) != Character.NON_SPACING_MARK) sb.appendCodePoint(cp)
+      // utf8proc STRIPMARK (DuckDB strip_accents) removes ALL combining
+      // marks — Mn (accents, dakuten), Mc (Devanagari/Tamil matras), and
+      // Me (enclosing) — not just the non-spacing class
+      val t = Character.getType(cp)
+      if (t != Character.NON_SPACING_MARK && t != Character.COMBINING_SPACING_MARK &&
+          t != Character.ENCLOSING_MARK) sb.appendCodePoint(cp)
       j += Character.charCount(cp)
     }
     UTF8String.fromString(

@@ -111,6 +111,16 @@ class TextExprsSpec extends SparkSpec {
     assert(fold("\u3071") == "\u306f")
   }
 
+  test("strip: spacing (Mc) and enclosing (Me) marks drop like utf8proc STRIPMARK") {
+    // Devanagari ka + i-matra (U+093F, Mc) -> bare ka; Tamil na + i-matra
+    // (U+0BBF, Mc) -> bare na: DuckDB strip_accents folds both (verified
+    // live), so Mn-only stripping was a latent Indic-script divergence
+    assert(fold("\u0915\u093f") == "\u0915")
+    assert(fold("\u0ba8\u0bbf") == "\u0ba8")
+    // combining enclosing circle (U+20DD, Me) drops too
+    assert(fold("a\u20ddb") == "ab")
+  }
+
   test("strip: pure-ASCII fast path returns the same instance") {
     val ascii = UTF8String.fromString("plain ascii text")
     assert(StripAccents.strip(ascii) eq ascii)
