@@ -62,7 +62,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's log window truncates long stdout tails (BENCH_r09 lost
+    // the first ~28 queries of per-query history), so also persist the full
+    // line as a machine-readable artifact that survives in the repo.
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_results.json"), line + "\n")
     spark.stop()
   }
 }

@@ -32,7 +32,16 @@ object Queries {
   // ---------------------------------------------------------------- q01
   /** Pricing summary: grouped aggregation with partial (map-side) combine.
     * Scale note: groupBy on low-cardinality keys -> tiny shuffle after
-    * partial aggregation; the filter is pushed into the parquet scan. */
+    * partial aggregation; the filter is pushed into the parquet scan.
+    *
+    * Determinism note: the scale-4 AVERAGES are integer-cent-staged —
+    * `sum(round(x·100)::long) / 100.0 / n` — because the source columns are
+    * fixed 2-decimal data, so the long sum is EXACT and order-independent
+    * where `avg(double)` reassociates by task-completion order (the c10
+    * round-9 flake shape; a boundary-straddling mean here would redden the
+    * same way). The round-2 SUMS stay float: their true values are exact
+    * multiples of 0.01, a 0.005 half-boundary margin that float noise
+    * cannot cross at oracle scale. */
   val q01PricingSummary: Q = (s, dir) => {
     import s.implicits._
     t(s, dir, "lineitem")
@@ -42,8 +51,10 @@ object Queries {
         round(sum($"l_quantity"), 2).as("sum_qty"),
         round(sum($"l_extendedprice"), 2).as("sum_base_price"),
         round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
-        round(avg($"l_quantity"), 4).as("avg_qty"),
-        round(avg($"l_discount"), 4).as("avg_disc"),
+        round(sum(round($"l_quantity" * 100).cast("long")) / lit(100.0)
+          / count(lit(1)) + 1e-9, 4).as("avg_qty"),
+        round(sum(round($"l_discount" * 100).cast("long")) / lit(100.0)
+          / count(lit(1)) + 1e-9, 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy($"l_returnflag", $"l_linestatus")
   }
@@ -472,11 +483,17 @@ object Queries {
   // ---------------------------------------------------------------- q29
   /** Correlated scalar subquery (decorrelated form): orders priced above
     * 1.5× their customer's average. Expressed as agg + equi-join — exactly
-    * the decorrelation Catalyst would apply to the subquery form. */
+    * the decorrelation Catalyst would apply to the subquery form. The
+    * per-customer average is integer-cent-staged (o_totalprice is 2-decimal
+    * data): the filter's row MEMBERSHIP depends on the average, so a
+    * task-order float reassociation could otherwise flip a near-boundary
+    * ratio between runs (the q01/c10 determinism discipline). */
   val q29CorrSubquery: Q = (s, dir) => {
     import s.implicits._
     val o = t(s, dir, "orders")
-    val avgc = o.groupBy($"o_custkey".as("k")).agg(avg($"o_totalprice").as("avg_price"))
+    val avgc = o.groupBy($"o_custkey".as("k"))
+      .agg((sum(round($"o_totalprice" * 100).cast("long")) / lit(100.0)
+        / count(lit(1))).as("avg_price"))
     o.join(avgc, o("o_custkey") === avgc("k"))
       .withColumn("ratio", round($"o_totalprice" / $"avg_price", 4))
       .filter($"ratio" > 1.5)
@@ -537,8 +554,11 @@ object Queries {
       // + 1e-9 before rounding: the testdata's few-decimal values make
       // averages land exactly on 5th-decimal ties, and Spark (binary
       // HALF_UP) and DuckDB round them to different sides; the same nudge
-      // on both engines picks one side deterministically
-      .agg(round(avg($"value") + lit(1e-9), 4).as("avg_value"), count(lit(1)).as("n"))
+      // on both engines picks one side deterministically. Integer-cent
+      // staging (value is 2-decimal data) makes the mean itself
+      // order-deterministic — the q01/c10 discipline.
+      .agg(round(sum(round($"value" * 100).cast("long")) / lit(100.0)
+        / count(lit(1)) + 1e-9, 4).as("avg_value"), count(lit(1)).as("n"))
       .orderBy($"k")
   }
 
@@ -716,8 +736,10 @@ object Queries {
         | round(sum(l_quantity), 2) AS sum_qty,
         | round(sum(l_extendedprice), 2) AS sum_base_price,
         | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-        | round(avg(l_quantity), 4) AS avg_qty,
-        | round(avg(l_discount), 4) AS avg_disc,
+        | round(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+        |   / 100.0 / count(*) + 1e-9, 4) AS avg_qty,
+        | round(CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+        |   / 100.0 / count(*) + 1e-9, 4) AS avg_disc,
         | CAST(count(*) AS BIGINT) AS count_order
         |FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'
         |GROUP BY l_returnflag, l_linestatus
@@ -922,8 +944,10 @@ object Queries {
         | round(o_totalprice, 2) AS price, ratio
         |FROM (
         | SELECT o_orderkey, o_custkey, o_totalprice,
-        |  round(o_totalprice / (SELECT avg(o2.o_totalprice) FROM orders o2
-        |                        WHERE o2.o_custkey = orders.o_custkey), 4) AS ratio
+        |  round(o_totalprice / (
+        |    SELECT CAST(sum(CAST(round(o2.o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+        |           / 100.0 / count(*)
+        |    FROM orders o2 WHERE o2.o_custkey = orders.o_custkey), 4) AS ratio
         | FROM orders) t
         |WHERE ratio > 1.5 ORDER BY okey""".stripMargin,
     "q30_analytic_funcs" ->
@@ -946,7 +970,8 @@ object Queries {
         |FROM part ORDER BY p_key""".stripMargin,
     "q32_variant" ->
       """SELECT CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) AS k,
-        | round(avg(value) + 1e-9, 4) AS avg_value, CAST(count(*) AS BIGINT) AS n
+        | round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+        |   / 100.0 / count(*) + 1e-9, 4) AS avg_value, CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY 1 ORDER BY k""".stripMargin,
     "q33_theta_join" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS nkey, n_name, r_name

@@ -179,16 +179,79 @@ object CurationStream {
     * steps and either delete its in-flight tmp or restore the aside under
     * it, aborting the compaction spuriously. Same-JVM callers (the
     * supported shape — foreachBatch and maintenance compaction both run on
-    * the stream's driver) are fully serialized; compacting from a SEPARATE
-    * process while the stream runs needs external coordination and is not
-    * supported. */
+    * the stream's driver) are fully serialized; a compactor in a SEPARATE
+    * process is additionally fenced by the [[Fence]] epoch manifest so it
+    * can abort but never lose postings. */
   private val indexLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def lockFor(dir: String): Object =
     indexLocks.computeIfAbsent(dir, _ => new Object)
 
+  /** Cross-PROCESS epoch fencing for the signature index — the JVM lock
+    * above cannot reach a compactor running in a second process (a
+    * maintenance job racing the live stream). The index carries a manifest
+    * directory `_fence/` of monotonically numbered `epoch-<n>` marker
+    * files; every mutator acquires the next epoch by ATOMIC create-new
+    * (O_EXCL locally, the namenode's create(overwrite=false) on HDFS — the
+    * only primitive object stores and HDFS agree is a CAS), and the
+    * FENCING RULE is asymmetric, matching ownership:
+    *
+    *   - the WRITER (the stream's foreachBatch) acquires an epoch at every
+    *     batch and never yields — the stream owns its index;
+    *   - a COMPACTOR records the epoch it acquired and re-checks `maxEpoch`
+    *     before every destructive step (aside rename, commit rename, every
+    *     original-partition delete). A newer epoch means a writer moved
+    *     underneath it: the compactor ABORTS, rolling back or leaving only
+    *     states [[healCompaction]] recovers — duplicated postings at worst,
+    *     never loss. Compaction is hygiene; aborting is always safe.
+    *
+    * The unavoidable check-then-act window (a writer bumps between a
+    * compactor's last check and its one in-flight delete) is closed on the
+    * writer side: [[nearDedupBatch]] re-verifies its partition after
+    * writing and re-writes if a lagging delete clobbered it — each
+    * compaction run deletes a given partition at most once, so the retry
+    * converges. Old epoch markers are pruned at acquire; the manifest stays
+    * a handful of empty files. */
+  private[graft] object Fence {
+    import org.apache.hadoop.fs.{FileSystem, Path}
+    private def dir(root: Path) = new Path(root, "_fence")
+
+    /** Highest acquired epoch, 0 if none. */
+    def maxEpoch(fs: FileSystem, root: Path): Long = {
+      val d = dir(root)
+      if (!fs.exists(d)) 0L
+      else fs.listStatus(d).iterator.flatMap(s =>
+        Option(s.getPath.getName).filter(_.startsWith("epoch-"))
+          .flatMap(_.stripPrefix("epoch-").toLongOption)).foldLeft(0L)(math.max)
+    }
+
+    /** Acquire the next epoch: atomic create-new of `epoch-<n>`, bumping n
+      * past losers of concurrent races. Prunes markers older than the
+      * previous 8 (only the max matters; a few are kept so a concurrent
+      * maxEpoch listing never observes an empty manifest mid-prune). */
+    def acquire(fs: FileSystem, root: Path): Long = {
+      val d = dir(root)
+      fs.mkdirs(d)
+      var e = maxEpoch(fs, root) + 1
+      var acquired = false
+      while (!acquired) {
+        val p = new Path(d, s"epoch-$e")
+        acquired =
+          try { fs.create(p, false).close(); true }
+          catch { case _: java.io.IOException => e += 1; false }
+      }
+      fs.listStatus(d).foreach { s =>
+        Option(s.getPath.getName).filter(_.startsWith("epoch-"))
+          .flatMap(_.stripPrefix("epoch-").toLongOption)
+          .filter(_ < e - 8).foreach(_ => fs.delete(s.getPath, false))
+      }
+      e
+    }
+  }
+
   def nearDedupBatch(indexDir: String, idCol: String, textCol: String,
-      bands: Int = 4, rowsPerBand: Int = 4, shingleLen: Int = 3)
+      bands: Int = 4, rowsPerBand: Int = 4, shingleLen: Int = 3,
+      onWrite: () => Unit = () => ())
       (batch: DataFrame, batchId: Long): DataFrame = {
     import graft.ext.DedupOps
     // the minhash window-agg and posting build each feed several actions
@@ -209,6 +272,12 @@ object CurationStream {
     // concurrent streams on the same session.
     graft.Pushdown.ensureInThreshold(spark)
     try lockFor(indexDir).synchronized {
+      // fence any cross-process compactor FIRST: from here on, a compactor
+      // holding an older epoch aborts at its next destructive-step check
+      val root = new org.apache.hadoop.fs.Path(indexDir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(root)
+      Fence.acquire(fs, root)
       val survivors = earlierIndex(batch, indexDir, batchId) match {
         case Some(idx) =>
           val probeSigs = posts.select(col("bsig")).distinct()
@@ -234,15 +303,32 @@ object CurationStream {
       // rewrites exactly its own partition, including rewriting it to
       // nothing when compaction changed what survives between attempts)
       val target = new org.apache.hadoop.fs.Path(s"$indexDir/batch=$batchId")
-      if (!survivorPosts.isEmpty)
-        // (band,bsig)-sorted write: range-partitioned files, each sorted, so
-        // every row group covers a narrow signature slice and the probe's
-        // pushed In filter above can skip it by stats alone
-        survivorPosts.sort(col("band"), col("bsig"))
-          .write.mode("overwrite").parquet(target.toString)
-      else {
-        val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.delete(target, true)
+      val hasPosts = !survivorPosts.isEmpty
+      // write-and-verify loop: a cross-process compactor whose LAST epoch
+      // check predated our Fence.acquire above can have one in-flight
+      // delete land on our fresh partition (the unavoidable check-then-act
+      // window, see [[Fence]]). Each compaction run deletes a partition at
+      // most once and aborts at its next check, so one re-write converges;
+      // the bound is paranoia against a pathological stack of compactors.
+      var attempts = 0
+      var settled = false
+      while (!settled) {
+        attempts += 1
+        require(attempts <= 5,
+          s"nearDedupBatch: batch=$batchId partition kept disappearing " +
+            "under concurrent compaction — external coordination is broken")
+        if (hasPosts)
+          // (band,bsig)-sorted write: range-partitioned files, each sorted,
+          // so every row group covers a narrow signature slice and the
+          // probe's pushed In filter above can skip it by stats alone
+          survivorPosts.sort(col("band"), col("bsig"))
+            .write.mode("overwrite").parquet(target.toString)
+        else fs.delete(target, true)
+        onWrite() // test seam: the fencing spec injects the racing delete here
+        settled =
+          if (hasPosts)
+            fs.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS"))
+          else !fs.exists(target)
       }
       survivors.localCheckpoint(true)
     } finally {
@@ -273,21 +359,30 @@ object CurationStream {
     * merged one — duplicated postings, harmless (every consumer distincts
     * the signatures) and folded away by the next compaction. `onStep` is a
     * test seam: the crash-injection spec throws from it to exercise each
-    * window. */
+    * window, and the fencing spec runs a concurrent writer from it.
+    *
+    * Cross-process fencing (see [[Fence]]): the compactor acquires an
+    * epoch up front and re-checks `maxEpoch` before every destructive
+    * step. A concurrent [[nearDedupBatch]] (same process or not) bumps the
+    * epoch, so a fenced compactor rolls back / stops cleanly — worst case
+    * duplicated postings, never loss — and returns `false`. Returns `true`
+    * when a merge committed (or there was nothing to merge). */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
-      uptoBatchId: Long, onStep: String => Unit = _ => ()): Unit =
+      uptoBatchId: Long, onStep: String => Unit = _ => ()): Boolean =
       lockFor(indexDir).synchronized {
     val root = new org.apache.hadoop.fs.Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return
+    if (!fs.exists(root)) return true
     healCompaction(fs, root)
+    val myEpoch = Fence.acquire(fs, root)
+    def fenced: Boolean = Fence.maxEpoch(fs, root) != myEpoch
     val parts = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
       .flatMap { p =>
         Option(p.getName).filter(_.startsWith("batch="))
           .flatMap(_.stripPrefix("batch=").toLongOption)
           .filter(_ < uptoBatchId).map(_ -> p)
       }
-    if (parts.length < 2) return // nothing to merge
+    if (parts.length < 2) return true // nothing to merge
     val maxId = parts.map(_._1).max
     val tmp = new org.apache.hadoop.fs.Path(root, s".compact-$maxId")
     // preserve the (band,bsig) sort across compaction — the merged partition
@@ -299,15 +394,45 @@ object CurationStream {
     onStep("merged")
     val target = new org.apache.hadoop.fs.Path(root, s"batch=$maxId")
     val aside = new org.apache.hadoop.fs.Path(root, s".old-$maxId")
+    if (fenced) { fs.delete(tmp, true); onStep("fenced"); return false }
     require(fs.rename(target, aside),
       s"compactIndex: rename $target -> $aside failed")
     onStep("aside")
-    require(fs.rename(tmp, target),
-      s"compactIndex: rename $tmp -> $target failed; original kept in $aside")
+    // rename helper: RawLocalFileSystem THROWS on a missing source where
+    // HDFS returns false — a fencing writer's concurrent heal can legally
+    // remove our source (restore the aside, delete the tmp), so both
+    // outcomes mean the same thing here: "the rename didn't happen"
+    def tryRename(src: org.apache.hadoop.fs.Path,
+        dst: org.apache.hadoop.fs.Path): Boolean =
+      try fs.rename(src, dst) catch { case _: java.io.IOException => false }
+    if (fenced) {
+      // roll the aside back under the fence — one rename, loss-free; the
+      // writer that fenced us may be healing concurrently and have restored
+      // the target itself already, in which case our aside is redundant
+      if (!tryRename(aside, target)) require(fs.exists(target),
+        s"compactIndex: fenced rollback failed and $target is missing")
+      fs.delete(tmp, true); onStep("fenced"); return false
+    }
+    if (!tryRename(tmp, target)) {
+      // a fencing writer's heal restored the aside under us between the
+      // check and the rename — orderly abort (tmp is re-built next run)
+      require(fs.exists(target),
+        s"compactIndex: rename $tmp -> $target failed; original kept in $aside")
+      fs.delete(tmp, true); onStep("fenced"); return false
+    }
     onStep("committed")
+    // post-commit the merged partition holds every original posting; if a
+    // writer fences us now we STOP deleting — its re-written partition must
+    // survive, and the duplicates fold away next compaction (the aside is
+    // target-shadowed, healCompaction deletes it)
+    if (fenced) { onStep("fenced"); return false }
     fs.delete(aside, true)
-    parts.collect { case (id, p) if id != maxId => p }
-      .foreach(p => fs.delete(p, true))
+    var clean = true
+    parts.collect { case (id, p) if id != maxId => p }.foreach { p =>
+      if (clean && fenced) { onStep("fenced"); clean = false }
+      if (clean) fs.delete(p, true)
+    }
+    clean
   }
 
   /** Recover an interrupted [[compactIndex]] run. For each `.old-<id>` aside

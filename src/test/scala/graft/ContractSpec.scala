@@ -14,11 +14,11 @@ class ContractSpec extends SparkSpec {
   }
 
   test("only the documented rows-only queries lack an oracle") {
-    // q26: sketch values are engine-specific (ContractSpec bounds them);
-    // m04/m05/m06: pixel decode is not SQL-expressible (MultimodalSpec pins
-    // the dHash/pHash/aHash/banding semantics)
-    val documented = Set("q26_approx_agg", "m04_image_dhash",
-      "m05_image_phash", "m06_image_ahash")
+    // q26: sketch values are engine-specific (ContractSpec bounds them).
+    // m04/m05/m06 graduated in round 10: pixel decode still is not
+    // SQL-expressible, but the hashes are deterministic, so their oracles
+    // are pinned-literal VALUES tables (MultimodalSpec pins the rows).
+    val documented = Set("q26_approx_agg")
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == documented,
       s"undocumented rows-only queries: ${rowsOnly -- documented}")

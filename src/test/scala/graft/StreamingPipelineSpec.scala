@@ -625,6 +625,76 @@ class StreamingPipelineSpec extends SparkSpec {
     }
   }
 
+  test("cross-process fencing: a concurrent batch write aborts the compactor in every window, losslessly") {
+    import graft.streaming.CurationStream
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tB = "one two three four five six seven eight nine ten"
+    val tC = "red orange yellow green blue indigo violet black white gray"
+    val tD = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    for (step <- Seq("merged", "aside", "committed")) {
+      val dir = Files.createTempDirectory(s"neardup_fence_$step").toString
+      def run(id: Long, rows: (Long, String)*): Seq[Long] =
+        CurationStream.nearDedupBatch(dir, "doc_id", "text")(
+          rows.toSeq.toDF("doc_id", "text"), id)
+          .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+      assert(run(0L, (1L, tA)) == Seq(1L))
+      assert(run(1L, (2L, tB)) == Seq(2L))
+      assert(run(2L, (3L, tC)) == Seq(3L))
+      // the "second process": same filesystem directory, different JVM lock
+      // key (trailing slash), so this compactor does NOT serialize with the
+      // writer — only the on-disk epoch fence stands between them
+      var fencedSeen = false
+      val ok = CurationStream.compactIndex(spark, dir + "/", uptoBatchId = 3L,
+        onStep = {
+          case `step` =>
+            // a batch commits in the writer's process mid-compaction,
+            // bumping the epoch (and healing whatever state it finds)
+            assert(run(3L, (4L, tD)) == Seq(4L))
+          case "fenced" => fencedSeen = true
+          case _ => ()
+        })
+      assert(!ok && fencedSeen,
+        s"window '$step': compactor must abort fenced, got ok=$ok fenced=$fencedSeen")
+      // NO posting lost: every text written before or during the race drops
+      assert(run(4L, (5L, tA), (6L, tB), (7L, tC), (8L, tD)) == Seq(),
+        s"window '$step' lost postings")
+      // an uncontended compaction then completes and leaves no residue
+      assert(CurationStream.compactIndex(spark, dir, uptoBatchId = 4L),
+        s"window '$step': quiet compaction should complete")
+      val residue = new java.io.File(dir).listFiles().map(_.getName)
+        .filter(n => n.startsWith(".old-") || n.startsWith(".compact-")).toSeq
+      assert(residue.isEmpty, s"window '$step' left $residue")
+      assert(run(5L, (9L, tA), (10L, tB), (11L, tC), (12L, tD)) == Seq(),
+        s"window '$step': compacted index must still drop all four")
+    }
+  }
+
+  test("a lagging compactor delete cannot clobber a fresh batch partition (write verify)") {
+    import graft.streaming.CurationStream
+    val dir = Files.createTempDirectory("neardup_verify").toString
+    val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tC = "red orange yellow green blue indigo violet black white gray"
+    assert(CurationStream.nearDedupBatch(dir, "doc_id", "text")(
+      Seq((1L, tA)).toDF("doc_id", "text"), 0L).count() == 1L)
+    // a fenced compactor can have exactly ONE in-flight delete land after
+    // the writer's epoch bump (the check-then-act window) — inject it on
+    // the first write attempt; the verify loop must detect and re-write
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var injected = false
+    val kept = CurationStream.nearDedupBatch(dir, "doc_id", "text",
+      onWrite = () => if (!injected) {
+        injected = true
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/batch=1"), true)
+      })(Seq((2L, tC)).toDF("doc_id", "text"), 1L)
+    assert(kept.select(col("doc_id")).collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/batch=1/_SUCCESS")),
+      "the clobbered partition must be re-written")
+    // and the re-written postings are live: tC drops in the next batch
+    assert(CurationStream.nearDedupBatch(dir, "doc_id", "text")(
+      Seq((3L, tC)).toDF("doc_id", "text"), 2L).count() == 0L)
+  }
+
   test("a replay that yields zero survivors deletes its stale index partition") {
     import graft.streaming.CurationStream
     val dir = Files.createTempDirectory("neardup_stale").toString
