@@ -689,7 +689,90 @@ object Queries {
       .orderBy($"l_orderkey", $"line_no")
   }
 
+  // ---------------------------------------------------------------- q37
+  /** Exact discrete percentiles per group: `percentile_disc` picks the
+    * smallest value whose cumulative distribution reaches p — i.e. element
+    * `ceil(p·n)` of the sorted multiset — so the result is a VALUE COPIED
+    * FROM THE INPUT, no interpolation arithmetic, hash-exact across engines
+    * by construction (DuckDB `quantile_disc` implements the same rule;
+    * verified element-for-element). Exact percentiles keep a value→count
+    * histogram per group as aggregation state — bounded here by the
+    * distinct 2-decimal prices, NOT by group row count, but still the
+    * operator to swap for q26's `approx_percentile` sketch when the value
+    * domain is unbounded at 100 TB (that trade is the q26/ContractSpec
+    * story; this row is the exact side of it). */
+  val q37Percentiles: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice)").as("p25"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("p50"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice)").as("p75"),
+        expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)").as("p95"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  // ---------------------------------------------------------------- q38
+  /** Bucketed co-located join — the storage-layout lever that deletes the
+    * join shuffle outright: both fact tables are written `bucketBy(8, key)
+    * .sortBy(key)`, so each scan reports hash-partitioning on the join key
+    * and the sort-merge join runs with ZERO Exchange and ZERO Sort under it
+    * (PlanSpec asserts both; the MERGE hint keeps AQE from broadcasting the
+    * small side at test scale, since shuffle elimination is the thing under
+    * proof). At 100 TB this is THE recurring-join pattern: pay one
+    * partitioned write, then every downstream orderkey join is
+    * shuffle-free. The bucketed copies are external tables under
+    * java.io.tmpdir, rewritten idempotently per (sf, invocation); the
+    * oracle replays the plain join — bucketing must not change a single
+    * row. */
+  val q38BucketedJoin: Q = (s, dir) => {
+    import s.implicits._
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_bucketed/$tag").getAbsolutePath
+    def bucketed(name: String, key: String): DataFrame = {
+      val tbl = s"graft_bucketed_${name}_$tag"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      // repartition on the bucket hash first -> exactly ONE file per bucket;
+      // with multiple files per bucket Spark cannot trust the sortBy
+      // metadata and re-sorts both sides (writer tasks and buckets would
+      // interleave), which would silently forfeit the no-Sort merge join
+      t(s, dir, name).repartition(8, col(key)).write
+        .bucketBy(8, key).sortBy(key)
+        .option("path", s"$base/$name")
+        .mode("overwrite").saveAsTable(tbl)
+      s.table(tbl)
+    }
+    val li = bucketed("lineitem", "l_orderkey")
+    val o = bucketed("orders", "o_orderkey")
+    val joined = li.hint("MERGE").join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy($"o_orderpriority")
+      .agg(
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+        countDistinct($"o_orderkey").as("n_orders"),
+        count(lit(1)).as("n_items"))
+      .orderBy($"o_orderpriority")
+    // Spark 3+ ignores bucket SORT metadata by default (the one-file-per-
+    // bucket check needs a listing — SPARK-28595); opt in and force the
+    // physical plan NOW so the no-Sort merge join is planned under the
+    // flag, then restore the session default. The Dataset caches its
+    // QueryExecution, so later actions reuse this plan.
+    val key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try joined.queryExecution.executedPlan
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+    joined
+  }
+
   val queries: Map[String, Q] = Map(
+    "q37_percentiles" -> q37Percentiles,
+    "q38_bucketed_join" -> q38BucketedJoin,
     "q34_zorder" -> q34Zorder,
     // single-scan form registered as THE q35 (one events scan, one user-keyed
     // shuffle, zero joins — the plan to run at 100 TB); the chained
@@ -731,6 +814,28 @@ object Queries {
     "q33_theta_join" -> q33ThetaJoin)
 
   val oracles: Map[String, String] = Map(
+    // quantile_disc implements the same smallest-value-at-cume_dist>=p rule
+    // as Spark's percentile_disc (both pick sorted element ceil(p*n)) — the
+    // outputs are copies of input values, so the compare is exact
+    "q37_percentiles" ->
+      """SELECT l_returnflag, l_linestatus,
+        | quantile_disc(l_extendedprice, 0.25) AS p25,
+        | quantile_disc(l_extendedprice, 0.5) AS p50,
+        | quantile_disc(l_extendedprice, 0.75) AS p75,
+        | quantile_disc(l_extendedprice, 0.95) AS p95,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // the PLAIN join — the bucketed layout must be invisible in the rows
+    "q38_bucketed_join" ->
+      """SELECT o_orderpriority,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        | CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+        | CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

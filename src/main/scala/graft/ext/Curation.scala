@@ -307,7 +307,20 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- c14
+  /** Per-source unigram KL divergence against the whole corpus — the oracle
+    * row for [[CurationOps.klDrift]]: every term derives from exact integer
+    * counts and the per-source sum is a sorted fold, so DuckDB replays the
+    * drift numbers bit-for-bit (list_sort + list_reduce, the t07/c10
+    * playbook). */
+  val c14KlDrift: Q = (s, dir) => {
+    import s.implicits._
+    CurationOps.klDrift(docs(s, dir), "text", "source")
+      .orderBy($"source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "c14_kl_drift" -> c14KlDrift,
     "c13_token_budget" -> c13TokenBudget,
     "c01_decontaminate" -> c01Decontaminate,
     "c12_perplexity_buckets" -> c12PerplexityBuckets,
@@ -329,6 +342,25 @@ object Curation {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // one (source, token) count table; corpus totals re-aggregated from it;
+    // per-source KL as the sorted fold over integer-count-derived terms
+    "c14_kl_drift" ->
+      (toksCte +
+        """, t AS (SELECT source, unnest(toks) AS tok FROM l),
+          | st AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+          |        FROM t GROUP BY source, tok),
+          | tt AS (SELECT tok, CAST(sum(c) AS BIGINT) AS ct FROM st GROUP BY tok),
+          | tot AS (SELECT CAST(sum(ct) AS BIGINT) AS T FROM tt),
+          | ts AS (SELECT source, CAST(sum(c) AS BIGINT) AS s FROM st GROUP BY source)
+          |SELECT st.source, any_value(ts.s) AS n_tokens,
+          | CAST(count(*) AS BIGINT) AS vocab,
+          | round(list_reduce(list_sort(list(
+          |   (CAST(st.c AS DOUBLE) / CAST(ts.s AS DOUBLE))
+          |   * ln((CAST(st.c AS DOUBLE) / CAST(ts.s AS DOUBLE))
+          |        / (CAST(tt.ct AS DOUBLE) / CAST(tot.T AS DOUBLE))))),
+          |   (a, x) -> a + x) + 1e-9, 4) AS kl_corpus
+          |FROM st JOIN tt USING (tok) JOIN ts USING (source) CROSS JOIN tot
+          |GROUP BY st.source ORDER BY st.source""".stripMargin),
     // d07's simhash-pair + recursive-reachability machinery, then the
     // salted component hash decides the split (same h60-md5 form as c09)
     "c11_leakage_split" ->

@@ -453,6 +453,45 @@ object CurationOps {
     grouped.withColumn("split", splitCol)
   }
 
+  /** Per-group unigram KL divergence KL(P_g ‖ P_corpus): how far each
+    * slice's token distribution drifts from the whole corpus — the standard
+    * monitor for source mix drift between crawl snapshots, dedup stages, or
+    * mixture re-weightings (and the distance DoReMi/DSIR-style mixture
+    * tuning optimizes against). `KL = Σ_t p_g(t) · ln(p_g(t) / p_c(t))`
+    * over the group's own support (every group token is also a corpus
+    * token, so the ratio is always finite and the sum needs no smoothing).
+    * Returns one row per group: (byCol, n_tokens, vocab, kl_corpus).
+    *
+    * Scale shape: ONE (group, token)-keyed count aggregation off a single
+    * corpus scan; corpus token totals derive from THAT table (vocab-sized
+    * re-agg — the t12 pattern, the corpus never tokenizes twice), joined
+    * back vocab-sized (AQE broadcasts when it fits); the per-group sum is
+    * an order-deterministic sorted fold ([[TextOps.foldSum]] — all terms
+    * derive from exact integer counts, so both engines fold bit-identical
+    * doubles). Per-group state is the group's vocabulary, never the corpus. */
+  def klDrift(df: DataFrame, textCol: String, byCol: String): DataFrame = {
+    val st = df
+      .withColumn("__tk", toks(col(textCol)))
+      .select(col(byCol), explode_outer(col("__tk")).as("__tok"))
+      .filter(col("__tok").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
+      .groupBy(col(byCol), col("__tok"))
+      .agg(count(lit(1)).as("__c"))
+    val tt = st.groupBy(col("__tok")).agg(sum(col("__c")).as("__ct"))
+    val tot = tt.agg(sum(col("__ct")).as("__T"))
+    val gs = Window.partitionBy(col(byCol))
+    st.join(tt, Seq("__tok"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__ts", sum(col("__c")).over(gs)) // group total: long, exact
+      .withColumn("__pg", col("__c").cast("double") / col("__ts").cast("double"))
+      .withColumn("__pc", col("__ct").cast("double") / col("__T").cast("double"))
+      .groupBy(col(byCol))
+      .agg(
+        max(col("__ts")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        TextOps.foldSum(col("__pg") * log(col("__pg") / col("__pc")))
+          .as("kl_corpus"))
+  }
+
   /** Balanced variant: every stratum downsampled to (approximately) the
     * smallest stratum's size, thresholds computed from the data in one
     * |strata|-row aggregation (the c03 query's generic form). */

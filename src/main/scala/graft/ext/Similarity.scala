@@ -702,6 +702,115 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  // -------------------------------------------------------- binary / s10
+  /** Sign-bit (1-bit) quantization: dimension `d` of the signature is set
+    * iff `v[d] > 0`. Packed as TWO longs of 32 bits each (`sig0` = dims
+    * 0..31, `sig1` = dims 32..63) so no term ever touches the sign bit —
+    * the driver-side `1L << d` literals stay positive and the sum is safe
+    * under ANSI overflow checking in both engines. This is the 32× memory /
+    * shuffle-bandwidth lever (8 bytes vs 256 float bytes per vector), the
+    * representation behind binary-quantized vector stores: candidate
+    * ranking costs two XOR+popcount ops per pair instead of a 64-term
+    * float dot product. */
+  private def signBits(v: Column, from: Int, until: Int): Column =
+    (from until until).map { d =>
+      when(element_at(v, d + 1) > 0.0d, lit(1L << (d - from))).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Adds `sig0`/`sig1` sign-signature columns for a double-array column. */
+  def withBinarySig(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("sig0", signBits(col(vecCol), 0, 32))
+      .withColumn("sig1", signBits(col(vecCol), 32, Dim))
+
+  private def hamming64(a0: Column, a1: Column, b0: Column, b1: Column): Column =
+    (bit_count(a0.bitwiseXOR(b0)) + bit_count(a1.bitwiseXOR(b1))).cast("long")
+
+  /** Brute-force top-k in 1-bit-quantized space: rank by Hamming distance
+    * between sign signatures (ascending, lower-id tie-break). Broadcast
+    * queries, stream the corpus as 16-byte signatures, cap the ranking
+    * shuffle at k rows per map partition per query with the bounded heap
+    * ([[topkUdaf]] on the negated distance — its contract is score-desc).
+    * Everything after the signature projection is integer arithmetic, so
+    * the result is exactly reproducible in any engine — no float-rounding
+    * tie risk at all. */
+  def knnBinary(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val c = withBinarySig(
+      corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v")), "__v")
+      .select(col("id"), col("sig0"), col("sig1"))
+    val q = withBinarySig(
+      queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__v")), "__v")
+      .select(col("query_id"), col("sig0").as("qs0"), col("sig1").as("qs1"))
+    broadcast(q).join(c, col("query_id") =!= col("id"))
+      .withColumn("__ham", hamming64(col("qs0"), col("qs1"), col("sig0"), col("sig1")))
+      .groupBy(col("query_id"))
+      .agg(topkUdaf(k)(-col("__ham").cast("double"), col("id")).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__p", "__t")))
+      .select(col("query_id"), (col("__p") + 1).cast("long").as("rank"),
+        col("__t._1").as("id"), (-col("__t._2")).cast("long").as("hamming"))
+  }
+
+  /** s10 oracle row: window-ranked form of [[knnBinary]] (same contract —
+    * Hamming asc, lower-id tie-break; the udaf's tie-break on equal scores
+    * is also lower-id, so both forms agree), DuckDB replays the signature
+    * packing and `bit_count(xor(...))` bit-for-bit — an all-integer oracle
+    * with zero float-boundary risk. */
+  val s10BinaryKnn: Q = (s, dir) => {
+    import s.implicits._
+    val e = withBinarySig(vecs(s, dir), "v").select($"vec_id", $"sig0", $"sig1")
+    val q = e.filter($"vec_id" < 20)
+      .select($"vec_id".as("query_id"), $"sig0".as("qs0"), $"sig1".as("qs1"))
+    val w = Window.partitionBy($"query_id").orderBy($"hamming", $"vec_id")
+    broadcast(q).join(e, $"query_id" =!= $"vec_id")
+      .withColumn("hamming", hamming64($"qs0", $"qs1", $"sig0", $"sig1"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"rank", $"vec_id".as("id"), $"hamming")
+      .orderBy($"query_id", $"rank")
+  }
+
+  // ------------------------------------------------- random projection / s11
+  /** Johnson–Lindenstrauss random projection 64 → 16 dims: the projection
+    * matrix is md5-derived (`jl:j:d`, the s02 hyperplane recipe with its own
+    * salt) so both engines rebuild it exactly; row `j` of the output is the
+    * dot of the input with plane `j`. Plan-literal planes + the codegen'd
+    * [[graft.functions.VectorExprs.dot]] keep the projection a shuffle-free
+    * projection — the 4× downstream compute/memory lever for embedding
+    * pipelines (brute-force scoring, clustering and LSH all get 4× cheaper
+    * in the reduced space, with JL-bounded distance distortion). */
+  private val JlDim = 16
+
+  private[ext] def jlPlane(j: Int, dim: Int = Dim): Seq[Double] =
+    (0 until dim).map(d => ((h60Local(s"jl:$j:$d") % 2001L) - 1000L) / 1000.0)
+
+  /** Adds a `JlDim`-dim projected column `out` for a double-array column. */
+  def projectJl(df: DataFrame, vecCol: String, out: String = "vjl"): DataFrame =
+    df.withColumn(out, array((0 until JlDim).map { j =>
+      dot(col(vecCol), array(jlPlane(j).map(lit): _*))
+    }: _*))
+
+  /** s11 oracle row: brute-force cosine top-5 in the PROJECTED space (the
+    * s01 ranking contract: round-6 cosine desc, lower-id tie-break). Both
+    * engines compute the same 16 left-to-right dot products over the same
+    * md5-derived planes, so the projected vectors — and every cosine — are
+    * bit-identical. */
+  val s11JlKnn: Q = (s, dir) => {
+    import s.implicits._
+    val e = projectJl(vecs(s, dir).select($"vec_id", $"v"), "v")
+      .withColumn("jn", graft.functions.VectorExprs.l2($"vjl"))
+      .select($"vec_id", $"vjl", $"jn")
+    val q = e.filter($"vec_id" < 20)
+      .select($"vec_id".as("query_id"), $"vjl".as("qv"), $"jn".as("qn"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos6".desc, $"vec_id")
+    broadcast(q).join(e, $"query_id" =!= $"vec_id")
+      .withColumn("cos6", round(dot($"qv", $"vjl") / ($"qn" * $"jn"), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"rank", $"vec_id".as("id"),
+        round($"cos6", 4).as("cosine"))
+      .orderBy($"query_id", $"rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_knn_brute" -> s01KnnBrute,
     "s02_ann_lsh" -> s02AnnLsh,
@@ -710,7 +819,9 @@ object Similarity {
     "s06_embedding_outliers" -> s06EmbeddingOutliers,
     "s07_int8_knn" -> s07Int8Knn,
     "s08_ivfpq" -> s08IvfPq,
-    "s09_ivfpq_residual" -> s09IvfPqResidual)
+    "s09_ivfpq_residual" -> s09IvfPqResidual,
+    "s10_binary_knn" -> s10BinaryKnn,
+    "s11_jl_knn" -> s11JlKnn)
 
   private val vecsCte =
     """WITH e AS (
@@ -816,6 +927,51 @@ object Similarity {
         |  CAST(row_number() OVER (PARTITION BY q.vec_id
         |    ORDER BY list_dot_product(q.u, e.u) DESC, e.vec_id) AS BIGINT) AS rk
         | FROM u q JOIN u e ON q.vec_id < 20 AND q.vec_id <> e.vec_id) t
+        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // sign-bit signature packing + XOR/popcount replayed exactly — the
+    // all-integer oracle (hamming asc, lower-id tie-break)
+    "s10_binary_knn" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | sig AS (
+        |  SELECT vec_id,
+        |   CAST(list_sum(list_transform(range(0,32), d ->
+        |     CASE WHEN v[d+1] > 0 THEN (CAST(1 AS BIGINT) << d) ELSE 0 END)) AS BIGINT) AS s0,
+        |   CAST(list_sum(list_transform(range(32,64), d ->
+        |     CASE WHEN v[d+1] > 0 THEN (CAST(1 AS BIGINT) << (d-32)) ELSE 0 END)) AS BIGINT) AS s1
+        |  FROM e)
+        |SELECT query_id, rk AS "rank", id, hamming FROM (
+        | SELECT q.vec_id AS query_id, c.vec_id AS id,
+        |  CAST(bit_count(xor(q.s0, c.s0)) + bit_count(xor(q.s1, c.s1)) AS BIGINT) AS hamming,
+        |  CAST(row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY bit_count(xor(q.s0, c.s0)) + bit_count(xor(q.s1, c.s1)), c.vec_id)
+        |   AS BIGINT) AS rk
+        | FROM sig q JOIN sig c ON q.vec_id < 20 AND q.vec_id <> c.vec_id) t
+        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // the md5-derived projection matrix is rebuilt row-by-row (jl:j:d, the
+    // s02 hyperplane recipe), then the s01 ranking contract in the reduced
+    // space; list_dot_product folds left-to-right like graft_dot, so the
+    // projected vectors are bit-identical
+    "s11_jl_knn" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | rp AS (
+        |  SELECT j, list_transform(range(0,64), d ->
+        |    (CAST(CAST(('0x' || substr(md5('jl:' || j || ':' || d),1,15)) AS UBIGINT)
+        |      % 2001 AS BIGINT) - 1000) / 1000.0) AS plane
+        |  FROM (SELECT unnest(range(0,16)) AS j)),
+        | pj AS (
+        |  SELECT e.vec_id,
+        |   list(list_dot_product(e.v, rp.plane) ORDER BY rp.j) AS y
+        |  FROM e CROSS JOIN rp GROUP BY e.vec_id),
+        | pn AS (
+        |  SELECT vec_id, y, sqrt(list_sum(list_transform(y, x -> x*x))) AS nrm
+        |  FROM pj)
+        |SELECT query_id, rk AS "rank", id, round(cos6, 4) AS cosine FROM (
+        | SELECT q.vec_id AS query_id, c.vec_id AS id,
+        |  round(list_dot_product(q.y, c.y) / (q.nrm * c.nrm), 6) AS cos6,
+        |  CAST(row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY round(list_dot_product(q.y, c.y) / (q.nrm * c.nrm), 6) DESC,
+        |             c.vec_id) AS BIGINT) AS rk
+        | FROM pn q JOIN pn c ON q.vec_id < 20 AND q.vec_id <> c.vec_id) t
         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
     "s06_embedding_outliers" ->
       (vecsCte +

@@ -828,7 +828,64 @@ object TextAnalysis {
     stripHtml(injected, "doc_id", "raw").orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- t19
+  /** Character-entropy quality signal: Shannon entropy (nats) of the
+    * character distribution of the document HEAD (first `headChars` chars —
+    * scoring a bounded prefix is the CCNet/quality-filter convention and
+    * also bounds per-doc cost). Computed as `H = ln n − (Σ_c cnt_c·ln
+    * cnt_c)/n` so every input to the float math is an exact integer count.
+    * Very low entropy marks character-level boilerplate/repetition spam
+    * (`aaaa…`, ASCII-art, padding) that token-level t05 can miss; very high
+    * entropy marks binary-ish noise. Returns (idCol, n_head_chars,
+    * distinct_chars, char_entropy, low_entropy).
+    *
+    * Determinism: distinct chars sort before the fold and counts are
+    * integers, so both engines sum bit-identical doubles in the same order
+    * (Spark sorts UTF-16 units, DuckDB UTF-8 bytes — identical orders for
+    * BMP text; the corpus is ASCII and the oracle's injection sticks to
+    * BMP).
+    *
+    * Scale: a pure shuffle-free codegen'd projection; per-doc cost is
+    * O(distinct × headChars) ≤ alphabet·2000 — constant per document. */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String,
+      headChars: Int = 2000, lowBar: Double = 2.5): DataFrame = {
+    val ch = filter(split(substring(col(textCol), 1, headChars), ""),
+      c => length(c) > 0)
+    df.withColumn("__ch", ch)
+      .withColumn("__n", size(col("__ch")).cast("long"))
+      .withColumn("__cnts", transform(sort_array(array_distinct(col("__ch"))),
+        c => size(filter(col("__ch"), y => y === c)).cast("double")))
+      .withColumn("char_entropy",
+        when(col("__n") > 0, round(
+          log(col("__n").cast("double")) -
+            aggregate(transform(col("__cnts"), n => n * log(n)),
+              lit(0.0d), (a, x) => a + x) / col("__n").cast("double")
+            + 1e-9, 4))
+          .otherwise(lit(0.0d)))
+      .select(col(idCol), col("__n").as("n_head_chars"),
+        size(col("__cnts")).cast("long").as("distinct_chars"),
+        col("char_entropy"),
+        (col("char_entropy") < lowBar).cast("long").as("low_entropy"))
+  }
+
+  /** The t19 oracle: every 6th doc gets a BMP multilingual prefix (CJK +
+    * precomposed accents — pins the non-ASCII sort agreement), every 7th a
+    * 1500-char two-symbol run that drags its head under the bar (t08/t13
+    * injection pattern; the raw corpus is ASCII with healthy entropy).
+    * PREpended so the injection always lands inside the scored head. */
+  val t19CharEntropy: Q = (s, dir) => {
+    import s.implicits._
+    val injected = docs(s, dir).select($"doc_id", concat(
+      when(pmod($"doc_id", lit(6)) === 0, lit("的是了在我 éàü "))
+        .otherwise(lit("")),
+      when(pmod($"doc_id", lit(7)) === 0,
+        lit("ab" * 750 + " ")).otherwise(lit("")),
+      $"text").as("raw"))
+    charEntropy(injected, "doc_id", "raw").orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t19_char_entropy" -> t19CharEntropy,
     "t01_lang_id" -> t01LangId,
     "t02_quality" -> t02Quality,
     "t03_token_stats" -> t03TokenStats,
@@ -911,6 +968,37 @@ object TextAnalysis {
       words.map(w => s"'$w'").mkString(",") + "], t))) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    // same injection, same bounded head, same ln-count entropy identity;
+    // the fold runs over sorted distinct chars in both engines
+    "t19_char_entropy" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |   (CASE WHEN doc_id % 6 = 0 THEN '的是了在我 éàü ' ELSE '' END) ||
+        |   (CASE WHEN doc_id % 7 = 0 THEN repeat('ab', 750) || ' ' ELSE '' END) ||
+        |   text AS raw
+        |  FROM documents),
+        | ch AS (
+        |  SELECT doc_id,
+        |   list_filter(string_split(substr(raw, 1, 2000), ''),
+        |     c -> length(c) > 0) AS ch
+        |  FROM inj),
+        | st AS (
+        |  SELECT doc_id, ch, CAST(len(ch) AS BIGINT) AS n,
+        |   list_transform(list_sort(list_distinct(ch)),
+        |     c -> CAST(len(list_filter(ch, y -> y = c)) AS DOUBLE)) AS cnts
+        |  FROM ch),
+        | e AS (
+        |  SELECT doc_id, n, CAST(len(cnts) AS BIGINT) AS distinct_chars,
+        |   CASE WHEN n > 0 THEN round(ln(CAST(n AS DOUBLE)) -
+        |     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |         list_transform(cnts, x -> x * ln(x))),
+        |       (a, x) -> a + x) / CAST(n AS DOUBLE) + 1e-9, 4)
+        |    ELSE 0.0 END AS char_entropy
+        |  FROM st)
+        |SELECT doc_id, n AS n_head_chars, distinct_chars, char_entropy,
+        | CAST(CASE WHEN char_entropy < 2.5 THEN 1 ELSE 0 END AS BIGINT)
+        |  AS low_entropy
+        |FROM e ORDER BY doc_id""".stripMargin,
     "t01_lang_id" -> {
       val scores = stop.map { case (l, ws) => s"${duckCount(ws)} AS s_$l" }.mkString(",\n   ")
       val mx = "greatest(" + stop.map { case (l, _) => s"s_$l" }.mkString(", ") + ")"

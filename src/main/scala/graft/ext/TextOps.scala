@@ -99,6 +99,17 @@ object TextOps {
       aggregate(sort_array(collect_list(term)), lit(0.0d), (a, x) => a + x)
         / n + 1e-9, scale)
 
+  /** Order-deterministic rounded SUM of a per-group float term (the
+    * [[foldMean]] machinery without the /n): collect, sort ascending,
+    * fold-sum left-to-right — bit-identical across partitionings and task
+    * orders. Group state is bounded by the group's term count (callers keep
+    * that vocabulary-sized, never corpus-sized). DuckDB twin:
+    * `round(list_reduce(list_sort(list(term)), (a,x) -> a + x) + 1e-9, s)`. */
+  def foldSum(term: Column, scale: Int = 4): Column =
+    round(
+      aggregate(sort_array(collect_list(term)), lit(0.0d), (a, x) => a + x)
+        + 1e-9, scale)
+
   /** The DuckDB twin of [[foldMean]] — splice into an aggregate SELECT.
     * `list_reduce` folds left `f(f(t1,t2),t3)…`; Spark's fold is
     * `((0.0+t1)+t2)+t3…` and `0.0 + x ≡ x` bit-exact for every non-(-0.0)

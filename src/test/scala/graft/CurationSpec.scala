@@ -20,6 +20,28 @@ class CurationSpec extends SparkSpec {
     .toDF("doc_id", "text")
   private val bench = Seq((100L, "x y a b c d e f g h")).toDF("doc_id", "text")
 
+  test("klDrift: per-source KL against the corpus distribution, hand-computed") {
+    def r4(x: Double) = math.round((x + 1e-9) * 1e4) / 1e4
+    // source A: "a a b" (p_a=2/3, p_b=1/3); source B: "b c" (1/2, 1/2)
+    // corpus: a:2 b:2 c:1, T=5
+    val docs = Seq(
+      (1L, "a a b", "A"), (2L, "b c", "B")).toDF("doc_id", "text", "source")
+    val got = CurationOps.klDrift(docs, "text", "source")
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val klA = 2.0 / 3 * math.log((2.0 / 3) / (2.0 / 5)) +
+      1.0 / 3 * math.log((1.0 / 3) / (2.0 / 5))
+    val klB = 1.0 / 2 * math.log((1.0 / 2) / (2.0 / 5)) +
+      1.0 / 2 * math.log((1.0 / 2) / (1.0 / 5))
+    assert(got == Seq(("A", 3L, 2L, r4(klA)), ("B", 2L, 2L, r4(klB))), s"got $got")
+    // Gibbs: KL >= 0, and the more-drifted slice scores higher
+    assert(got.forall(_._4 >= 0.0) && klB > klA)
+    // a source that IS the corpus has zero drift
+    val solo = Seq((1L, "a b", "only")).toDF("doc_id", "text", "source")
+    val z = CurationOps.klDrift(solo, "text", "source")
+      .as[(String, Long, Long, Double)].collect().head
+    assert(z == (("only", 2L, 2L, 0.0)), s"got $z")
+  }
+
   test("contaminationCounts flags exactly the overlapping doc") {
     val got = CurationOps.contaminationCounts(corpus, bench, "doc_id", "text", n = 8)
       .as[(Long, Long)].collect().sortBy(_._1)

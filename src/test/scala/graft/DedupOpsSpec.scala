@@ -355,6 +355,66 @@ class DedupOpsSpec extends SparkSpec {
     assert(gotSets == oraSets)
   }
 
+  test("knnBinary: hand-computed Hamming ranks; udaf form equals the s10 window form") {
+    // 64-dim sign patterns: id2 flips dims 0..2 (ham 3), id3 flips 0..9
+    // (ham 10), id4 flips everything (ham 64) relative to the query id1
+    def vec(flip: Int) = (0 until 64).map(d => if (d < flip) -1.0 else 1.0)
+    val df = Seq((1L, vec(0)), (2L, vec(3)), (3L, vec(10)), (4L, vec(64)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.knnBinary(df, df.filter($"vec_id" === 1), "vec_id",
+        "embedding", k = 3)
+      .select($"query_id", $"rank", $"id", $"hamming")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(got == Seq((1L, 1L, 2L, 3L), (1L, 2L, 3L, 10L), (1L, 3L, 4L, 64L)),
+      s"got $got")
+    // on the real embeddings the bounded-heap form and the oracle-checked
+    // window form agree EXACTLY — integer distances, same lower-id tie-break
+    val api = Similarity.knnBinary(embs, embs.filter($"vec_id" < 20),
+        "vec_id", "embedding", k = 5)
+      .select($"query_id", $"rank", $"id", $"hamming")
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val win = Similarity.s10BinaryKnn(spark, dir)
+      .select($"query_id", $"rank", $"id", $"hamming")
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(api == win)
+  }
+
+  test("projectJl: md5-derived planes, 16 dims, deterministic, useful recall") {
+    // a one-hot input reads plane row j at the hot dimension
+    val hot = Seq((1L, 5.0 +: Seq.fill(63)(0.0))).toDF("vec_id", "embedding")
+    val y = Similarity.projectJl(hot, "embedding").select($"vjl")
+      .as[Seq[Double]].collect().head
+    assert(y.length == 16)
+    val expected = (0 until 16).map(j =>
+      5.0 * (((graft.ext.TextOps.h60Local(s"jl:$j:0") % 2001L) - 1000L) / 1000.0))
+    assert(y == expected, s"got $y")
+    // JL preserves STRUCTURE: on clustered data (3 well-separated axis
+    // clusters + deterministic jitter) the reduced-space top-5 stays inside
+    // the query's cluster. (On the structureless uniform test embeddings
+    // ANY 4x reduction scrambles the — nearly tied — top-5; that recall is
+    // data noise, not an operator property, so it is not asserted.)
+    def jitter(i: Int, d: Int) =
+      ((graft.ext.TextOps.h60Local(s"jit:$i:$d") % 201L) - 100L) / 1000.0
+    val clustered = (0 until 60).map { i =>
+      val c = i % 3
+      (i.toLong, (0 until 64).map(d =>
+        (if (d / 21 == c) 1.0 else 0.0) + jitter(i, d)))
+    }.toDF("vec_id", "embedding")
+    val exact = DedupOps.knn(clustered, clustered.filter($"vec_id" < 6),
+        "vec_id", "embedding", 5)
+      .select($"query_id", $"id").as[(Long, Long)].collect()
+    val red = Similarity.projectJl(clustered, "embedding")
+      .select($"vec_id", $"vjl".as("embedding"))
+    val reduced = DedupOps.knn(red, red.filter($"vec_id" < 6),
+        "vec_id", "embedding", 5)
+      .select($"query_id", $"id").as[(Long, Long)].collect()
+    def sameCluster(rows: Array[(Long, Long)]) =
+      rows.count { case (q, id) => q % 3 == id % 3 } / rows.length.toDouble
+    assert(sameCluster(exact) == 1.0, "exact KNN must respect the planted clusters")
+    assert(sameCluster(reduced) >= 0.9,
+      s"JL reduction must preserve the cluster structure: ${sameCluster(reduced)}")
+  }
+
   test("ivfKnn with full probe equals brute-force; partial probe recalls most") {
     val queries = embs.filter($"vec_id" < 20)
     val brute = DedupOps.knn(embs, queries, "vec_id", "embedding", 5)

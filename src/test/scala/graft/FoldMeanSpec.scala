@@ -57,6 +57,24 @@ class FoldMeanSpec extends SparkSpec {
       "doc_id", "dsir_logratio")
   }
 
+  test("c14 klDrift is bit-deterministic across partitionings") {
+    val outs = parts.map(p =>
+      CurationOps.klDrift(docs.repartition(p), "text", "source")
+        .select($"source", $"kl_corpus").as[(String, Double)].collect()
+        .map { case (k, v) => k -> java.lang.Double.doubleToRawLongBits(v) }
+        .toMap)
+    outs.tail.foreach(o => assert(o == outs.head,
+      "klDrift output differs bit-wise across partitionings"))
+  }
+
+  test("t19 charEntropy is bit-deterministic across partitionings") {
+    // per-row projection — partitioning cannot matter, but the fold inside
+    // the row must also be one fixed order; assert like the aggregates
+    assertStable("charEntropy",
+      d => TextAnalysis.charEntropy(d, "doc_id", "text"),
+      "doc_id", "char_entropy")
+  }
+
   test("foldMean is reassociation-proof where avg(double) is not") {
     // Terms chosen so (big + tiny) + -big loses the tiny but
     // (big + -big) + tiny keeps it: a float sum whose value DEPENDS on

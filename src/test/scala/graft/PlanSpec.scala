@@ -101,6 +101,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("t19: char-entropy scoring is a shuffle-free scalar projection") {
+    val p = plan("t19_char_entropy")
+    assert(!p.contains("hashpartitioning"),
+      s"t19 must not shuffle (pure per-row projection):\n$p")
+    assert(!p.contains("Join"), s"t19 must not join:\n$p")
+  }
+
+  test("s10: sign signatures stream; queries broadcast; no corpus shuffle before ranking") {
+    val p = plan("s10_binary_knn")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"binary-KNN queries must ride a broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q38: bucketed join runs with zero Exchange and zero Sort below the join") {
+    val df = SparkEntry.queries("q38_bucketed_join")(spark, dir)
+    df.collect() // AQE finalizes; the bucketed tables get written
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val joinSection = p.split("SortMergeJoin") match {
+      case parts if parts.length >= 2 => parts.last // everything under the join
+      case _ => fail(s"expected a SortMergeJoin in:\n$p")
+    }
+    assert(joinSection.contains("Bucketed: true"),
+      s"scans must report bucketed reads:\n$joinSection")
+    assert(!joinSection.contains("Exchange"),
+      s"bucketed join must not shuffle either side:\n$joinSection")
+    assert(!joinSection.contains("Sort "),
+      s"sortBy buckets must also delete the join sorts:\n$joinSection")
+  }
+
   test("t12: bigram model joins stay keyed; the corpus never cross-products") {
     val df = SparkEntry.queries("t12_bigram_surprise")(spark, dir)
     df.collect() // execute df's OWN QueryExecution so AQE finalizes (PlanDump note)

@@ -22,6 +22,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1)._3 > got(0)._3)
   }
 
+  test("charEntropy: ln-count identity, head truncation, low-entropy flag") {
+    def r4(x: Double) = math.round((x + 1e-9) * 1e4) / 1e4
+    val docs = Seq(
+      (1L, "aabb"),            // H = ln4 - (2ln2 + 2ln2)/4 = ln2
+      (2L, "abcd"),            // uniform: H = ln4
+      (3L, "aaaa"),            // degenerate: H = 0 -> low_entropy
+      (4L, "xy" + "z" * 100)). // head cap: only the first 4 chars score
+      toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropy(docs, "doc_id", "text", headChars = 4)
+      .as[(Long, Long, Long, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 4L, 2L, r4(math.log(2)), 1L),
+      (2L, 4L, 4L, r4(math.log(4)), 1L),
+      (3L, 4L, 1L, 0.0, 1L),
+      // head "xyzz": H = ln4 - (2 ln 2)/4
+      (4L, 4L, 3L, r4(math.log(4) - 2 * math.log(2) / 4), 1L)), s"got $got")
+    // a diverse real-text head clears the default bar
+    val real = Seq((9L, "The quick brown fox jumps over the lazy dog; " +
+      "pack my box with five dozen liquor jugs.")).toDF("doc_id", "text")
+    val r = TextAnalysis.charEntropy(real, "doc_id", "text")
+      .as[(Long, Long, Long, Double, Long)].collect().head
+    assert(r._4 > 2.5 && r._5 == 0L, s"got $r")
+  }
+
   test("stripHtml: script/style drop wholesale, tags strip, entities decode last") {
     val docs = Seq(
       (1L, "a <b>bold</b> text"),
