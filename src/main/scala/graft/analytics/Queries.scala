@@ -770,9 +770,38 @@ object Queries {
     joined
   }
 
+  // ---------------------------------------------------------------- q39
+  /** Date-partitioned layout + partition pruning — the OTHER storage lever
+    * next to q38's bucketing: events land under `event_date=.../` Hive-style
+    * directories, and a one-day query prunes to that directory at PLANNING
+    * time — `PartitionFilters` in the scan, 1 of ~30 directories read
+    * (PlanSpec asserts both). At 100 TB with daily partitions this is the
+    * difference between scanning 1/365th and scanning everything; it
+    * composes with row-group pushdown (which only skips WITHIN the files it
+    * already opened). The partitioned copy rewrites idempotently per sf
+    * under java.io.tmpdir; the oracle replays the same day filter on the
+    * raw table — layout must not change a row. */
+  val q39PartitionPruning: Q = (s, dir) => {
+    import s.implicits._
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_partitioned/$tag/events").getAbsolutePath
+    t(s, dir, "events")
+      .withColumn("event_date", date_format($"ts", "yyyy-MM-dd"))
+      .write.partitionBy("event_date").mode("overwrite").parquet(base)
+    s.read.parquet(base)
+      .filter($"event_date" === "2024-01-15")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        round(sum($"value"), 2).as("sum_value"))
+      .orderBy($"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "q37_percentiles" -> q37Percentiles,
     "q38_bucketed_join" -> q38BucketedJoin,
+    "q39_partition_pruning" -> q39PartitionPruning,
     "q34_zorder" -> q34Zorder,
     // single-scan form registered as THE q35 (one events scan, one user-keyed
     // shuffle, zero joins — the plan to run at 100 TB); the chained
@@ -827,6 +856,14 @@ object Queries {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // the same one-day filter on the RAW table — the partitioned layout
+    // must be invisible in the rows
+    "q39_partition_pruning" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        | round(sum(value), 2) AS sum_value
+        |FROM events WHERE strftime(ts, '%Y-%m-%d') = '2024-01-15'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // the PLAIN join — the bucketed layout must be invisible in the rows
     "q38_bucketed_join" ->
       """SELECT o_orderpriority,

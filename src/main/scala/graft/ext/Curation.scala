@@ -319,7 +319,18 @@ object Curation {
       .orderBy($"source")
   }
 
+  // ---------------------------------------------------------------- c15
+  /** One-pass rollup corpus report — the oracle row for
+    * [[CurationOps.corpusReport]]: integer-only accounting, DuckDB replays
+    * the rollup with the same `(all)` subtotal labels. */
+  val c15CorpusReport: Q = (s, dir) => {
+    import s.implicits._
+    CurationOps.corpusReport(docs(s, dir), "text", "source", "lang")
+      .orderBy($"source_grp", $"lang_grp")
+  }
+
   val queries: Map[String, Q] = Map(
+    "c15_corpus_report" -> c15CorpusReport,
     "c14_kl_drift" -> c14KlDrift,
     "c13_token_budget" -> c13TokenBudget,
     "c01_decontaminate" -> c01Decontaminate,
@@ -342,6 +353,21 @@ object Curation {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the same rollup lattice, integer stats only, same subtotal labels
+    "c15_corpus_report" ->
+      """WITH l AS (
+        |  SELECT source, lang, length(text) AS nchr,
+        |    len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> length(x) > 0)) AS ntok
+        |  FROM documents)
+        |SELECT coalesce(source, '(all)') AS source_grp,
+        | coalesce(lang, '(all)') AS lang_grp,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        | CAST(sum(nchr) AS BIGINT) AS n_chars,
+        | CAST(max(ntok) AS BIGINT) AS max_doc_tokens
+        |FROM l GROUP BY ROLLUP (source, lang)
+        |ORDER BY source_grp, lang_grp""".stripMargin,
     // one (source, token) count table; corpus totals re-aggregated from it;
     // per-source KL as the sorted fold over integer-count-derived terms
     "c14_kl_drift" ->

@@ -492,6 +492,32 @@ object CurationOps {
           .as("kl_corpus"))
   }
 
+  /** One-pass corpus report ("dataset card" accounting): doc / token /
+    * char / vocabulary-free stats per (source, lang) cell, per source
+    * subtotal, and the grand total, in ONE scan via `rollup` — the summary
+    * block every corpus release publishes (counts by source and language,
+    * longest docs, token budget). Subtotal rows carry `(all)` in the
+    * rolled-up columns. All outputs are exact integers — no float
+    * determinism surface at all.
+    *
+    * Scale shape: one corpus scan, one |sources×langs|-cardinality partial
+    * aggregation (rollup adds subtotal combinations, not corpus rows); the
+    * token count is `size(toks)` in the projection — the text never leaves
+    * the map side. */
+  def corpusReport(df: DataFrame, textCol: String, sourceCol: String,
+      langCol: String): DataFrame =
+    df.withColumn("__ntok", size(toks(col(textCol))).cast("long"))
+      .withColumn("__nchr", length(col(textCol)).cast("long"))
+      .rollup(col(sourceCol), col(langCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__ntok")).as("n_tokens"),
+        sum(col("__nchr")).as("n_chars"),
+        max(col("__ntok")).as("max_doc_tokens"))
+      .select(
+        coalesce(col(sourceCol), lit("(all)")).as("source_grp"),
+        coalesce(col(langCol), lit("(all)")).as("lang_grp"),
+        col("n_docs"), col("n_tokens"), col("n_chars"), col("max_doc_tokens"))
+
   /** Balanced variant: every stratum downsampled to (approximately) the
     * smallest stratum's size, thresholds computed from the data in one
     * |strata|-row aggregation (the c03 query's generic form). */

@@ -42,6 +42,25 @@ class CurationSpec extends SparkSpec {
     assert(z == (("only", 2L, 2L, 0.0)), s"got $z")
   }
 
+  test("corpusReport: rollup lattice with integer stats and (all) subtotals") {
+    val docs = Seq(
+      (1L, "a b c", "web", "en"),   // 3 tok, 5 chars
+      (2L, "d e", "web", "en"),     // 2 tok, 3 chars
+      (3L, "f", "web", "de"),       // 1 tok, 1 char
+      (4L, "g h i j", "books", "en")) // 4 tok, 7 chars
+      .toDF("doc_id", "text", "source", "lang")
+    val got = CurationOps.corpusReport(docs, "text", "source", "lang")
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      ("(all)", "(all)", 4L, 10L, 16L, 4L),
+      ("books", "(all)", 1L, 4L, 7L, 4L),
+      ("books", "en", 1L, 4L, 7L, 4L),
+      ("web", "(all)", 3L, 6L, 9L, 3L),
+      ("web", "de", 1L, 1L, 1L, 1L),
+      ("web", "en", 2L, 5L, 8L, 3L)), s"got $got")
+  }
+
   test("contaminationCounts flags exactly the overlapping doc") {
     val got = CurationOps.contaminationCounts(corpus, bench, "doc_id", "text", n = 8)
       .as[(Long, Long)].collect().sortBy(_._1)

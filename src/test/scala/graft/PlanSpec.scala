@@ -131,6 +131,19 @@ class PlanSpec extends SparkSpec {
       s"sortBy buckets must also delete the join sorts:\n$joinSection")
   }
 
+  test("q39: one-day query prunes to ONE date partition at planning time") {
+    val df = SparkEntry.queries("q39_partition_pruning")(spark, dir)
+    df.collect() // writes the partitioned copy; AQE finalizes
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val scan = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse(
+      fail(s"no partitioned scan in:\n$p"))
+    assert(scan.contains("event_date") && scan.contains("2024-01-15"),
+      s"the day filter must prune partitions, not rows:\n$scan")
+    // directory-level pruning: the filter never reaches the data columns
+    assert(!scan.contains("PushedFilters: [IsNotNull(event_date"),
+      s"event_date is a partition column, not a data filter:\n$scan")
+  }
+
   test("t12: bigram model joins stay keyed; the corpus never cross-products") {
     val df = SparkEntry.queries("t12_bigram_surprise")(spark, dir)
     df.collect() // execute df's OWN QueryExecution so AQE finalizes (PlanDump note)
