@@ -884,7 +884,57 @@ object TextAnalysis {
     charEntropy(injected, "doc_id", "raw").orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- t20
+  /** C4-style sentence-structure rules (Raffel et al. 2020 §2.2: keep pages
+    * with ≥3 sentences, lines ending in terminal punctuation, a minimum of
+    * words): segments on terminal-punctuation runs `[.!?]+`, counts
+    * non-empty sentences and their words, checks the terminal-ending rule,
+    * and emits the composite keep decision. The mean divides two exact
+    * integers, so the only float op is one division + round — no ordering
+    * surface. All patterns are RE2 ∩ java.util.regex (the t08 dialect
+    * discipline) so DuckDB replays the segmentation byte-for-byte.
+    * Scale: one shuffle-free codegen'd projection. */
+  def sentenceStats(df: DataFrame, idCol: String, textCol: String,
+      minSentences: Int = 3, minWords: Int = 5): DataFrame = {
+    val segs = filter(transform(split(col(textCol), "[.!?]+"), s => trim(s)),
+      s => length(s) > 0)
+    df.withColumn("__segs", segs)
+      .withColumn("__wc", transform(col("__segs"),
+        s => size(toks(s)).cast("long")))
+      .withColumn("n_sentences", size(col("__segs")).cast("long"))
+      .withColumn("n_sentence_words",
+        aggregate(col("__wc"), lit(0L), (a, x) => a + x))
+      .withColumn("ends_terminal",
+        col(textCol).rlike("[.!?]\\s*$").cast("long"))
+      .withColumn("mean_sentence_words",
+        when(col("n_sentences") > 0,
+          round(col("n_sentence_words").cast("double")
+            / col("n_sentences").cast("double") + 1e-9, 4))
+          .otherwise(lit(0.0d)))
+      .withColumn("keep_c4",
+        (col("n_sentences") >= minSentences && col("ends_terminal") === 1 &&
+          col("n_sentence_words") >= minWords).cast("long"))
+      .select(col(idCol), col("n_sentences"), col("n_sentence_words"),
+        col("ends_terminal"), col("mean_sentence_words"), col("keep_c4"))
+  }
+
+  /** The t20 oracle injection (the corpus has NO sentence punctuation —
+    * t08/t13 pattern): every 3rd doc gains three full sentences, every 4th
+    * a terminal tail claim; other docs stay one unterminated segment, so
+    * every rule fires on a known subset. */
+  val t20SentenceStats: Q = (s, dir) => {
+    import s.implicits._
+    val injected = docs(s, dir).select($"doc_id", concat($"text",
+      when(pmod($"doc_id", lit(3)) === 0,
+        lit(" One two three. Four five six! Seven eight nine?"))
+        .otherwise(lit("")),
+      when(pmod($"doc_id", lit(4)) === 0, lit(" Tail claim."))
+        .otherwise(lit(""))).as("raw"))
+    sentenceStats(injected, "doc_id", "raw").orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t20_sentence_stats" -> t20SentenceStats,
     "t19_char_entropy" -> t19CharEntropy,
     "t01_lang_id" -> t01LangId,
     "t02_quality" -> t02Quality,
@@ -968,6 +1018,37 @@ object TextAnalysis {
       words.map(w => s"'$w'").mkString(",") + "], t))) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    // same injection, same [.!?]+ segmentation, integer counts; the mean is
+    // one division of two exact integers
+    "t20_sentence_stats" ->
+      """WITH inj AS (
+        |  SELECT doc_id, text ||
+        |   (CASE WHEN doc_id % 3 = 0
+        |     THEN ' One two three. Four five six! Seven eight nine?' ELSE '' END) ||
+        |   (CASE WHEN doc_id % 4 = 0 THEN ' Tail claim.' ELSE '' END) AS raw
+        |  FROM documents),
+        | seg AS (
+        |  SELECT doc_id, raw,
+        |   list_filter(list_transform(string_split_regex(raw, '[.!?]+'),
+        |     s -> trim(s)), s -> length(s) > 0) AS segs
+        |  FROM inj),
+        | st AS (
+        |  SELECT doc_id, raw, CAST(len(segs) AS BIGINT) AS n_sentences,
+        |   CAST(coalesce(list_sum(list_transform(segs,
+        |     s -> len(list_filter(string_split_regex(s, '\s+'),
+        |       x -> length(x) > 0)))), 0) AS BIGINT) AS n_sentence_words
+        |  FROM seg)
+        |SELECT doc_id, n_sentences, n_sentence_words,
+        | CAST(CASE WHEN regexp_matches(raw, '[.!?]\s*$') THEN 1 ELSE 0 END
+        |   AS BIGINT) AS ends_terminal,
+        | CASE WHEN n_sentences > 0
+        |  THEN round(CAST(n_sentence_words AS DOUBLE)
+        |    / CAST(n_sentences AS DOUBLE) + 1e-9, 4)
+        |  ELSE 0.0 END AS mean_sentence_words,
+        | CAST(CASE WHEN n_sentences >= 3
+        |   AND regexp_matches(raw, '[.!?]\s*$')
+        |   AND n_sentence_words >= 5 THEN 1 ELSE 0 END AS BIGINT) AS keep_c4
+        |FROM st ORDER BY doc_id""".stripMargin,
     // same injection, same bounded head, same ln-count entropy identity;
     // the fold runs over sorted distinct chars in both engines
     "t19_char_entropy" ->

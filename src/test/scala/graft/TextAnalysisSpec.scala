@@ -22,6 +22,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1)._3 > got(0)._3)
   }
 
+  test("sentenceStats: C4 rules — segmentation, terminal ending, keep decision") {
+    val docs = Seq(
+      (1L, "First one. Second here! Third now?"), // 3 sent, terminal -> keep
+      (2L, "Only one sentence."),                 // 1 sent, terminal, no keep
+      (3L, "no punctuation at all"),              // 1 segment, unterminated
+      (4L, "Tiny. Go. On."),                      // 3 sent but 3 words < 5
+      (5L, "Ends mid stream. But then trails"),   // unterminated tail
+      (6L, "")).toDF("doc_id", "text")            // degenerate: 0 sentences
+    val got = TextAnalysis.sentenceStats(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 3L, 6L, 1L, 2.0, 1L),
+      (2L, 1L, 3L, 1L, 3.0, 0L),
+      (3L, 1L, 4L, 0L, 4.0, 0L),
+      (4L, 3L, 3L, 1L, 1.0, 0L),
+      (5L, 2L, 6L, 0L, 3.0, 0L),
+      (6L, 0L, 0L, 0L, 0.0, 0L)), s"got $got")
+  }
+
   test("charEntropy: ln-count identity, head truncation, low-entropy flag") {
     def r4(x: Double) = math.round((x + 1e-9) * 1e4) / 1e4
     val docs = Seq(
