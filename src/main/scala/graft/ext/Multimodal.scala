@@ -622,13 +622,80 @@ object Multimodal {
       .orderBy($"id_a", $"id_b")
   }
 
+  // ---------------------------------------------------------------- m07
+  /** Per-channel integer pixel sums of a decodable image — the unnormalized
+    * first color moment, the cheapest classic image feature (channel
+    * histogram/moment features for filtering, near-dup triage, and
+    * modality QA). INTEGER-exact: sums of decoded 8-bit channel values over
+    * lossless PNG pixels are JDK-vendor-stable with zero float surface.
+    * None when ImageIO cannot decode. */
+  def colorSums(payload: Array[Byte]): Option[(Int, Int, Long, Long, Long)] =
+    try {
+      imageIoNoDiskCache
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, sr, sg, sb))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Appends nullable (width, height, sum_r, sum_g, sum_b) feature columns
+    * — the [[withHash64]] mapPartitions batch shape. */
+  def withColorSums(media: DataFrame): DataFrame = {
+    val schema = StructType(media.schema.fields ++ Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("sum_r", LongType, nullable = true),
+      StructField("sum_g", LongType, nullable = true),
+      StructField("sum_b", LongType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val pIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val feats = colorSums(r.getAs[Array[Byte]](pIdx))
+          .map { case (w, h, sr, sg, sb) =>
+            Seq(Int.box(w), Int.box(h), Long.box(sr), Long.box(sg), Long.box(sb))
+          }
+          .getOrElse(Seq(null, null, null, null, null))
+        Row.fromSeq(r.toSeq ++ feats)
+      }
+    }(enc)
+  }
+
+  /** Color-moment features of the perturbed-variant fixture, hash-checked
+    * against the pinned [[m07Expected]] literal (the m04 pattern — decode
+    * is not SQL-expressible, the values are deterministic). The blue-only
+    * perturbation is visible in the features: every variant shares sum_r
+    * and sum_g with the base, only sum_b moves (MultimodalSpec pins that
+    * structure as well as the exact rows). */
+  val m07ColorMoments: Q = (s, _) => {
+    import s.implicits._
+    withColorSums(perturbedVariants(s))
+      .select($"media_id", $"width", $"height", $"sum_r", $"sum_g", $"sum_b")
+      .orderBy($"media_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "m01_binary_meta" -> m01BinaryMeta,
     "m02_chunking" -> m02Chunking,
     "m03_chunked_read" -> m03ChunkedRead,
     "m04_image_dhash" -> m04ImageDhash,
     "m05_image_phash" -> m05ImagePhash,
-    "m06_image_ahash" -> m06ImageAhash)
+    "m06_image_ahash" -> m06ImageAhash,
+    "m07_color_moments" -> m07ColorMoments)
 
   /** Pinned expected (id_a, id_b, hamming) rows for the image-hash family.
     * Pixel decode is not SQL-expressible, so DuckDB cannot REPLAY the hash —
@@ -657,16 +724,34 @@ object Multimodal {
   private[graft] val m06Expected: Seq[(Long, Long, Long)] =
     (for (a <- 0L to 6L; b <- (a + 1) to 7L) yield (a, b, 0L)).toSeq
 
+  /** Pinned m07 rows (media_id, width, height, sum_r, sum_g, sum_b) of the
+    * 16×12 fixture: red/green sums are untouched by the blue-channel
+    * perturbation; variant i adds exactly 32·(i mod 7) to the base blue sum
+    * 15936 (the (i,i) pixel's blue value never wraps on this gradient). */
+  private[graft] val m07Expected: Seq[(Long, Int, Int, Long, Long, Long)] =
+    (0L to 7L).map(i =>
+      (i, 16, 12, 23040L, 21120L, 15936L + 32L * (i % 7))).toSeq
+
   private def pinnedPairsSql(rows: Seq[(Long, Long, Long)]): String =
     rows.map { case (a, b, h) => s"($a, $b, $h)" }.mkString(
       "SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, " +
         "CAST(hamming AS BIGINT) AS hamming FROM (VALUES ",
       ", ", ") t(id_a, id_b, hamming) ORDER BY id_a, id_b")
 
+  private def m07Sql(rows: Seq[(Long, Int, Int, Long, Long, Long)]): String =
+    rows.map { case (i, w, h, r, g, b) => s"($i, $w, $h, $r, $g, $b)" }
+      .mkString(
+        "SELECT CAST(media_id AS BIGINT) AS media_id, " +
+          "CAST(width AS INT) AS width, CAST(height AS INT) AS height, " +
+          "CAST(sum_r AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g, " +
+          "CAST(sum_b AS BIGINT) AS sum_b FROM (VALUES ",
+        ", ", ") t(media_id, width, height, sum_r, sum_g, sum_b) ORDER BY media_id")
+
   val oracles: Map[String, String] = Map(
     "m04_image_dhash" -> pinnedPairsSql(m04Expected),
     "m05_image_phash" -> pinnedPairsSql(m05Expected),
     "m06_image_ahash" -> pinnedPairsSql(m06Expected),
+    "m07_color_moments" -> m07Sql(m07Expected),
     "m01_binary_meta" ->
       """SELECT doc_id AS media_id, 'text' AS kind,
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -217,6 +217,21 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("m07 color moments match the pinned rows; blue-only perturbation structure") {
+    val rows = Multimodal.m07ColorMoments(spark, dir)
+      .as[(Long, Int, Int, Long, Long, Long)].collect().toSeq
+    assert(rows == Multimodal.m07Expected, "m07 drifted from pinned oracle rows")
+    // the perturbation touches ONLY the blue channel: red/green sums are
+    // constant across variants, and the exact copies (0, 7) agree fully
+    assert(rows.map(_._4).distinct.size == 1 && rows.map(_._5).distinct.size == 1)
+    assert(rows(0)._6 == rows(7)._6)
+    // non-image payloads surface as null features, not a crash
+    val media = Multimodal.mediaFrom(spark, dir).limit(3)
+    val nulls = Multimodal.withColorSums(media)
+      .filter($"sum_b".isNull).count()
+    assert(nulls == 3, "text payloads must yield null color features")
+  }
+
   test("ahash: mean-threshold fingerprint; uniform brightness shift is invisible") {
     // bounded-channel noise (<=127 per channel) so a +32 uniform shift
     // cannot clip — the invariance below must hold exactly
