@@ -132,6 +132,45 @@ class PlanSpec extends SparkSpec {
       s"sortBy buckets must also delete the join sorts:\n$joinSection")
   }
 
+  test("AQE splits a skewed join partition at runtime (the q36 salting alternative)") {
+    import org.apache.spark.sql.functions._
+    // Funnel 90% of fact rows onto one join key, force a sort-merge join,
+    // and drop the skew thresholds to local scale: AQE's OptimizeSkewedJoin
+    // must split the hot partition (the join prints skew=true) — the
+    // runtime counterpart of q36's deterministic salting, and the reason
+    // the engine leaves AQE skew handling ON in GraftSession.
+    val dir01 = "/root/testdata/sf0.01"
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16384",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8192",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // repartition(8) first: AQE splits a skewed REDUCE partition along
+      // MAPPER-chunk boundaries, so a single-row-group local file (one map
+      // task) is unsplittable no matter how skewed — the Tables.loadSpread
+      // concern surfacing in the shuffle layer. At 100 TB there are always
+      // thousands of mappers; locally we must manufacture them.
+      val li = spark.read.parquet(s"$dir01/lineitem.parquet").repartition(8)
+        .withColumn("jk",
+          when(pmod(col("l_orderkey"), lit(10)) < 9, 1L)
+            .otherwise(col("l_orderkey")))
+      val dim = spark.read.parquet(s"$dir01/part.parquet")
+        .select(col("p_partkey").as("jk"), col("p_name")).limit(2000)
+      val j = li.hint("MERGE").join(dim, Seq("jk"))
+        .groupBy(col("p_name")).agg(sum(col("l_quantity")).as("q"))
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(p.contains("skew=true"),
+        s"AQE must mark the skewed merge join:\n$p")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q39: one-day query prunes to ONE date partition at planning time") {
     val df = SparkEntry.queries("q39_partition_pruning")(spark, dir)
     df.collect() // writes the partitioned copy; AQE finalizes
