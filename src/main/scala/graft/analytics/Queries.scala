@@ -798,10 +798,48 @@ object Queries {
       .orderBy($"event_type")
   }
 
+  // ---------------------------------------------------------------- q40
+  /** Exact discrete percentiles via a VALUE HISTOGRAM — the q37 semantics
+    * re-planned for UNBOUNDED value domains: q37's builtin
+    * `percentile_disc` holds a value→count map as aggregation-buffer state
+    * (fine while distinct values are bounded, e.g. 2-decimal prices); this
+    * form moves that histogram into the PLAN — a (keys, value)-keyed count,
+    * a per-key cumulative window over the histogram (histogram-sized
+    * partitions, never corpus-sized), and a conditional-min pick of the
+    * smallest value whose cumulative count reaches ceil(p·n). Same
+    * ceil-rank rule, same value-copy outputs (zero float interpolation),
+    * same oracle as q37 — two independent plans, one contract. */
+  def exactPercentilesDisc(df: DataFrame, keyCols: Seq[String],
+      valueCol: String, ps: Seq[(String, Double)]): DataFrame = {
+    val keys = keyCols.map(col)
+    val hist = df.groupBy((keys :+ col(valueCol)): _*)
+      .agg(count(lit(1)).as("__c"))
+    val cumW = Window.partitionBy(keys: _*).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(keys: _*)
+    val staged = hist
+      .withColumn("__cum", sum(col("__c")).over(cumW))
+      .withColumn("__n", sum(col("__c")).over(totW))
+    val picks = ps.map { case (name, p) =>
+      min(when(col("__cum").cast("double") >= ceil(lit(p) * col("__n")),
+        col(valueCol))).as(name)
+    } :+ max(col("__n")).as("n")
+    staged.groupBy(keys: _*).agg(picks.head, picks.tail: _*)
+  }
+
+  val q40PercentilesHist: Q = (s, dir) => {
+    import s.implicits._
+    exactPercentilesDisc(t(s, dir, "lineitem"),
+      Seq("l_returnflag", "l_linestatus"), "l_extendedprice",
+      Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p95" -> 0.95))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
   val queries: Map[String, Q] = Map(
     "q37_percentiles" -> q37Percentiles,
     "q38_bucketed_join" -> q38BucketedJoin,
     "q39_partition_pruning" -> q39PartitionPruning,
+    "q40_percentiles_hist" -> q40PercentilesHist,
     "q34_zorder" -> q34Zorder,
     // single-scan form registered as THE q35 (one events scan, one user-keyed
     // shuffle, zero joins — the plan to run at 100 TB); the chained
@@ -842,20 +880,24 @@ object Queries {
     "q32_variant" -> q32Variant,
     "q33_theta_join" -> q33ThetaJoin)
 
+  // quantile_disc implements the same smallest-value-at-cume_dist>=p rule
+  // as Spark's percentile_disc (both pick sorted element ceil(p*n)) — the
+  // outputs are copies of input values, so the compare is exact. Shared by
+  // q37 (builtin plan) and q40 (histogram plan): one contract, two plans.
+  private val percentileDiscSql =
+    """SELECT l_returnflag, l_linestatus,
+      | quantile_disc(l_extendedprice, 0.25) AS p25,
+      | quantile_disc(l_extendedprice, 0.5) AS p50,
+      | quantile_disc(l_extendedprice, 0.75) AS p75,
+      | quantile_disc(l_extendedprice, 0.95) AS p95,
+      | CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    // quantile_disc implements the same smallest-value-at-cume_dist>=p rule
-    // as Spark's percentile_disc (both pick sorted element ceil(p*n)) — the
-    // outputs are copies of input values, so the compare is exact
-    "q37_percentiles" ->
-      """SELECT l_returnflag, l_linestatus,
-        | quantile_disc(l_extendedprice, 0.25) AS p25,
-        | quantile_disc(l_extendedprice, 0.5) AS p50,
-        | quantile_disc(l_extendedprice, 0.75) AS p75,
-        | quantile_disc(l_extendedprice, 0.95) AS p95,
-        | CAST(count(*) AS BIGINT) AS n
-        |FROM lineitem
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q37_percentiles" -> percentileDiscSql,
+    "q40_percentiles_hist" -> percentileDiscSql,
     // the same one-day filter on the RAW table — the partitioned layout
     // must be invisible in the rows
     "q39_partition_pruning" ->

@@ -24,6 +24,16 @@ class ContractSpec extends SparkSpec {
       s"undocumented rows-only queries: ${rowsOnly -- documented}")
   }
 
+  test("q40 histogram percentiles equal q37's builtin percentile_disc row-for-row") {
+    // one contract, two plans: the builtin value-map aggregation (q37) and
+    // the shuffled-histogram decomposition for unbounded value domains
+    // (q40) must agree exactly — value copies, no tolerance needed
+    val dir = "/root/testdata/sf0.001"
+    val a = analytics.Queries.q37Percentiles(spark, dir).collect().toSeq
+    val b = analytics.Queries.q40PercentilesHist(spark, dir).collect().toSeq
+    assert(a.map(_.toSeq) == b.map(_.toSeq), s"q37=$a q40=$b")
+  }
+
   test("query names are filesystem-safe for Verify's output dirs") {
     val bad = SparkEntry.queries.keySet.filterNot(_.matches("^[a-z0-9_]+$"))
     assert(bad.isEmpty, s"unsafe names: $bad")
