@@ -469,13 +469,23 @@ object CurationOps {
     * an order-deterministic sorted fold ([[TextOps.foldSum]] — all terms
     * derive from exact integer counts, so both engines fold bit-identical
     * doubles). Per-group state is the group's vocabulary, never the corpus. */
-  def klDrift(df: DataFrame, textCol: String, byCol: String): DataFrame = {
-    val st = df
-      .withColumn("__tk", toks(col(textCol)))
+  def klDrift(df: DataFrame, textCol: String, byCol: String): DataFrame =
+    klFromCounts(tokenCounts(df, textCol, byCol), byCol)
+
+  /** The (byCol, __tok, __c) count table [[klDrift]] aggregates — exposed
+    * so an INCREMENTAL state (per-micro-batch count partitions, see
+    * [[graft.streaming.CurationStream.tokenCountsBatch]]) can feed the same
+    * report math after a sum-merge. */
+  def tokenCounts(df: DataFrame, textCol: String, byCol: String): DataFrame =
+    df.withColumn("__tk", toks(col(textCol)))
       .select(col(byCol), explode_outer(col("__tk")).as("__tok"))
       .filter(col("__tok").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
       .groupBy(col(byCol), col("__tok"))
       .agg(count(lit(1)).as("__c"))
+
+  /** KL report from a (byCol, __tok, __c) count table — the second stage of
+    * [[klDrift]]. `st` rows must already be unique per (byCol, __tok). */
+  def klFromCounts(st: DataFrame, byCol: String): DataFrame = {
     val tt = st.groupBy(col("__tok")).agg(sum(col("__c")).as("__ct"))
     val tot = tt.agg(sum(col("__ct")).as("__T"))
     val gs = Window.partitionBy(col(byCol))

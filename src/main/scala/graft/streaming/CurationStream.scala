@@ -483,4 +483,72 @@ object CurationStream {
     import benchmark.sparkSession.implicits._
     gramHashes(benchmark, textCol, n).as[Long].collect().toSeq
   }
+
+  // ------------------------------------------------ incremental KL drift
+  /** Incremental token-count state for streaming distribution monitoring —
+    * the c14 `klDrift` report fed from a stream: each micro-batch writes
+    * its OWN (byCol, __tok, __c) aggregate as `countsDir/batch=<id>`, the
+    * [[nearDedupBatch]] signature-index write discipline applied to counts:
+    *
+    *   - replay idempotency for free — a replayed batch OVERWRITES exactly
+    *     its own partition (rewriting it to absent when the batch is
+    *     empty), never double-counts;
+    *   - per-batch IO is BATCH-sized (one aggregate write), never
+    *     state-sized — no read-merge-rewrite of the whole vocabulary per
+    *     micro-batch;
+    *   - report cost grows with the partition count until compacted; the
+    *     [[compactIndex]] rename-aside pattern applies verbatim when batch
+    *     partitions accumulate (counts merge by sum instead of distinct).
+    *
+    * Use as `stream.writeStream.foreachBatch(tokenCountsBatch(dir, "text",
+    * "source") _)`. */
+  def tokenCountsBatch(countsDir: String, textCol: String, byCol: String)
+      (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val counts = graft.ext.CurationOps.tokenCounts(batch, textCol, byCol)
+      .persist()
+    try lockFor(countsDir).synchronized {
+      val root = new org.apache.hadoop.fs.Path(countsDir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(root)
+      val target = new org.apache.hadoop.fs.Path(s"$countsDir/batch=$batchId")
+      // empty batch -> absent partition (an empty parquet dir has no schema
+      // to read back); a replayed batch still deletes its prior attempt
+      if (counts.isEmpty) fs.delete(target, true)
+      else counts.write.mode("overwrite").parquet(target.toString)
+    } finally counts.unpersist(false)
+  }
+
+  /** The c14 KL-drift report over everything [[tokenCountsBatch]] has
+    * accumulated: sum-merge the batch partitions to one (byCol, token)
+    * count table (vocabulary-sized — the merge never touches document
+    * text), then the exact [[graft.ext.CurationOps.klFromCounts]] math, so
+    * the streaming report is BIT-identical to running the batch `klDrift`
+    * over the union of all micro-batches (spec-pinned). Returns the empty
+    * report when no batch has written yet. */
+  def klDriftReport(spark: org.apache.spark.sql.SparkSession,
+      countsDir: String, byCol: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(countsDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts =
+      if (!fs.exists(root)) Array.empty[org.apache.hadoop.fs.Path]
+      else fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.startsWith("batch="))
+    if (parts.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(byCol,
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n_tokens",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("vocab",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("kl_corpus",
+            org.apache.spark.sql.types.DoubleType))))
+    val merged = spark.read.parquet(parts.map(_.toString).toIndexedSeq: _*)
+      .groupBy(col(byCol), col("__tok"))
+      .agg(sum(col("__c")).as("__c"))
+    graft.ext.CurationOps.klFromCounts(merged, byCol)
+  }
 }

@@ -887,6 +887,38 @@ class StreamingPipelineSpec extends SparkSpec {
       s"the replayed partition must hold exactly its surviving doc's postings: $idxDocs")
   }
 
+  test("incremental KL drift: streamed count partitions reproduce the batch c14 bit-exactly") {
+    import graft.streaming.CurationStream
+    import graft.ext.CurationOps
+    val dir = Files.createTempDirectory("kl_counts").toString
+    val b0 = Seq((1L, "a a b", "A"), (2L, "b c", "B")).toDF("doc_id", "text", "source")
+    val b1 = Seq((3L, "a c c d", "A"), (4L, "b b", "B")).toDF("doc_id", "text", "source")
+    CurationStream.tokenCountsBatch(dir, "text", "source")(b0, 0L)
+    CurationStream.tokenCountsBatch(dir, "text", "source")(b1, 1L)
+    def bits(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("source"), col("n_tokens"), col("vocab"), col("kl_corpus"))
+        .as[(String, Long, Long, Double)].collect()
+        .map { case (s, n, v, k) =>
+          (s, n, v, java.lang.Double.doubleToRawLongBits(k))
+        }.sortBy(_._1).toSeq
+    val streamed = bits(CurationStream.klDriftReport(spark, dir, "source"))
+    val batch = bits(CurationOps.klDrift(b0.union(b1), "text", "source"))
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    // replay idempotency: re-running batch 1 overwrites its own partition —
+    // the report must not double-count
+    CurationStream.tokenCountsBatch(dir, "text", "source")(b1, 1L)
+    assert(bits(CurationStream.klDriftReport(spark, dir, "source")) == batch)
+    // an empty replayed batch deletes its partition instead of corrupting it
+    CurationStream.tokenCountsBatch(dir, "text", "source")(
+      b1.filter(lit(false)), 1L)
+    val afterEmpty = bits(CurationStream.klDriftReport(spark, dir, "source"))
+    assert(afterEmpty == bits(CurationOps.klDrift(b0, "text", "source")))
+    // no state at all -> empty report, not a crash
+    val none = CurationStream.klDriftReport(spark,
+      Files.createTempDirectory("kl_empty").toString, "source")
+    assert(none.count() == 0)
+  }
+
   test("hash-threshold samplers are stateless: a stream keeps exactly the batch rows") {
     import graft.ext.CurationOps
     // the sampler's contract — the same row is kept on every run, engine,
