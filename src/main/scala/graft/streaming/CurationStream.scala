@@ -369,6 +369,34 @@ object CurationStream {
     * when a merge committed (or there was nothing to merge). */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
       uptoBatchId: Long, onStep: String => Unit = _ => ()): Boolean =
+    compactPartitions(spark, indexDir, uptoBatchId, onStep)(
+      // preserve the (band,bsig) sort across compaction — the merged
+      // partition must stay prunable by the per-batch probe's In filter
+      _.sort(org.apache.spark.sql.functions.col("band"),
+        org.apache.spark.sql.functions.col("bsig")))
+
+  /** Compact the [[tokenCountsBatch]] count state: merge every partition
+    * strictly below `uptoBatchId` into one SUM-aggregated partition —
+    * [[compactIndex]]'s machinery with an aggregate merge, so the state
+    * shrinks to one row per (group, token) instead of concatenating.
+    *
+    * The `uptoBatchId` precondition is CORRECTNESS-critical here, not just
+    * replay hygiene: a replayed batch below the compaction horizon would
+    * re-create its own partition while its counts also live inside the
+    * merged one — double-counting, which count semantics (unlike the
+    * index's distinct-probed postings) do NOT absorb. Pass only the
+    * streaming checkpoint's committed horizon, which structured streaming
+    * never replays. */
+  def compactCounts(spark: org.apache.spark.sql.SparkSession,
+      countsDir: String, uptoBatchId: Long, byCol: String,
+      onStep: String => Unit = _ => ()): Boolean =
+    compactPartitions(spark, countsDir, uptoBatchId, onStep)(
+      _.groupBy(col(byCol), col("__tok"))
+        .agg(sum(col("__c")).as("__c")))
+
+  private def compactPartitions(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, uptoBatchId: Long, onStep: String => Unit)
+      (merge: DataFrame => DataFrame): Boolean =
       lockFor(indexDir).synchronized {
     val root = new org.apache.hadoop.fs.Path(indexDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -385,11 +413,7 @@ object CurationStream {
     if (parts.length < 2) return true // nothing to merge
     val maxId = parts.map(_._1).max
     val tmp = new org.apache.hadoop.fs.Path(root, s".compact-$maxId")
-    // preserve the (band,bsig) sort across compaction — the merged partition
-    // must stay prunable by the per-batch probe's pushed In filter
-    spark.read.parquet(parts.map(_._2.toString).toIndexedSeq: _*)
-      .sort(org.apache.spark.sql.functions.col("band"),
-        org.apache.spark.sql.functions.col("bsig"))
+    merge(spark.read.parquet(parts.map(_._2.toString).toIndexedSeq: _*))
       .write.mode("overwrite").parquet(tmp.toString)
     onStep("merged")
     val target = new org.apache.hadoop.fs.Path(root, s"batch=$maxId")

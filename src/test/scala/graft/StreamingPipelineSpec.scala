@@ -919,6 +919,34 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("compactCounts sum-merges committed count partitions; report unchanged") {
+    import graft.streaming.CurationStream
+    import graft.ext.CurationOps
+    val dir = Files.createTempDirectory("kl_compact").toString
+    val b0 = Seq((1L, "a a b", "A"), (2L, "b c", "B")).toDF("doc_id", "text", "source")
+    val b1 = Seq((3L, "a c", "A")).toDF("doc_id", "text", "source")
+    val b2 = Seq((4L, "d d", "B")).toDF("doc_id", "text", "source")
+    Seq(b0, b1, b2).zipWithIndex.foreach { case (b, id) =>
+      CurationStream.tokenCountsBatch(dir, "text", "source")(b, id.toLong)
+    }
+    def report() = CurationStream.klDriftReport(spark, dir, "source")
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val before = report()
+    // compact batches 0 and 1 (committed horizon = 2); batch 2 stays
+    assert(CurationStream.compactCounts(spark, dir, uptoBatchId = 2L, "source"))
+    val dirs = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("batch=")).sorted.toSeq
+    assert(dirs == Seq("batch=1", "batch=2"), s"got $dirs")
+    assert(report() == before, "compaction must not change the drift report")
+    // the merged partition is SUM-aggregated: one row per (source, token)
+    val merged = spark.read.parquet(s"$dir/batch=1")
+    assert(merged.count() == merged.select($"source", $"__tok").distinct().count())
+    // token 'a': 2 (batch 0) + 1 (batch 1) summed into one row
+    val aCount = merged.filter($"source" === "A" && $"__tok" === "a")
+      .select($"__c").as[Long].collect().toSeq
+    assert(aCount == Seq(3L), s"got $aCount")
+  }
+
   test("hash-threshold samplers are stateless: a stream keeps exactly the batch rows") {
     import graft.ext.CurationOps
     // the sampler's contract — the same row is kept on every run, engine,
