@@ -184,6 +184,23 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- d11
+  /** Duplicate-cluster statistics — the dedup REPORT every pipeline
+    * publishes next to its keep set: cluster-size histogram over the d06
+    * near-dup component structure, singletons included (a doc with no
+    * near-dup is a size-1 cluster). `n_docs` per size row sums to the
+    * corpus count; `cluster_size > 1` rows quantify the dup mass the d02/
+    * d07 collapse would remove. All-integer output. The DuckDB twin reuses
+    * the c11 recursive-reachability machinery, then the same histogram. */
+  val d11DupStats: Q = (s, dir) => {
+    import s.implicits._
+    val d = docs(s, dir)
+    val pairs = DedupOps.simhashPairs(d, "doc_id", "text",
+      bands = 2, bitsPerBand = 15, maxHamming = 1)
+    DedupOps.componentStats(d, "doc_id", pairs, "id_a", "id_b")
+      .orderBy($"cluster_size")
+  }
+
   // ---------------------------------------------------------------- d08
   /** Exact-substring span masking over the corpus (8-token windows repeated
     * in ≥ 2 distinct docs) — the oracle row for
@@ -244,7 +261,8 @@ object Dedup {
     "d06_simhash_hamming" -> d06SimhashHamming,
     "d07_neardup_components" -> d07NearDupComponents,
     "d08_span_mask" -> d08SpanMask,
-    "d09_crosscorpus_neardup" -> d09CrossCorpusNearDup)
+    "d09_crosscorpus_neardup" -> d09CrossCorpusNearDup,
+    "d11_dup_stats" -> d11DupStats)
 
   /** Shared DuckDB SQL prelude: tokens per doc (same split + empty-filter as
     * [[TextOps.toks]]). */
@@ -255,6 +273,55 @@ object Dedup {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the c11 recursive-reachability machinery (same simhash pairs, same
+    // component fixpoint), then the all-integer cluster-size histogram
+    "d11_dup_stats" ->
+      """WITH RECURSIVE l AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        | t AS (SELECT doc_id, unnest(toks) AS tok FROM l),
+        | h AS (
+        |  SELECT doc_id,
+        |   CAST(CAST(('0x' || substr(md5(tok),1,15)) AS UBIGINT) % 2147483647 AS BIGINT) AS hm
+        |  FROM t),
+        | g AS (SELECT doc_id, hm, count(*) AS cnt FROM h GROUP BY doc_id, hm),
+        | b AS (
+        |  SELECT doc_id, j,
+        |   sum(CASE WHEN (hm >> j) & 1 = 1 THEN cnt ELSE -cnt END) AS sgn
+        |  FROM g, (SELECT unnest(range(0,30)) AS j) GROUP BY doc_id, j),
+        | sig AS (
+        |  SELECT doc_id,
+        |   CAST(sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM b GROUP BY doc_id),
+        | bands AS (
+        |  SELECT doc_id, simhash, bd, (simhash >> (15*bd)) & 32767 AS bv
+        |  FROM sig, (SELECT unnest(range(0,2)) AS bd)),
+        | cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |   any_value(a.simhash) AS sa, any_value(b.simhash) AS sb
+        |  FROM bands a JOIN bands b ON a.bd = b.bd AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        | pairs AS (
+        |  SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sa, sb)) <= 1),
+        | e AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        | n AS (SELECT DISTINCT src AS id FROM e),
+        | reach(id, r) AS (
+        |  SELECT id, id FROM n
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+        | comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        | lab AS (
+        |  SELECT d.doc_id,
+        |   CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS comp
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+        | sizes AS (SELECT comp, count(*) AS sz FROM lab GROUP BY comp)
+        |SELECT CAST(sz AS BIGINT) AS cluster_size,
+        | CAST(count(*) AS BIGINT) AS n_clusters,
+        | CAST(sum(sz) AS BIGINT) AS n_docs
+        |FROM sizes GROUP BY sz ORDER BY cluster_size""".stripMargin,
     "d01_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,

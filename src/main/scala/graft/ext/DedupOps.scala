@@ -299,6 +299,30 @@ object DedupOps {
     }
   }
 
+  /** Duplicate-cluster size statistics over a near-dup pair graph — the
+    * dedup report: every corpus row labels with its
+    * [[connectedComponents]] component (itself when unpaired — singletons
+    * are size-1 clusters), then the cluster-size histogram
+    * (cluster_size, n_clusters, n_docs). `n_docs` sums to the corpus row
+    * count; rows with cluster_size > 1 quantify removable duplicate mass.
+    *
+    * Scale shape: components run over the PAIR graph only (orders of
+    * magnitude smaller than the corpus); the label join back is a
+    * small-side join AQE broadcasts; the two histogram aggregations are
+    * component-count- then size-count-sized. All-integer outputs. */
+  def componentStats(df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+      .select(col("id").as("__cid"), col("component"))
+    val sizes = df.select(col(idCol).cast("long").as("__id"))
+      .join(comp, col("__id") === col("__cid"), "left")
+      .select(coalesce(col("component"), col("__id")).as("__comp"))
+      .groupBy(col("__comp")).agg(count(lit(1)).as("cluster_size"))
+    sizes.groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"))
+  }
+
   /** Exact-substring span masking — the distributable fixed-window form of
     * Lee et al. 2022's ExactSubstr deduplication ("Deduplicating Training
     * Data Makes Language Models Better", the suffix-array step): every token

@@ -575,6 +575,16 @@ class DedupOpsSpec extends SparkSpec {
       (3L, 1, 0.7071, 1L), (4L, 1, 0.7071, 1L)), s"got $got")
   }
 
+  test("componentStats: cluster-size histogram with singletons; doc totals preserved") {
+    val d = (1L to 7L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    // one 3-cluster {1,2,3}, one 2-cluster {5,6}, singletons 4 and 7
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = DedupOps.componentStats(d, "doc_id", pairs, "id_a", "id_b")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2L, 2L), (2L, 1L, 2L), (3L, 1L, 3L)), s"got $got")
+    assert(got.map(_._3).sum == 7L, "n_docs must cover the corpus")
+  }
+
   test("connectedComponents labels pair graphs with the min reachable id") {
     // chain 1-2, 2-3 plus disjoint pair 10-11 plus triangle 20-21-22
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (20L, 22L))
