@@ -575,4 +575,83 @@ object CurationStream {
       .agg(sum(col("__c")).as("__c"))
     graft.ext.CurationOps.klFromCounts(merged, byCol)
   }
+
+  // --------------------------------------------- incremental corpus report
+  /** Incremental doc-stat state for the c15 corpus report over a stream —
+    * the [[tokenCountsBatch]] discipline applied to the dataset-card
+    * accounting: each micro-batch writes its (source, lang) cell stats
+    * (n_docs / n_tokens / n_chars / max_doc_tokens — all sum/max-mergeable)
+    * as `statsDir/batch=<id>`. Replay overwrites its own partition;
+    * per-batch IO is one |sources×langs|-row aggregate. */
+  def docStatsBatch(statsDir: String, textCol: String, sourceCol: String,
+      langCol: String)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val stats = batch
+      .withColumn("__ntok", size(toks(col(textCol))).cast("long"))
+      .withColumn("__nchr", length(col(textCol)).cast("long"))
+      .groupBy(col(sourceCol), col(langCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__ntok")).as("n_tokens"),
+        sum(col("__nchr")).as("n_chars"),
+        max(col("__ntok")).as("max_doc_tokens"))
+      .persist()
+    try lockFor(statsDir).synchronized {
+      val root = new org.apache.hadoop.fs.Path(statsDir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(root)
+      val target = new org.apache.hadoop.fs.Path(s"$statsDir/batch=$batchId")
+      if (stats.isEmpty) fs.delete(target, true)
+      else stats.write.mode("overwrite").parquet(target.toString)
+    } finally stats.unpersist(false)
+  }
+
+  /** The c15 rollup report over everything [[docStatsBatch]] accumulated:
+    * merge the cell partitions (sums re-sum, maxes re-max — every stat is
+    * associative), then the SAME rollup lattice and `(all)` labels as the
+    * batch [[graft.ext.CurationOps.corpusReport]], so the streamed report
+    * equals the batch operator over the union of all micro-batches exactly
+    * (integer-only — spec-pinned). */
+  def corpusReportStream(spark: org.apache.spark.sql.SparkSession,
+      statsDir: String, sourceCol: String = "source",
+      langCol: String = "lang"): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(statsDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts =
+      if (!fs.exists(root)) Array.empty[org.apache.hadoop.fs.Path]
+      else fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.startsWith("batch="))
+    if (parts.isEmpty) // absent state -> empty report (the klDriftReport contract)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(
+          Seq("source_grp", "lang_grp").map(n =>
+            org.apache.spark.sql.types.StructField(n,
+              org.apache.spark.sql.types.StringType)) ++
+          Seq("n_docs", "n_tokens", "n_chars", "max_doc_tokens").map(n =>
+            org.apache.spark.sql.types.StructField(n,
+              org.apache.spark.sql.types.LongType))))
+    spark.read.parquet(parts.map(_.toString).toIndexedSeq: _*)
+      .rollup(col(sourceCol), col(langCol))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        max(col("max_doc_tokens")).as("max_doc_tokens"))
+      .select(
+        coalesce(col(sourceCol), lit("(all)")).as("source_grp"),
+        coalesce(col(langCol), lit("(all)")).as("lang_grp"),
+        col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("max_doc_tokens"))
+  }
+
+  /** [[compactCounts]] for the doc-stat state: sum/max-merge committed
+    * partitions (same `uptoBatchId` correctness precondition — replaying a
+    * compacted batch would double-count). */
+  def compactStats(spark: org.apache.spark.sql.SparkSession,
+      statsDir: String, uptoBatchId: Long, sourceCol: String = "source",
+      langCol: String = "lang", onStep: String => Unit = _ => ()): Boolean =
+    compactPartitions(spark, statsDir, uptoBatchId, onStep)(
+      _.groupBy(col(sourceCol), col(langCol))
+        .agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"),
+          max(col("max_doc_tokens")).as("max_doc_tokens")))
 }

@@ -947,6 +947,37 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(aCount == Seq(3L), s"got $aCount")
   }
 
+  test("incremental corpus report: streamed cell partitions reproduce batch c15 exactly") {
+    import graft.streaming.CurationStream
+    import graft.ext.CurationOps
+    val dir = Files.createTempDirectory("cr_stats").toString
+    val b0 = Seq((1L, "a b c", "web", "en"), (2L, "d e", "web", "de"))
+      .toDF("doc_id", "text", "source", "lang")
+    val b1 = Seq((3L, "f g h i", "web", "en"), (4L, "j", "books", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    CurationStream.docStatsBatch(dir, "text", "source", "lang")(b0, 0L)
+    CurationStream.docStatsBatch(dir, "text", "source", "lang")(b1, 1L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, String, Long, Long, Long, Long)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+    val streamed = rows(CurationStream.corpusReportStream(spark, dir))
+    val batch = rows(CurationOps.corpusReport(b0.union(b1), "text", "source", "lang"))
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    // max merges as max, not sum: the (web, en) cell spans both batches
+    assert(streamed.find(r => r._1 == "web" && r._2 == "en").get._6 == 4L)
+    // replay idempotency + compaction leave the report unchanged
+    CurationStream.docStatsBatch(dir, "text", "source", "lang")(b1, 1L)
+    assert(rows(CurationStream.corpusReportStream(spark, dir)) == batch)
+    CurationStream.docStatsBatch(dir, "text", "source", "lang")(
+      Seq((5L, "k l", "web", "en")).toDF("doc_id", "text", "source", "lang"), 2L)
+    val withB2 = rows(CurationStream.corpusReportStream(spark, dir))
+    assert(CurationStream.compactStats(spark, dir, uptoBatchId = 2L))
+    assert(rows(CurationStream.corpusReportStream(spark, dir)) == withB2)
+    // absent state -> empty report
+    assert(CurationStream.corpusReportStream(spark,
+      Files.createTempDirectory("cr_empty").toString).count() == 0)
+  }
+
   test("hash-threshold samplers are stateless: a stream keeps exactly the batch rows") {
     import graft.ext.CurationOps
     // the sampler's contract — the same row is kept on every run, engine,
