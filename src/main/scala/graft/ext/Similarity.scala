@@ -811,6 +811,58 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  // ----------------------------------------------------------- recall / s12
+  /** Per-query recall@k of an approximate result against ground truth: both
+    * frames are (queryCol, idCol) rankings; recall = |approx ∩ truth| / k.
+    * The ANN evaluation primitive — with [[LshTuning]] it closes the tuning
+    * loop: pick a layout from the threshold, then MEASURE what the pruning
+    * actually costs in recall on the real corpus. All-integer intersection
+    * counts; the ratio divides two exact integers.
+    *
+    * Scale shape: one (query, id)-keyed semi-join between two k·|queries|-
+    * sized frames — both tiny next to the corpus that produced them. */
+  def recallAtK(truth: DataFrame, approx: DataFrame, queryCol: String,
+      idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k >= 1, got $k")
+    val t = truth.select(col(queryCol).as("query_id"), col(idCol).as("__tid"))
+    val a = approx.select(col(queryCol).as("query_id"), col(idCol).as("__tid"))
+      .withColumn("__hit", lit(1L))
+    // LEFT join so zero-hit queries still report (recall 0.0), not vanish
+    t.join(a, Seq("query_id", "__tid"), "left")
+      .groupBy(col("query_id"))
+      .agg(sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / k + 1e-9, 4).as("recall"))
+  }
+
+  /** s12 oracle row: recall@5 of the s02 LSH bucket search against the s01
+    * brute-force ground truth, per query — both sides are the
+    * already-oracle-proven rankings (same round-6 cosine / lower-id
+    * contract), so DuckDB replays the whole evaluation. Queries whose
+    * bucket holds fewer than 5 non-self members return fewer approx rows
+    * and can never reach recall 1 — that truncation is the measurement. */
+  val s12AnnRecall: Q = (s, dir) => {
+    import s.implicits._
+    val e = vecs(s, dir)
+    val q = e.filter($"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))
+    val w = Window.partitionBy($"qid").orderBy($"cos6".desc, $"vec_id")
+    val truth = broadcast(q).join(e, $"qid" =!= $"vec_id")
+      .withColumn("cos6", round(dot($"qv", $"v") / ($"qn" * $"nrm"), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 5).select($"qid", $"vec_id")
+    val eb = e.withColumn("bucket", bucketOf($"v"))
+    val qb = eb.filter($"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"), $"bucket")
+    val approx = broadcast(qb).join(eb, Seq("bucket"))
+      .filter($"qid" =!= $"vec_id")
+      .withColumn("cos6", round(dot($"qv", $"v") / ($"qn" * $"nrm"), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 5).select($"qid", $"vec_id")
+    recallAtK(truth, approx, "qid", "vec_id", k = 5)
+      .orderBy($"query_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "s01_knn_brute" -> s01KnnBrute,
     "s02_ann_lsh" -> s02AnnLsh,
@@ -821,7 +873,8 @@ object Similarity {
     "s08_ivfpq" -> s08IvfPq,
     "s09_ivfpq_residual" -> s09IvfPqResidual,
     "s10_binary_knn" -> s10BinaryKnn,
-    "s11_jl_knn" -> s11JlKnn)
+    "s11_jl_knn" -> s11JlKnn,
+    "s12_ann_recall" -> s12AnnRecall)
 
   private val vecsCte =
     """WITH e AS (
@@ -928,6 +981,48 @@ object Similarity {
         |    ORDER BY list_dot_product(q.u, e.u) DESC, e.vec_id) AS BIGINT) AS rk
         | FROM u q JOIN u e ON q.vec_id < 20 AND q.vec_id <> e.vec_id) t
         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // both rankings are the proven s01/s02 forms (round-6 cosine, lower-id
+    // tie-break); recall joins the two top-5 sets on (query, id)
+    "s12_ann_recall" ->
+      (vecsCte +
+        """, tr AS (
+          |  SELECT qid, vec_id FROM (
+          |   SELECT q.vec_id AS qid, e2.vec_id,
+          |    CAST(row_number() OVER (PARTITION BY q.vec_id
+          |      ORDER BY round(list_dot_product(q.v, e2.v) / (q.nrm * e2.nrm), 6) DESC,
+          |               e2.vec_id) AS BIGINT) AS rk
+          |   FROM e q JOIN e e2 ON q.vec_id < 20 AND q.vec_id <> e2.vec_id) t
+          |  WHERE rk <= 5),
+          | hp AS (
+          |  SELECT j, d,
+          |   (CAST(CAST(('0x' || substr(md5('hp:' || j || ':' || d),1,15)) AS UBIGINT)
+          |     % 2001 AS BIGINT) - 1000) / 1000.0 AS r
+          |  FROM (SELECT unnest(range(0,8)) AS j), (SELECT unnest(range(0,64)) AS d)),
+          | ev AS (
+          |  SELECT vec_id, generate_subscripts(v,1)-1 AS d, unnest(v) AS x FROM e),
+          | dots AS (
+          |  SELECT ev.vec_id, hp.j, sum(ev.x * hp.r) AS s
+          |  FROM ev JOIN hp USING (d) GROUP BY ev.vec_id, hp.j),
+          | buck AS (
+          |  SELECT vec_id,
+          |   CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS bucket
+          |  FROM dots GROUP BY vec_id),
+          | eb AS (SELECT e.*, buck.bucket FROM e JOIN buck USING (vec_id)),
+          | ap AS (
+          |  SELECT qid, vec_id FROM (
+          |   SELECT q.vec_id AS qid, e2.vec_id,
+          |    CAST(row_number() OVER (PARTITION BY q.vec_id
+          |      ORDER BY round(list_dot_product(q.v, e2.v) / (q.nrm * e2.nrm), 6) DESC,
+          |               e2.vec_id) AS BIGINT) AS rk
+          |   FROM eb q JOIN eb e2 ON q.bucket = e2.bucket
+          |     AND q.vec_id < 20 AND q.vec_id <> e2.vec_id) t
+          |  WHERE rk <= 5)
+          |SELECT tr.qid AS query_id,
+          | CAST(sum(CASE WHEN ap.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hits,
+          | round(CAST(sum(CASE WHEN ap.vec_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+          |   / 5 + 1e-9, 4) AS recall
+          |FROM tr LEFT JOIN ap ON tr.qid = ap.qid AND tr.vec_id = ap.vec_id
+          |GROUP BY tr.qid ORDER BY query_id""".stripMargin),
     // sign-bit signature packing + XOR/popcount replayed exactly — the
     // all-integer oracle (hamming asc, lower-id tie-break)
     "s10_binary_knn" ->

@@ -415,6 +415,17 @@ class DedupOpsSpec extends SparkSpec {
       s"JL reduction must preserve the cluster structure: ${sameCluster(reduced)}")
   }
 
+  test("recallAtK: per-query intersection counts; zero-hit queries still report") {
+    def r4(x: Double) = math.round((x + 1e-9) * 1e4) / 1e4
+    val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 20L), (2L, 21L), (2L, 22L)).toDF("q", "id")
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 30L),
+      (2L, 40L), (2L, 41L)).toDF("q", "id")
+    val got = Similarity.recallAtK(truth, approx, "q", "id", k = 3)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2L, r4(2.0 / 3)), (2L, 0L, 0.0)), s"got $got")
+  }
+
   test("ivfKnn with full probe equals brute-force; partial probe recalls most") {
     val queries = embs.filter($"vec_id" < 20)
     val brute = DedupOps.knn(embs, queries, "vec_id", "embedding", 5)
