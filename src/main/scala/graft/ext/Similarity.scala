@@ -811,6 +811,63 @@ object Similarity {
       .orderBy($"query_id", $"rank")
   }
 
+  // -------------------------------------------------- binary rerank / s13
+  /** Two-stage binary search — the production deployment of the s10
+    * representation (coarse→fine, the PQ-rerank pattern at 1 bit): stage 1
+    * ranks the corpus by signature Hamming distance (16 bytes/vector
+    * streamed, two XOR+popcounts per candidate) and keeps `refine·k`
+    * candidates per query; stage 2 joins ONLY those candidates back to
+    * their float vectors for the exact cosine top-k. The full-precision
+    * corpus is touched `refine·k/|corpus|`-sparsely via a keyed join —
+    * the memory/bandwidth win of s10 with near-exact ranking quality.
+    * Candidate selection is all-integer (Hamming asc, lower-id tie-break),
+    * so the candidate SET — and with the s01 ranking contract the final
+    * rows — are deterministic and engine-replayable. */
+  def knnBinaryRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, refine: Int = 10): DataFrame = {
+    require(k >= 1 && refine >= 1, s"need k,refine >= 1, got $k,$refine")
+    val c = withBinarySig(
+      corpus.select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v")), "__v")
+      .select(col("id"), col("sig0"), col("sig1"))
+    val q = withBinarySig(
+      queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__v")), "__v")
+      .select(col("query_id"), col("sig0").as("qs0"), col("sig1").as("qs1"))
+    val wH = Window.partitionBy(col("query_id"))
+      .orderBy(col("__ham"), col("id"))
+    val cands = broadcast(q).join(c, col("query_id") =!= col("id"))
+      .withColumn("__ham", hamming64(col("qs0"), col("qs1"), col("sig0"), col("sig1")))
+      .withColumn("__hrk", row_number().over(wH))
+      .filter(col("__hrk") <= refine * k)
+      .select(col("query_id"), col("id"))
+    val vecsU = corpus
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("__v"))
+      .withColumn("__n", graft.functions.VectorExprs.l2(col("__v")))
+    val qU = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("__qv"))
+      .withColumn("__qn", graft.functions.VectorExprs.l2(col("__qv")))
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos6").desc, col("id"))
+    cands
+      .join(vecsU, Seq("id"))
+      .join(broadcast(qU), Seq("query_id"))
+      .withColumn("cos6", round(dot(col("__qv"), col("__v")) / (col("__qn") * col("__n")), 6))
+      .withColumn("rank", row_number().over(wC).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"),
+        round(col("cos6"), 4).as("cosine"))
+  }
+
+  /** s13 oracle row: Hamming-prefilter top-50 → exact cosine top-5 for the
+    * standard query set; DuckDB replays both stages (all-integer candidate
+    * selection, then the s01 ranking contract). */
+  val s13BinaryRerank: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.loadSpread(s, dir, "embeddings")
+    knnBinaryRerank(e, e.filter($"vec_id" < 20), "vec_id", "embedding",
+      k = 5, refine = 10)
+      .orderBy($"query_id", $"rank")
+  }
+
   // ----------------------------------------------------------- recall / s12
   /** Per-query recall@k of an approximate result against ground truth: both
     * frames are (queryCol, idCol) rankings; recall = |approx ∩ truth| / k.
@@ -874,7 +931,8 @@ object Similarity {
     "s09_ivfpq_residual" -> s09IvfPqResidual,
     "s10_binary_knn" -> s10BinaryKnn,
     "s11_jl_knn" -> s11JlKnn,
-    "s12_ann_recall" -> s12AnnRecall)
+    "s12_ann_recall" -> s12AnnRecall,
+    "s13_binary_rerank" -> s13BinaryRerank)
 
   private val vecsCte =
     """WITH e AS (
@@ -980,6 +1038,37 @@ object Similarity {
         |  CAST(row_number() OVER (PARTITION BY q.vec_id
         |    ORDER BY list_dot_product(q.u, e.u) DESC, e.vec_id) AS BIGINT) AS rk
         | FROM u q JOIN u e ON q.vec_id < 20 AND q.vec_id <> e.vec_id) t
+        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // stage 1: all-integer Hamming top-50 over the s10 signatures; stage 2:
+    // exact cosine top-5 over ONLY those candidates (the s01 contract)
+    "s13_binary_rerank" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        | sig AS (
+        |  SELECT vec_id,
+        |   CAST(list_sum(list_transform(range(0,32), d ->
+        |     CASE WHEN v[d+1] > 0 THEN (CAST(1 AS BIGINT) << d) ELSE 0 END)) AS BIGINT) AS s0,
+        |   CAST(list_sum(list_transform(range(32,64), d ->
+        |     CASE WHEN v[d+1] > 0 THEN (CAST(1 AS BIGINT) << (d-32)) ELSE 0 END)) AS BIGINT) AS s1
+        |  FROM e),
+        | cand AS (
+        |  SELECT query_id, id FROM (
+        |   SELECT q.vec_id AS query_id, c.vec_id AS id,
+        |    CAST(row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY bit_count(xor(q.s0, c.s0)) + bit_count(xor(q.s1, c.s1)),
+        |               c.vec_id) AS BIGINT) AS hrk
+        |   FROM sig q JOIN sig c ON q.vec_id < 20 AND q.vec_id <> c.vec_id) t
+        |  WHERE hrk <= 50),
+        | u AS (
+        |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
+        |  FROM e)
+        |SELECT query_id, rk AS "rank", id, round(cos6, 4) AS cosine FROM (
+        | SELECT cand.query_id, cand.id,
+        |  round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos6,
+        |  CAST(row_number() OVER (PARTITION BY cand.query_id
+        |    ORDER BY round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) DESC,
+        |             cand.id) AS BIGINT) AS rk
+        | FROM cand JOIN u q ON cand.query_id = q.vec_id
+        |  JOIN u c ON cand.id = c.vec_id) t
         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
     // both rankings are the proven s01/s02 forms (round-6 cosine, lower-id
     // tie-break); recall joins the two top-5 sets on (query, id)

@@ -415,6 +415,29 @@ class DedupOpsSpec extends SparkSpec {
       s"JL reduction must preserve the cluster structure: ${sameCluster(reduced)}")
   }
 
+  test("knnBinaryRerank: covering refine equals brute; hamming prefilter recalls usefully") {
+    val queries = embs.filter($"vec_id" < 20)
+    val brute = DedupOps.knn(embs, queries, "vec_id", "embedding", 5)
+      .select($"query_id", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // refine*k >= corpus: stage 1 keeps everything -> exact brute result
+    val covering = Similarity.knnBinaryRerank(embs, queries, "vec_id",
+        "embedding", k = 5, refine = 1000)
+      .select($"query_id", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(covering == brute)
+    // production shape: 50 Hamming candidates from the whole corpus still
+    // recover a useful share of the exact top-5
+    val fast = Similarity.knnBinaryRerank(embs, queries, "vec_id",
+        "embedding", k = 5, refine = 10)
+      .select($"query_id", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = brute.keys.toSeq.map { q =>
+      (fast.getOrElse(q, Set.empty[Long]) & brute(q)).size / 5.0
+    }.sum / brute.size
+    assert(recall >= 0.3, s"binary-rerank recall collapsed: $recall")
+  }
+
   test("recallAtK: per-query intersection counts; zero-hit queries still report") {
     def r4(x: Double) = math.round((x + 1e-9) * 1e4) / 1e4
     val truth = Seq((1L, 10L), (1L, 11L), (1L, 12L),
