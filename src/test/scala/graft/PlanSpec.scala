@@ -116,6 +116,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("s13: both stages stay keyed — broadcast prefilter, id-keyed rerank join") {
+    val p = plan("s13_binary_rerank")
+    // stage 1: query signatures broadcast against the streaming corpus
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"prefilter queries must ride a broadcast:\n$p")
+    // stage 2: candidates join vectors by id — never an all-pairs fallback
+    assert(!p.contains("CartesianProduct"),
+      s"rerank must stay keyed:\n$p")
+  }
+
   test("q38: bucketed join runs with zero Exchange and zero Sort below the join") {
     val df = SparkEntry.queries("q38_bucketed_join")(spark, dir)
     df.collect() // AQE finalizes; the bucketed tables get written
