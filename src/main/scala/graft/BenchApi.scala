@@ -47,6 +47,30 @@ object BenchApi {
           Tables.loadSpread(spark, dir, "embeddings"), "vec_id", "embedding",
           threshold = 0.9))
       },
+      "knn_binary" -> { dir =>
+        // bounded-heap API form of the s10 representation
+        val e = Tables.loadSpread(spark, dir, "embeddings")
+        drainDf(graft.ext.Similarity.knnBinary(
+          e, e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5))
+      },
+      "binary_rerank" -> { dir =>
+        // production coarse->fine shape (refine=10), the s13 plan at scale
+        val e = Tables.loadSpread(spark, dir, "embeddings")
+        drainDf(graft.ext.Similarity.knnBinaryRerank(
+          e, e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5))
+      },
+      "kl_drift_stream" -> { dir =>
+        // four micro-batches of token-count state + one drift report — the
+        // timed unit includes the per-batch aggregate writes and the
+        // vocabulary-sized merge the report performs
+        val cd = java.nio.file.Files.createTempDirectory("bench_klcnt").toString
+        val docs = Tables.loadSpread(spark, dir, "documents")
+        (0L until 4L).foreach { b =>
+          graft.streaming.CurationStream.tokenCountsBatch(cd, "text", "source")(
+            docs.filter(pmod(col("doc_id"), lit(4)) === b), b)
+        }
+        drainDf(graft.streaming.CurationStream.klDriftReport(spark, cd, "source"))
+      },
       "neardup_batch" -> { dir =>
         // four sequential micro-batches into a fresh signature index — the
         // timed unit includes the in-batch dedup, the cross-batch probe
