@@ -933,7 +933,59 @@ object TextAnalysis {
     sentenceStats(injected, "doc_id", "raw").orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- t21
+  /** Writing-system (Unicode script) detection — the step BEFORE language
+    * ID in multilingual pipelines (t01's stopword vote only works once the
+    * script is known to be spaced Latin-like; CJK/Cyrillic/Greek/Arabic
+    * route to different tokenizers entirely). Counts characters per script
+    * block via literal-range character classes (actual BMP range endpoints
+    * embedded in the pattern, so Java regex and RE2 compile the identical
+    * class), picks the dominant script with a deterministic
+    * declaration-order tie-break (the t01 fold), and emits the dominant
+    * share of script-classified chars. 'und' when nothing matches any
+    * block. The ratio divides two exact integers. Scale: one shuffle-free
+    * codegen'd regexp projection. */
+  private[ext] val scripts: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-zÀ-ɏ]",
+    "cjk" -> "[一-鿿぀-ヿ]",
+    "cyrillic" -> "[Ѐ-ӿ]",
+    "greek" -> "[Ͱ-Ͽ]",
+    "arabic" -> "[؀-ۿ]")
+
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counted = scripts.foldLeft(df) { case (acc, (name, cls)) =>
+      acc.withColumn(s"n_$name",
+        size(regexp_extract_all(col(textCol), lit(cls), lit(0))).cast("long"))
+    }
+    val total = scripts.map { case (n, _) => col(s"n_$n") }.reduce(_ + _)
+    val mx = greatest(scripts.map { case (n, _) => col(s"n_$n") }: _*)
+    val dominant = scripts.foldRight(lit("und"): Column) { case ((n, _), alt) =>
+      when(col(s"n_$n") === mx && mx > 0, lit(n)).otherwise(alt)
+    }
+    counted.select(
+      col(idCol) +: scripts.map { case (n, _) => col(s"n_$n") } :+
+        dominant.as("script") :+
+        when(total > 0, round(mx.cast("double") / total.cast("double") + 1e-9, 4))
+          .otherwise(lit(0.0d)).as("script_share"): _*)
+  }
+
+  /** The t21 oracle injection (the corpus is ASCII Latin): every 5th doc a
+    * CJK run, every 7th Cyrillic, every 9th Greek — mod-overlapping docs
+    * exercise the dominant-script vote and the tie-break. */
+  val t21ScriptProfile: Q = (s, dir) => {
+    import s.implicits._
+    val injected = docs(s, dir).select($"doc_id", concat($"text",
+      when(pmod($"doc_id", lit(5)) === 0, lit(" 汉字漢字かなカナ汉字漢字"))
+        .otherwise(lit("")),
+      when(pmod($"doc_id", lit(7)) === 0, lit(" привет мир данные"))
+        .otherwise(lit("")),
+      when(pmod($"doc_id", lit(9)) === 0, lit(" αλφα βητα"))
+        .otherwise(lit(""))).as("raw"))
+    scriptProfile(injected, "doc_id", "raw").orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t21_script_profile" -> t21ScriptProfile,
     "t20_sentence_stats" -> t20SentenceStats,
     "t19_char_entropy" -> t19CharEntropy,
     "t01_lang_id" -> t01LangId,
@@ -1018,6 +1070,38 @@ object TextAnalysis {
       words.map(w => s"'$w'").mkString(",") + "], t))) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    // same literal-range classes (identical in Java regex and RE2), same
+    // declaration-order dominant vote, one integer division
+    "t21_script_profile" ->
+      """WITH inj AS (
+        |  SELECT doc_id, text ||
+        |   (CASE WHEN doc_id % 5 = 0 THEN ' 汉字漢字かなカナ汉字漢字' ELSE '' END) ||
+        |   (CASE WHEN doc_id % 7 = 0 THEN ' привет мир данные' ELSE '' END) ||
+        |   (CASE WHEN doc_id % 9 = 0 THEN ' αλφα βητα' ELSE '' END) AS raw
+        |  FROM documents),
+        | c AS (
+        |  SELECT doc_id,
+        |   CAST(len(regexp_extract_all(raw, '[A-Za-zÀ-ɏ]')) AS BIGINT) AS n_latin,
+        |   CAST(len(regexp_extract_all(raw, '[一-鿿぀-ヿ]')) AS BIGINT) AS n_cjk,
+        |   CAST(len(regexp_extract_all(raw, '[Ѐ-ӿ]')) AS BIGINT) AS n_cyrillic,
+        |   CAST(len(regexp_extract_all(raw, '[Ͱ-Ͽ]')) AS BIGINT) AS n_greek,
+        |   CAST(len(regexp_extract_all(raw, '[؀-ۿ]')) AS BIGINT) AS n_arabic
+        |  FROM inj),
+        | m AS (
+        |  SELECT *, greatest(n_latin, n_cjk, n_cyrillic, n_greek, n_arabic) AS mx,
+        |   n_latin + n_cjk + n_cyrillic + n_greek + n_arabic AS tot
+        |  FROM c)
+        |SELECT doc_id, n_latin, n_cjk, n_cyrillic, n_greek, n_arabic,
+        | CASE WHEN n_latin = mx AND mx > 0 THEN 'latin'
+        |      WHEN n_cjk = mx AND mx > 0 THEN 'cjk'
+        |      WHEN n_cyrillic = mx AND mx > 0 THEN 'cyrillic'
+        |      WHEN n_greek = mx AND mx > 0 THEN 'greek'
+        |      WHEN n_arabic = mx AND mx > 0 THEN 'arabic'
+        |      ELSE 'und' END AS script,
+        | CASE WHEN tot > 0
+        |  THEN round(CAST(mx AS DOUBLE) / CAST(tot AS DOUBLE) + 1e-9, 4)
+        |  ELSE 0.0 END AS script_share
+        |FROM m ORDER BY doc_id""".stripMargin,
     // same injection, same [.!?]+ segmentation, integer counts; the mean is
     // one division of two exact integers
     "t20_sentence_stats" ->

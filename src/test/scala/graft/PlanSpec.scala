@@ -91,10 +91,10 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning"), s"scalar projection must not shuffle:\n$p")
   }
 
-  test("t11/t13/t16/t17/t18/t20: rule filters and normalizers are shuffle-free scalar projections") {
+  test("t11/t13/t16/t17/t18/t20/t21: rule filters and normalizers are shuffle-free scalar projections") {
     for (name <- Seq("t11_gopher_rules", "t13_url_filter",
         "t16_nfc_normalize", "t17_strip_accents", "t18_strip_html",
-        "t20_sentence_stats")) {
+        "t20_sentence_stats", "t21_script_profile")) {
       val p = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
       assert(!p.contains("hashpartitioning"),
         s"$name must not shuffle (pure per-row projection):\n$p")

@@ -22,6 +22,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1)._3 > got(0)._3)
   }
 
+  test("scriptProfile: per-block counts, dominant vote, tie-break, und fallback") {
+    def r4(x: Double) = math.round((x + 1e-9) * 1e4) / 1e4
+    val docs = Seq(
+      (1L, "hello world"),        // pure latin: 10 letters
+      (2L, "汉字漢字"),            // pure cjk
+      (3L, "привет"),             // pure cyrillic
+      (4L, "ab 汉字 cd"),          // 4 latin vs 2 cjk -> latin, share 4/6
+      (5L, "ab 汉字"),             // 2 vs 2 tie -> declaration order: latin
+      (6L, "12345 !?")).          // nothing classified -> und, share 0
+      toDF("doc_id", "text")
+    val got = TextAnalysis.scriptProfile(docs, "doc_id", "text")
+      .select($"doc_id", $"script", $"script_share", $"n_latin", $"n_cjk")
+      .as[(Long, String, Double, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, "latin", 1.0, 10L, 0L),
+      (2L, "cjk", 1.0, 0L, 4L),
+      (3L, "cyrillic", 1.0, 0L, 0L),
+      (4L, "latin", r4(4.0 / 6), 4L, 2L),
+      (5L, "latin", 0.5, 2L, 2L),
+      (6L, "und", 0.0, 0L, 0L)), s"got $got")
+  }
+
   test("sentenceStats: C4 rules — segmentation, terminal ending, keep decision") {
     val docs = Seq(
       (1L, "First one. Second here! Third now?"), // 3 sent, terminal -> keep
