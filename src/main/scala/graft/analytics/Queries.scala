@@ -835,7 +835,29 @@ object Queries {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  // ---------------------------------------------------------------- q41
+  /** Sessionization via the NATIVE `session_window` operator — the built-in
+    * twin of q17's hand-rolled lag/cumsum form (one declarative groupBy the
+    * optimizer owns, and the same operator that powers watermarked
+    * streaming session windows, so batch and stream share one construct).
+    * Boundary semantics differ from q17 at exactly-gap spacing: the native
+    * window is [start, last+gap), so an event at PRECISELY prev+gap starts
+    * a NEW session where q17's strict `> gap` rule continues the old one —
+    * the oracle replays the native `>=` rule. Session identity is the
+    * window start (the session's first event timestamp), emitted as exact
+    * micros. */
+  val q41SessionWindowNative: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy($"user_id", session_window($"ts", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("sess_value"))
+      .select($"user_id", unix_micros($"sw.start").as("sess_start_us"),
+        $"n_events", $"sess_value")
+      .orderBy($"user_id", $"sess_start_us")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q41_session_window" -> q41SessionWindowNative,
     "q37_percentiles" -> q37Percentiles,
     "q38_bucketed_join" -> q38BucketedJoin,
     "q39_partition_pruning" -> q39PartitionPruning,
@@ -896,6 +918,27 @@ object Queries {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the NATIVE session rule: a new session starts when the gap to the
+    // previous event is >= 30 min (q17's hand form uses strict >)
+    "q41_session_window" ->
+      """WITH w AS (
+        |  SELECT user_id, ts, value,
+        |   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        | f AS (
+        |  SELECT *, CASE WHEN prev IS NULL
+        |    OR epoch_us(ts) - epoch_us(prev) >= 1800 * 1000000
+        |   THEN 1 ELSE 0 END AS ns
+        |  FROM w),
+        | g AS (
+        |  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM f)
+        |SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS sess_start_us,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | round(sum(value), 2) AS sess_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start_us""".stripMargin,
     "q37_percentiles" -> percentileDiscSql,
     "q40_percentiles_hist" -> percentileDiscSql,
     // the same one-day filter on the RAW table — the partitioned layout
