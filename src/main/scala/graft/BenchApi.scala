@@ -28,6 +28,21 @@ object BenchApi {
     def drainDf(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // deleteOnExit is insufficient for non-empty directories; every bench
+    // iteration gets a fresh dir and deletes it recursively in a finally,
+    // so repeated sweeps cannot accumulate vocabulary-sized parquet state
+    // under /tmp (round-10 ADVICE)
+    def withTempDir(prefix: String)(body: String => Unit): Unit = {
+      val d = java.nio.file.Files.createTempDirectory(prefix)
+      try body(d.toString)
+      finally {
+        import java.nio.file.{Files, Path}
+        import java.util.Comparator
+        Files.walk(d).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+    }
+
     val ops: Seq[(String, String => Unit)] = Seq(
       "pq_knn" -> { dir =>
         val e = Tables.loadSpread(spark, dir, "embeddings")
@@ -63,23 +78,25 @@ object BenchApi {
         // four micro-batches of token-count state + one drift report — the
         // timed unit includes the per-batch aggregate writes and the
         // vocabulary-sized merge the report performs
-        val cd = java.nio.file.Files.createTempDirectory("bench_klcnt").toString
-        val docs = Tables.loadSpread(spark, dir, "documents")
-        (0L until 4L).foreach { b =>
-          graft.streaming.CurationStream.tokenCountsBatch(cd, "text", "source")(
-            docs.filter(pmod(col("doc_id"), lit(4)) === b), b)
+        withTempDir("bench_klcnt") { cd =>
+          val docs = Tables.loadSpread(spark, dir, "documents")
+          (0L until 4L).foreach { b =>
+            graft.streaming.CurationStream.tokenCountsBatch(cd, "text", "source")(
+              docs.filter(pmod(col("doc_id"), lit(4)) === b), b)
+          }
+          drainDf(graft.streaming.CurationStream.klDriftReport(spark, cd, "source"))
         }
-        drainDf(graft.streaming.CurationStream.klDriftReport(spark, cd, "source"))
       },
       "neardup_batch" -> { dir =>
         // four sequential micro-batches into a fresh signature index — the
         // timed unit includes the in-batch dedup, the cross-batch probe
         // against the accumulating index, and the sorted partition writes
-        val idx = java.nio.file.Files.createTempDirectory("bench_ndidx").toString
-        val docs = Tables.loadSpread(spark, dir, "documents")
-        (0L until 4L).foreach { b =>
-          graft.streaming.CurationStream.nearDedupBatch(idx, "doc_id", "text")(
-            docs.filter(pmod(col("doc_id"), lit(4)) === b), b)
+        withTempDir("bench_ndidx") { idx =>
+          val docs = Tables.loadSpread(spark, dir, "documents")
+          (0L until 4L).foreach { b =>
+            graft.streaming.CurationStream.nearDedupBatch(idx, "doc_id", "text")(
+              docs.filter(pmod(col("doc_id"), lit(4)) === b), b)
+          }
         }
       })
 

@@ -724,25 +724,57 @@ object Queries {
     * proof). At 100 TB this is THE recurring-join pattern: pay one
     * partitioned write, then every downstream orderkey join is
     * shuffle-free. The bucketed copies are external tables under
-    * java.io.tmpdir, rewritten idempotently per (sf, invocation); the
-    * oracle replays the plain join — bucketing must not change a single
-    * row. */
-  val q38BucketedJoin: Q = (s, dir) => {
+    * java.io.tmpdir, content-addressed by a collision-free dir tag and
+    * built AT MOST ONCE per dir (repeat invocations reuse or re-register
+    * the existing files); the oracle replays the plain join — bucketing
+    * must not change a single row. */
+  /** Collision-free per-dir tag for layout copies: the sanitized dir for
+    * readability PLUS an md5 prefix of the RAW dir string, so two dirs that
+    * sanitize identically ('sf0.1' vs 'sf0_1') can never share a layout
+    * path or catalog table (round-10 ADVICE). */
+  private def dirTag(dir: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+    dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" + h
+  }
+
+  val q38BucketedJoin: Q = (s0, dir) => {
+    // The legacy bucket-sort flag and the plan forcing run on a PRIVATE
+    // newSession(): same SparkContext and catalog, but its OWN SQLConf —
+    // the shared session's other in-flight queries can never be planned
+    // under the flag (round-10 ADVICE). The catalog is still shared state:
+    // concurrent q38 invocations against the SAME dir are not supported
+    // (the testdata is immutable, so the idempotent skip below makes
+    // repeat invocations read-only after the first).
+    val s = s0.newSession()
     import s.implicits._
-    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val tag = dirTag(dir)
     val base = new java.io.File(
       sys.props("java.io.tmpdir"), s"graft_bucketed/$tag").getAbsolutePath
     def bucketed(name: String, key: String): DataFrame = {
       val tbl = s"graft_bucketed_${name}_$tag"
-      s.sql(s"DROP TABLE IF EXISTS $tbl")
-      // repartition on the bucket hash first -> exactly ONE file per bucket;
-      // with multiple files per bucket Spark cannot trust the sortBy
-      // metadata and re-sorts both sides (writer tasks and buckets would
-      // interleave), which would silently forfeit the no-Sort merge join
-      t(s, dir, name).repartition(8, col(key)).write
-        .bucketBy(8, key).sortBy(key)
-        .option("path", s"$base/$name")
-        .mode("overwrite").saveAsTable(tbl)
+      val path = s"$base/$name"
+      val marker = new java.io.File(path, "_SUCCESS")
+      if (!s.catalog.tableExists(tbl)) {
+        if (marker.isFile) {
+          // files survive from an earlier JVM (content-addressed by dirTag,
+          // source immutable): register the bucketed layout, don't rewrite
+          val ddl = t(s, dir, name).schema.toDDL
+          s.sql(s"""CREATE TABLE $tbl ($ddl) USING PARQUET
+                   |CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
+                   |LOCATION '$path'""".stripMargin)
+        } else {
+          // repartition on the bucket hash first -> exactly ONE file per
+          // bucket; with multiple files per bucket Spark cannot trust the
+          // sortBy metadata and re-sorts both sides (writer tasks and
+          // buckets would interleave), silently forfeiting the no-Sort
+          // merge join
+          t(s, dir, name).repartition(8, col(key)).write
+            .bucketBy(8, key).sortBy(key)
+            .option("path", path)
+            .mode("overwrite").saveAsTable(tbl)
+        }
+      }
       s.table(tbl)
     }
     val li = bucketed("lineitem", "l_orderkey")
@@ -755,18 +787,12 @@ object Queries {
         count(lit(1)).as("n_items"))
       .orderBy($"o_orderpriority")
     // Spark 3+ ignores bucket SORT metadata by default (the one-file-per-
-    // bucket check needs a listing — SPARK-28595); opt in and force the
-    // physical plan NOW so the no-Sort merge join is planned under the
-    // flag, then restore the session default. The Dataset caches its
-    // QueryExecution, so later actions reuse this plan.
-    val key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, "true")
-    try joined.queryExecution.executedPlan
-    finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
-    }
+    // bucket check needs a listing — SPARK-28595); opt in on the private
+    // session and force the physical plan NOW so the no-Sort merge join is
+    // planned under the flag. The Dataset caches its QueryExecution, so
+    // later actions reuse this plan; the flag lives and dies with `s`.
+    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    joined.queryExecution.executedPlan
     joined
   }
 
@@ -778,17 +804,25 @@ object Queries {
     * (PlanSpec asserts both). At 100 TB with daily partitions this is the
     * difference between scanning 1/365th and scanning everything; it
     * composes with row-group pushdown (which only skips WITHIN the files it
-    * already opened). The partitioned copy rewrites idempotently per sf
-    * under java.io.tmpdir; the oracle replays the same day filter on the
-    * raw table — layout must not change a row. */
+    * already opened). The partitioned copy is content-addressed per dir
+    * under java.io.tmpdir and written at most once; the oracle replays the
+    * same day filter on the raw table — layout must not change a row. */
   val q39PartitionPruning: Q = (s, dir) => {
     import s.implicits._
-    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val base = new java.io.File(
-      sys.props("java.io.tmpdir"), s"graft_partitioned/$tag/events").getAbsolutePath
-    t(s, dir, "events")
-      .withColumn("event_date", date_format($"ts", "yyyy-MM-dd"))
-      .write.partitionBy("event_date").mode("overwrite").parquet(base)
+      sys.props("java.io.tmpdir"),
+      s"graft_partitioned/${dirTag(dir)}/events").getAbsolutePath
+    // Idempotent skip (round-10 ADVICE): the copy is content-addressed by
+    // the collision-free dirTag and the testdata is immutable, so once the
+    // _SUCCESS marker exists, building this query is read-only — plan
+    // inspection no longer rewrites the dataset, and repeat invocations
+    // cannot race a delete-then-write against each other's reads. (The
+    // FIRST build per dir still writes at construction time; Bench times
+    // that build separately as layout_s.)
+    if (!new java.io.File(base, "_SUCCESS").isFile)
+      t(s, dir, "events")
+        .withColumn("event_date", date_format($"ts", "yyyy-MM-dd"))
+        .write.partitionBy("event_date").mode("overwrite").parquet(base)
     s.read.parquet(base)
       .filter($"event_date" === "2024-01-15")
       .groupBy($"event_type")
@@ -1109,7 +1143,7 @@ object Queries {
       """SELECT event_type,
         | round(stddev_samp(value), 4) AS sd,
         | round(var_samp(value), 4) AS variance,
-        | round(corr(value, CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS DOUBLE)), 4) AS corr_vk,
+        | round(corr(value, CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS DOUBLE)), 4) + 0.0 AS corr_vk,
         | round(quantile_cont(value, 0.5), 4) AS median_v,
         | CAST(count(*) AS BIGINT) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -384,7 +384,7 @@ object Curation {
           |   (CAST(st.c AS DOUBLE) / CAST(ts.s AS DOUBLE))
           |   * ln((CAST(st.c AS DOUBLE) / CAST(ts.s AS DOUBLE))
           |        / (CAST(tt.ct AS DOUBLE) / CAST(tot.T AS DOUBLE))))),
-          |   (a, x) -> a + x) + 1e-9, 4) AS kl_corpus
+          |   (a, x) -> a + x) + 1e-9, 4) + 0.0 AS kl_corpus
           |FROM st JOIN tt USING (tok) JOIN ts USING (source) CROSS JOIN tot
           |GROUP BY st.source ORDER BY st.source""".stripMargin),
     // d07's simhash-pair + recursive-reachability machinery, then the

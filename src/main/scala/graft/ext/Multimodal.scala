@@ -499,18 +499,44 @@ object Multimodal {
     * chunk-multiple file, an EMPTY file (one empty chunk — every asset
     * survives transport), and a sub-chunk file.
     *
-    * Resolution order (no hardcoded checkout path): `-Dgraft.chunkfix.dir`,
-    * the classpath (test runs — sbt puts `src/test/resources` there), then
-    * the repo-relative path against the working directory (the driver's
-    * `runMain graft.Verify` from the repo root). The oracle SQL below is
-    * built from the SAME resolved path, so both engines read one directory
-    * wherever the repo is checked out. */
+    * Resolution order (no hardcoded checkout path, cwd-independent —
+    * round-10 verdict #5): `-Dgraft.chunkfix.dir`, the classpath — the
+    * fixtures are MAIN resources, so sbt runs see them as files under
+    * `target/.../classes` from ANY working directory, and a bare main jar
+    * extracts them to a temp dir — then the repo-relative path against the
+    * working directory as a last resort. The oracle SQL below is built from
+    * the SAME resolved path, so both engines read one directory wherever
+    * the repo is checked out. */
+
+  /** Resolve a classpath resource to a real filesystem path: directly for
+    * exploded-classes runs (file: protocol), by one-time extraction to a
+    * temp file for jar-packaged runs. `names` are the entries to extract
+    * when `base` is a directory-like resource. */
+  private def materializeResource(base: String, names: Seq[String]): Option[String] =
+    Option(getClass.getResource(base)).flatMap { u =>
+      u.getProtocol match {
+        case "file" => Some(new java.io.File(u.toURI).getAbsolutePath)
+        case "jar" =>
+          val dir = java.nio.file.Files.createTempDirectory("graft_fix")
+          dir.toFile.deleteOnExit()
+          names.foreach { n =>
+            val in = getClass.getResourceAsStream(s"$base/$n")
+            if (in != null) try {
+              val f = dir.resolve(n)
+              java.nio.file.Files.copy(in, f)
+              f.toFile.deleteOnExit()
+            } finally in.close()
+          }
+          Some(dir.toString)
+        case _ => None
+      }
+    }
+
   private[graft] val chunkFixtureDir: String =
     sys.props.get("graft.chunkfix.dir")
-      .orElse(Option(getClass.getResource("/chunkfix"))
-        .filter(_.getProtocol == "file")
-        .map(u => new java.io.File(u.toURI).getAbsolutePath))
-      .getOrElse(new java.io.File("src/test/resources/chunkfix").getAbsolutePath)
+      .orElse(materializeResource("/chunkfix",
+        Seq("a.bin", "b.bin", "c.bin", "d.bin")))
+      .getOrElse(new java.io.File("src/main/resources/chunkfix").getAbsolutePath)
 
   /** Oracle-checked `graft-chunks` ingest: per-file chunk accounting (count,
     * rows, total bytes) plus a reassembly digest proving the chunk rows
@@ -533,10 +559,9 @@ object Multimodal {
   /** Image fixture resolution — same order as [[chunkFixtureDir]]. */
   private[graft] val imageFixturePath: String =
     sys.props.get("graft.imagefix.path")
-      .orElse(Option(getClass.getResource("/imagefix/gradient.png"))
-        .filter(_.getProtocol == "file")
-        .map(u => new java.io.File(u.toURI).getAbsolutePath))
-      .getOrElse(new java.io.File("src/test/resources/imagefix/gradient.png")
+      .orElse(materializeResource("/imagefix", Seq("gradient.png"))
+        .map(d => new java.io.File(d, "gradient.png").getAbsolutePath))
+      .getOrElse(new java.io.File("src/main/resources/imagefix/gradient.png")
         .getAbsolutePath)
 
   /** Decode, bump one pixel's blue channel by `delta`, re-encode PNG —

@@ -948,7 +948,7 @@ object Similarity {
       |   list_transform(embedding::DOUBLE[],
       |     x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y)))) AS u
       |  FROM embeddings WHERE vec_id < 500)
-      |SELECT query_id, rk AS "rank", id, round(cos, 4) AS cosine FROM (
+      |SELECT query_id, rk AS "rank", id, round(cos, 4) + 0.0 AS cosine FROM (
       | SELECT q.vec_id AS query_id, e.vec_id AS id,
       |  list_dot_product(q.u, e.u) AS cos,
       |  CAST(row_number() OVER (PARTITION BY q.vec_id
@@ -960,7 +960,7 @@ object Similarity {
     "s01_knn_brute" ->
       (vecsCte +
         """
-          |SELECT qid, rk, vec_id, round(cos6, 4) AS cos FROM (
+          |SELECT qid, rk, vec_id, round(cos6, 4) + 0.0 AS cos FROM (
           | SELECT q.vec_id AS qid, e.vec_id,
           |  round(list_dot_product(q.v, e.v) / (q.nrm * e.nrm), 6) AS cos6,
           |  CAST(row_number() OVER (PARTITION BY q.vec_id
@@ -985,7 +985,7 @@ object Similarity {
           |   CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS bucket
           |  FROM dots GROUP BY vec_id),
           | eb AS (SELECT e.*, buck.bucket FROM e JOIN buck USING (vec_id))
-          |SELECT qid, rk, vec_id, round(cos6, 4) AS cos, bucket FROM (
+          |SELECT qid, rk, vec_id, round(cos6, 4) + 0.0 AS cos, bucket FROM (
           | SELECT q.vec_id AS qid, e2.vec_id, e2.bucket,
           |  round(list_dot_product(q.v, e2.v) / (q.nrm * e2.nrm), 6) AS cos6,
           |  CAST(row_number() OVER (PARTITION BY q.vec_id
@@ -1000,7 +1000,7 @@ object Similarity {
         |   list_transform(embedding::DOUBLE[],
         |     x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y)))) AS u
         |  FROM embeddings)
-        |SELECT query_id, rk AS "rank", id, round(cos, 4) AS cosine FROM (
+        |SELECT query_id, rk AS "rank", id, round(cos, 4) + 0.0 AS cosine FROM (
         | SELECT q.vec_id AS query_id, e.vec_id AS id,
         |  list_dot_product(q.u, e.u) AS cos,
         |  CAST(row_number() OVER (PARTITION BY q.vec_id
@@ -1032,7 +1032,7 @@ object Similarity {
         | u AS (SELECT vec_id,
         |   list_transform(y, t -> t / sqrt(list_sum(list_transform(y, z -> z*z)))) AS u
         |  FROM dv)
-        |SELECT query_id, rk AS "rank", id, round(cos, 4) AS cosine FROM (
+        |SELECT query_id, rk AS "rank", id, round(cos, 4) + 0.0 AS cosine FROM (
         | SELECT q.vec_id AS query_id, e.vec_id AS id,
         |  list_dot_product(q.u, e.u) AS cos,
         |  CAST(row_number() OVER (PARTITION BY q.vec_id
@@ -1061,7 +1061,7 @@ object Similarity {
         | u AS (
         |  SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nrm
         |  FROM e)
-        |SELECT query_id, rk AS "rank", id, round(cos6, 4) AS cosine FROM (
+        |SELECT query_id, rk AS "rank", id, round(cos6, 4) + 0.0 AS cosine FROM (
         | SELECT cand.query_id, cand.id,
         |  round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos6,
         |  CAST(row_number() OVER (PARTITION BY cand.query_id
@@ -1149,7 +1149,7 @@ object Similarity {
         | pn AS (
         |  SELECT vec_id, y, sqrt(list_sum(list_transform(y, x -> x*x))) AS nrm
         |  FROM pj)
-        |SELECT query_id, rk AS "rank", id, round(cos6, 4) AS cosine FROM (
+        |SELECT query_id, rk AS "rank", id, round(cos6, 4) + 0.0 AS cosine FROM (
         | SELECT q.vec_id AS query_id, c.vec_id AS id,
         |  round(list_dot_product(q.y, c.y) / (q.nrm * c.nrm), 6) AS cos6,
         |  CAST(row_number() OVER (PARTITION BY q.vec_id
@@ -1169,7 +1169,7 @@ object Similarity {
           |  FROM ev JOIN cen USING (label, d) GROUP BY ev.vec_id, ev.label),
           | sc AS (
           |  SELECT e.vec_id, e.label,
-          |   round(round(dots.dp / (e.nrm * cnrm.cnrm), 6) + 1e-9, 4) AS cos_centroid
+          |   round(round(dots.dp / (e.nrm * cnrm.cnrm), 6) + 1e-9, 4) + 0.0 AS cos_centroid
           |  FROM e JOIN dots USING (vec_id) JOIN cnrm ON e.label = cnrm.label)
           |SELECT vec_id, label, cos_centroid,
           | CAST(CASE WHEN cos_centroid < 0.0 THEN 1 ELSE 0 END AS BIGINT) AS outlier

@@ -1157,7 +1157,7 @@ object TextAnalysis {
         |   CASE WHEN n > 0 THEN round(ln(CAST(n AS DOUBLE)) -
         |     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
         |         list_transform(cnts, x -> x * ln(x))),
-        |       (a, x) -> a + x) / CAST(n AS DOUBLE) + 1e-9, 4)
+        |       (a, x) -> a + x) / CAST(n AS DOUBLE) + 1e-9, 4) + 0.0
         |    ELSE 0.0 END AS char_entropy
         |  FROM st)
         |SELECT doc_id, n AS n_head_chars, distinct_chars, char_entropy,

@@ -114,9 +114,17 @@ object TextOps {
     * `list_reduce` folds left `f(f(t1,t2),t3)…`; Spark's fold is
     * `((0.0+t1)+t2)+t3…` and `0.0 + x ≡ x` bit-exact for every non-(-0.0)
     * double (log-ratio terms are never -0.0: `ln(1.0)` is +0.0), so the
-    * two sums are bit-identical given bit-identical sorted inputs. */
+    * two sums are bit-identical given bit-identical sorted inputs.
+    *
+    * The trailing `+ 0.0` canonicalizes DuckDB's signed zero: when the
+    * folded mean is a tiny negative that survives the `+ 1e-9` nudge
+    * (e.g. −2e-9), DuckDB's `round()` preserves the sign and returns
+    * `-0.0`, while Spark's `Round` goes through `BigDecimal` (which has
+    * no signed zero) and returns `+0.0`. IEEE `-0.0 + 0.0 = +0.0`, and
+    * every non-zero value is unchanged, so the guard makes the twin
+    * bit-identical to Spark without perturbing anything else. */
   def foldMeanSql(term: String): String =
-    s"round(list_reduce(list_sort(list($term)), (a, x) -> a + x) / count(*) + 1e-9, 4)"
+    s"round(list_reduce(list_sort(list($term)), (a, x) -> a + x) / count(*) + 1e-9, 4) + 0.0"
 
   /** Same 60-bit md5 hash computed driver-side (for plan-constant values such
     * as LSH hyperplanes — must agree exactly with [[h60]]/[[hm]]). */

@@ -551,26 +551,33 @@ object CurationStream {
     * over the union of all micro-batches (spec-pinned). Returns the empty
     * report when no batch has written yet. */
   def klDriftReport(spark: org.apache.spark.sql.SparkSession,
-      countsDir: String, byCol: String): DataFrame = {
+      countsDir: String, byCol: String,
+      byType: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(countsDir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parts =
       if (!fs.exists(root)) Array.empty[org.apache.hadoop.fs.Path]
       else fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
         .filter(_.getName.startsWith("batch="))
-    if (parts.isEmpty)
-      return spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField(byCol,
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("n_tokens",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("vocab",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("kl_corpus",
-            org.apache.spark.sql.types.DoubleType))))
-    val merged = spark.read.parquet(parts.map(_.toString).toIndexedSeq: _*)
+    // Absent state -> empty report, derived from the SAME klFromCounts
+    // plan the non-empty path runs over an empty tokenCounts-shaped frame
+    // (byType = the group column's type, caller-overridable), so both
+    // paths always agree on schema — a hand-written StructType here would
+    // silently diverge for a non-string byCol exactly when state happens
+    // to be absent (round-10 ADVICE).
+    val source =
+      if (parts.isEmpty)
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(byCol, byType),
+            org.apache.spark.sql.types.StructField("__tok",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("__c",
+              org.apache.spark.sql.types.LongType))))
+      else spark.read.parquet(parts.map(_.toString).toIndexedSeq: _*)
+    val merged = source
       .groupBy(col(byCol), col("__tok"))
       .agg(sum(col("__c")).as("__c"))
     graft.ext.CurationOps.klFromCounts(merged, byCol)
@@ -619,17 +626,23 @@ object CurationStream {
       if (!fs.exists(root)) Array.empty[org.apache.hadoop.fs.Path]
       else fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
         .filter(_.getName.startsWith("batch="))
-    if (parts.isEmpty) // absent state -> empty report (the klDriftReport contract)
-      return spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType(
-          Seq("source_grp", "lang_grp").map(n =>
-            org.apache.spark.sql.types.StructField(n,
-              org.apache.spark.sql.types.StringType)) ++
-          Seq("n_docs", "n_tokens", "n_chars", "max_doc_tokens").map(n =>
-            org.apache.spark.sql.types.StructField(n,
-              org.apache.spark.sql.types.LongType))))
-    spark.read.parquet(parts.map(_.toString).toIndexedSeq: _*)
+    // Absent state -> empty report through the SAME rollup plan over an
+    // empty stats-shaped frame, so the empty and non-empty paths can never
+    // disagree on schema (round-10 ADVICE; the group columns surface as
+    // coalesce(col, '(all)') strings on both paths either way).
+    val source =
+      if (parts.isEmpty)
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(
+            Seq(sourceCol, langCol).map(n =>
+              org.apache.spark.sql.types.StructField(n,
+                org.apache.spark.sql.types.StringType)) ++
+            Seq("n_docs", "n_tokens", "n_chars", "max_doc_tokens").map(n =>
+              org.apache.spark.sql.types.StructField(n,
+                org.apache.spark.sql.types.LongType))))
+      else spark.read.parquet(parts.map(_.toString).toIndexedSeq: _*)
+    source
       .rollup(col(sourceCol), col(langCol))
       .agg(sum(col("n_docs")).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),

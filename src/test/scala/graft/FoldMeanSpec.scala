@@ -100,6 +100,27 @@ class FoldMeanSpec extends SparkSpec {
     }
   }
 
+  test("foldMean canonicalizes tiny-negative means to +0.0 (the c10 signed zero)") {
+    // The round-10 driver red: a mean in (-1e-9·scale, 0) survives the
+    // +1e-9 nudge as a tiny negative; DuckDB's round() preserves the sign
+    // (-0.0) while Spark's Round goes through BigDecimal (no signed zero)
+    // and returns +0.0. Spark's side must be +0.0 bits, and the DuckDB twin
+    // must carry the `+ 0.0` canonicalization so both engines agree.
+    val rows = Seq((1L, 0, -4e-9), (1L, 1, 0.0)) // sorted-fold mean = -2e-9
+    for (p <- parts) {
+      val got = rows.toDF("g", "i", "term").repartition(p, col("i"))
+        .groupBy($"g")
+        .agg(TextOps.foldMean($"term", count(lit(1))).as("m"))
+        .select($"m").as[Double].head()
+      assert(java.lang.Double.doubleToRawLongBits(got) == 0L,
+        s"foldMean at $p partitions: expected +0.0 bits, got raw=" +
+          java.lang.Long.toHexString(java.lang.Double.doubleToRawLongBits(got)))
+    }
+    // the DuckDB twin must end with the IEEE -0.0 + 0.0 = +0.0 guard
+    assert(TextOps.foldMeanSql("x").endsWith("+ 0.0"),
+      "foldMeanSql lost its signed-zero canonicalization guard")
+  }
+
   test("c12 perplexityBuckets inherits t12 determinism end-to-end") {
     val outs = parts.map { p =>
       val scored = TextAnalysis.bigramSurprise(docs.repartition(p), "doc_id", "text")
