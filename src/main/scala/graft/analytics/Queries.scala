@@ -890,7 +890,66 @@ object Queries {
       .orderBy($"user_id", $"sess_start_us")
   }
 
+  // ---------------------------------------------------------------- q42
+  /** LATERAL correlated subquery join — top-2 orders PER customer via a
+    * per-row dependent subquery (`FROM customer, LATERAL (... LIMIT 2)`),
+    * the SQL:2003 construct Spark supports since 3.2 (SPARK-34382). Spark
+    * DECORRELATES the lateral limit into a window rank over one orders
+    * shuffle — no per-customer re-execution, so the declarative form keeps
+    * the q04-style physical plan while the query reads as "for each
+    * customer, its top orders". Registered on a private newSession so the
+    * temp views never leak into (or race) the shared session's catalog.
+    * 100 TB: one orders shuffle on custkey + a broadcast-able customer
+    * side; the LIMIT bounds per-key output at 2 rows. */
+  val q42LateralJoin: Q = (s0, dir) => {
+    val s = s0.newSession()
+    t(s, dir, "customer").createOrReplaceTempView("graft_customer_lat")
+    t(s, dir, "orders").createOrReplaceTempView("graft_orders_lat")
+    s.sql(
+      """SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey,
+        |       round(t.o_totalprice, 2) AS price,
+        |       CAST(t.rk AS BIGINT) AS rk
+        |FROM graft_customer_lat c,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice,
+        |         row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM graft_orders_lat o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey
+        |  LIMIT 2) t
+        |ORDER BY c.c_custkey, t.rk""".stripMargin)
+  }
+
+  // ---------------------------------------------------------------- q43
+  /** Arg-extremum aggregation: WHICH row attains a group's extreme, in one
+    * aggregation pass — `max_by`/`min_by` (Spark 3.3+) plus the tie-proof
+    * `max(struct(price, key))` form. The struct comparison is
+    * lexicographic in BOTH engines, so equal prices deterministically
+    * resolve to the larger orderkey — `max_by(key, price)` ALONE is
+    * nondeterministic under ties and is only used here with the UNIQUE
+    * orderkey as the ordering value. One shuffle on the group key,
+    * constant-size agg state — the scalable replacement for the
+    * "rank-then-filter-rk=1" window plan when only the extreme row is
+    * wanted (no sort, no per-group row buffering). */
+  val q43ArgExtremum: Q = (s, dir) => {
+    import s.implicits._
+    val best = struct($"o_totalprice", $"o_orderkey")
+    t(s, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(
+        max(best).getField("o_orderkey").as("best_order"),
+        round(max(best).getField("o_totalprice"), 2).as("best_price"),
+        min(best).getField("o_orderkey").as("worst_order"),
+        max_by($"o_orderstatus", $"o_orderkey").as("last_status"),
+        min_by($"o_orderdate", $"o_orderkey").as("first_date"),
+        count(lit(1)).as("n_orders"))
+      .withColumn("first_date", date_format($"first_date", "yyyy-MM-dd"))
+      .orderBy($"o_custkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q42_lateral_join" -> q42LateralJoin,
+    "q43_arg_extremum" -> q43ArgExtremum,
     "q41_session_window" -> q41SessionWindowNative,
     "q37_percentiles" -> q37Percentiles,
     "q38_bucketed_join" -> q38BucketedJoin,
@@ -952,6 +1011,29 @@ object Queries {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // DuckDB's native LATERAL replays the per-customer dependent subquery
+    "q42_lateral_join" ->
+      """SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey,
+        | round(t.o_totalprice, 2) AS price, CAST(t.rk AS BIGINT) AS rk
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT o_orderkey, o_totalprice,
+        |    row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders o WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c.c_custkey, t.rk""".stripMargin,
+    // named-struct max/min replay the tie-proof argmax; arg_max/arg_min
+    // replay max_by/min_by where the ordering value (orderkey) is unique
+    "q43_arg_extremum" ->
+      """SELECT o_custkey,
+        | (max({'p': o_totalprice, 'k': o_orderkey})).k AS best_order,
+        | round((max({'p': o_totalprice, 'k': o_orderkey})).p, 2) AS best_price,
+        | (min({'p': o_totalprice, 'k': o_orderkey})).k AS worst_order,
+        | arg_max(o_orderstatus, o_orderkey) AS last_status,
+        | strftime(CAST(arg_min(o_orderdate, o_orderkey) AS DATE), '%Y-%m-%d') AS first_date,
+        | CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY o_custkey""".stripMargin,
     // the NATIVE session rule: a new session starts when the gap to the
     // previous event is >= 30 min (q17's hand form uses strict >)
     "q41_session_window" ->

@@ -251,9 +251,22 @@ object Dedup {
     DedupOps.dedupLines(lineified, "doc_id", "text8").orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- d12
+  /** MinHash sketch accuracy audit — [[DedupOps.minhashEstimates]] on the
+    * d02 configuration: per LSH candidate pair, the sketch estimate
+    * (equal components / 16) NEXT TO the exact Jaccard over the distinct
+    * 3-shingle sets, both md5-derived and DuckDB-replayed bit-for-bit —
+    * the oracle-checkable counterpart to q26's engine-specific sketches. */
+  val d12MinhashAccuracy: Q = (s, dir) => {
+    import s.implicits._
+    DedupOps.minhashEstimates(docs(s, dir), "doc_id", "text")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_exact_dedup" -> d01ExactDedup,
     "d10_line_dedup" -> d10LineDedup,
+    "d12_minhash_accuracy" -> d12MinhashAccuracy,
     "d02_minhash_lsh" -> d02MinhashLsh,
     "d03_simhash" -> d03Simhash,
     "d04_ngram_jaccard" -> d04NgramJaccard,
@@ -325,6 +338,52 @@ object Dedup {
     "d01_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    // the d02 signature machinery, then per-pair component equality AND
+    // exact set intersection from one distinct (doc, 60-bit hash) relation
+    "d12_minhash_accuracy" ->
+      (toksCte +
+        """, sh AS (
+          |  SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS sh
+          |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks)+1)) AS i FROM l)),
+          | hs AS (
+          |  SELECT DISTINCT doc_id,
+          |   CAST(CAST(('0x' || substr(md5(sh),1,15)) AS UBIGINT) AS BIGINT) AS h
+          |  FROM sh),
+          | sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh FROM hs GROUP BY doc_id),
+          | sig AS (
+          |  SELECT doc_id, k,
+          |   min((CAST(2*k+1 AS BIGINT) * (h % 2147483647) + (12345 + 41*k)) % 2147483647) AS mh
+          |  FROM hs, (SELECT unnest(range(0,16)) AS k) GROUP BY doc_id, k),
+          | band AS (
+          |  SELECT doc_id, k // 4 AS band,
+          |   string_agg(CAST(mh AS VARCHAR), ',' ORDER BY k) AS bsig
+          |  FROM sig GROUP BY doc_id, k // 4),
+          | pairs AS (
+          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |  FROM band a JOIN band b
+          |   ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+          | eq AS (
+          |  SELECT p.doc_a, p.doc_b,
+          |   CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_eq
+          |  FROM pairs p JOIN sig sa ON sa.doc_id = p.doc_a
+          |   JOIN sig sb ON sb.doc_id = p.doc_b AND sa.k = sb.k
+          |  GROUP BY p.doc_a, p.doc_b),
+          | iv AS (
+          |  SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS i
+          |  FROM pairs p JOIN hs ha ON ha.doc_id = p.doc_a
+          |   JOIN hs hb ON hb.doc_id = p.doc_b AND ha.h = hb.h
+          |  GROUP BY p.doc_a, p.doc_b)
+          |SELECT e.doc_a, e.doc_b, e.n_eq,
+          | CAST(coalesce(iv.i, 0) AS BIGINT) AS n_inter,
+          | CAST(za.nsh + zb.nsh - coalesce(iv.i, 0) AS BIGINT) AS n_union,
+          | round(CAST(e.n_eq AS DOUBLE) / 16 + 1e-9, 4) AS est_sim,
+          | round(CAST(coalesce(iv.i, 0) AS DOUBLE)
+          |   / (za.nsh + zb.nsh - coalesce(iv.i, 0)) + 1e-9, 4) AS true_sim
+          |FROM eq e
+          | JOIN sz za ON za.doc_id = e.doc_a
+          | JOIN sz zb ON zb.doc_id = e.doc_b
+          | LEFT JOIN iv ON iv.doc_a = e.doc_a AND iv.doc_b = e.doc_b
+          |ORDER BY e.doc_a, e.doc_b""".stripMargin),
     "d02_minhash_lsh" ->
       (toksCte +
         """, sh AS (

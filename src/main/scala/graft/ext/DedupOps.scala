@@ -818,4 +818,75 @@ object DedupOps {
       .select(col("query_id"), (col("__p") + 1).cast("long").as("rank"),
         col("__t._1").as("id"), col("__t._2").as("cosine"))
   }
+
+  /** MinHash sketch accuracy, measured on the corpus itself: for every LSH
+    * candidate pair (the d02 band buckets), BOTH the sketch's similarity
+    * estimate (equal components / n) AND the exact Jaccard over the
+    * distinct shingle sets — the operator that turns the MinHash unbiased-
+    * estimator property (P[h_min equal] = J) from a paper claim into an
+    * auditable per-pair report, and the empirical input [[LshTuning]]'s
+    * closed-form S-curve is calibrated against. q26's sketches are
+    * engine-specific and can only be rows-only checked; THIS sketch is
+    * md5-derived, so estimate and truth are both bit-replayable by the
+    * DuckDB twin.
+    *
+    * Scale shape: signatures are n longs per doc (one doc-keyed agg);
+    * candidate pairs exist only inside (band, bsig) buckets — never
+    * all-pairs; the exact-Jaccard join re-keys the pair list by 60-bit
+    * shingle hash, so its cost is pairs × shared-grams, bounded by the
+    * banding. All divisions round via the +1e-9 nudge on both engines.
+    *
+    * @return (doc_a, doc_b, n_eq, n_inter, n_union, est_sim, true_sim) */
+  def minhashEstimates(df: DataFrame, idCol: String, textCol: String,
+      bands: Int = 4, rowsPerBand: Int = 4, shingleLen: Int = 3): DataFrame = {
+    val n = bands * rowsPerBand
+    // distinct (doc, 60-bit shingle hash): one relation feeds BOTH the
+    // signature mins (mod P) and the exact set intersection
+    val hs = df
+      .withColumn("__tk", toks(col(textCol)))
+      .withColumn("__shs", array_distinct(shinglesN(col("__tk"), shingleLen)))
+      .select(col(idCol).as("__id"), explode_outer(col("__shs")).as("__sh"))
+      .filter(col("__sh").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
+      .select(col("__id"), h60(col("__sh")).as("__h"))
+      .distinct()
+    val aggs = (0 until n).map(k =>
+      min(perm(k, col("__h") % P)).as(s"__mh$k")) :+
+      count(lit(1)).as("__nsh")
+    val sig = hs.groupBy(col("__id")).agg(aggs.head, aggs.tail: _*)
+      .withColumn("__sig", array((0 until n).map(k => col(s"__mh$k")): _*))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until rowsPerBand).map(i =>
+          col(s"__mh${rowsPerBand * b + i}").cast("string")): _*).as("bsig"))
+    }
+    val posts = sig.select(col("__id"), explode(array(bandCols: _*)).as("__bb"))
+      .select(col("__id"), col("__bb.band").as("band"), col("__bb.bsig").as("bsig"))
+    // one row per candidate pair however many bands collide
+    val pairs = posts.as("a").join(posts.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("doc_a"), col("b.__id").as("doc_b")).distinct()
+    val withSig = pairs
+      .join(sig.select(col("__id").as("doc_a"), col("__sig").as("__sa"),
+        col("__nsh").as("__na")), Seq("doc_a"))
+      .join(sig.select(col("__id").as("doc_b"), col("__sig").as("__sb"),
+        col("__nsh").as("__nb")), Seq("doc_b"))
+      .withColumn("n_eq",
+        size(filter(zip_with(col("__sa"), col("__sb"), (x, y) => x === y),
+          b => b)).cast("long"))
+    // exact intersection: pair list re-keyed by shingle hash (left join —
+    // a collision-only pair with zero shared grams still reports)
+    val inter = pairs
+      .join(hs.select(col("__id").as("doc_a"), col("__h")), Seq("doc_a"))
+      .join(hs.select(col("__id").as("doc_b"), col("__h")), Seq("doc_b", "__h"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("__i"))
+    withSig.join(inter, Seq("doc_a", "doc_b"), "left")
+      .withColumn("n_inter", coalesce(col("__i"), lit(0L)))
+      .withColumn("n_union", col("__na") + col("__nb") - col("n_inter"))
+      .select(col("doc_a"), col("doc_b"), col("n_eq"), col("n_inter"),
+        col("n_union"),
+        round(col("n_eq").cast("double") / n + 1e-9, 4).as("est_sim"),
+        round(col("n_inter").cast("double") / col("n_union") + 1e-9, 4)
+          .as("true_sim"))
+  }
 }

@@ -984,7 +984,93 @@ object TextAnalysis {
     scriptProfile(injected, "doc_id", "raw").orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- t22
+  /** Sequence-length histogram + packing audit — the pre-training check
+    * run before choosing a context length: token counts bucketed by
+    * power-of-2 (floor-log2 via the BINARY-DIGIT-COUNT of the count, an
+    * all-integer derivation both engines compute identically — no float
+    * log2 whose exact-power values round unpredictably), with per-bucket
+    * doc/token totals and the padding waste greedy one-doc-per-chunk
+    * packing would pay at `seqLen` (ceil-div chunks × seqLen − tokens).
+    * Read next to c02's actual packing: buckets dominated by padding are
+    * the ones packing recovers.
+    *
+    * Scale shape: one scan, a ≤64-row histogram aggregation, and a
+    * cumulative window OVER THE HISTOGRAM (never the corpus) — the c12
+    * discipline. All outputs exact integers. */
+  def lengthBuckets(df: DataFrame, textCol: String, seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val per = df
+      .select(size(toks(col(textCol))).cast("long").as("__n"))
+      .withColumn("__blen",
+        when(col("__n") > 0, length(conv(col("__n"), 10, 2))).otherwise(lit(0)))
+      .withColumn("bucket_lo",
+        when(col("__blen") > 0,
+          expr("shiftleft(CAST(1 AS BIGINT), __blen - 1)")).otherwise(lit(0L)))
+      .withColumn("__chunks",
+        when(col("__n") > 0, expr(s"(__n + ${seqLen - 1}) DIV $seqLen"))
+          .otherwise(lit(0L)))
+    val hist = per.groupBy(col("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__n")).as("n_tokens"),
+        sum(col("__chunks")).as("n_chunks"),
+        sum(col("__chunks") * seqLen - col("__n")).as("n_padding"))
+    // histogram-sized single-partition window (≤64 rows), never the corpus
+    val cumW = Window.orderBy(col("bucket_lo"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist.withColumn("cum_tokens", sum(col("n_tokens")).over(cumW))
+  }
+
+  val t22LengthBuckets: Q = (s, dir) => {
+    import s.implicits._
+    lengthBuckets(docs(s, dir), "text", seqLen = 512).orderBy($"bucket_lo")
+  }
+
+  // ---------------------------------------------------------------- t23
+  /** Cross-document n-gram novelty — the memorization/boilerplate audit:
+    * per doc, how many of its DISTINCT full `n`-grams appear in at least
+    * one OTHER document (document frequency ≥ 2 over per-doc-distinct
+    * grams), and the novel fraction. High-shared docs are templated or
+    * duplicated content the dedup family then localizes; the operator is
+    * c01's decontamination machinery turned inward (corpus vs itself).
+    *
+    * Scale shape: one gram explode (60-bit md5 keys), one gram-keyed df
+    * count, one gram-keyed join back, one doc-keyed count — all shuffles
+    * carry 8-byte keys; nothing is corpus-broadcast. Gram-less docs
+    * (< n tokens) report novel_frac 1.0 via the left join. */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    val g = df
+      .withColumn("__tk", toks(col(textCol)))
+      .select(col(idCol).as("__id"),
+        explode_outer(array_distinct(ngramsExact(col("__tk"), n))).as("__ng"))
+      .filter(col("__ng").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
+      .select(col("__id"), h60(col("__ng")).as("__h"))
+    // per-doc distinct grams -> the gram count IS document frequency
+    val dfreq = g.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+    val per = g.join(dfreq, Seq("__h"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+    df.select(col(idCol))
+      .join(per.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          round((col("n_grams") - col("n_shared")).cast("double")
+            / col("n_grams") + 1e-9, 4))
+          .otherwise(lit(1.0d)).as("novel_frac"))
+  }
+
+  val t23NgramNovelty: Q = (s, dir) => {
+    import s.implicits._
+    ngramNovelty(docs(s, dir), "doc_id", "text").orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t23_ngram_novelty" -> t23NgramNovelty,
+    "t22_length_buckets" -> t22LengthBuckets,
     "t21_script_profile" -> t21ScriptProfile,
     "t20_sentence_stats" -> t20SentenceStats,
     "t19_char_entropy" -> t19CharEntropy,
@@ -1070,6 +1156,50 @@ object TextAnalysis {
       words.map(w => s"'$w'").mkString(",") + "], t))) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    // all-integer: binary-digit-count bucketing, ceil-div chunks, histogram
+    // cumulative window — replayed with bin()/<<///
+    "t22_length_buckets" ->
+      """WITH l AS (
+        |  SELECT len(list_filter(string_split_regex(text, '\s+'),
+        |    x -> length(x) > 0)) AS n
+        |  FROM documents),
+        | b AS (
+        |  SELECT n,
+        |   CASE WHEN n > 0 THEN (CAST(1 AS BIGINT) << (length(bin(CAST(n AS BIGINT))) - 1))
+        |        ELSE CAST(0 AS BIGINT) END AS bucket_lo,
+        |   CASE WHEN n > 0 THEN (n + 511) // 512 ELSE 0 END AS chunks
+        |  FROM l),
+        | h AS (
+        |  SELECT bucket_lo, CAST(count(*) AS BIGINT) AS n_docs,
+        |   CAST(sum(n) AS BIGINT) AS n_tokens,
+        |   CAST(sum(chunks) AS BIGINT) AS n_chunks,
+        |   CAST(sum(chunks * 512 - n) AS BIGINT) AS n_padding
+        |  FROM b GROUP BY bucket_lo)
+        |SELECT bucket_lo, n_docs, n_tokens, n_chunks, n_padding,
+        | CAST(sum(n_tokens) OVER (ORDER BY bucket_lo) AS BIGINT) AS cum_tokens
+        |FROM h ORDER BY bucket_lo""".stripMargin,
+    // c01's gram-hash machinery turned corpus-vs-itself: per-doc-distinct
+    // 8-gram 60-bit hashes, df count, shared = df >= 2
+    "t23_ngram_novelty" ->
+      (toksCte +
+        """, g AS (
+          |  SELECT DISTINCT doc_id,
+          |   CAST(CAST(('0x' || substr(md5(array_to_string(toks[i:i+7], ' ')),1,15)) AS UBIGINT) AS BIGINT) AS h
+          |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks)-6)) AS i FROM l)),
+          | f AS (SELECT h, count(*) AS df FROM g GROUP BY h),
+          | p AS (
+          |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+          |   CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+          |  FROM g JOIN f USING (h) GROUP BY g.doc_id)
+          |SELECT d.doc_id,
+          | CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+          | CAST(coalesce(p.n_shared, 0) AS BIGINT) AS n_shared,
+          | CASE WHEN coalesce(p.n_grams, 0) > 0
+          |  THEN round(CAST(p.n_grams - p.n_shared AS DOUBLE)
+          |    / p.n_grams + 1e-9, 4)
+          |  ELSE 1.0 END AS novel_frac
+          |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+          |ORDER BY d.doc_id""".stripMargin),
     // same literal-range classes (identical in Java regex and RE2), same
     // declaration-order dominant vote, one integer division
     "t21_script_profile" ->

@@ -820,6 +820,41 @@ class DedupOpsSpec extends SparkSpec {
       (4L, "unique here", 1L, 0L)), s"got $got")
   }
 
+  test("minhashEstimates: hand-checked sketch estimate and exact Jaccard per pair") {
+    // Two heavily-overlapping docs (one word changed near the end) plus one
+    // unrelated doc: the overlapping pair must surface as an LSH candidate
+    // with est_sim = n_eq/16 and true_sim = |inter|/|union| computed by hand
+    // from the shingle sets; the unrelated doc must pair with nothing.
+    val words = (1 to 100).map(i => s"w$i")
+    val a = words.mkString(" ")
+    val b = (words.dropRight(2) :+ "CHANGED" :+ words.last).mkString(" ")
+    val other = (1 to 100).map(i => s"z$i").mkString(" ")
+    val df = Seq((1L, a), (2L, b), (3L, other)).toDF("doc_id", "text")
+    val out = DedupOps.minhashEstimates(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(!out.keySet.exists { case (x, y) => x == 3L || y == 3L },
+      "unrelated doc must not enter any band bucket")
+    out.get((1L, 2L)).foreach { case (nEq, nInter, nUnion, est, truth) =>
+      // exact Jaccard from the shingle-set definition (3-shingles with
+      // shorter tails, per-doc distinct): docs differ only at one interior
+      // position, so exactly the <= 3 shingles touching it differ
+      def shs(toks: Seq[String]) =
+        (1 to toks.size).map(i => toks.slice(i - 1, i + 2).mkString(" ")).toSet
+      val (sa, sb) = (shs(words), shs(words.dropRight(2) :+ "CHANGED" :+ words.last))
+      val (i, u) = ((sa & sb).size.toLong, (sa | sb).size.toLong)
+      assert(nInter == i && nUnion == u, s"exact sets: got ($nInter,$nUnion), want ($i,$u)")
+      assert(math.abs(truth - (i.toDouble / u + 1e-9)) < 5e-5)
+      assert(est == math.rint((nEq / 16.0 + 1e-9) * 1e4) / 1e4)
+      assert(nEq >= 1 && nEq <= 16)
+    }
+    // the pair (1,2) shares >= 1 full band by construction of the test data
+    // (97 of 100 shingles identical, J ~= 0.94 -> P[>=1 band] ~= 0.998, and
+    // the md5 hashing is deterministic); if LSH missed it the estimate audit
+    // has no subject — fail loudly rather than vacuously pass
+    assert(out.contains((1L, 2L)), "expected near-identical pair as LSH candidate")
+  }
+
   test("saltedJoin returns exactly the unsalted join result") {
     val li = Tables.load(spark, dir, "lineitem").select($"l_orderkey", $"l_quantity")
     val o = Tables.load(spark, dir, "orders").select($"o_orderkey", $"o_totalprice")

@@ -320,4 +320,31 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(got == Seq((1L, 2L, 6L), (2L, 1L, 2L)), s"got $got")
   }
+
+  test("lengthBuckets: power-of-2 buckets, ceil-div chunks, padding, cumulative") {
+    // token counts 1, 3, 4, 5, 0 at seqLen 4:
+    //   1 -> bucket 1, 1 chunk, pad 3;  3 -> bucket 2, 1 chunk, pad 1
+    //   4 -> bucket 4, 1 chunk, pad 0;  5 -> bucket 4, 2 chunks, pad 3
+    //   "" -> bucket 0, 0 chunks, pad 0
+    val docs = Seq((1L, "a"), (2L, "a b c"), (3L, "a b c d"),
+      (4L, "a b c d e"), (5L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.lengthBuckets(docs, "text", seqLen = 4)
+      .select($"bucket_lo", $"n_docs", $"n_tokens", $"n_chunks", $"n_padding", $"cum_tokens")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0L, 1L, 0L, 0L, 0L, 0L),
+      (1L, 1L, 1L, 1L, 3L, 1L),
+      (2L, 1L, 3L, 1L, 1L, 4L),
+      (4L, 2L, 9L, 3L, 3L, 13L)), s"got $got")
+  }
+
+  test("ngramNovelty: shared = distinct grams with df >= 2; gram-less docs fully novel") {
+    // 3-grams: doc1 "a b c d" -> {abc, bcd}; doc2 "a b c e" -> {abc, bce};
+    // doc3 "x y" -> no full 3-gram. Shared gram: abc (df=2).
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e"), (3L, "x y")).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramNovelty(docs, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2L, 1L, 0.5), (2L, 2L, 1L, 0.5), (3L, 0L, 0L, 1.0)),
+      s"got $got")
+  }
 }
