@@ -947,7 +947,54 @@ object Queries {
       .orderBy($"o_custkey")
   }
 
+  // ---------------------------------------------------------------- q44
+  /** HOPPING (sliding) window aggregation — `window(ts, '1 hour',
+    * '30 minutes')`: every event lands in size/slide = 2 overlapping hops,
+    * the same declarative construct Structured Streaming uses for
+    * overlapping-window aggregations (q16 is its tumbling special case).
+    * Spark expands the hop assignment in the PROJECTION (an explode of 2
+    * window structs per row) and then runs one ordinary hash aggregation —
+    * no self-join, no range join; the oracle replays the assignment with
+    * pure epoch-micros integer arithmetic (hop = bucket(ts) − k·slide).
+    * Value sums are integer-cent-staged (exact longs, order-free). */
+  val q44HoppingWindow: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy(window($"ts", "1 hour", "30 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round($"value" * 100).cast("long")).as("value_cents"))
+      .select(unix_micros(col("w.start")).as("hop_start_us"), $"event_type",
+        $"n_events", $"value_cents")
+      .orderBy($"hop_start_us", $"event_type")
+  }
+
+  // ---------------------------------------------------------------- q45
+  /** Time-RANGE window frame — per user, the rolling trailing-1-hour event
+    * count and value sum at every event: `RANGE BETWEEN 3600000000
+    * PRECEDING AND CURRENT ROW` over epoch-micros ordering. RANGE frames
+    * differ from q05's ROWS frames exactly where it matters for event
+    * time: the frame is defined by the ORDERING VALUE (all events within
+    * the hour, ties included as peers), not by a row count — the batch twin
+    * of a streaming sliding aggregate. Frame sums are integer cents: a
+    * float sum over a sliding frame would reassociate differently between
+    * engines (segment-tree vs running accumulation); exact longs make the
+    * frame content, not float luck, the only degree of freedom. */
+  val q45RangeFrame: Q = (s, dir) => {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+      .rangeBetween(-3600000000L, 0L)
+    t(s, dir, "events")
+      .withColumn("__cents", round($"value" * 100).cast("long"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("cents_1h", sum($"__cents").over(w))
+      .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+        $"n_1h", $"cents_1h")
+      .orderBy($"event_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q44_hopping_window" -> q44HoppingWindow,
+    "q45_range_frame" -> q45RangeFrame,
     "q42_lateral_join" -> q42LateralJoin,
     "q43_arg_extremum" -> q43ArgExtremum,
     "q41_session_window" -> q41SessionWindowNative,
@@ -1011,6 +1058,26 @@ object Queries {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // hop assignment as pure integer micros arithmetic: every event joins
+    // hops bucket(ts) and bucket(ts) - 30min (size/slide = 2)
+    "q44_hopping_window" ->
+      """WITH h AS (
+        |  SELECT event_type, value,
+        |   (epoch_us(ts) - epoch_us(ts) % 1800000000) - k * 1800000000 AS hop
+        |  FROM events, (SELECT unnest(range(0, 2)) AS k))
+        |SELECT CAST(hop AS BIGINT) AS hop_start_us, event_type,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM h GROUP BY hop, event_type
+        |ORDER BY hop_start_us, event_type""".stripMargin,
+    "q45_range_frame" ->
+      """SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        | CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     // DuckDB's native LATERAL replays the per-customer dependent subquery
     "q42_lateral_join" ->
       """SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey,

@@ -819,6 +819,17 @@ object DedupOps {
         col("__t._1").as("id"), col("__t._2").as("cosine"))
   }
 
+  /** [[knn]] over only the corpus rows satisfying `pred` — PRE-FILTER
+    * vector search (the s14 semantics: the predicate restricts the
+    * candidate universe BEFORE ranking, so exactly k results return and
+    * every one satisfies the filter; post-filtering a full-corpus top-k
+    * under-returns when the filter is selective). The predicate pushes to
+    * the corpus scan, so at scale no dot product is computed for a row the
+    * filter excludes. */
+  def knnFiltered(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, pred: Column): DataFrame =
+    knn(corpus.filter(pred), queries, idCol, vecCol, k)
+
   /** MinHash sketch accuracy, measured on the corpus itself: for every LSH
     * candidate pair (the d02 band buckets), BOTH the sketch's similarity
     * estimate (equal components / n) AND the exact Jaccard over the

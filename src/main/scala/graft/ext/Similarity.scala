@@ -920,7 +920,37 @@ object Similarity {
       .orderBy($"query_id")
   }
 
+  // ---------------------------------------------------------------- s14
+  /** Metadata-filtered vector search — the PRE-FILTER semantics every
+    * production vector store exposes (FAISS IDSelector, the `filter` clause
+    * of managed ANN services): the predicate restricts the candidate
+    * universe BEFORE ranking, so exactly k results come back and all of
+    * them satisfy the filter. The alternative (post-filtering a top-k
+    * computed on the full corpus) silently returns FEWER than k — or zero —
+    * when the filter is selective; pre-filter is the correct default and is
+    * what this operator pins. Plan shape: the filter lands in the corpus
+    * scan (pushed predicate), then the s01 broadcast-queries ranking runs
+    * over the survivors — at 100 TB the filter prunes before any dot
+    * product is computed. Queries keep ALL labels (a query needn't satisfy
+    * the filter — it restricts candidates, not askers). */
+  val s14FilteredKnn: Q = (s, dir) => {
+    import s.implicits._
+    val e = vecs(s, dir)
+    val q = e.filter($"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))
+    val cand = e.filter($"label" % 2 === 0) // the metadata predicate
+    val w = Window.partitionBy($"qid").orderBy($"cos6".desc, $"vec_id")
+    broadcast(q).join(cand, $"qid" =!= $"vec_id")
+      .withColumn("cos6", round(dot($"qv", $"v") / ($"qn" * $"nrm"), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 5)
+      .select($"qid", $"rk", $"vec_id", $"label".cast("long").as("label"),
+        round($"cos6", 4).as("cos"))
+      .orderBy($"qid", $"rk")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s14_filtered_knn" -> s14FilteredKnn,
     "s01_knn_brute" -> s01KnnBrute,
     "s02_ann_lsh" -> s02AnnLsh,
     "s03_ivf_fullprobe" -> s03IvfFullprobe,
@@ -957,6 +987,20 @@ object Similarity {
       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the s01 brute form with the metadata predicate on the CANDIDATE side
+    // only (queries keep all labels) — pre-filter semantics
+    "s14_filtered_knn" ->
+      (vecsCte +
+        """
+          |SELECT qid, rk, vec_id, label, round(cos6, 4) + 0.0 AS cos FROM (
+          | SELECT q.vec_id AS qid, e.vec_id, CAST(e.label AS BIGINT) AS label,
+          |  round(list_dot_product(q.v, e.v) / (q.nrm * e.nrm), 6) AS cos6,
+          |  CAST(row_number() OVER (PARTITION BY q.vec_id
+          |    ORDER BY round(list_dot_product(q.v, e.v) / (q.nrm * e.nrm), 6) DESC,
+          |             e.vec_id) AS BIGINT) AS rk
+          | FROM e q JOIN e ON q.vec_id < 20 AND q.vec_id <> e.vec_id
+          |  AND e.label % 2 = 0) t
+          |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin),
     "s01_knn_brute" ->
       (vecsCte +
         """

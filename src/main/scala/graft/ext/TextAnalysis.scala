@@ -1068,7 +1068,58 @@ object TextAnalysis {
     ngramNovelty(docs(s, dir), "doc_id", "text").orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- t24
+  /** Flesch reading-ease readability — the classic quality signal
+    * (206.835 − 1.015·W/S − 84.6·Syl/W) with the standard regex syllable
+    * approximation: a word's syllable count is its number of vowel-letter
+    * runs `[aeiouyAEIOUY]+`, floored at 1. Sentences are the t20
+    * segmentation (`[.!?]+`, empty segments dropped). All three inputs are
+    * exact integers; the score is one fixed-shape double expression both
+    * engines evaluate identically (the oracle CASTs its constants to
+    * DOUBLE so DuckDB cannot run the arithmetic in DECIMAL). Shuffle-free
+    * projection — linear scan at any scale. Docs with no words or no
+    * sentences score 0.0 by convention. */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val segs = filter(transform(split(col(textCol), "[.!?]+"), s => trim(s)),
+      s => length(s) > 0)
+    df.withColumn("__tk", toks(col(textCol)))
+      .withColumn("n_words", size(col("__tk")).cast("long"))
+      .withColumn("n_sentences", size(segs).cast("long"))
+      .withColumn("n_syllables",
+        aggregate(transform(col("__tk"), wd =>
+          greatest(lit(1L),
+            size(regexp_extract_all(wd, lit("[aeiouyAEIOUY]+"), lit(0))).cast("long"))),
+          lit(0L), (a, x) => a + x))
+      .withColumn("flesch",
+        when(col("n_words") > 0 && col("n_sentences") > 0,
+          round(lit(206.835d)
+            - lit(1.015d) * (col("n_words").cast("double")
+              / col("n_sentences").cast("double"))
+            - lit(84.6d) * (col("n_syllables").cast("double")
+              / col("n_words").cast("double"))
+            + 1e-9, 4))
+          .otherwise(lit(0.0d)))
+      .select(col(idCol), col("n_words"), col("n_sentences"),
+        col("n_syllables"), col("flesch"))
+  }
+
+  /** The t24 oracle injection — the t20 sentence injection verbatim, so
+    * every-3rd docs gain real sentence structure and every-4th a terminal
+    * tail; unpunctuated docs stay one long segment (deeply negative Flesch,
+    * exercising the negative-score path). */
+  val t24Readability: Q = (s, dir) => {
+    import s.implicits._
+    val injected = docs(s, dir).select($"doc_id", concat($"text",
+      when(pmod($"doc_id", lit(3)) === 0,
+        lit(" One two three. Four five six! Seven eight nine?"))
+        .otherwise(lit("")),
+      when(pmod($"doc_id", lit(4)) === 0, lit(" Tail claim."))
+        .otherwise(lit(""))).as("raw"))
+    readability(injected, "doc_id", "raw").orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t24_readability" -> t24Readability,
     "t23_ngram_novelty" -> t23NgramNovelty,
     "t22_length_buckets" -> t22LengthBuckets,
     "t21_script_profile" -> t21ScriptProfile,
@@ -1234,6 +1285,37 @@ object TextAnalysis {
         |FROM m ORDER BY doc_id""".stripMargin,
     // same injection, same [.!?]+ segmentation, integer counts; the mean is
     // one division of two exact integers
+    // t20's injection + segmentation, the regex syllable floor at 1, and
+    // ONE fixed-shape double expression (constants CAST to DOUBLE so the
+    // arithmetic cannot run in DECIMAL); + 0.0 guards the signed zero
+    "t24_readability" ->
+      """WITH inj AS (
+        |  SELECT doc_id, text ||
+        |   (CASE WHEN doc_id % 3 = 0
+        |     THEN ' One two three. Four five six! Seven eight nine?' ELSE '' END) ||
+        |   (CASE WHEN doc_id % 4 = 0 THEN ' Tail claim.' ELSE '' END) AS raw
+        |  FROM documents),
+        | st AS (
+        |  SELECT doc_id,
+        |   list_filter(string_split_regex(raw, '\s+'), x -> length(x) > 0) AS tk,
+        |   len(list_filter(list_transform(string_split_regex(raw, '[.!?]+'),
+        |     s -> trim(s)), s -> length(s) > 0)) AS n_seg
+        |  FROM inj),
+        | c AS (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words,
+        |   CAST(n_seg AS BIGINT) AS n_sentences,
+        |   CAST(coalesce(list_sum(list_transform(tk,
+        |     w -> greatest(1, len(regexp_extract_all(w, '[aeiouyAEIOUY]+'))))), 0)
+        |    AS BIGINT) AS n_syllables
+        |  FROM st)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        | CASE WHEN n_words > 0 AND n_sentences > 0
+        |  THEN round(CAST(206.835 AS DOUBLE)
+        |    - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |    - CAST(84.6 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+        |    + 1e-9, 4) + 0.0
+        |  ELSE 0.0 END AS flesch
+        |FROM c ORDER BY doc_id""".stripMargin,
     "t20_sentence_stats" ->
       """WITH inj AS (
         |  SELECT doc_id, text ||

@@ -81,6 +81,34 @@ class ContractSpec extends SparkSpec {
     }
   }
 
+  test("q44 hopping windows: every event lands in exactly size/slide = 2 hops") {
+    val dir = "/root/testdata/sf0.001"
+    val nEvents = Tables.load(spark, dir, "events").count()
+    val hopTotal = analytics.Queries.q44HoppingWindow(spark, dir)
+      .agg(sum($"n_events")).as[Long].head()
+    assert(hopTotal == 2 * nEvents,
+      s"hop assignment total $hopTotal != 2 x $nEvents events")
+  }
+
+  test("q45 range frame: trailing-1h rolling stats match a per-row brute filter") {
+    import org.apache.spark.sql.functions.{col, round => rnd}
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.load(spark, dir, "events")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("us"),
+        rnd($"value" * 100).cast("long").as("cents"))
+    // brute twin: self-join within [us - 1h, us] per user — the frame
+    // DEFINITION, independent of any window machinery
+    val brute = ev.as("a").join(ev.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.us") >= col("a.us") - 3600000000L && col("b.us") <= col("a.us"))
+      .groupBy(col("a.event_id").as("event_id"))
+      .agg(count(lit(1)).as("n_1h"), sum(col("b.cents")).as("cents_1h"))
+    val got = analytics.Queries.q45RangeFrame(spark, dir)
+      .select($"event_id", $"n_1h", $"cents_1h")
+    assert(got.except(brute).isEmpty && brute.except(got).isEmpty,
+      "range-frame rolling stats diverge from the brute time-filter definition")
+  }
+
   test("q35FunnelSingleScan returns exactly q35Funnel from one events scan") {
     val dir = "/root/testdata/sf0.001"
     val chained = analytics.Queries.q35Funnel(spark, dir).collect().toSeq

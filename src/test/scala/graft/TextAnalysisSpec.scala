@@ -338,6 +338,24 @@ class TextAnalysisSpec extends SparkSpec {
       (4L, 2L, 9L, 3L, 3L, 13L)), s"got $got")
   }
 
+  test("readability: hand-computed Flesch incl. negative-score and empty docs") {
+    // doc 1: "The cat sat. It ran!" -> W=5, S=2, Syl=5 (one vowel run per
+    //   word): 206.835 - 1.015*2.5 - 84.6*1.0 = 119.6975
+    // doc 2: 300 unpunctuated words, 1 segment, 300 syllables:
+    //   206.835 - 304.5 - 84.6 = -182.265 (the negative-score path)
+    // doc 3: empty -> all zero counts, score 0.0 by convention
+    val docs = Seq(
+      (1L, "The cat sat. It ran!"),
+      (2L, Seq.fill(300)("a").mkString(" ")),
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.readability(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 5L, 2L, 5L, 119.6975),
+      (2L, 300L, 1L, 300L, -182.265),
+      (3L, 0L, 0L, 0L, 0.0)), s"got $got")
+  }
+
   test("ngramNovelty: shared = distinct grams with df >= 2; gram-less docs fully novel") {
     // 3-grams: doc1 "a b c d" -> {abc, bcd}; doc2 "a b c e" -> {abc, bce};
     // doc3 "x y" -> no full 3-gram. Shared gram: abc (df=2).
