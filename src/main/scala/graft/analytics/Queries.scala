@@ -992,7 +992,28 @@ object Queries {
       .orderBy($"event_id")
   }
 
+  // ---------------------------------------------------------------- q46
+  /** UNPIVOT (melt) — the inverse of q23's pivot: wide per-row measure
+    * columns become (measure, val) rows via `Dataset.unpivot` (Spark 3.4+),
+    * planned as a single Expand projection — one scan, zero shuffles, rows
+    * emitted measure-major per input row. The normalization step every
+    * long-format metrics pipeline starts with; the oracle replays it as
+    * the defining UNION ALL. */
+  val q46Unpivot: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber".cast("long").as("l_linenumber"),
+        round($"l_quantity", 2).as("l_quantity"),
+        round($"l_discount", 2).as("l_discount"),
+        round($"l_tax", 2).as("l_tax"))
+      .unpivot(Array($"l_orderkey", $"l_linenumber"),
+        Array($"l_quantity", $"l_discount", $"l_tax"),
+        "measure", "val")
+      .orderBy($"l_orderkey", $"l_linenumber", $"measure")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q46_unpivot" -> q46Unpivot,
     "q44_hopping_window" -> q44HoppingWindow,
     "q45_range_frame" -> q45RangeFrame,
     "q42_lateral_join" -> q42LateralJoin,
@@ -1058,6 +1079,17 @@ object Queries {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the defining UNION ALL of unpivot: one branch per measure column
+    "q46_unpivot" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        | 'l_quantity' AS measure, round(l_quantity, 2) AS val FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+        | 'l_discount', round(l_discount, 2) FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, CAST(l_linenumber AS BIGINT),
+        | 'l_tax', round(l_tax, 2) FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
     // hop assignment as pure integer micros arithmetic: every event joins
     // hops bucket(ts) and bucket(ts) - 30min (size/slide = 2)
     "q44_hopping_window" ->

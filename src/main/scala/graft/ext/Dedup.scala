@@ -263,7 +263,22 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  // ---------------------------------------------------------------- d14
+  /** Containment-pair audit — [[DedupOps.containmentPairs]] on the d04
+    * blocking (lang) at threshold 0.8: the asymmetric C(A→B) = |A∩B|/|A|
+    * report that catches excerpt/superset duplication symmetric Jaccard
+    * misses. The corpus's exact duplicates surface at containment 1.0 in
+    * BOTH directions; near-supersets only in one. */
+  val d14ContainmentPairs: Q = (s, dir) => {
+    import s.implicits._
+    DedupOps.containmentPairs(docs(s, dir), "doc_id", "text", "lang", 0.8)
+      .select($"id_a".as("doc_a"), $"id_b".as("doc_b"), $"n_inter",
+        $"n_a", $"n_b", $"cont_a_in_b", $"cont_b_in_a")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d14_containment" -> d14ContainmentPairs,
     "d01_exact_dedup" -> d01ExactDedup,
     "d10_line_dedup" -> d10LineDedup,
     "d12_minhash_accuracy" -> d12MinhashAccuracy,
@@ -420,6 +435,28 @@ object Dedup {
           |SELECT doc_id,
           | CAST(sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
           |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    // d04's inverted-index machinery; both asymmetric ratios, the filter on
+    // the larger direction (unrounded, same float expression both engines)
+    "d14_containment" ->
+      (toksCte +
+        """, shs AS (
+          |  SELECT DISTINCT doc_id, lang, array_to_string(toks[i:i+2], ' ') AS s
+          |  FROM (SELECT doc_id, lang, toks, unnest(range(1, len(toks)+1)) AS i FROM l)),
+          | sh AS (
+          |  SELECT doc_id, lang,
+          |   CAST(CAST(('0x' || substr(md5(s),1,15)) AS UBIGINT) AS BIGINT) AS sh
+          |  FROM shs),
+          | sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+          | inter AS (
+          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS i
+          |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.sh = b.sh AND a.doc_id < b.doc_id
+          |  GROUP BY a.doc_id, b.doc_id)
+          |SELECT doc_a, doc_b, i AS n_inter, sa.n AS n_a, sb.n AS n_b,
+          | round(CAST(i AS DOUBLE) / sa.n + 1e-9, 4) AS cont_a_in_b,
+          | round(CAST(i AS DOUBLE) / sb.n + 1e-9, 4) AS cont_b_in_a
+          |FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+          |WHERE greatest(CAST(i AS DOUBLE) / sa.n, CAST(i AS DOUBLE) / sb.n) >= 0.8
+          |ORDER BY doc_a, doc_b""".stripMargin),
     "d04_ngram_jaccard" ->
       (toksCte +
         """, shs AS (

@@ -819,6 +819,41 @@ object DedupOps {
         col("__t._1").as("id"), col("__t._2").as("cosine"))
   }
 
+  /** Asymmetric set-CONTAINMENT pairs — C(A→B) = |A∩B| / |A| over distinct
+    * shingle sets: the excerpt/quote/superset detector symmetric Jaccard
+    * structurally misses (a short doc fully contained in a long one has
+    * Jaccard ≈ |A|/|B| ≈ 0 but containment 1.0 — the "boilerplate wrapper
+    * around a copied article" shape). Emits one row per unordered pair
+    * whose LARGER direction reaches `threshold`, with both directions
+    * reported so the caller can tell A-in-B from B-in-A.
+    *
+    * Scale shape: identical to [[jaccardPairs]] — one explode, the
+    * inverted shingle-hash index inside `blockCol` blocks, sizes riding on
+    * the shingle rows; pairs only materialize on shared shingles. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, threshold: Double, shingleLen: Int = 3): DataFrame = {
+    val sh = df
+      .withColumn("__tk", toks(col(textCol)))
+      .withColumn("__shs", array_distinct(shinglesN(col("__tk"), shingleLen)))
+      .select(col(idCol).as("__id"), col(blockCol).as("__blk"),
+        size(col("__shs")).cast("long").as("__n"), explode_outer(col("__shs")).as("__s"))
+      .filter(col("__s").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
+      .select(col("__id"), col("__blk"), col("__n"), h60(col("__s")).as("__sh"))
+    val shp = sh.repartition(col("__blk"), col("__sh"))
+    shp.as("a").hint("merge").join(shp.as("b"),
+        col("a.__blk") === col("b.__blk") && col("a.__sh") === col("b.__sh") &&
+          col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"),
+        first(col("a.__n")).as("n_a"), first(col("b.__n")).as("n_b"))
+      .withColumn("cont_a_in_b", col("n_inter").cast("double") / col("n_a"))
+      .withColumn("cont_b_in_a", col("n_inter").cast("double") / col("n_b"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"), col("n_b"),
+        round(col("cont_a_in_b") + 1e-9, 4).as("cont_a_in_b"),
+        round(col("cont_b_in_a") + 1e-9, 4).as("cont_b_in_a"))
+  }
+
   /** [[knn]] over only the corpus rows satisfying `pred` — PRE-FILTER
     * vector search (the s14 semantics: the predicate restricts the
     * candidate universe BEFORE ranking, so exactly k results return and

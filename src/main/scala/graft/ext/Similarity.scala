@@ -920,6 +920,89 @@ object Similarity {
       .orderBy($"query_id")
   }
 
+  // ---------------------------------------------------------------- s15
+  /** Lloyd k-means, the engine-contract edition: deterministic init (the
+    * k lowest-id training vectors), `iters` rounds of shuffle-free argmin
+    * assignment + ORDER-DETERMINISTIC centroid means (the c10 sorted-fold
+    * discipline applied per dimension: members sort by id, fold
+    * element-wise left-to-right, divide once — bit-identical at every
+    * partitioning AND replayable by the DuckDB twin; a plain per-dim
+    * `avg()` would merge partials in task order and drift between engines).
+    * Empty clusters keep their previous centroid.
+    *
+    * Scale contract: TRAIN on a bounded frame (the caller passes a
+    * deterministic sample — the FAISS discipline; the sorted fold's
+    * per-cluster state is train-sized, never corpus-sized). ASSIGN is a
+    * pure projection against k×dim plan-literal centroids — no shuffle, no
+    * join, linear scan at 100 TB. Returns the centroids for [[kmeansAssign]].
+    */
+  def kmeansFit(train: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int): Seq[Array[Double]] = {
+    val sp = train.sparkSession
+    import sp.implicits._
+    val e = train.select(col(idCol).cast("long").as("__id"),
+      asDouble(col(vecCol)).as("__v")).persist()
+    try {
+      val dim = e.select(size(col("__v"))).as[Int].head()
+      val zeros = typedLit(Seq.fill(dim)(0.0d))
+      var cents: Seq[Array[Double]] = e.orderBy(col("__id")).limit(k)
+        .select(col("__v")).as[Seq[Double]].collect().map(_.toArray).toSeq
+      for (_ <- 0 until iters) {
+        val means = e
+          .withColumn("__cl", kmeansPick(cents, col("__v")).getField("c"))
+          .groupBy(col("__cl"))
+          .agg(count(lit(1)).as("__n"),
+            aggregate(sort_array(collect_list(struct(col("__id"), col("__v")))),
+              zeros,
+              (acc, el) => zip_with(acc, el.getField("__v"), (a, b) => a + b))
+              .as("__s"))
+          .select(col("__cl"),
+            transform(col("__s"), z => z / col("__n")).as("__c"))
+          .as[(Int, Seq[Double])].collect().toMap
+        cents = cents.indices.map(i =>
+          means.get(i).map(_.toArray).getOrElse(cents(i)))
+      }
+      cents
+    } finally e.unpersist(false)
+  }
+
+  /** (d2, cluster) argmin against plan-literal centroids: lexicographic
+    * `array_min` over (distance, index) structs — equal distances resolve
+    * to the lower index in both engines. d2 is the fixed-shape expansion
+    * `(v·v − 2·v·c) + c·c`, every dot the same codegen'd [[dot]] the
+    * s-family oracles already prove ≡ DuckDB's list_dot_product. */
+  private def kmeansPick(cents: Seq[Array[Double]], v: Column): Column = {
+    val opts = cents.zipWithIndex.map { case (c, i) =>
+      val cl = typedLit(c.toSeq)
+      struct(((dot(v, v) - lit(2.0d) * dot(v, cl)) + dot(cl, cl)).as("d"),
+        lit(i).as("c"))
+    }
+    array_min(array(opts: _*))
+  }
+
+  /** Assign every row to its nearest [[kmeansFit]] centroid — shuffle-free
+    * projection. Returns (idCol, cluster, dist2) with dist2 the rounded
+    * squared L2 distance to the winning centroid. */
+  def kmeansAssign(df: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[Array[Double]]): DataFrame =
+    df.select(col(idCol),
+      kmeansPick(cents, asDouble(col(vecCol))).as("__p"))
+      .select(col(idCol), col("__p.c").cast("long").as("cluster"),
+        round(col("__p.d") + 1e-9, 4).as("dist2"))
+
+  /** k-means as an oracle row: fit on the deterministic vec_id < 256
+    * sample (k = 4, 2 Lloyd rounds), assign the WHOLE table. The DuckDB
+    * twin replays both rounds CTE by CTE — init, argmin joins, id-sorted
+    * element-wise fold means — so the entire iterative training, not just
+    * the final assignment, is cross-engine-pinned (the t14 BPE staging
+    * discipline applied to clustering). */
+  val s15Kmeans: Q = (s, dir) => {
+    import s.implicits._
+    val e = vecs(s, dir)
+    val cents = kmeansFit(e.filter($"vec_id" < 256), "vec_id", "v", k = 4, iters = 2)
+    kmeansAssign(e, "vec_id", "v", cents).orderBy($"vec_id")
+  }
+
   // ---------------------------------------------------------------- s14
   /** Metadata-filtered vector search — the PRE-FILTER semantics every
     * production vector store exposes (FAISS IDSelector, the `filter` clause
@@ -950,6 +1033,7 @@ object Similarity {
   }
 
   val queries: Map[String, Q] = Map(
+    "s15_kmeans" -> s15Kmeans,
     "s14_filtered_knn" -> s14FilteredKnn,
     "s01_knn_brute" -> s01KnnBrute,
     "s02_ann_lsh" -> s02AnnLsh,
@@ -986,7 +1070,45 @@ object Similarity {
       | FROM u q JOIN u e ON q.vec_id < 20 AND q.vec_id <> e.vec_id) t
       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  /** Generated DuckDB twin of [[s15Kmeans]]: per Lloyd round an argmin CTE
+    * (a_r), an id-sorted element-wise fold-mean CTE (m_r), and an
+    * empty-cluster-keep CTE (c_r) — `AS MATERIALIZED` like the t14 BPE
+    * stages so DuckDB cannot re-inline the chain. */
+  private def kmeansSql(k: Int, iters: Int, dim: Int): String = {
+    def d2(v: String, cv: String) =
+      s"(list_dot_product($v, $v) - 2 * list_dot_product($v, $cv)) + list_dot_product($cv, $cv)"
+    val zeros = s"list_transform(range(1, ${dim + 1}), i -> CAST(0 AS DOUBLE))"
+    val rounds = (1 to iters).map { r =>
+      val prev = s"c${r - 1}"
+      s""" a$r AS MATERIALIZED (
+         |  SELECT t.vec_id, (min({'d': ${d2("t.v", "c.v")}, 'c': c.cl})).c AS cl
+         |  FROM tr t, $prev c GROUP BY t.vec_id),
+         | m$r AS MATERIALIZED (
+         |  SELECT cl, list_transform(s, z -> z / n) AS v FROM (
+         |   SELECT a.cl, count(*) AS n,
+         |    list_reduce(list_prepend($zeros, list(t.v ORDER BY t.vec_id)),
+         |      (acc, x) -> list_transform(range(1, ${dim + 1}), i -> acc[i] + x[i])) AS s
+         |   FROM a$r a JOIN tr t USING (vec_id) GROUP BY a.cl) q),
+         | c$r AS MATERIALIZED (
+         |  SELECT $prev.cl, coalesce(m$r.v, $prev.v) AS v
+         |  FROM $prev LEFT JOIN m$r USING (cl)),""".stripMargin
+    }.mkString("\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       | tr AS (SELECT vec_id, v FROM e WHERE vec_id < 256),
+       | c0 AS MATERIALIZED (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl, v
+       |  FROM tr ORDER BY vec_id LIMIT $k),
+       |$rounds
+       | fin AS (
+       |  SELECT t.vec_id, min({'d': ${d2("t.v", "c.v")}, 'c': c.cl}) AS p
+       |  FROM e t, c$iters c GROUP BY t.vec_id)
+       |SELECT vec_id, CAST((p).c AS BIGINT) AS cluster,
+       | round((p).d + 1e-9, 4) + 0.0 AS dist2
+       |FROM fin ORDER BY vec_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "s15_kmeans" -> kmeansSql(k = 4, iters = 2, dim = 64),
     // the s01 brute form with the metadata predicate on the CANDIDATE side
     // only (queries keep all labels) — pre-filter semantics
     "s14_filtered_knn" ->

@@ -1118,7 +1118,41 @@ object TextAnalysis {
     readability(injected, "doc_id", "raw").orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- t25
+  /** Lexical diversity — type-token ratio and hapax legomena count, the
+    * classic vocabulary-richness signals (low TTR flags templated/looped
+    * text from the vocabulary side the way t05's repetition flags it from
+    * the frequency side; hapax share feeds vocabulary-growth estimates).
+    * One (doc, token) count aggregation — doc-keyed shuffle with 8-byte-
+    * hashable keys; token-less docs report 0/0/0 and ttr 0.0 via the left
+    * join. */
+  def lexicalDiversity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val inst = df
+      .withColumn("__tk", toks(col(textCol)))
+      .select(col(idCol).as("__id"), explode_outer(col("__tk")).as("__tok"))
+      .filter(col("__tok").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
+    val per = inst.groupBy(col("__id"), col("__tok")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+    df.select(col(idCol))
+      .join(per.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"),
+        when(coalesce(col("n_tokens"), lit(0L)) > 0,
+          round(col("n_types").cast("double") / col("n_tokens") + 1e-9, 4))
+          .otherwise(lit(0.0d)).as("ttr"))
+  }
+
+  val t25LexicalDiversity: Q = (s, dir) => {
+    import s.implicits._
+    lexicalDiversity(docs(s, dir), "doc_id", "text").orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "t25_lexical_diversity" -> t25LexicalDiversity,
     "t24_readability" -> t24Readability,
     "t23_ngram_novelty" -> t23NgramNovelty,
     "t22_length_buckets" -> t22LengthBuckets,
@@ -1285,6 +1319,25 @@ object TextAnalysis {
         |FROM m ORDER BY doc_id""".stripMargin,
     // same injection, same [.!?]+ segmentation, integer counts; the mean is
     // one division of two exact integers
+    // one (doc, token) count; types/hapax from it; ttr with the nudge
+    "t25_lexical_diversity" ->
+      (toksCte +
+        """, u AS (SELECT doc_id, unnest(toks) AS tok FROM l),
+          | f AS (SELECT doc_id, tok, count(*) AS c FROM u GROUP BY doc_id, tok),
+          | p AS (
+          |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+          |   CAST(count(*) AS BIGINT) AS n_types,
+          |   CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+          |  FROM f GROUP BY doc_id)
+          |SELECT d.doc_id,
+          | CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+          | CAST(coalesce(p.n_types, 0) AS BIGINT) AS n_types,
+          | CAST(coalesce(p.n_hapax, 0) AS BIGINT) AS n_hapax,
+          | CASE WHEN coalesce(p.n_tokens, 0) > 0
+          |  THEN round(CAST(p.n_types AS DOUBLE) / p.n_tokens + 1e-9, 4)
+          |  ELSE 0.0 END AS ttr
+          |FROM documents d LEFT JOIN p ON d.doc_id = p.doc_id
+          |ORDER BY d.doc_id""".stripMargin),
     // t20's injection + segmentation, the regex syllable floor at 1, and
     // ONE fixed-shape double expression (constants CAST to DOUBLE so the
     // arithmetic cannot run in DECIMAL); + 0.0 guards the signed zero

@@ -855,6 +855,49 @@ class DedupOpsSpec extends SparkSpec {
     assert(out.contains((1L, 2L)), "expected near-identical pair as LSH candidate")
   }
 
+  test("kmeansFit converges on planted clusters; deterministic across partitionings") {
+    // Two tight planted clusters; init = the 2 lowest ids (one in each
+    // cluster by construction), so one Lloyd round already separates them.
+    val pts = Seq(
+      (0L, Seq(0.0f, 0.0f)), (2L, Seq(0.2f, 0.0f)), (4L, Seq(0.0f, 0.2f)),
+      (1L, Seq(10.0f, 10.0f)), (3L, Seq(10.2f, 10.0f)), (5L, Seq(10.0f, 10.2f)))
+      .toDF("vec_id", "v")
+    val outs = Seq(1, 3, 6).map { p =>
+      val cents = Similarity.kmeansFit(pts.repartition(p), "vec_id", "v", k = 2, iters = 2)
+      cents.map(_.map(java.lang.Double.doubleToRawLongBits).toSeq)
+    }
+    assert(outs.tail.forall(_ == outs.head),
+      "centroids differ bit-wise across input partitionings")
+    val assign = Similarity.kmeansAssign(pts, "vec_id", "v",
+      Similarity.kmeansFit(pts, "vec_id", "v", k = 2, iters = 2))
+      .select($"vec_id", $"cluster").as[(Long, Long)].collect().toMap
+    assert(Set(0L, 2L, 4L).map(assign) == Set(0L) &&
+      Set(1L, 3L, 5L).map(assign) == Set(1L),
+      s"planted clusters not separated: $assign")
+  }
+
+  test("containmentPairs: subset doc hits 1.0 one-way where Jaccard stays low") {
+    // B = A plus a long unique suffix: every shingle of A appears in B
+    // (the first |A| window positions are identical), so C(A->B) = 1.0
+    // while Jaccard = |A|/|B| is small; the reverse direction must NOT
+    // report contained. An unrelated doc pairs with nothing at 0.8.
+    val aw = (1 to 10).map(i => s"w$i")
+    val bw = aw ++ (1 to 40).map(i => s"x$i")
+    val df = Seq((1L, aw.mkString(" "), "en"), (2L, bw.mkString(" "), "en"),
+      (3L, (1 to 30).map(i => s"z$i").mkString(" "), "en")).toDF("doc_id", "text", "lang")
+    val out = DedupOps.containmentPairs(df, "doc_id", "text", "lang", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))).toMap
+    assert(out.keySet == Set((1L, 2L)), s"pairs: ${out.keySet}")
+    val (i, na, nb, aInB, bInA) = out((1L, 2L))
+    // A emits 10 shingle windows; 8 are interior-identical in B, the last
+    // two tail windows of A ("w9 w10", "w10") continue into x1 x2 in B —
+    // but shinglesN keeps SHORTER TAILS only at the end of the doc, so
+    // those two differ: inter = 8, |A| = 10 -> C(A->B) = 0.8 exactly
+    assert(na == 10L && i == 8L && aInB == 0.8, s"got i=$i na=$na aInB=$aInB")
+    assert(nb == 50L && bInA < 0.5, s"got nb=$nb bInA=$bInA")
+  }
+
   test("saltedJoin returns exactly the unsalted join result") {
     val li = Tables.load(spark, dir, "lineitem").select($"l_orderkey", $"l_quantity")
     val o = Tables.load(spark, dir, "orders").select($"o_orderkey", $"o_totalprice")

@@ -338,6 +338,19 @@ class TextAnalysisSpec extends SparkSpec {
       (4L, 2L, 9L, 3L, 3L, 13L)), s"got $got")
   }
 
+  test("lexicalDiversity: types, hapax, ttr by hand; empty doc all-zero") {
+    // doc 1: "a a b c" -> 4 tokens, 3 types, hapax {b, c} = 2, ttr 0.75
+    // doc 2: "x x x"   -> 3 tokens, 1 type,  hapax 0,        ttr 0.3333
+    // doc 3: ""        -> zeros, ttr 0.0
+    val docs = Seq((1L, "a a b c"), (2L, "x x x"), (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.lexicalDiversity(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 4L, 3L, 2L, 0.75),
+      (2L, 3L, 1L, 0L, 0.3333),
+      (3L, 0L, 0L, 0L, 0.0)), s"got $got")
+  }
+
   test("readability: hand-computed Flesch incl. negative-score and empty docs") {
     // doc 1: "The cat sat. It ran!" -> W=5, S=2, Syl=5 (one vowel run per
     //   word): 206.835 - 1.015*2.5 - 84.6*1.0 = 119.6975
