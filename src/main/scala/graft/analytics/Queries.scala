@@ -1012,7 +1012,30 @@ object Queries {
       .orderBy($"l_orderkey", $"l_linenumber", $"measure")
   }
 
+  // ---------------------------------------------------------------- q47
+  /** GROUPING metadata functions — `grouping()` / `grouping_id()` over a
+    * rollup: the machine-readable way to tell a subtotal row from a data
+    * row whose key happens to be NULL (q10's coalesce labels are for
+    * humans; BI layers key on the grouping bits). Spark's grouping_id()
+    * bit order (first rollup column = MSB) matches DuckDB's
+    * GROUPING(a, b). */
+  val q47GroupingId: Q = (s, dir) => {
+    import s.implicits._
+    t(s, dir, "events")
+      .withColumn("__ub", pmod($"user_id", lit(10)))
+      .rollup($"event_type", $"__ub")
+      .agg(count(lit(1)).as("n"),
+        grouping($"event_type").cast("long").as("g_type"),
+        grouping($"__ub").cast("long").as("g_bucket"),
+        grouping_id().cast("long").as("gid"))
+      .select(coalesce($"event_type", lit("(all)")).as("etype"),
+        coalesce($"__ub", lit(-1L)).as("user_bucket"),
+        $"g_type", $"g_bucket", $"gid", $"n")
+      .orderBy($"etype", $"user_bucket")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q47_grouping_id" -> q47GroupingId,
     "q46_unpivot" -> q46Unpivot,
     "q44_hopping_window" -> q44HoppingWindow,
     "q45_range_frame" -> q45RangeFrame,
@@ -1079,6 +1102,15 @@ object Queries {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q47_grouping_id" ->
+      """SELECT coalesce(event_type, '(all)') AS etype,
+        | CAST(coalesce(user_id % 10, -1) AS BIGINT) AS user_bucket,
+        | CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+        | CAST(GROUPING(user_id % 10) AS BIGINT) AS g_bucket,
+        | CAST(GROUPING(event_type, user_id % 10) AS BIGINT) AS gid,
+        | CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY ROLLUP (event_type, user_id % 10)
+        |ORDER BY etype, user_bucket""".stripMargin,
     // the defining UNION ALL of unpivot: one branch per measure column
     "q46_unpivot" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,

@@ -277,7 +277,21 @@ object Dedup {
       .orderBy($"doc_a", $"doc_b")
   }
 
+  // ---------------------------------------------------------------- d13
+  /** CDC duplicate audit — [[DedupOps.cdcChunkStats]] at the default
+    * 8-char window / divisor 64 (expected ~64-char chunks): per doc, how
+    * many content-defined chunks it carries and how many are byte-
+    * identical to a chunk of ANOTHER doc. The corpus's engineered exact
+    * duplicates surface at dup_frac 1.0; partially-copied docs surface at
+    * the copied fraction — per chunk, not per doc. */
+  val d13CdcChunks: Q = (s, dir) => {
+    import s.implicits._
+    DedupOps.cdcChunkStats(docs(s, dir), "doc_id", "text")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d13_cdc_chunks" -> d13CdcChunks,
     "d14_containment" -> d14ContainmentPairs,
     "d01_exact_dedup" -> d01ExactDedup,
     "d10_line_dedup" -> d10LineDedup,
@@ -435,6 +449,55 @@ object Dedup {
           |SELECT doc_id,
           | CAST(sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
           |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    // boundaries, chunk substrings and digests replayed char-for-char:
+    // same md5-mod hash, same trailing-window rule, same doc-end boundary
+    "d13_cdc_chunks" ->
+      """WITH c AS (
+        |  SELECT doc_id, text,
+        |   list_filter(string_split(text, ''), ch -> length(ch) > 0) AS ch
+        |  FROM documents),
+        | b AS (
+        |  SELECT doc_id, text, len(ch) AS n,
+        |   CASE WHEN len(ch) >= 8 THEN
+        |    list_filter(range(8, len(ch) + 1), p ->
+        |     (CAST(CAST(('0x' || substr(md5(array_to_string(ch[p-7:p], '')),1,15)) AS UBIGINT)
+        |        % 2147483647 AS BIGINT)) % 64 = 0)
+        |   ELSE [] END AS bs
+        |  FROM c),
+        | bb AS (
+        |  -- conditional append, NOT list_distinct: DuckDB's list_distinct
+        |  -- does not guarantee order, and bounds must stay ascending
+        |  SELECT doc_id, text,
+        |   CASE WHEN n > 0 THEN
+        |    (CASE WHEN len(bs) > 0 AND bs[-1] = n THEN bs
+        |          ELSE list_append(bs, n) END)
+        |   ELSE [] END AS bounds
+        |  FROM b),
+        | k AS (
+        |  SELECT doc_id, text, bounds,
+        |   generate_subscripts(bounds, 1) AS i, unnest(bounds) AS p
+        |  FROM bb),
+        | inst AS (
+        |  SELECT doc_id,
+        |   md5(substr(text,
+        |     (CASE WHEN i = 1 THEN 0 ELSE bounds[i-1] END) + 1,
+        |     p - (CASE WHEN i = 1 THEN 0 ELSE bounds[i-1] END))) AS dg
+        |  FROM k),
+        | f AS (
+        |  SELECT dg, count(*) AS df FROM (SELECT DISTINCT doc_id, dg FROM inst)
+        |  GROUP BY dg),
+        | per AS (
+        |  SELECT inst.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |   CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+        |  FROM inst JOIN f USING (dg) GROUP BY inst.doc_id)
+        |SELECT d.doc_id,
+        | CAST(coalesce(per.n_chunks, 0) AS BIGINT) AS n_chunks,
+        | CAST(coalesce(per.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+        | CASE WHEN coalesce(per.n_chunks, 0) > 0
+        |  THEN round(CAST(per.n_dup_chunks AS DOUBLE) / per.n_chunks + 1e-9, 4)
+        |  ELSE 0.0 END AS dup_frac
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // d04's inverted-index machinery; both asymmetric ratios, the filter on
     // the larger direction (unrounded, same float expression both engines)
     "d14_containment" ->

@@ -819,6 +819,70 @@ object DedupOps {
         col("__t._1").as("id"), col("__t._2").as("cosine"))
   }
 
+  /** Content-defined chunking (CDC) duplicate audit — the rsync/LBFS/
+    * FastCDC boundary idea, the dedup primitive fixed-size and fixed-n-gram
+    * chunking both lack: a chunk boundary falls wherever the hash of the
+    * trailing `window` characters ≡ 0 (mod `divisor`), so boundaries are
+    * INSERTION-ROBUST — editing one sentence shifts only the chunks
+    * around it, and every chunk after the next boundary re-aligns and
+    * deduplicates again (fixed-size chunks lose alignment at the first
+    * inserted byte). Expected chunk length ≈ `divisor` chars. Per doc:
+    * chunk count, chunks whose digest appears in ≥ 2 DOCUMENTS (cross-doc
+    * duplicated content), and the duplicated fraction.
+    *
+    * Scale shape: boundary detection is a shuffle-free per-row projection
+    * (one char-array materialization, the shinglesN slice discipline);
+    * the digest df count and join are chunk-digest-keyed — 16-byte keys,
+    * cardinality grows with corpus content. All hashes md5-derived, so the
+    * DuckDB twin replays boundaries, chunks and digests bit-for-bit. */
+  def cdcChunkStats(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, divisor: Int = 64): DataFrame = {
+    require(window >= 2 && divisor >= 2, "need window >= 2 and divisor >= 2")
+    val withChunks = df
+      .withColumn("__ch", filter(split(col(textCol), ""), c => length(c) > 0))
+      .withColumn("__len", size(col("__ch")))
+      // boundary END positions: p in [window, len] with hm(window ending
+      // at p) % divisor == 0; the doc end is always a boundary
+      .withColumn("__bs",
+        when(col("__len") >= window,
+          filter(
+            transform(sequence(lit(window), col("__len")),
+              p => when(hm(array_join(
+                slice(col("__ch"), p - (window - 1), lit(window)), ""))
+                % divisor === 0, p)),
+            x => x.isNotNull))
+          .otherwise(array().cast("array<int>")))
+      .withColumn("__bounds",
+        when(col("__len") > 0,
+          array_distinct(concat(col("__bs"), array(col("__len")))))
+          .otherwise(array().cast("array<int>")))
+      .withColumn("__chunks",
+        transform(sequence(lit(1), size(col("__bounds"))), i => {
+          val prev = when(i === 1, lit(0))
+            .otherwise(element_at(col("__bounds"), i - 1))
+          array_join(slice(col("__ch"), prev + 1,
+            element_at(col("__bounds"), i) - prev), "")
+        }))
+    val inst = withChunks
+      .select(col(idCol).as("__id"), explode_outer(col("__chunks")).as("__c"))
+      .filter(col("__c").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
+      .select(col("__id"), md5(col("__c")).as("__dg"))
+    val dfreq = inst.distinct()
+      .groupBy(col("__dg")).agg(count(lit(1)).as("__df"))
+    val per = inst.join(dfreq, Seq("__dg"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+    df.select(col(idCol))
+      .join(per.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+        when(coalesce(col("n_chunks"), lit(0L)) > 0,
+          round(col("n_dup_chunks").cast("double") / col("n_chunks") + 1e-9, 4))
+          .otherwise(lit(0.0d)).as("dup_frac"))
+  }
+
   /** Asymmetric set-CONTAINMENT pairs — C(A→B) = |A∩B| / |A| over distinct
     * shingle sets: the excerpt/quote/superset detector symmetric Jaccard
     * structurally misses (a short doc fully contained in a long one has

@@ -876,6 +876,30 @@ class DedupOpsSpec extends SparkSpec {
       s"planted clusters not separated: $assign")
   }
 
+  test("cdcChunkStats: exact copies fully duplicated; chunking is insertion-robust") {
+    // Deterministic pseudo-random base text (~800 chars -> ~12 chunks at
+    // divisor 64). Doc 2 = byte-identical copy (dup_frac 1.0 both ways);
+    // doc 3 = the same text with a short PREFIX INSERTION — boundaries
+    // re-align at the first content-defined boundary past the edit, so all
+    // but the first couple of chunks must still deduplicate against doc 1
+    // (the property fixed-size chunking loses at the first inserted byte);
+    // doc 4 shares nothing.
+    val rnd = new scala.util.Random(42)
+    val base = (1 to 800).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val other = (1 to 800).map(_ => ('A' + rnd.nextInt(26)).toChar).mkString
+    val df = Seq((1L, base), (2L, base), (3L, "XYZ!" + base), (4L, other))
+      .toDF("doc_id", "text")
+    val out = DedupOps.cdcChunkStats(df, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._4 == 1.0 && out(2L)._4 == 1.0,
+      s"exact copies must be fully duplicated: ${out(1L)} ${out(2L)}")
+    val (_, n3, dup3, _) = out(3L)
+    assert(n3 > 5, s"expected several chunks, got $n3")
+    assert(dup3 >= n3 - 2 && dup3 > 0,
+      s"insertion must only disturb the chunks around the edit: $dup3 of $n3 duplicated")
+    assert(out(4L)._3 == 0L, s"unrelated doc shares nothing: ${out(4L)}")
+  }
+
   test("containmentPairs: subset doc hits 1.0 one-way where Jaccard stays low") {
     // B = A plus a long unique suffix: every shingle of A appears in B
     // (the first |A| window positions are identical), so C(A->B) = 1.0
