@@ -1034,7 +1034,67 @@ object Queries {
       .orderBy($"etype", $"user_bucket")
   }
 
+  // ---------------------------------------------------------------- q48
+  /** Schema-evolution read (`mergeSchema`) — the 100 TB reality that a
+    * long-lived dataset's early files lack columns later files carry: two
+    * parquet generations are written (v1 without `bonus_cents`, v2 with
+    * it), then ONE read with `mergeSchema=true` unions them by NAME, v1
+    * rows surfacing NULL for the missing column. The aggregation proves
+    * the null-fill semantics (per type: rows, cent sums, how many rows
+    * predate the column). Copies are content-addressed per dir and
+    * written at most once (the q39 discipline); the oracle replays the
+    * SEMANTICS from the raw table (split + UNION ALL with a typed NULL) —
+    * the merged read must be indistinguishable from that. */
+  val q48MergeSchema: Q = (s, dir) => {
+    import s.implicits._
+    val base = new java.io.File(
+      sys.props("java.io.tmpdir"), s"graft_evolve/${dirTag(dir)}").getAbsolutePath
+    val cents = round($"value" * 100).cast("long").as("cents")
+    if (!new java.io.File(s"$base/v2", "_SUCCESS").isFile) {
+      val e = t(s, dir, "events")
+      e.filter($"event_id" % 2 === 0)
+        .select($"event_id", $"event_type", cents)
+        .write.mode("overwrite").parquet(s"$base/v1")
+      e.filter($"event_id" % 2 === 1)
+        .select($"event_id", $"event_type", cents,
+          (round($"value" * 100).cast("long") * 2).as("bonus_cents"))
+        .write.mode("overwrite").parquet(s"$base/v2")
+    }
+    s.read.option("mergeSchema", "true").parquet(s"$base/v1", s"$base/v2")
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"cents").as("sum_cents"),
+        sum(coalesce($"bonus_cents", lit(0L))).as("sum_bonus"),
+        sum(when($"bonus_cents".isNull, 1L).otherwise(0L)).as("n_pre_schema"))
+      .orderBy($"event_type")
+  }
+
+  // ---------------------------------------------------------------- q49
+  /** NULL-safe equi-join (`<=>` / IS NOT DISTINCT FROM): two aggregates
+    * keyed on a NULLABLE key full-outer-joined so the NULL groups MATCH
+    * each other — plain `=` silently drops them (NULL = NULL is NULL),
+    * the classic silent-row-loss bug in dimension joins with missing
+    * keys. Spark plans `<=>` as an ordinary hash join (EqualNullSafe is a
+    * valid equi-join key — no fallback to nested-loop), so the null-safe
+    * form costs the same shuffle as `=`. */
+  val q49NullSafeJoin: Q = (s, dir) => {
+    import s.implicits._
+    val e = t(s, dir, "events")
+    val a = e.groupBy(nullif($"event_type", lit("error")).as("k"))
+      .agg(count(lit(1)).as("n_a"))
+    val b = e.groupBy(nullif($"event_type", lit("view")).as("k"))
+      .agg(count(lit(1)).as("n_b"))
+    a.join(b, a("k") <=> b("k"), "full_outer")
+      .select(coalesce(a("k"), lit("(null)")).as("k_a"),
+        coalesce(b("k"), lit("(null)")).as("k_b"),
+        coalesce($"n_a", lit(-1L)).as("n_a"),
+        coalesce($"n_b", lit(-1L)).as("n_b"))
+      .orderBy($"k_a", $"k_b")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q48_merge_schema" -> q48MergeSchema,
+    "q49_nullsafe_join" -> q49NullSafeJoin,
     "q47_grouping_id" -> q47GroupingId,
     "q46_unpivot" -> q46Unpivot,
     "q44_hopping_window" -> q44HoppingWindow,
@@ -1102,6 +1162,35 @@ object Queries {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the SEMANTIC replay of union-by-name: split + UNION ALL with a typed
+    // NULL for the column v1 predates — the merged read must match this
+    "q48_merge_schema" ->
+      """WITH v1 AS (
+        |  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+        |   CAST(NULL AS BIGINT) AS bonus_cents
+        |  FROM events WHERE event_id % 2 = 0),
+        | v2 AS (
+        |  SELECT event_id, event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+        |   CAST(round(value * 100) AS BIGINT) * 2 AS bonus_cents
+        |  FROM events WHERE event_id % 2 = 1),
+        | u AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(cents) AS BIGINT) AS sum_cents,
+        | CAST(sum(coalesce(bonus_cents, 0)) AS BIGINT) AS sum_bonus,
+        | CAST(sum(CASE WHEN bonus_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pre_schema
+        |FROM u GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q49_nullsafe_join" ->
+      """WITH a AS (
+        |  SELECT nullif(event_type, 'error') AS k, CAST(count(*) AS BIGINT) AS n_a
+        |  FROM events GROUP BY 1),
+        | b AS (
+        |  SELECT nullif(event_type, 'view') AS k, CAST(count(*) AS BIGINT) AS n_b
+        |  FROM events GROUP BY 1)
+        |SELECT coalesce(a.k, '(null)') AS k_a, coalesce(b.k, '(null)') AS k_b,
+        | CAST(coalesce(a.n_a, -1) AS BIGINT) AS n_a,
+        | CAST(coalesce(b.n_b, -1) AS BIGINT) AS n_b
+        |FROM a FULL OUTER JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |ORDER BY k_a, k_b""".stripMargin,
     "q47_grouping_id" ->
       """SELECT coalesce(event_type, '(all)') AS etype,
         | CAST(coalesce(user_id % 10, -1) AS BIGINT) AS user_bucket,

@@ -1088,6 +1088,34 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(got == expected, "stream and batch answers must be identical")
   }
 
+  test("parquet-driven stream reproduces the batch HOPPING-window aggregation (q44 twin)") {
+    // q44's claim is that window(ts, 1h, 30m) is the construct batch SHARES
+    // with streaming — prove it: the same hopping aggregation over the same
+    // rows, streamed, must produce the identical (hop, type) -> (n, cents)
+    // map (integer cents, so equality is exact, not approximate).
+    val dir = "/root/testdata/sf0.001"
+    val expected = graft.analytics.Queries.q44HoppingWindow(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val stageDir = Files.createTempDirectory("graft-hop-in")
+    Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"),
+      stageDir.resolve("events.parquet"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val stream = Tables.normalizeTs(spark.readStream.schema(raw.schema)
+      .parquet(stageDir.toString))
+    val agg = stream
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(unix_micros(col("w.start")).as("hop_start_us"), col("event_type"),
+        col("n_events"), col("value_cents"))
+    val q = agg.writeStream.format("memory").queryName("hop_parity_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("hop_parity_out").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == expected, "streamed hopping windows must equal batch q44 exactly")
+  }
+
   test("date-partitioned NDJSON file sink is exactly-once and prunable (O2 twin)") {
     val mem = MemoryStream[StreamEvt]
     val outDir = Files.createTempDirectory("graft-file-out").toFile
