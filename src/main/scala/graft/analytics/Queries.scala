@@ -1092,7 +1092,29 @@ object Queries {
       .orderBy($"k_a", $"k_b")
   }
 
+  // ---------------------------------------------------------------- q50
+  /** BAG-semantics set operations — `intersectAll` / `exceptAll` (SQL
+    * INTERSECT ALL / EXCEPT ALL): multiplicity-aware versions of q08's
+    * distinct set ops. INTERSECT ALL keeps min(multiplicity) copies,
+    * EXCEPT ALL keeps count_a − count_b — the semantics reconciliation
+    * and diff pipelines need (a distinct intersect hides HOW MANY rows
+    * agree). Spark plans both as an aggregate-on-counts + generate, not a
+    * join per copy. Grouped output so the compare is deterministic. */
+  val q50BagSetOps: Q = (s, dir) => {
+    import s.implicits._
+    val e = t(s, dir, "events")
+    val a = e.filter($"user_id" % 2 === 0).select($"event_type")
+    val b = e.filter($"value" > 100.0).select($"event_type")
+    val i = a.intersectAll(b).groupBy($"event_type")
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+    val x = a.exceptAll(b).groupBy($"event_type")
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+    i.unionByName(x).select($"op", $"event_type", $"n")
+      .orderBy($"op", $"event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q50_bag_set_ops" -> q50BagSetOps,
     "q48_merge_schema" -> q48MergeSchema,
     "q49_nullsafe_join" -> q49NullSafeJoin,
     "q47_grouping_id" -> q47GroupingId,
@@ -1162,6 +1184,18 @@ object Queries {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q50_bag_set_ops" ->
+      """WITH a AS (SELECT event_type FROM events WHERE user_id % 2 = 0),
+        | b AS (SELECT event_type FROM events WHERE value > 100.0),
+        | i AS (SELECT event_type FROM a INTERSECT ALL SELECT event_type FROM b),
+        | x AS (SELECT event_type FROM a EXCEPT ALL SELECT event_type FROM b)
+        |SELECT op, event_type, n FROM (
+        | SELECT 'intersect_all' AS op, event_type, CAST(count(*) AS BIGINT) AS n
+        | FROM i GROUP BY event_type
+        | UNION ALL
+        | SELECT 'except_all', event_type, CAST(count(*) AS BIGINT)
+        | FROM x GROUP BY event_type) t
+        |ORDER BY op, event_type""".stripMargin,
     // the SEMANTIC replay of union-by-name: split + UNION ALL with a typed
     // NULL for the column v1 predates — the merged read must match this
     "q48_merge_schema" ->

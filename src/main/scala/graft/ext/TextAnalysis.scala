@@ -1151,7 +1151,58 @@ object TextAnalysis {
     lexicalDiversity(docs(s, dir), "doc_id", "text").orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- t26
+  /** Zipf rank-frequency fit — least-squares slope/intercept of
+    * (ln rank, ln count) over the corpus's top-`topN` tokens: natural text
+    * sits near slope −1; generated/templated corpora drift visibly (the
+    * corpus-health check next to c15's integer accounting). Rank is
+    * `row_number` over (count DESC, token ASC) — fully deterministic at
+    * ties, including the cut at rank `topN`.
+    *
+    * Determinism: all four regression sums (Σx, Σy, Σx², Σxy) are
+    * rank-ordered left folds over the topN points (the c10 sorted-fold
+    * discipline), and slope/intercept are ONE fixed-shape expression both
+    * engines evaluate on identical doubles. Scale shape: one token-keyed
+    * count, a distributed orderBy().limit(topN) (TakeOrdered — no global
+    * sort materialized), then a topN-row window + fold — every
+    * single-partition step is topN-sized, never vocabulary-sized. */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int = 500): DataFrame = {
+    val counts = df
+      .withColumn("__tk", toks(col(textCol)))
+      .select(explode_outer(col("__tk")).as("__tok"))
+      .filter(col("__tok").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__tok")).limit(topN)
+    // window over <= topN rows only (the limit ran first) — bounded
+    val w = Window.orderBy(col("__c").desc, col("__tok"))
+    val pts = counts
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .select(col("__rk"), log(col("__rk").cast("double")).as("__x"),
+        log(col("__c").cast("double")).as("__y"))
+    def fsum(arr: Column, f: Column => Column): Column =
+      aggregate(transform(arr, e => f(e)), lit(0.0d), (a, b) => a + b)
+    pts
+      .agg(count(lit(1)).as("n"),
+        sort_array(collect_list(struct(col("__rk"), col("__x"), col("__y"))))
+          .as("__arr"))
+      .select(col("n"),
+        fsum(col("__arr"), _.getField("__x")).as("__sx"),
+        fsum(col("__arr"), _.getField("__y")).as("__sy"),
+        fsum(col("__arr"), e => e.getField("__x") * e.getField("__x")).as("__sxx"),
+        fsum(col("__arr"), e => e.getField("__x") * e.getField("__y")).as("__sxy"))
+      .withColumn("__slope",
+        (col("n") * col("__sxy") - col("__sx") * col("__sy"))
+          / (col("n") * col("__sxx") - col("__sx") * col("__sx")))
+      .select(col("n").as("n_terms"),
+        round(col("__slope") + 1e-9, 4).as("slope"),
+        round((col("__sy") - col("__slope") * col("__sx")) / col("n") + 1e-9, 4)
+          .as("intercept"))
+  }
+
+  val t26ZipfFit: Q = (s, dir) => zipfFit(docs(s, dir), "text")
+
   val queries: Map[String, Q] = Map(
+    "t26_zipf_fit" -> t26ZipfFit,
     "t25_lexical_diversity" -> t25LexicalDiversity,
     "t24_readability" -> t24Readability,
     "t23_ngram_novelty" -> t23NgramNovelty,
@@ -1319,6 +1370,36 @@ object TextAnalysis {
         |FROM m ORDER BY doc_id""".stripMargin,
     // same injection, same [.!?]+ segmentation, integer counts; the mean is
     // one division of two exact integers
+    // rank-ordered regression folds; one fixed-shape slope/intercept
+    // expression; signed-zero guards on both rounded outputs
+    "t26_zipf_fit" ->
+      (toksCte +
+        """, u AS (SELECT unnest(toks) AS tok FROM l),
+          | f AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY tok),
+          | r AS (
+          |  SELECT tok, c,
+          |   CAST(row_number() OVER (ORDER BY c DESC, tok) AS BIGINT) AS rk
+          |  FROM f ORDER BY c DESC, tok LIMIT 500),
+          | p AS (SELECT rk, ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y FROM r),
+          | s AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n,
+          |   list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(x ORDER BY rk)),
+          |     (a, v) -> a + v) AS sx,
+          |   list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(y ORDER BY rk)),
+          |     (a, v) -> a + v) AS sy,
+          |   list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(x * x ORDER BY rk)),
+          |     (a, v) -> a + v) AS sxx,
+          |   list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(x * y ORDER BY rk)),
+          |     (a, v) -> a + v) AS sxy
+          |  FROM p),
+          | t AS (
+          |  SELECT n, sx, sy, sxy,
+          |   (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+          |  FROM s)
+          |SELECT n AS n_terms,
+          | round(slope + 1e-9, 4) + 0.0 AS slope,
+          | round((sy - slope * sx) / n + 1e-9, 4) + 0.0 AS intercept
+          |FROM t""".stripMargin),
     // one (doc, token) count; types/hapax from it; ttr with the nudge
     "t25_lexical_diversity" ->
       (toksCte +

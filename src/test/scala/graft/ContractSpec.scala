@@ -109,6 +109,25 @@ class ContractSpec extends SparkSpec {
       "range-frame rolling stats diverge from the brute time-filter definition")
   }
 
+  test("q50 bag set ops: INTERSECT ALL = min(counts), EXCEPT ALL = a - b, per type") {
+    val dir = "/root/testdata/sf0.001"
+    val e = Tables.load(spark, dir, "events")
+    val ca = e.filter($"user_id" % 2 === 0).groupBy($"event_type").count()
+      .as[(String, Long)].collect().toMap
+    val cb = e.filter($"value" > 100.0).groupBy($"event_type").count()
+      .as[(String, Long)].collect().toMap
+    val keys = ca.keySet ++ cb.keySet
+    val expI = keys.map(k => k -> math.min(ca.getOrElse(k, 0L), cb.getOrElse(k, 0L)))
+      .filter(_._2 > 0).toMap
+    val expX = keys.map(k => k -> math.max(0L, ca.getOrElse(k, 0L) - cb.getOrElse(k, 0L)))
+      .filter(_._2 > 0).toMap
+    val got = analytics.Queries.q50BagSetOps(spark, dir)
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).map { case (op, rows) => op -> rows.map(r => r._2 -> r._3).toMap }
+    assert(got("intersect_all") == expI, s"intersect_all: ${got("intersect_all")} vs $expI")
+    assert(got("except_all") == expX, s"except_all: ${got("except_all")} vs $expX")
+  }
+
   test("q35FunnelSingleScan returns exactly q35Funnel from one events scan") {
     val dir = "/root/testdata/sf0.001"
     val chained = analytics.Queries.q35Funnel(spark, dir).collect().toSeq

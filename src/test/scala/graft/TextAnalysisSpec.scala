@@ -338,6 +338,26 @@ class TextAnalysisSpec extends SparkSpec {
       (4L, 2L, 9L, 3L, 3L, 13L)), s"got $got")
   }
 
+  test("zipfFit: slope/intercept match the closed-form least squares by hand") {
+    // counts 8/4/2/1 at ranks 1..4; expected sums replicate the operator's
+    // rank-ordered left-fold exactly (same association, same doubles)
+    val text = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++ Seq.fill(2)("c") ++ Seq("d"))
+      .mkString(" ")
+    val got = TextAnalysis.zipfFit(Seq((1L, text)).toDF("doc_id", "text"), "text")
+      .as[(Long, Double, Double)].head()
+    val pts = Seq(8L, 4L, 2L, 1L).zipWithIndex.map { case (c, i) =>
+      (math.log((i + 1).toDouble), math.log(c.toDouble)) }
+    def fold(vs: Seq[Double]) = vs.foldLeft(0.0d)(_ + _)
+    val n = pts.size.toDouble
+    val (sx, sy) = (fold(pts.map(_._1)), fold(pts.map(_._2)))
+    val (sxx, sxy) = (fold(pts.map(p => p._1 * p._1)), fold(pts.map(p => p._1 * p._2)))
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    def r4(v: Double) = BigDecimal.valueOf(v + 1e-9)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == ((4L, r4(slope), r4((sy - slope * sx) / n))), s"got $got")
+    assert(got._2 < 0, "a decaying rank-frequency curve must fit a negative slope")
+  }
+
   test("lexicalDiversity: types, hapax, ttr by hand; empty doc all-zero") {
     // doc 1: "a a b c" -> 4 tokens, 3 types, hapax {b, c} = 2, ttr 0.75
     // doc 2: "x x x"   -> 3 tokens, 1 type,  hapax 0,        ttr 0.3333
