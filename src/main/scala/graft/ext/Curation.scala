@@ -329,7 +329,22 @@ object Curation {
       .orderBy($"source_grp", $"lang_grp")
   }
 
+  // ---------------------------------------------------------------- c16
+  /** Mixture epoch/repetition plan — [[CurationOps.mixturePlan]] with
+    * explicit target weights over 4 named sources and a 20k-token budget:
+    * heavy weights plan multiple FULL EPOCHS plus a fractional remainder
+    * pass (the repeat-curated-sources setting); unweighted sources plan
+    * to zero but stay in the report. */
+  val c16MixturePlan: Q = (s, dir) => {
+    import s.implicits._
+    CurationOps.mixturePlan(docs(s, dir), "source", "text",
+      Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1),
+      budgetTokens = 20000L)
+      .orderBy($"source")
+  }
+
   val queries: Map[String, Q] = Map(
+    "c16_mixture_plan" -> c16MixturePlan,
     "c15_corpus_report" -> c15CorpusReport,
     "c14_kl_drift" -> c14KlDrift,
     "c13_token_budget" -> c13TokenBudget,
@@ -353,6 +368,29 @@ object Curation {
       |  FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // integer token counts, a VALUES weight table, floor/DIV/mod plan math
+    "c16_mixture_plan" ->
+      """WITH l AS (
+        |  SELECT source,
+        |   len(list_filter(string_split_regex(text, '\s+'),
+        |     x -> length(x) > 0)) AS ntok
+        |  FROM documents),
+        | a AS (SELECT source, CAST(sum(ntok) AS BIGINT) AS available_tokens
+        |       FROM l GROUP BY source),
+        | w (source, w) AS (VALUES
+        |  ('src0', 0.4), ('src1', 0.3), ('src2', 0.2), ('src3', 0.1)),
+        | p AS (
+        |  -- CAST the weight to DOUBLE before multiplying: a DECIMAL 0.3
+        |  -- times 20000 is exactly 6000 where double 0.3 * 20000 floors
+        |  -- to 5999 — the oracle must run the SAME float arithmetic
+        |  SELECT a.source, a.available_tokens,
+        |   CAST(floor(coalesce(CAST(w.w AS DOUBLE), 0.0) * 20000) AS BIGINT) AS target_tokens
+        |  FROM a LEFT JOIN w ON a.source = w.source)
+        |SELECT source, available_tokens, target_tokens,
+        | target_tokens // available_tokens AS full_epochs,
+        | round(CAST(target_tokens % available_tokens AS DOUBLE)
+        |   / available_tokens + 1e-9, 4) AS frac_rate
+        |FROM p ORDER BY source""".stripMargin,
     // the same rollup lattice, integer stats only, same subtotal labels
     "c15_corpus_report" ->
       """WITH l AS (

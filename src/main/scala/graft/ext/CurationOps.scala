@@ -170,6 +170,39 @@ object CurationOps {
     * engine, and every subset of the data — the property that lets a 100 TB
     * sample be re-derived instead of stored. No corpus shuffle: the
     * threshold table is |strata| rows, broadcast by construction. */
+  /** Mixture EPOCH/REPETITION plan — the data-recipe step between c04's
+    * measured weights and an actual training run: given target mixture
+    * weights and a total token budget, each source's target either fits
+    * its available tokens (full_epochs 0, a fractional sampling rate) or
+    * exceeds them (the published repeat-curated-sources-N-epochs setting:
+    * full passes plus a fractional remainder pass). All quantities derive
+    * from exact integer token counts; `frac_rate` is the only float and is
+    * nudge-rounded. Sources without a weight plan to zero (kept in the
+    * report — silent omission would hide a typo'd source name).
+    *
+    * Scale shape: one |sources|-row aggregation + a broadcast weight
+    * table; nothing corpus-sized moves. Feed `frac_rate` to
+    * [[sampleStratified]] to materialize the remainder pass. */
+  def mixturePlan(df: DataFrame, sourceCol: String, textCol: String,
+      weights: Map[String, Double], budgetTokens: Long): DataFrame = {
+    require(weights.values.forall(_ >= 0.0), "weights must be non-negative")
+    require(budgetTokens >= 0, "budget must be non-negative")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = weights.toSeq.toDF(sourceCol, "__w")
+    df.withColumn("__ntok", size(toks(col(textCol))).cast("long"))
+      .groupBy(col(sourceCol)).agg(sum(col("__ntok")).as("available_tokens"))
+      .join(broadcast(w), Seq(sourceCol), "left")
+      .withColumn("target_tokens",
+        floor(coalesce(col("__w"), lit(0.0d)) * budgetTokens).cast("long"))
+      .withColumn("full_epochs", expr("target_tokens DIV available_tokens"))
+      .withColumn("__rem", col("target_tokens") % col("available_tokens"))
+      .withColumn("frac_rate",
+        round(col("__rem").cast("double") / col("available_tokens") + 1e-9, 4))
+      .select(col(sourceCol), col("available_tokens"), col("target_tokens"),
+        col("full_epochs"), col("frac_rate"))
+  }
+
   def sampleStratified(df: DataFrame, strataCol: String, idCol: String,
       rates: Map[String, Double], salt: String = "samp"): DataFrame = {
     require(rates.values.forall(r => r >= 0.0 && r <= 1.0),

@@ -450,4 +450,21 @@ class CurationSpec extends SparkSpec {
     assert(CurationOps.sampleTokenBudget(corpus, "doc_id", "text", 1L, 1L)
       .count() == keepAll)
   }
+
+  test("mixturePlan: epochs + fractional remainder by hand; unweighted plans to zero") {
+    // a: 10 tokens, weight 0.5 of budget 100 -> target 50 = 5 full epochs
+    // b: 20 tokens, weight 0.25 -> target 25 = 1 epoch + 5/20 = 0.25 rate
+    // c: 10 tokens, no weight -> target 0, epochs 0, rate 0.0
+    val df = Seq(
+      (1L, "a", Seq.fill(10)("w").mkString(" ")),
+      (2L, "b", Seq.fill(20)("w").mkString(" ")),
+      (3L, "c", Seq.fill(10)("w").mkString(" "))).toDF("doc_id", "source", "text")
+    val got = CurationOps.mixturePlan(df, "source", "text",
+      Map("a" -> 0.5, "b" -> 0.25), budgetTokens = 100L)
+      .as[(String, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("a", 10L, 50L, 5L, 0.0),
+      ("b", 20L, 25L, 1L, 0.25),
+      ("c", 10L, 0L, 0L, 0.0)), s"got $got")
+  }
 }
