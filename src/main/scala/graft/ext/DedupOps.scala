@@ -867,8 +867,10 @@ object DedupOps {
       .select(col(idCol).as("__id"), explode_outer(col("__chunks")).as("__c"))
       .filter(col("__c").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
       .select(col("__id"), md5(col("__c")).as("__dg"))
-    val dfreq = inst.distinct()
-      .groupBy(col("__dg")).agg(count(lit(1)).as("__df"))
+    // the chunk chain evaluates once per consumer (df agg + join back) —
+    // the same two-linear-scans trade as ngramNovelty (see the note there)
+    val dfreq = inst
+      .groupBy(col("__dg")).agg(countDistinct(col("__id")).as("__df"))
     val per = inst.join(dfreq, Seq("__dg"))
       .groupBy(col("__id"))
       .agg(count(lit(1)).as("n_chunks"),

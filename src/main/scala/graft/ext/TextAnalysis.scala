@@ -1046,7 +1046,13 @@ object TextAnalysis {
         explode_outer(array_distinct(ngramsExact(col("__tk"), n))).as("__ng"))
       .filter(col("__ng").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
       .select(col("__id"), h60(col("__ng")).as("__h"))
-    // per-doc distinct grams -> the gram count IS document frequency
+    // per-doc distinct grams -> the gram count IS document frequency.
+    // The gram chain evaluates once per consumer (df agg + join back):
+    // exchange reuse cannot bind because column pruning gives the two
+    // branches different scans (df needs only text -> __h), and forcing a
+    // shared exchange just feeds the runtime broadcast join a useless
+    // shuffle — two linear scans is the right declarative trade (t07's
+    // accepted shape).
     val dfreq = g.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
     val per = g.join(dfreq, Seq("__h"))
       .groupBy(col("__id"))
