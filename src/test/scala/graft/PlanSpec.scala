@@ -102,6 +102,47 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("t22/t24: length buckets and readability are shuffle-free projections (+histogram agg)") {
+    // t24 is a pure per-row projection; t22's only aggregation is the
+    // <=64-row power-of-2 histogram — neither may join
+    for (name <- Seq("t22_length_buckets", "t24_readability")) {
+      val p = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+      assert(!p.contains("Join"), s"$name must not join:\n$p")
+    }
+    assert(!plan("t24_readability").contains("hashpartitioning"),
+      "t24 must not shuffle (pure per-row projection)")
+  }
+
+  test("q46: unpivot plans as one Expand projection — no shuffle, no join") {
+    val p = plan("q46_unpivot")
+    assert(p.contains("Expand"), s"unpivot should plan as Expand:\n$p")
+    assert(!p.contains("hashpartitioning"), s"unpivot must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"unpivot must not join:\n$p")
+  }
+
+  test("q42: the LATERAL subquery decorrelates to a map-side WindowGroupLimit, not a loop") {
+    val p = plan("q42_lateral_join")
+    assert(p.contains("WindowGroupLimit"),
+      s"lateral top-k should push the rank limit map-side:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the customer side should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"lateral must not plan as a per-row loop:\n$p")
+  }
+
+  test("s15: k-means assignment is a shuffle-free plan-literal argmin projection") {
+    import org.apache.spark.sql.functions.col
+    val cents = graft.ext.Similarity.kmeansFit(
+      Tables.load(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") < 64), "vec_id", "embedding", k = 4, iters = 1)
+    val p = graft.ext.Similarity.kmeansAssign(
+      Tables.load(spark, dir, "embeddings"), "vec_id", "embedding", cents)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("hashpartitioning"),
+      s"assignment must not shuffle (centroids are plan literals):\n$p")
+    assert(!p.contains("Join"), s"assignment must not join:\n$p")
+  }
+
   test("t19: char-entropy scoring is a shuffle-free scalar projection") {
     val p = plan("t19_char_entropy")
     assert(!p.contains("hashpartitioning"),
