@@ -25,13 +25,20 @@ object BenchOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val q = SparkEntry.queries(name)
+    // noop drain, NOT count(): a count-only plan lets Catalyst DELETE
+    // unreferenced output expressions (q37's percentile aggs measured
+    // 0.48 s under count() vs 3.31 s under the noop sink — the round-10
+    // footgun now recorded in the verify skill). Same methodology as
+    // Bench, so BenchOne numbers are comparable to the per-round record.
+    def drain(dir: String): Unit =
+      q(spark, dir).write.format("noop").mode("overwrite").save()
     val warmDir = "/root/testdata/sf0.001"
-    if (new java.io.File(warmDir).isDirectory) q(spark, warmDir).count()
+    if (new java.io.File(warmDir).isDirectory) drain(warmDir)
     q(spark, sfDir).explain("formatted")
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
-      val n = q(spark, sfDir).count()
-      println(f"[benchone] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+      drain(sfDir)
+      println(f"[benchone] $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
     spark.stop()
   }
