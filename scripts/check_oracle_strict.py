@@ -87,6 +87,18 @@ def main():
             n_fail += 1
             continue
         g, e = frame_rows(got), frame_rows(exp)
+        if len(g) > 0 and len(e) == 0:
+            # DuckDB's file readers (read_blob/read_parquet/read_csv over a
+            # glob) return 0 rows with NO error when the glob matches nothing
+            # — the exact shape of the round-11 m03 red (an oracle SQL that
+            # embedded a deleteOnExit temp path). Call it out as the likely
+            # dead-input-path it is, not a generic count mismatch.
+            print(f"FAIL {name}: oracle returned 0 rows while spark returned "
+                  f"{len(g)} — SUSPECT DEAD INPUT PATH (a file-reading oracle "
+                  f"whose glob matches nothing fails SILENTLY in DuckDB; check "
+                  f"any filesystem path embedded in the oracle SQL)")
+            n_fail += 1
+            continue
         if len(g) != len(e):
             print(f"FAIL {name}: rows spark={len(g)} oracle={len(e)}")
             n_fail += 1

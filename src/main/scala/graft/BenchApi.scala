@@ -38,8 +38,12 @@ object BenchApi {
       finally {
         import java.nio.file.{Files, Path}
         import java.util.Comparator
-        Files.walk(d).sorted(Comparator.reverseOrder[Path]())
+        // Files.walk holds directory handles until closed — close it, or
+        // repeated bench iterations leak one per sweep (round-11 ADVICE)
+        val st = Files.walk(d)
+        try st.sorted(Comparator.reverseOrder[Path]())
           .forEach(p => Files.deleteIfExists(p))
+        finally st.close()
       }
     }
 

@@ -10,6 +10,25 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
+    // m03's oracle SQL embeds the chunk-fixture directory; the driver replays
+    // that SQL in DuckDB AFTER this JVM exits, and a jar-classpath run would
+    // otherwise resolve the fixtures to a deleteOnExit temp dir — a path that
+    // is gone by replay time, where DuckDB's read_blob returns 0 rows
+    // SILENTLY (round-11 verdict #1). Copy the fixtures into outDir — the
+    // oracle's inputs then live exactly as long as the oracle artifacts
+    // themselves (the parquet results are in the same directory) — and pin
+    // the resolver BEFORE Multimodal class-loads (chunkFixtureDir and the
+    // oracle map are vals initialized together on first touch of the object).
+    val chunkFixOut = new java.io.File(new java.io.File(outDir), "chunkfix")
+      .getAbsoluteFile
+    chunkFixOut.mkdirs()
+    Seq("a.bin", "b.bin", "c.bin", "d.bin").foreach { n =>
+      val in = getClass.getResourceAsStream(s"/chunkfix/$n")
+      if (in != null) try Files.copy(in, chunkFixOut.toPath.resolve(n),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+    }
+    sys.props("graft.chunkfix.dir") = chunkFixOut.getPath
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -856,13 +856,18 @@ object DedupOps {
         when(col("__len") > 0,
           array_distinct(concat(col("__bs"), array(col("__len")))))
           .otherwise(array().cast("array<int>")))
+      // guard the empty-text/null row: sequence(1, 0) DESCENDS through 0
+      // and element_at(…, 0) throws "SQL array indices start at 1" — the
+      // shinglesN footgun; an empty chunk list also matches the DuckDB
+      // twin, which emits no chunk rows for empty docs
       .withColumn("__chunks",
-        transform(sequence(lit(1), size(col("__bounds"))), i => {
-          val prev = when(i === 1, lit(0))
-            .otherwise(element_at(col("__bounds"), i - 1))
-          array_join(slice(col("__ch"), prev + 1,
-            element_at(col("__bounds"), i) - prev), "")
-        }))
+        when(size(col("__bounds")) > 0,
+          transform(sequence(lit(1), size(col("__bounds"))), i => {
+            val prev = when(i === 1, lit(0))
+              .otherwise(element_at(col("__bounds"), i - 1))
+            array_join(slice(col("__ch"), prev + 1,
+              element_at(col("__bounds"), i) - prev), "")
+          })).otherwise(array().cast("array<string>")))
     val inst = withChunks
       .select(col(idCol).as("__id"), explode_outer(col("__chunks")).as("__c"))
       .filter(col("__c").isNotNull) // outer: no inferred-filter re-eval (see TextOps)

@@ -900,6 +900,24 @@ class DedupOpsSpec extends SparkSpec {
     assert(out(4L)._3 == 0L, s"unrelated doc shares nothing: ${out(4L)}")
   }
 
+  test("cdcChunkStats: empty and null text yield 0 chunks, no crash") {
+    // Regression (round-11 ADVICE): empty __bounds made sequence(1, 0)
+    // DESCEND through index 0 and element_at(…, 0) threw "SQL array
+    // indices start at 1". These rows must come back 0-chunk / 0.0 —
+    // matching the DuckDB twin, which emits no chunk rows for them.
+    val df = Seq((1L, "some real content here to chunk normally some real content"),
+      (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = DedupOps.cdcChunkStats(df, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.size == 3, s"every input row must survive: $out")
+    assert(out(1L)._2 > 0, s"non-empty doc must chunk: ${out(1L)}")
+    Seq(2L, 3L).foreach { id =>
+      assert(out(id) == ((id, 0L, 0L, 0.0)),
+        s"degenerate doc $id must be 0-chunk: ${out(id)}")
+    }
+  }
+
   test("containmentPairs: subset doc hits 1.0 one-way where Jaccard stays low") {
     // B = A plus a long unique suffix: every shingle of A appears in B
     // (the first |A| window positions are identical), so C(A->B) = 1.0
