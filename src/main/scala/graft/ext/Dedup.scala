@@ -314,6 +314,19 @@ object Dedup {
       |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS toks
       |  FROM documents)""".stripMargin
 
+  /** The d13 boundary hash as a direct window sum: for window end `p`,
+    * Σ unicode(ch[p−d]) · 31^d mod (2³¹−1) over d = 7…0 — each term
+    * reduced mod M before the sum (sum of 8 sub-M terms fits BIGINT), so
+    * it equals [[graft.functions.CdcBoundaries]]'s rolling value exactly.
+    * Power literals come from the SAME powMod the expression uses —
+    * the two engines cannot drift. Every unicode() is cast to BIGINT
+    * first: DuckDB INTEGER×INTEGER overflow ERRORS rather than wraps. */
+  private val cdcWindowHashSql: String =
+    (7 to 0 by -1).map { d =>
+      val ref = if (d == 0) "p" else s"p-$d"
+      s"CAST(unicode(ch[$ref]) AS BIGINT) * ${graft.functions.CdcBoundaries.powMod(d)} % 2147483647"
+    }.mkString("(", " + ", ") % 2147483647")
+
   val oracles: Map[String, String] = Map(
     // the c11 recursive-reachability machinery (same simhash pairs, same
     // component fixpoint), then the all-integer cluster-size histogram
@@ -450,9 +463,11 @@ object Dedup {
           | CAST(sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
           |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin),
     // boundaries, chunk substrings and digests replayed char-for-char:
-    // same md5-mod hash, same trailing-window rule, same doc-end boundary
+    // same rolling polynomial (recomputed per window as the power-staged
+    // sum — every term reduced mod M before summing, so the direct sum
+    // equals the Spark side's rolling value), same doc-end boundary
     "d13_cdc_chunks" ->
-      """WITH c AS (
+      s"""WITH c AS (
         |  SELECT doc_id, text,
         |   list_filter(string_split(text, ''), ch -> length(ch) > 0) AS ch
         |  FROM documents),
@@ -460,8 +475,7 @@ object Dedup {
         |  SELECT doc_id, text, len(ch) AS n,
         |   CASE WHEN len(ch) >= 8 THEN
         |    list_filter(range(8, len(ch) + 1), p ->
-        |     (CAST(CAST(('0x' || substr(md5(array_to_string(ch[p-7:p], '')),1,15)) AS UBIGINT)
-        |        % 2147483647 AS BIGINT)) % 64 = 0)
+        |     ($cdcWindowHashSql) % 64 = 0)
         |   ELSE [] END AS bs
         |  FROM c),
         | bb AS (

@@ -830,28 +830,28 @@ object DedupOps {
     * chunk count, chunks whose digest appears in ≥ 2 DOCUMENTS (cross-doc
     * duplicated content), and the duplicated fraction.
     *
-    * Scale shape: boundary detection is a shuffle-free per-row projection
-    * (one char-array materialization, the shinglesN slice discipline);
-    * the digest df count and join are chunk-digest-keyed — 16-byte keys,
-    * cardinality grows with corpus content. All hashes md5-derived, so the
-    * DuckDB twin replays boundaries, chunks and digests bit-for-bit. */
+    * Scale shape: boundary detection is ONE codegen'd O(len) rolling-hash
+    * scan per row ([[graft.functions.CdcBoundaries]] — round 11 used a
+    * per-window md5, O(len·window) digest work, the most expensive query
+    * on the board at sf1.0); chunks slice straight out of the text by
+    * code-point `substr`, no char-array materialization. The digest df
+    * count and join are chunk-digest-keyed — 16-byte keys, cardinality
+    * grows with corpus content. The rolling polynomial and the chunk
+    * digests are both SQL-replayable, so the DuckDB twin stays
+    * bit-for-bit (power-staged window sums — see the d13 oracle). */
   def cdcChunkStats(df: DataFrame, idCol: String, textCol: String,
       window: Int = 8, divisor: Int = 64): DataFrame = {
     require(window >= 2 && divisor >= 2, "need window >= 2 and divisor >= 2")
     val withChunks = df
-      .withColumn("__ch", filter(split(col(textCol), ""), c => length(c) > 0))
-      .withColumn("__len", size(col("__ch")))
-      // boundary END positions: p in [window, len] with hm(window ending
-      // at p) % divisor == 0; the doc end is always a boundary
+      // Spark length() and substr() both count code points, as do DuckDB
+      // length()/substr[]/unicode() — the cross-engine contract the twin
+      // rides on
+      .withColumn("__len", length(col(textCol)))
+      // boundary END positions: p in [window, len] with the rolling hash of
+      // the window ending at p ≡ 0 (mod divisor); the doc end is always a
+      // boundary
       .withColumn("__bs",
-        when(col("__len") >= window,
-          filter(
-            transform(sequence(lit(window), col("__len")),
-              p => when(hm(array_join(
-                slice(col("__ch"), p - (window - 1), lit(window)), ""))
-                % divisor === 0, p)),
-            x => x.isNotNull))
-          .otherwise(array().cast("array<int>")))
+        graft.functions.CdcBoundaries.cdcBoundaries(col(textCol), window, divisor))
       .withColumn("__bounds",
         when(col("__len") > 0,
           array_distinct(concat(col("__bs"), array(col("__len")))))
@@ -865,8 +865,7 @@ object DedupOps {
           transform(sequence(lit(1), size(col("__bounds"))), i => {
             val prev = when(i === 1, lit(0))
               .otherwise(element_at(col("__bounds"), i - 1))
-            array_join(slice(col("__ch"), prev + 1,
-              element_at(col("__bounds"), i) - prev), "")
+            col(textCol).substr(prev + 1, element_at(col("__bounds"), i) - prev)
           })).otherwise(array().cast("array<string>")))
     val inst = withChunks
       .select(col(idCol).as("__id"), explode_outer(col("__chunks")).as("__c"))
