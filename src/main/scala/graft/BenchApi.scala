@@ -47,6 +47,13 @@ object BenchApi {
       }
     }
 
+    // one-time trained ANN models per dir — the materialized-model
+    // deployment shape: *_search ops below time ONLY the steady-state
+    // search against these, while pq_knn/ivfpq_knn keep timing the full
+    // train+encode+search composite for the training-cost record
+    val pqModels = scala.collection.mutable.Map[String, graft.ext.Similarity.PqModel]()
+    val ivfModels = scala.collection.mutable.Map[String, graft.ext.Similarity.IvfPqModel]()
+
     val ops: Seq[(String, String => Unit)] = Seq(
       "pq_knn" -> { dir =>
         val e = Tables.loadSpread(spark, dir, "embeddings")
@@ -59,6 +66,24 @@ object BenchApi {
         // approximate-default cost the covering witness deliberately avoids)
         val e = Tables.loadSpread(spark, dir, "embeddings")
         drainDf(graft.ext.Similarity.ivfPqKnn(
+          e, e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5))
+      },
+      "pq_search" -> { dir =>
+        // steady state of the pq_knn shape: model pre-trained once per dir
+        val e = Tables.loadSpread(spark, dir, "embeddings")
+        val m = pqModels.getOrElseUpdate(dir,
+          graft.ext.Similarity.pqTrain(e, "vec_id", "embedding"))
+        drainDf(graft.ext.Similarity.pqSearch(m,
+          graft.ext.Similarity.pqEncode(m, e, "vec_id", "embedding"),
+          e, e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5))
+      },
+      "ivfpq_search" -> { dir =>
+        // steady state of the ivfpq_knn shape: model pre-trained once per dir
+        val e = Tables.loadSpread(spark, dir, "embeddings")
+        val m = ivfModels.getOrElseUpdate(dir,
+          graft.ext.Similarity.ivfPqTrain(e, "vec_id", "embedding"))
+        drainDf(graft.ext.Similarity.ivfPqSearch(m,
+          graft.ext.Similarity.ivfPqEncode(m, e, "vec_id", "embedding"),
           e, e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5))
       },
       "semantic_dedup" -> { dir =>

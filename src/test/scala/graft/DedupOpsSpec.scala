@@ -578,6 +578,50 @@ class DedupOpsSpec extends SparkSpec {
     assert(rRes > 0.4, s"mean residual IVF-PQ recall@5 too low: $rRes")
   }
 
+  test("materialized ANN model path equals inline bit-for-bit, incl. relational round-trip") {
+    // The train/encode/search seam (round-11 verdict #3): a deployment
+    // trains once, persists the model + code table, and serves query
+    // batches from them. Parity contract: the decomposed path — including
+    // a round-trip of the model through its relational form — returns the
+    // SAME rows as the inline pqKnn/ivfPqKnn, raw IEEE bits included.
+    val queries = embs.filter($"vec_id" < 10)
+    def bits(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long)] =
+      df.select($"query_id", $"rank", $"id", $"cosine").as[(Long, Long, Long, Double)]
+        .collect().toSeq
+        .map(r => (r._1, r._2, r._3, java.lang.Double.doubleToRawLongBits(r._4)))
+        .sortBy(t => (t._1, t._2))
+    def cbBits(c: IndexedSeq[IndexedSeq[Seq[Double]]]): Seq[Long] =
+      c.flatten.flatten.map(java.lang.Double.doubleToRawLongBits)
+    // PQ
+    val pqInline = Similarity.pqKnn(embs, queries, "vec_id", "embedding",
+      k = 5, iters = 1)
+    val pqModel = Similarity.pqTrain(embs, "vec_id", "embedding", iters = 1)
+    val pqRt = Similarity.PqModel.fromDF(pqModel.toDF(spark))
+    assert(pqRt.m == pqModel.m && pqRt.dsub == pqModel.dsub)
+    assert(cbBits(pqRt.codebooks) == cbBits(pqModel.codebooks),
+      "PQ codebooks must round-trip bit-exactly")
+    val pqMat = Similarity.pqSearch(pqRt,
+      Similarity.pqEncode(pqRt, embs, "vec_id", "embedding"),
+      embs, queries, "vec_id", "embedding", k = 5)
+    assert(bits(pqMat) == bits(pqInline),
+      "materialized PQ path must equal inline bit-for-bit")
+    // IVF-PQ (residual mode — exercises centroids + residual flag too)
+    val ivfInline = Similarity.ivfPqKnn(embs, queries, "vec_id", "embedding",
+      k = 5, iters = 1, byResidual = true)
+    val ivfModel = Similarity.ivfPqTrain(embs, "vec_id", "embedding",
+      iters = 1, byResidual = true)
+    val ivfRt = Similarity.IvfPqModel.fromDF(ivfModel.toDF(spark))
+    assert(ivfRt.byResidual && ivfRt.nlist == ivfModel.nlist)
+    assert(ivfRt.centroids.flatten.map(java.lang.Double.doubleToRawLongBits) ==
+        ivfModel.centroids.flatten.map(java.lang.Double.doubleToRawLongBits),
+      "coarse centroids must round-trip bit-exactly")
+    val ivfMat = Similarity.ivfPqSearch(ivfRt,
+      Similarity.ivfPqEncode(ivfRt, embs, "vec_id", "embedding"),
+      embs, queries, "vec_id", "embedding", k = 5)
+    assert(bits(ivfMat) == bits(ivfInline),
+      "materialized IVF-PQ path must equal inline bit-for-bit")
+  }
+
   test("dropNearDuplicatesAgainst drops corpus docs colliding with the reference, keeps the rest") {
     val ref = Seq((100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
     val corpus = Seq(
