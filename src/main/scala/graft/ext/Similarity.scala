@@ -1090,26 +1090,78 @@ object Similarity {
     val e = train.select(col(idCol).cast("long").as("__id"),
       asDouble(col(vecCol)).as("__v")).persist()
     try {
-      val dim = e.select(size(col("__v"))).as[Int].head()
-      val zeros = typedLit(Seq.fill(dim)(0.0d))
-      var cents: Seq[Array[Double]] = e.orderBy(col("__id")).limit(k)
+      val cents: Seq[Array[Double]] = e.orderBy(col("__id")).limit(k)
         .select(col("__v")).as[Seq[Double]].collect().map(_.toArray).toSeq
-      for (_ <- 0 until iters) {
-        val means = e
-          .withColumn("__cl", kmeansPick(cents, col("__v")).getField("c"))
-          .groupBy(col("__cl"))
-          .agg(count(lit(1)).as("__n"),
-            aggregate(sort_array(collect_list(struct(col("__id"), col("__v")))),
-              zeros,
-              (acc, el) => zip_with(acc, el.getField("__v"), (a, b) => a + b))
-              .as("__s"))
-          .select(col("__cl"),
-            transform(col("__s"), z => z / col("__n")).as("__c"))
-          .as[(Int, Seq[Double])].collect().toMap
-        cents = cents.indices.map(i =>
-          means.get(i).map(_.toArray).getOrElse(cents(i)))
+      lloydRounds(e, cents, iters)
+    } finally e.unpersist(false)
+  }
+
+  /** The shared Lloyd loop of [[kmeansFit]]/[[kmeansFitPp]]: `iters` rounds
+    * of plan-literal argmin assignment + the id-sorted element-wise fold
+    * mean, empty clusters keeping their previous centroid. `e` must be the
+    * persisted (__id, __v) training frame. */
+  private def lloydRounds(e: DataFrame, init: Seq[Array[Double]],
+      iters: Int): Seq[Array[Double]] = {
+    val sp = e.sparkSession
+    import sp.implicits._
+    val dim = e.select(size(col("__v"))).as[Int].head()
+    val zeros = typedLit(Seq.fill(dim)(0.0d))
+    var cents = init
+    for (_ <- 0 until iters) {
+      val means = e
+        .withColumn("__cl", kmeansPick(cents, col("__v")).getField("c"))
+        .groupBy(col("__cl"))
+        .agg(count(lit(1)).as("__n"),
+          aggregate(sort_array(collect_list(struct(col("__id"), col("__v")))),
+            zeros,
+            (acc, el) => zip_with(acc, el.getField("__v"), (a, b) => a + b))
+            .as("__s"))
+        .select(col("__cl"),
+          transform(col("__s"), z => z / col("__n")).as("__c"))
+        .as[(Int, Seq[Double])].collect().toMap
+      cents = cents.indices.map(i =>
+        means.get(i).map(_.toArray).getOrElse(cents(i)))
+    }
+    cents
+  }
+
+  /** k-means++ deterministic init + Lloyd — the [[kmeansFit]] upgrade for
+    * corpora where the k lowest-id vectors happen to sit in one region
+    * (lowest-id init then wastes rounds splitting it): seed with the
+    * lowest-id vector, then pick each next center by the ++ rule with the
+    * randomness DERANDOMIZED into an md5 race — next = argmax of
+    * `D²(x) · u(x)` (lower id on ties), where `D²(x)` is the L2 distance
+    * to the nearest already-chosen center (the same fixed-shape d2 the
+    * argmin uses) and `u(x) = h60("kpp:<j>:<id>") % 2²⁰ + 1` is an
+    * integer-valued md5 weight. That is Efraimidis–Spirakis weighted
+    * sampling with the uniform replaced by a hash — far points win with
+    * probability ≈ ∝ D², every engine picks the SAME point (both factors
+    * are integer-or-replayed-double exact; no transcendental functions,
+    * which would drift across libm implementations), and the whole init
+    * replays in the DuckDB twin as k−1 staged argmax CTEs.
+    *
+    * Scale: k−1 extra TakeOrdered(1) passes over the BOUNDED training
+    * frame (the FAISS sample discipline — never the corpus); assignment
+    * is unchanged. */
+  def kmeansFitPp(train: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int): Seq[Array[Double]] = {
+    val sp = train.sparkSession
+    import sp.implicits._
+    val e = train.select(col(idCol).cast("long").as("__id"),
+      asDouble(col(vecCol)).as("__v")).persist()
+    try {
+      var cents: Seq[Array[Double]] = Seq(e.orderBy(col("__id")).limit(1)
+        .select(col("__v")).as[Seq[Double]].head().toArray)
+      for (j <- 1 until k) {
+        val dmin = kmeansPick(cents, col("__v")).getField("d")
+        val u = (h60(concat(lit(s"kpp:$j:"), col("__id").cast("string")))
+          % 1048576L + 1L).cast("double")
+        val next = e.withColumn("__score", dmin * u)
+          .orderBy(col("__score").desc, col("__id").asc)
+          .select(col("__v")).as[Seq[Double]].head().toArray
+        cents = cents :+ next
       }
-      cents
+      lloydRounds(e, cents, iters)
     } finally e.unpersist(false)
   }
 
@@ -1150,6 +1202,19 @@ object Similarity {
     kmeansAssign(e, "vec_id", "v", cents).orderBy($"vec_id")
   }
 
+  // ---------------------------------------------------------------- s16
+  /** [[kmeansFitPp]] as an oracle row — the s15 configuration with the
+    * md5-race ++ init: the DuckDB twin replays the k−1 init selections
+    * (staged argmax CTEs over the same d2 × md5-weight score) AND both
+    * Lloyd rounds, so the full derandomized k-means++ training is
+    * cross-engine bit-pinned. */
+  val s16KmeansPp: Q = (s, dir) => {
+    import s.implicits._
+    val e = vecs(s, dir)
+    val cents = kmeansFitPp(e.filter($"vec_id" < 256), "vec_id", "v", k = 4, iters = 2)
+    kmeansAssign(e, "vec_id", "v", cents).orderBy($"vec_id")
+  }
+
   // ---------------------------------------------------------------- s14
   /** Metadata-filtered vector search — the PRE-FILTER semantics every
     * production vector store exposes (FAISS IDSelector, the `filter` clause
@@ -1181,6 +1246,7 @@ object Similarity {
 
   val queries: Map[String, Q] = Map(
     "s15_kmeans" -> s15Kmeans,
+    "s16_kmeans_pp" -> s16KmeansPp,
     "s14_filtered_knn" -> s14FilteredKnn,
     "s01_knn_brute" -> s01KnnBrute,
     "s02_ann_lsh" -> s02AnnLsh,
@@ -1217,14 +1283,42 @@ object Similarity {
       | FROM u q JOIN u e ON q.vec_id < 20 AND q.vec_id <> e.vec_id) t
       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
-  /** Generated DuckDB twin of [[s15Kmeans]]: per Lloyd round an argmin CTE
-    * (a_r), an id-sorted element-wise fold-mean CTE (m_r), and an
-    * empty-cluster-keep CTE (c_r) — `AS MATERIALIZED` like the t14 BPE
-    * stages so DuckDB cannot re-inline the chain. */
-  private def kmeansSql(k: Int, iters: Int, dim: Int): String = {
+  /** Generated DuckDB twin of [[s15Kmeans]]/[[s16KmeansPp]]: per Lloyd
+    * round an argmin CTE (a_r), an id-sorted element-wise fold-mean CTE
+    * (m_r), and an empty-cluster-keep CTE (c_r) — `AS MATERIALIZED` like
+    * the t14 BPE stages so DuckDB cannot re-inline the chain. With
+    * `ppInit` the c0 seed block is replaced by the k−1 staged ++ argmax
+    * selections (p_j: min-d2 against the chosen set; n_j: the
+    * d2 × md5-weight race winner; i_j: the growing center set), replaying
+    * [[kmeansFitPp]]'s derandomized rule term for term. */
+  private def kmeansSql(k: Int, iters: Int, dim: Int,
+      ppInit: Boolean = false): String = {
     def d2(v: String, cv: String) =
       s"(list_dot_product($v, $v) - 2 * list_dot_product($v, $cv)) + list_dot_product($cv, $cv)"
     val zeros = s"list_transform(range(1, ${dim + 1}), i -> CAST(0 AS DOUBLE))"
+    val init =
+      if (!ppInit)
+        s""" c0 AS MATERIALIZED (
+           |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl, v
+           |  FROM tr ORDER BY vec_id LIMIT $k),""".stripMargin
+      else {
+        val picks = (1 until k).map { j =>
+          s""" p$j AS MATERIALIZED (
+             |  SELECT t.vec_id, t.v, min(${d2("t.v", "c.v")}) AS dmin
+             |  FROM tr t, i${j - 1} c GROUP BY t.vec_id, t.v),
+             | n$j AS MATERIALIZED (
+             |  SELECT CAST($j AS INTEGER) AS cl, v FROM p$j
+             |  ORDER BY dmin * CAST(CAST(('0x' || substr(md5('kpp:$j:' || vec_id),1,15)) AS UBIGINT)
+             |    % 1048576 + 1 AS DOUBLE) DESC, vec_id
+             |  LIMIT 1),
+             | i$j AS MATERIALIZED (
+             |  SELECT cl, v FROM i${j - 1} UNION ALL SELECT cl, v FROM n$j),""".stripMargin
+        }.mkString("\n")
+        s""" i0 AS MATERIALIZED (
+           |  SELECT CAST(0 AS INTEGER) AS cl, v FROM tr ORDER BY vec_id LIMIT 1),
+           |$picks
+           | c0 AS MATERIALIZED (SELECT cl, v FROM i${k - 1}),""".stripMargin
+      }
     val rounds = (1 to iters).map { r =>
       val prev = s"c${r - 1}"
       s""" a$r AS MATERIALIZED (
@@ -1242,9 +1336,7 @@ object Similarity {
     }.mkString("\n")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        | tr AS (SELECT vec_id, v FROM e WHERE vec_id < 256),
-       | c0 AS MATERIALIZED (
-       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl, v
-       |  FROM tr ORDER BY vec_id LIMIT $k),
+       |$init
        |$rounds
        | fin AS (
        |  SELECT t.vec_id, min({'d': ${d2("t.v", "c.v")}, 'c': c.cl}) AS p
@@ -1256,6 +1348,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "s15_kmeans" -> kmeansSql(k = 4, iters = 2, dim = 64),
+    "s16_kmeans_pp" -> kmeansSql(k = 4, iters = 2, dim = 64, ppInit = true),
     // the s01 brute form with the metadata predicate on the CANDIDATE side
     // only (queries keep all labels) — pre-filter semantics
     "s14_filtered_knn" ->

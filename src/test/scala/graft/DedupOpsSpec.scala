@@ -920,6 +920,35 @@ class DedupOpsSpec extends SparkSpec {
       s"planted clusters not separated: $assign")
   }
 
+  test("kmeansFitPp: ++ init separates clusters the lowest-id seeds all miss; deterministic across partitionings") {
+    // All four lowest ids (0-3) sit in planted cluster A; B has only
+    // higher ids. Lowest-id init with k=2 seeds BOTH centroids inside A —
+    // one Lloyd round must then split A while B's members drag one
+    // centroid over. The ++ md5-race picks the second seed by max
+    // D²·weight, which lands in B (every B point is far from seed 0 while
+    // A points have near-zero D²), so even ZERO Lloyd rounds separate the
+    // planted clusters.
+    val pts = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(0.2f, 0.0f)), (2L, Seq(0.0f, 0.2f)),
+      (3L, Seq(0.2f, 0.2f)),
+      (10L, Seq(10.0f, 10.0f)), (11L, Seq(10.2f, 10.0f)), (12L, Seq(10.0f, 10.2f)))
+      .toDF("vec_id", "v")
+    val cents = Similarity.kmeansFitPp(pts, "vec_id", "v", k = 2, iters = 0)
+    val assign = Similarity.kmeansAssign(pts, "vec_id", "v", cents)
+      .select($"vec_id", $"cluster").as[(Long, Long)].collect().toMap
+    assert(Set(0L, 1L, 2L, 3L).map(assign).size == 1 &&
+      Set(10L, 11L, 12L).map(assign).size == 1 &&
+      assign(0L) != assign(10L),
+      s"++ init must separate the planted clusters with zero Lloyd rounds: $assign")
+    // determinism: bit-identical centroids at 1/3/6 input partitions
+    val outs = Seq(1, 3, 6).map { p =>
+      Similarity.kmeansFitPp(pts.repartition(p), "vec_id", "v", k = 2, iters = 2)
+        .map(_.map(java.lang.Double.doubleToRawLongBits).toSeq)
+    }
+    assert(outs.tail.forall(_ == outs.head),
+      "++ centroids differ bit-wise across input partitionings")
+  }
+
   test("cdcChunkStats: exact copies fully duplicated; chunking is insertion-robust") {
     // Deterministic pseudo-random base text (~800 chars -> ~12 chunks at
     // divisor 64). Doc 2 = byte-identical copy (dup_frac 1.0 both ways);
