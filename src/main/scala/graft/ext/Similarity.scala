@@ -1215,6 +1215,114 @@ object Similarity {
     kmeansAssign(e, "vec_id", "v", cents).orderBy($"vec_id")
   }
 
+  // ---------------------------------------------------------------- s17
+  /** Weighted Lloyd k-means — cluster centers pulled by per-row weights
+    * (dedup multiplicities, quality scores, token counts: the curation
+    * corpus is rarely uniform): centroid = Σ wᵢ·vᵢ / Σ wᵢ per cluster,
+    * BOTH folds id-sorted left-to-right (the c10 discipline — the weighted
+    * numerator multiplies before adding, element-wise, and the weight sum
+    * folds in the same id order, so every partitioning AND the DuckDB twin
+    * produce the same bits). Lowest-id init like [[kmeansFit]]; empty
+    * clusters keep their centroid; weights must be positive (a zero-weight
+    * cluster would divide by zero — same contract as every weighted mean).
+    * Assignment is unchanged ([[kmeansAssign]] — plan-literal projection,
+    * shuffle-free at 100 TB). */
+  def kmeansFitWeighted(train: DataFrame, idCol: String, vecCol: String,
+      weightCol: String, k: Int, iters: Int): Seq[Array[Double]] = {
+    val sp = train.sparkSession
+    import sp.implicits._
+    val e = train.select(col(idCol).cast("long").as("__id"),
+      asDouble(col(vecCol)).as("__v"),
+      col(weightCol).cast("double").as("__w")).persist()
+    try {
+      val dim = e.select(size(col("__v"))).as[Int].head()
+      val zeros = typedLit(Seq.fill(dim)(0.0d))
+      var cents: Seq[Array[Double]] = e.orderBy(col("__id")).limit(k)
+        .select(col("__v")).as[Seq[Double]].collect().map(_.toArray).toSeq
+      for (_ <- 0 until iters) {
+        val means = e
+          .withColumn("__cl", kmeansPick(cents, col("__v")).getField("c"))
+          .groupBy(col("__cl"))
+          .agg(
+            aggregate(sort_array(collect_list(struct(col("__id"), col("__w")))),
+              lit(0.0d), (acc, el) => acc + el.getField("__w")).as("__ws"),
+            aggregate(
+              sort_array(collect_list(struct(col("__id"), col("__v"), col("__w")))),
+              zeros,
+              (acc, el) => zip_with(acc, el.getField("__v"),
+                (a, b) => a + b * el.getField("__w"))).as("__s"))
+          .select(col("__cl"),
+            transform(col("__s"), z => z / col("__ws")).as("__c"))
+          .as[(Int, Seq[Double])].collect().toMap
+        cents = cents.indices.map(i =>
+          means.get(i).map(_.toArray).getOrElse(cents(i)))
+      }
+      cents
+    } finally e.unpersist(false)
+  }
+
+  /** [[kmeansFitWeighted]] as an oracle row — the s15 configuration with
+    * weight = label + 1 (a deterministic positive weight every SF carries):
+    * the DuckDB twin replays both Lloyd rounds with the weighted id-sorted
+    * folds (numerator multiplies-then-adds element-wise; denominator folds
+    * the weights in the same order). */
+  val s17KmeansWeighted: Q = (s, dir) => {
+    import s.implicits._
+    val e = vecs(s, dir)
+    val tr = e.filter($"vec_id" < 256)
+      .withColumn("w", ($"label" + 1).cast("double"))
+    val cents = kmeansFitWeighted(tr, "vec_id", "v", "w", k = 4, iters = 2)
+    kmeansAssign(e, "vec_id", "v", cents).orderBy($"vec_id")
+  }
+
+  // ---------------------------------------------------------------- s18
+  /** Matryoshka / truncated-dimension two-stage search — the MRL serving
+    * pattern (embeddings trained so information concentrates in the prefix
+    * dims): stage 1 ranks by the dot product of the first `dPrefix` dims of
+    * the FULL-space unit vectors (¼ of the arithmetic and — in a real
+    * deployment — ¼ of the scanned bytes when the prefix is stored as its
+    * own column), keeps `refine × k` candidates per query; stage 2 reranks
+    * them with the exact full-dimension cosine, so precision is exact and
+    * only recall depends on the prefix. Same two-stage shape as
+    * [[knnBinaryRerank]]; both stages are double-deterministic (prefix dot
+    * = the same left-fold both engines run), so the s18 oracle replays the
+    * production configuration — not just a covering witness. */
+  def knnTruncated(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, dPrefix: Int, refine: Int = 10): DataFrame = {
+    require(k >= 1 && refine >= 1 && dPrefix >= 1,
+      s"need k,refine,dPrefix >= 1, got $k,$refine,$dPrefix")
+    val c = unitVecs(corpus, idCol, vecCol, "id")
+      .withColumn("__cp", slice(col("__u"), 1, dPrefix))
+    val q = unitVecs(queries, idCol, vecCol, "query_id")
+      .select(col("query_id"), col("__u").as("__qu"),
+        slice(col("__u"), 1, dPrefix).as("__qp"))
+    val wP = Window.partitionBy(col("query_id"))
+      .orderBy(col("__pre").desc, col("id"))
+    val cands = broadcast(q).join(c, col("query_id") =!= col("id"))
+      .withColumn("__pre", dot(col("__qp"), col("__cp")))
+      .withColumn("__prk", row_number().over(wP))
+      .filter(col("__prk") <= refine * k)
+      .select(col("query_id"), col("__qu"), col("id"))
+    val wX = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id"))
+    cands.join(c.select(col("id"), col("__u")), Seq("id"))
+      .withColumn("cosine", dot(col("__qu"), col("__u")))
+      .withColumn("rank", row_number().over(wX).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** s18 oracle row: prefix-16-of-64 stage-1 top-50 → exact cosine top-5,
+    * standard query set — both stages DuckDB-replayed at the production
+    * shape. */
+  val s18TruncatedKnn: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.loadSpread(s, dir, "embeddings")
+    knnTruncated(e, e.filter($"vec_id" < 20), "vec_id", "embedding",
+        k = 5, dPrefix = 16, refine = 10)
+      .orderBy($"query_id", $"rank")
+  }
+
   // ---------------------------------------------------------------- s14
   /** Metadata-filtered vector search — the PRE-FILTER semantics every
     * production vector store exposes (FAISS IDSelector, the `filter` clause
@@ -1247,6 +1355,8 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "s15_kmeans" -> s15Kmeans,
     "s16_kmeans_pp" -> s16KmeansPp,
+    "s17_kmeans_weighted" -> s17KmeansWeighted,
+    "s18_truncated_knn" -> s18TruncatedKnn,
     "s14_filtered_knn" -> s14FilteredKnn,
     "s01_knn_brute" -> s01KnnBrute,
     "s02_ann_lsh" -> s02AnnLsh,
@@ -1292,7 +1402,7 @@ object Similarity {
     * d2 × md5-weight race winner; i_j: the growing center set), replaying
     * [[kmeansFitPp]]'s derandomized rule term for term. */
   private def kmeansSql(k: Int, iters: Int, dim: Int,
-      ppInit: Boolean = false): String = {
+      ppInit: Boolean = false, weighted: Boolean = false): String = {
     def d2(v: String, cv: String) =
       s"(list_dot_product($v, $v) - 2 * list_dot_product($v, $cv)) + list_dot_product($cv, $cv)"
     val zeros = s"list_transform(range(1, ${dim + 1}), i -> CAST(0 AS DOUBLE))"
@@ -1319,6 +1429,24 @@ object Similarity {
            |$picks
            | c0 AS MATERIALIZED (SELECT cl, v FROM i${k - 1}),""".stripMargin
       }
+    // weighted mode: numerator multiplies each vector by its weight
+    // BEFORE the id-sorted element-wise fold; the denominator folds the
+    // weights in the SAME id order — both exactly kmeansFitWeighted's
+    // aggregate() lambdas
+    val meanInner =
+      if (!weighted)
+        s"""   SELECT a.cl, count(*) AS n,
+           |    list_reduce(list_prepend($zeros, list(t.v ORDER BY t.vec_id)),
+           |      (acc, x) -> list_transform(range(1, ${dim + 1}), i -> acc[i] + x[i])) AS s
+           |   FROM a%R% a JOIN tr t USING (vec_id) GROUP BY a.cl""".stripMargin
+      else
+        s"""   SELECT a.cl,
+           |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(t.w ORDER BY t.vec_id)),
+           |      (acc, x) -> acc + x) AS n,
+           |    list_reduce(list_prepend($zeros,
+           |        list(list_transform(t.v, x -> x * t.w) ORDER BY t.vec_id)),
+           |      (acc, x) -> list_transform(range(1, ${dim + 1}), i -> acc[i] + x[i])) AS s
+           |   FROM a%R% a JOIN tr t USING (vec_id) GROUP BY a.cl""".stripMargin
     val rounds = (1 to iters).map { r =>
       val prev = s"c${r - 1}"
       s""" a$r AS MATERIALIZED (
@@ -1326,16 +1454,18 @@ object Similarity {
          |  FROM tr t, $prev c GROUP BY t.vec_id),
          | m$r AS MATERIALIZED (
          |  SELECT cl, list_transform(s, z -> z / n) AS v FROM (
-         |   SELECT a.cl, count(*) AS n,
-         |    list_reduce(list_prepend($zeros, list(t.v ORDER BY t.vec_id)),
-         |      (acc, x) -> list_transform(range(1, ${dim + 1}), i -> acc[i] + x[i])) AS s
-         |   FROM a$r a JOIN tr t USING (vec_id) GROUP BY a.cl) q),
+         |${meanInner.replace("%R%", r.toString)}) q),
          | c$r AS MATERIALIZED (
          |  SELECT $prev.cl, coalesce(m$r.v, $prev.v) AS v
          |  FROM $prev LEFT JOIN m$r USING (cl)),""".stripMargin
     }.mkString("\n")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       | tr AS (SELECT vec_id, v FROM e WHERE vec_id < 256),
+    val trCte =
+      if (weighted)
+        " tr AS (SELECT vec_id, v, CAST(label + 1 AS DOUBLE) AS w FROM e WHERE vec_id < 256),"
+      else
+        " tr AS (SELECT vec_id, v FROM e WHERE vec_id < 256),"
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |$trCte
        |$init
        |$rounds
        | fin AS (
@@ -1349,6 +1479,26 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "s15_kmeans" -> kmeansSql(k = 4, iters = 2, dim = 64),
     "s16_kmeans_pp" -> kmeansSql(k = 4, iters = 2, dim = 64, ppInit = true),
+    "s17_kmeans_weighted" -> kmeansSql(k = 4, iters = 2, dim = 64, weighted = true),
+    // both stages at the production shape: prefix-16 stage-1 top-50 (raw
+    // prefix dot, lower-id ties), then the s01 exact-cosine ranking
+    "s18_truncated_knn" ->
+      """WITH u AS (
+        |  SELECT vec_id,
+        |   list_transform(embedding::DOUBLE[],
+        |     x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y)))) AS u
+        |  FROM embeddings),
+        | c1 AS (
+        |  SELECT q.vec_id AS query_id, q.u AS qu, e.vec_id AS id, e.u,
+        |   row_number() OVER (PARTITION BY q.vec_id
+        |     ORDER BY list_dot_product(q.u[1:16], e.u[1:16]) DESC, e.vec_id) AS prk
+        |  FROM u q JOIN u e ON q.vec_id < 20 AND q.vec_id <> e.vec_id)
+        |SELECT query_id, rk AS "rank", id, round(cos, 4) + 0.0 AS cosine FROM (
+        | SELECT query_id, id, list_dot_product(qu, u) AS cos,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY list_dot_product(qu, u) DESC, id) AS BIGINT) AS rk
+        | FROM c1 WHERE prk <= 50) t
+        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
     // the s01 brute form with the metadata predicate on the CANDIDATE side
     // only (queries keep all labels) — pre-filter semantics
     "s14_filtered_knn" ->

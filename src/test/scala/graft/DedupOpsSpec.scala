@@ -949,6 +949,62 @@ class DedupOpsSpec extends SparkSpec {
       "++ centroids differ bit-wise across input partitionings")
   }
 
+  test("kmeansFitWeighted: uniform weights equal kmeansFit bit-wise; heavy weight pulls the centroid") {
+    val pts = Seq(
+      (0L, Seq(0.0f, 0.0f)), (2L, Seq(0.2f, 0.0f)), (4L, Seq(0.0f, 0.2f)),
+      (1L, Seq(10.0f, 10.0f)), (3L, Seq(10.2f, 10.0f)), (5L, Seq(10.0f, 10.2f)))
+      .toDF("vec_id", "v")
+    // w = 1.0 everywhere: numerator multiplies by 1.0 (IEEE-exact) and the
+    // denominator folds 1.0s to exactly n — bit-identical to the
+    // unweighted fit
+    val uni = Similarity.kmeansFitWeighted(pts.withColumn("w", lit(1.0d)),
+      "vec_id", "v", "w", k = 2, iters = 2)
+    val plain = Similarity.kmeansFit(pts, "vec_id", "v", k = 2, iters = 2)
+    assert(uni.map(_.map(java.lang.Double.doubleToRawLongBits).toSeq) ==
+      plain.map(_.map(java.lang.Double.doubleToRawLongBits).toSeq),
+      "uniform weights must reproduce the unweighted centroids bit-wise")
+    // weight 100 on the far corner of cluster B drags B's centroid to it
+    val w = pts.withColumn("w",
+      when($"vec_id" === 3L, lit(100.0d)).otherwise(lit(1.0d)))
+    val heavy = Similarity.kmeansFitWeighted(w, "vec_id", "v", "w", k = 2, iters = 2)
+    val bIdx = heavy.indices.maxBy(i => heavy(i)(0)) // B lives near x=10
+    assert(math.abs(heavy(bIdx)(0) - 10.2) < 0.01,
+      s"weight-100 member must dominate its centroid: ${heavy(bIdx).toSeq}")
+    assert(math.abs(plain(plain.indices.maxBy(i => plain(i)(0)))(0) - 10.2) > 0.01,
+      "sanity: the unweighted centroid must NOT sit on the heavy point")
+  }
+
+  test("knnTruncated: covering refine equals brute force; prefix-16 recall stays useful") {
+    val queries = embs.filter($"vec_id" < 20)
+    val brute = DedupOps.knn(embs, queries, "vec_id", "embedding", 5)
+      .select($"query_id", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // refine*k >= corpus: stage 1 keeps everything, the exact rerank makes
+    // the result brute-force REGARDLESS of the prefix quality
+    val cover = Similarity.knnTruncated(embs, queries, "vec_id", "embedding",
+        k = 5, dPrefix = 4, refine = 200)
+      .select($"query_id", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(cover == brute,
+      "covering-refine truncated search must equal brute force")
+    // production shape (the s18 oracle configuration, 16-of-64 prefix,
+    // refine 10): recall floor is modest BY CONSTRUCTION — the synthetic
+    // embeddings are not MRL-trained, so the prefix carries only its
+    // proportional share of the signal; real Matryoshka embeddings
+    // concentrate it (that is the operator's point). The covering
+    // assertion above is the correctness contract; this pins the plumbing
+    // recalls usefully even on structure-free vectors.
+    val approx = Similarity.knnTruncated(embs, queries, "vec_id", "embedding",
+        k = 5, dPrefix = 16, refine = 10)
+      .select($"query_id", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = brute.keys.toSeq.map { q =>
+      (approx.getOrElse(q, Set.empty[Long]) & brute(q)).size.toDouble / brute(q).size
+    }
+    assert(recall.sum / recall.size > 0.3,
+      s"mean truncated recall@5 too low: ${recall.sum / recall.size}")
+  }
+
   test("cdcChunkStats: exact copies fully duplicated; chunking is insertion-robust") {
     // Deterministic pseudo-random base text (~800 chars -> ~12 chunks at
     // divisor 64). Doc 2 = byte-identical copy (dup_frac 1.0 both ways);
