@@ -640,7 +640,13 @@ object Similarity {
     * recall floor; this row proves it cross-engine. */
   val s08IvfPq: Q = (s, dir) => {
     import s.implicits._
-    val e = Tables.loadSpread(s, dir, "embeddings").filter($"vec_id" < 500)
+    // the fixed witness slice is consumed by MANY plan subtrees (encode,
+    // probes, LUTs, rerank) — localCheckpoint it so the big table is
+    // scanned ONCE per call instead of once per consumer (slice-sized:
+    // 500 x 64 floats; the bm25 materializeProbe discipline). At sf1.0
+    // the un-checkpointed plan re-read the 10x table ~6 times per run.
+    val e = Tables.loadSpread(s, dir, "embeddings")
+      .filter($"vec_id" < 500).localCheckpoint(true)
     val q = e.filter($"vec_id" < 20)
     val model = cachedModel(s"s08:$dir")(
       ivfPqTrain(e, "vec_id", "embedding", nlist = 8, m = 8, ksub = 16,
@@ -660,7 +666,13 @@ object Similarity {
     * cells from the same budget) is DedupOpsSpec's recall comparison. */
   val s09IvfPqResidual: Q = (s, dir) => {
     import s.implicits._
-    val e = Tables.loadSpread(s, dir, "embeddings").filter($"vec_id" < 500)
+    // the fixed witness slice is consumed by MANY plan subtrees (encode,
+    // probes, LUTs, rerank) — localCheckpoint it so the big table is
+    // scanned ONCE per call instead of once per consumer (slice-sized:
+    // 500 x 64 floats; the bm25 materializeProbe discipline). At sf1.0
+    // the un-checkpointed plan re-read the 10x table ~6 times per run.
+    val e = Tables.loadSpread(s, dir, "embeddings")
+      .filter($"vec_id" < 500).localCheckpoint(true)
     val q = e.filter($"vec_id" < 20)
     val model = cachedModel(s"s09:$dir")(
       ivfPqTrain(e, "vec_id", "embedding", nlist = 8, m = 8, ksub = 16,
@@ -705,7 +717,13 @@ object Similarity {
     // table made the witness cost brute-force × a corpus-sized rerank heap
     // (60 s at sf1.0). The slice keeps the oracle exact and SF-stable; the
     // at-scale exact-mode bench signal is s03's full-probe job.
-    val e = Tables.loadSpread(s, dir, "embeddings").filter($"vec_id" < 500)
+    // the fixed witness slice is consumed by MANY plan subtrees (encode,
+    // probes, LUTs, rerank) — localCheckpoint it so the big table is
+    // scanned ONCE per call instead of once per consumer (slice-sized:
+    // 500 x 64 floats; the bm25 materializeProbe discipline). At sf1.0
+    // the un-checkpointed plan re-read the 10x table ~6 times per run.
+    val e = Tables.loadSpread(s, dir, "embeddings")
+      .filter($"vec_id" < 500).localCheckpoint(true)
     val q = e.filter($"vec_id" < 20)
     val model = cachedModel(s"s05:$dir")(
       pqTrain(e, "vec_id", "embedding", m = 8, ksub = 16, iters = 2))
