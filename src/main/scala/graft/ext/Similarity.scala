@@ -335,7 +335,16 @@ object Similarity {
         bySub(s).sortBy(_._2).map(_._3).toIndexedSeq)
       PqModel(m, cbs.head.head.size, cbs)
     }
+    /** Load a [[PqModel.save]]d model — doubles round-trip parquet
+      * bit-exactly. */
+    def load(spark: SparkSession, path: String): PqModel =
+      fromDF(spark.read.parquet(path))
   }
+
+  /** Persist a trained PQ model as a parquet table (the deployment unit a
+    * 100 TB pipeline trains once and every search job loads). */
+  def savePqModel(model: PqModel, spark: SparkSession, path: String): Unit =
+    model.toDF(spark).write.mode("overwrite").parquet(path)
 
   /** Train the `m` per-subspace PQ codebooks (L2 mode — raw means, not
     * re-normalized) on the deterministic md5 sample of the corpus (see
@@ -504,7 +513,14 @@ object Similarity {
       val byRes = df.select(col("by_residual")).head.getBoolean(0)
       IvfPqModel(coarse, PqModel.fromDF(df.filter(col("subspace") >= 0)), byRes)
     }
+    /** Load an [[Similarity.saveIvfPqModel]]-persisted model. */
+    def load(spark: SparkSession, path: String): IvfPqModel =
+      fromDF(spark.read.parquet(path))
   }
+
+  /** Persist a trained IVF-PQ model as a parquet table. */
+  def saveIvfPqModel(model: IvfPqModel, spark: SparkSession, path: String): Unit =
+    model.toDF(spark).write.mode("overwrite").parquet(path)
 
   /** Train the coarse quantizer + PQ sub-codebooks on ONE persisted
     * deterministic sample (see [[ivfKnn]]'s trainSampleRows note). Residual
@@ -1293,6 +1309,74 @@ object Similarity {
     kmeansAssign(e, "vec_id", "v", cents).orderBy($"vec_id")
   }
 
+  // ---------------------------------------------------------------- s19
+  /** k-means‖ (scalable k-means++, Bahmani et al. VLDB'12) — the init that
+    * holds at 100 TB: instead of k−1 SEQUENTIAL corpus passes (each a
+    * driver round-trip — [[kmeansFitPp]]'s shape), oversample a BATCH of
+    * `l` candidates per round for only `rounds` passes (each round's batch
+    * scored against the candidate set so far, by the same derandomized
+    * D²·md5-race rule as [[kmeansFitPp]]), weight every candidate by the
+    * number of training points nearest to it (one aggregation pass), and
+    * reduce the ≤ rounds·l+1 weighted candidates to k centers with
+    * [[kmeansFitWeighted]] — a tiny frame, so the reduction costs nothing.
+    * Returns the k centers; run [[lloydRounds]]-style refinement via
+    * [[kmeansFit]]-family callers or use them directly for
+    * [[kmeansAssign]].
+    *
+    * Every stage is deterministic and SQL-replayable: the race picks
+    * `LIMIT l` by (D²·weight DESC, id), the weights are an argmin count
+    * with lowest-id ties, and the candidate reduction is the s17 weighted
+    * staging — the s19 oracle replays all of it. */
+  def kmeansFitParallel(train: DataFrame, idCol: String, vecCol: String,
+      k: Int, rounds: Int = 2, l: Int = 4, candIters: Int = 2): Seq[Array[Double]] = {
+    require(rounds * l + 1 >= k, s"rounds*l+1 must reach k, got $rounds*$l vs $k")
+    val sp = train.sparkSession
+    import sp.implicits._
+    val e = train.select(col(idCol).cast("long").as("__id"),
+      asDouble(col(vecCol)).as("__v")).persist()
+    try {
+      val seed = e.orderBy(col("__id")).limit(1)
+        .select(col("__id"), col("__v")).as[(Long, Seq[Double])].head()
+      var cands: Seq[(Long, Array[Double])] = Seq((seed._1, seed._2.toArray))
+      for (r <- 1 to rounds) {
+        // chosen candidates have D² exactly 0.0 (same literal bits → the
+        // d2 expansion cancels exactly), so they can never win the race
+        val dmin = kmeansPick(cands.map(_._2), col("__v")).getField("d")
+        val u = (h60(concat(lit(s"kpar:$r:"), col("__id").cast("string")))
+          % 1048576L + 1L).cast("double")
+        val batch = e.withColumn("__score", dmin * u)
+          .orderBy(col("__score").desc, col("__id").asc)
+          .limit(l).select(col("__id"), col("__v")).as[(Long, Seq[Double])]
+          .collect()
+        cands = cands ++ batch.map(t => (t._1, t._2.toArray))
+      }
+      // candidate index order = ascending id (kmeansPick ties resolve to
+      // the lower index ⇔ the lower candidate id — the oracle's min-struct
+      // on candidate vec_id)
+      val sorted = cands.sortBy(_._1)
+      val wcounts = e
+        .withColumn("__ci", kmeansPick(sorted.map(_._2), col("__v")).getField("c"))
+        .groupBy(col("__ci")).agg(count(lit(1)).cast("double").as("w"))
+        .as[(Int, Double)].collect().toMap
+      val candDf = sorted.zipWithIndex
+        .map { case ((id0, v), i) => (id0, v.toSeq, wcounts.getOrElse(i, 0.0)) }
+        .toDF("__cid", "__cv", "__cw").filter($"__cw" > 0)
+      kmeansFitWeighted(candDf, "__cid", "__cv", "__cw", k, candIters)
+    } finally e.unpersist(false)
+  }
+
+  /** s19 oracle row — the s15 configuration trained by [[kmeansFitParallel]]
+    * (k = 4 from 2 rounds × 4 oversampled candidates, 2 weighted reduction
+    * iters), assigning the whole table; the DuckDB twin replays the race
+    * batches, the argmin weight counts AND the weighted reduction. */
+  val s19KmeansParallel: Q = (s, dir) => {
+    import s.implicits._
+    val e = vecs(s, dir)
+    val cents = kmeansFitParallel(e.filter($"vec_id" < 256), "vec_id", "v",
+      k = 4, rounds = 2, l = 4, candIters = 2)
+    kmeansAssign(e, "vec_id", "v", cents).orderBy($"vec_id")
+  }
+
   // ---------------------------------------------------------------- s18
   /** Matryoshka / truncated-dimension two-stage search — the MRL serving
     * pattern (embeddings trained so information concentrates in the prefix
@@ -1375,6 +1459,7 @@ object Similarity {
     "s16_kmeans_pp" -> s16KmeansPp,
     "s17_kmeans_weighted" -> s17KmeansWeighted,
     "s18_truncated_knn" -> s18TruncatedKnn,
+    "s19_kmeans_parallel" -> s19KmeansParallel,
     "s14_filtered_knn" -> s14FilteredKnn,
     "s01_knn_brute" -> s01KnnBrute,
     "s02_ann_lsh" -> s02AnnLsh,
@@ -1494,8 +1579,74 @@ object Similarity {
        |FROM fin ORDER BY vec_id""".stripMargin
   }
 
+  /** Generated DuckDB twin of [[s19KmeansParallel]]: the race batches
+    * (q_r: min-D² vs the candidate set; s_r: top-l by D²·md5-weight;
+    * j_r: the growing set), the argmin weight count (wts/tc — candidates
+    * keyed by their vec_id, ties to the lowest, zero-member candidates
+    * dropped by the inner join exactly as the Spark side's w > 0 filter),
+    * then the s17 weighted-reduction staging over tc and the final
+    * whole-table assignment. */
+  private def kmeansParSql(k: Int, rounds: Int, l: Int, candIters: Int,
+      dim: Int): String = {
+    def d2(v: String, cv: String) =
+      s"(list_dot_product($v, $v) - 2 * list_dot_product($v, $cv)) + list_dot_product($cv, $cv)"
+    val zeros = s"list_transform(range(1, ${dim + 1}), i -> CAST(0 AS DOUBLE))"
+    val race = (1 to rounds).map { r =>
+      s""" q$r AS MATERIALIZED (
+         |  SELECT t.vec_id, t.v, min(${d2("t.v", "c.v")}) AS dmin
+         |  FROM tr t, j${r - 1} c GROUP BY t.vec_id, t.v),
+         | s$r AS MATERIALIZED (
+         |  SELECT vec_id, v FROM q$r
+         |  ORDER BY dmin * CAST(CAST(('0x' || substr(md5('kpar:$r:' || vec_id),1,15)) AS UBIGINT)
+         |    % 1048576 + 1 AS DOUBLE) DESC, vec_id
+         |  LIMIT $l),
+         | j$r AS MATERIALIZED (
+         |  SELECT vec_id, v FROM j${r - 1} UNION ALL SELECT vec_id, v FROM s$r),""".stripMargin
+    }.mkString("\n")
+    val wRounds = (1 to candIters).map { r =>
+      val prev = s"c${r - 1}"
+      s""" a$r AS MATERIALIZED (
+         |  SELECT t.vec_id, (min({'d': ${d2("t.v", "c.v")}, 'c': c.cl})).c AS cl
+         |  FROM tc t, $prev c GROUP BY t.vec_id),
+         | m$r AS MATERIALIZED (
+         |  SELECT cl, list_transform(s, z -> z / n) AS v FROM (
+         |   SELECT a.cl,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(t.w ORDER BY t.vec_id)),
+         |      (acc, x) -> acc + x) AS n,
+         |    list_reduce(list_prepend($zeros,
+         |        list(list_transform(t.v, x -> x * t.w) ORDER BY t.vec_id)),
+         |      (acc, x) -> list_transform(range(1, ${dim + 1}), i -> acc[i] + x[i])) AS s
+         |   FROM a$r a JOIN tc t USING (vec_id) GROUP BY a.cl) q2),
+         | c$r AS MATERIALIZED (
+         |  SELECT $prev.cl, coalesce(m$r.v, $prev.v) AS v
+         |  FROM $prev LEFT JOIN m$r USING (cl)),""".stripMargin
+    }.mkString("\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       | tr AS (SELECT vec_id, v FROM e WHERE vec_id < 256),
+       | j0 AS MATERIALIZED (SELECT vec_id, v FROM tr ORDER BY vec_id LIMIT 1),
+       |$race
+       | wts AS MATERIALIZED (
+       |  SELECT ci AS vec_id, CAST(count(*) AS DOUBLE) AS w FROM (
+       |   SELECT (min({'d': ${d2("t.v", "c.v")}, 'c': c.vec_id})).c AS ci
+       |   FROM tr t, j$rounds c GROUP BY t.vec_id) z GROUP BY ci),
+       | tc AS MATERIALIZED (
+       |  SELECT j.vec_id, j.v, w.w FROM j$rounds j JOIN wts w USING (vec_id)),
+       | c0 AS MATERIALIZED (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl, v
+       |  FROM tc ORDER BY vec_id LIMIT $k),
+       |$wRounds
+       | fin AS (
+       |  SELECT t.vec_id, min({'d': ${d2("t.v", "c.v")}, 'c': c.cl}) AS p
+       |  FROM e t, c$candIters c GROUP BY t.vec_id)
+       |SELECT vec_id, CAST((p).c AS BIGINT) AS cluster,
+       | round((p).d + 1e-9, 4) + 0.0 AS dist2
+       |FROM fin ORDER BY vec_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "s15_kmeans" -> kmeansSql(k = 4, iters = 2, dim = 64),
+    "s19_kmeans_parallel" -> kmeansParSql(k = 4, rounds = 2, l = 4,
+      candIters = 2, dim = 64),
     "s16_kmeans_pp" -> kmeansSql(k = 4, iters = 2, dim = 64, ppInit = true),
     "s17_kmeans_weighted" -> kmeansSql(k = 4, iters = 2, dim = 64, weighted = true),
     // both stages at the production shape: prefix-16 stage-1 top-50 (raw

@@ -610,7 +610,11 @@ class DedupOpsSpec extends SparkSpec {
       k = 5, iters = 1, byResidual = true)
     val ivfModel = Similarity.ivfPqTrain(embs, "vec_id", "embedding",
       iters = 1, byResidual = true)
-    val ivfRt = Similarity.IvfPqModel.fromDF(ivfModel.toDF(spark))
+    // this one round-trips through an ACTUAL parquet table (save/load),
+    // the deployment path; the PQ case above covers the in-memory DF form
+    val mdir = java.nio.file.Files.createTempDirectory("graft_pqmodel").toString
+    Similarity.saveIvfPqModel(ivfModel, spark, s"$mdir/ivfpq")
+    val ivfRt = Similarity.IvfPqModel.load(spark, s"$mdir/ivfpq")
     assert(ivfRt.byResidual && ivfRt.nlist == ivfModel.nlist)
     assert(ivfRt.centroids.flatten.map(java.lang.Double.doubleToRawLongBits) ==
         ivfModel.centroids.flatten.map(java.lang.Double.doubleToRawLongBits),
@@ -947,6 +951,35 @@ class DedupOpsSpec extends SparkSpec {
     }
     assert(outs.tail.forall(_ == outs.head),
       "++ centroids differ bit-wise across input partitionings")
+  }
+
+  test("kmeansFitParallel: one oversampled round separates planted clusters; deterministic across partitionings") {
+    // Same planted layout as the ++ test (all low ids in cluster A). One
+    // race round with l = 2 must surface at least one far (cluster-B)
+    // candidate — B points carry D² ≈ 200 vs A's ≤ 0.08 into the md5 race
+    // — and the weighted reduction then separates the planted clusters.
+    // One corpus pass for the batch vs k−1 sequential passes for ++: the
+    // 100 TB init shape.
+    val pts = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(0.2f, 0.0f)), (2L, Seq(0.0f, 0.2f)),
+      (3L, Seq(0.2f, 0.2f)),
+      (10L, Seq(10.0f, 10.0f)), (11L, Seq(10.2f, 10.0f)), (12L, Seq(10.0f, 10.2f)))
+      .toDF("vec_id", "v")
+    val cents = Similarity.kmeansFitParallel(pts, "vec_id", "v",
+      k = 2, rounds = 1, l = 2, candIters = 2)
+    val assign = Similarity.kmeansAssign(pts, "vec_id", "v", cents)
+      .select($"vec_id", $"cluster").as[(Long, Long)].collect().toMap
+    assert(Set(0L, 1L, 2L, 3L).map(assign).size == 1 &&
+      Set(10L, 11L, 12L).map(assign).size == 1 &&
+      assign(0L) != assign(10L),
+      s"k-means‖ must separate the planted clusters: $assign")
+    val outs = Seq(1, 3, 6).map { p =>
+      Similarity.kmeansFitParallel(pts.repartition(p), "vec_id", "v",
+        k = 2, rounds = 1, l = 2, candIters = 2)
+        .map(_.map(java.lang.Double.doubleToRawLongBits).toSeq)
+    }
+    assert(outs.tail.forall(_ == outs.head),
+      "k-means‖ centroids differ bit-wise across input partitionings")
   }
 
   test("kmeansFitWeighted: uniform weights equal kmeansFit bit-wise; heavy weight pulls the centroid") {
