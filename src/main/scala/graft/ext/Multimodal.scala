@@ -457,6 +457,73 @@ object Multimodal {
           "cast('' as binary), (acc, c) -> concat(acc, c))").as("payload"))
       .withColumn("digest", md5(col("payload")))
 
+  /** Content-defined chunking over BINARY payloads — [[graft.ext.DedupOps
+    * .cdcChunkStats]]'s byte-level twin for the media family: boundaries
+    * from ONE O(len) rolling-hash pass over the raw bytes
+    * ([[graft.functions.CdcBoundariesBytes]]), chunk digests as
+    * md5-of-hex (the m03 discipline — the DuckDB twin has no blob md5, and
+    * hex slices of the payload's hex ARE the chunks' hex), then the d13
+    * duplicate accounting: per asset, chunk count + chunks whose digest
+    * appears in ≥ 2 ASSETS + the duplicated fraction. Insertion-robust
+    * where [[chunk]]'s fixed-size transport slicing is not — the dedup
+    * boundary for payloads that share shifted content (re-muxed media,
+    * prepended headers).
+    *
+    * Scale shape: boundary detection and digesting are shuffle-free
+    * per-row projections; the df count and join are 32-byte-digest-keyed.
+    * Null/empty payloads yield 0 chunks (dup_frac 0.0). */
+  def cdcChunkStatsBinary(df: DataFrame, idCol: String, payloadCol: String,
+      window: Int = 8, divisor: Int = 64): DataFrame = {
+    require(window >= 2 && divisor >= 2, "need window >= 2 and divisor >= 2")
+    val withChunks = df
+      .withColumn("__len", octet_length(col(payloadCol)))
+      .withColumn("__bs", graft.functions.CdcBoundariesBytes
+        .cdcBoundariesBytes(col(payloadCol), window, divisor))
+      .withColumn("__bounds",
+        when(col("__len") > 0,
+          array_distinct(concat(col("__bs"), array(col("__len")))))
+          .otherwise(array().cast("array<int>")))
+      // empty-bounds guard: sequence(1, 0) descends through index 0 (the
+      // d13 footgun); digests computed straight in the transform — the
+      // binary chunk cells never materialize past the substring
+      .withColumn("__dgs",
+        when(size(col("__bounds")) > 0,
+          transform(sequence(lit(1), size(col("__bounds"))), i => {
+            val prev = when(i === 1, lit(0))
+              .otherwise(element_at(col("__bounds"), i - 1))
+            md5(hex(col(payloadCol).substr(prev + 1,
+              element_at(col("__bounds"), i) - prev)))
+          })).otherwise(array().cast("array<string>")))
+    val inst = withChunks
+      .select(col(idCol).as("__id"), explode_outer(col("__dgs")).as("__dg"))
+      .filter(col("__dg").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
+    val dfreq = inst
+      .groupBy(col("__dg")).agg(countDistinct(col("__id")).as("__df"))
+    val per = inst.join(dfreq, Seq("__dg"))
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+    df.select(col(idCol))
+      .join(per.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+        when(coalesce(col("n_chunks"), lit(0L)) > 0,
+          round(col("n_dup_chunks").cast("double") / col("n_chunks") + 1e-9, 4))
+          .otherwise(lit(0.0d)).as("dup_frac"))
+  }
+
+  // ---------------------------------------------------------------- m08
+  /** [[cdcChunkStatsBinary]] as an oracle row over the m01 media frame:
+    * the DuckDB twin replays boundaries and digests over `hex(payload)` —
+    * byte p is the two-hex-digit slice at 2p−1, so the power-staged window
+    * sums and the chunk digests (md5 of the hex slice) are exact. */
+  val m08CdcBinary: Q = (s, dir) => {
+    import s.implicits._
+    cdcChunkStatsBinary(mediaFrom(s, dir), "media_id", "payload")
+      .orderBy($"media_id")
+  }
+
   // ---------------------------------------------------------------- m01
   /** Oracle-checked metadata extraction over the binary payload column —
     * byte length, digest, and a deterministic stub feature. The decode stub
@@ -715,6 +782,7 @@ object Multimodal {
 
   val queries: Map[String, Q] = Map(
     "m01_binary_meta" -> m01BinaryMeta,
+    "m08_cdc_binary" -> m08CdcBinary,
     "m02_chunking" -> m02Chunking,
     "m03_chunked_read" -> m03ChunkedRead,
     "m04_image_dhash" -> m04ImageDhash,
@@ -772,6 +840,15 @@ object Multimodal {
           "CAST(sum_b AS BIGINT) AS sum_b FROM (VALUES ",
         ", ", ") t(media_id, width, height, sum_r, sum_g, sum_b) ORDER BY media_id")
 
+  /** The m08 boundary hash as a direct window sum over hex-pair byte
+    * values — power literals from the SAME powMod [[graft.functions
+    * .CdcBoundariesBytes]] uses (the d13 generator's byte twin). */
+  private val cdcByteHashSql: String =
+    (7 to 0 by -1).map { d =>
+      val pos = if (d == 0) "2*p-1" else s"2*(p-$d)-1"
+      s"CAST(('0x' || substr(hx, $pos, 2)) AS BIGINT) * ${graft.functions.CdcBoundaries.powMod(d)} % 2147483647"
+    }.mkString("(", " + ", ") % 2147483647")
+
   val oracles: Map[String, String] = Map(
     "m04_image_dhash" -> pinnedPairsSql(m04Expected),
     "m05_image_phash" -> pinnedPairsSql(m05Expected),
@@ -783,6 +860,55 @@ object Multimodal {
         | md5(text) AS digest,
         | CAST(octet_length(encode(text)) % 256 AS BIGINT) AS stub_feature
         |FROM documents ORDER BY media_id""".stripMargin,
+    // byte-level CDC replay over hex(payload): byte p = the 2-hex-digit
+    // slice at 2p-1; window sums power-staged (every term reduced mod M
+    // before the sum — CdcBoundariesBytes' rolling value exactly); chunk
+    // digests = md5 of the hex slice (both engines hex uppercase; no
+    // blob md5 needed — the m03 discipline)
+    "m08_cdc_binary" ->
+      s"""WITH c AS (
+        |  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+        |   octet_length(encode(text)) AS n
+        |  FROM documents),
+        | b AS (
+        |  SELECT media_id, hx, n,
+        |   CASE WHEN n >= 8 THEN
+        |    list_filter(range(8, n + 1), p ->
+        |     ($cdcByteHashSql) % 64 = 0)
+        |   ELSE [] END AS bs
+        |  FROM c),
+        | bb AS (
+        |  SELECT media_id, hx,
+        |   CASE WHEN n > 0 THEN
+        |    (CASE WHEN len(bs) > 0 AND bs[-1] = n THEN bs
+        |          ELSE list_append(bs, n) END)
+        |   ELSE [] END AS bounds
+        |  FROM b),
+        | k AS (
+        |  SELECT media_id, hx, bounds,
+        |   generate_subscripts(bounds, 1) AS i, unnest(bounds) AS p
+        |  FROM bb),
+        | inst AS (
+        |  SELECT media_id,
+        |   md5(substr(hx,
+        |     2 * (CASE WHEN i = 1 THEN 0 ELSE bounds[i-1] END) + 1,
+        |     2 * (p - (CASE WHEN i = 1 THEN 0 ELSE bounds[i-1] END)))) AS dg
+        |  FROM k),
+        | f AS (
+        |  SELECT dg, count(*) AS df FROM (SELECT DISTINCT media_id, dg FROM inst)
+        |  GROUP BY dg),
+        | per AS (
+        |  SELECT inst.media_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |   CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+        |  FROM inst JOIN f USING (dg) GROUP BY inst.media_id)
+        |SELECT d.doc_id AS media_id,
+        | CAST(coalesce(per.n_chunks, 0) AS BIGINT) AS n_chunks,
+        | CAST(coalesce(per.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+        | CASE WHEN coalesce(per.n_chunks, 0) > 0
+        |  THEN round(CAST(per.n_dup_chunks AS DOUBLE) / per.n_chunks + 1e-9, 4)
+        |  ELSE 0.0 END AS dup_frac
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.media_id
+        |ORDER BY media_id""".stripMargin,
     "m02_chunking" ->
       """WITH b AS (
         |  SELECT doc_id AS media_id, octet_length(encode(text)) AS n

@@ -119,3 +119,70 @@ object CdcBoundaries {
     toCol(CdcBoundaries(expr(c.cast("string")), window, divisor))
   }
 }
+
+/** [[CdcBoundaries]] over RAW BYTES — the multimodal-payload variant: the
+  * same rolling polynomial, but each position is one byte (0–255) of a
+  * `binary` cell instead of one code point, so boundary positions index
+  * directly into byte-based `substring` slices (the [[graft.ext.Multimodal]]
+  * chunk unit). The DuckDB twin recomputes each window over `hex(payload)`
+  * two-hex-digit slices — byte values are exact small integers in both
+  * engines. */
+case class CdcBoundariesBytes(child: Expression, window: Int, divisor: Int)
+    extends UnaryExpression {
+  require(window >= 2 && divisor >= 2, "need window >= 2 and divisor >= 2")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_cdc_boundaries_bytes"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_cdc_boundaries_bytes expects a binary input, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    CdcBoundariesBytes.boundaries(input.asInstanceOf[Array[Byte]], window, divisor)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.CdcBoundariesBytes.boundaries($c, $window, $divisor)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CdcBoundariesBytes {
+  import CdcBoundaries.{B, M, powMod}
+
+  /** Static codegen target: the [[CdcBoundaries.boundaries]] ring scan with
+    * the byte value (0–255) as the polynomial term. */
+  def boundaries(bytes: Array[Byte], window: Int, divisor: Int): UnsafeArrayData = {
+    val bw = powMod(window - 1)
+    val ring = new Array[Long](window)
+    var out = new Array[Int](8)
+    var nOut = 0
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      val cp = bytes(i) & 0xff
+      val pos = i + 1
+      val slot = pos % window
+      if (pos <= window) h = (h * B + cp) % M
+      else h = ((h - ring(slot) * bw % M + M) % M * B + cp) % M
+      ring(slot) = cp
+      if (pos >= window && h % divisor == 0) {
+        if (nOut == out.length) out = java.util.Arrays.copyOf(out, out.length * 2)
+        out(nOut) = pos; nOut += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, nOut))
+  }
+
+  /** Column-level façade. */
+  def cdcBoundariesBytes(c: Column, window: Int, divisor: Int): Column = {
+    import org.apache.spark.sql.classic.GraftColumnBridge.{column => toCol}
+    import org.apache.spark.sql.classic.ExpressionColumnHelper.expr
+    toCol(CdcBoundariesBytes(expr(c), window, divisor))
+  }
+}

@@ -25,6 +25,38 @@ class MultimodalSpec extends SparkSpec {
       .getAs[Long]("n_bytes") == payload.length.toLong)
   }
 
+  test("cdcChunkStatsBinary: byte-identical payloads fully duplicated; prefix insertion is chunk-robust; degenerate payloads 0-chunk") {
+    // Deterministic pseudo-random BYTES (not text): full range 0-255, so
+    // this exercises the byte path where the char-level d13 operator
+    // cannot go. Asset 2 = exact copy; asset 3 = copy with a 5-byte
+    // prefix insertion (boundaries re-align at the first content-defined
+    // boundary past the edit — the property the fixed-size transport
+    // chunker loses at the first inserted byte); asset 4 unrelated;
+    // assets 5/6: empty and null payloads survive as 0-chunk rows.
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(800)(rnd.nextInt(256).toByte)
+    val other = Array.fill(800)(rnd.nextInt(256).toByte)
+    val df = Seq(
+      (1L, base), (2L, base),
+      (3L, Array[Byte](1, 2, 3, 4, 5) ++ base), (4L, other),
+      (5L, Array.emptyByteArray), (6L, null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "payload")
+    val out = Multimodal.cdcChunkStatsBinary(df, "media_id", "payload")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.size == 6, s"every asset must survive: $out")
+    assert(out(1L)._4 == 1.0 && out(2L)._4 == 1.0,
+      s"byte-identical payloads must be fully duplicated: ${out(1L)} ${out(2L)}")
+    val (_, n3, dup3, _) = out(3L)
+    assert(n3 > 5, s"expected several chunks, got $n3")
+    assert(dup3 >= n3 - 2 && dup3 > 0,
+      s"insertion must only disturb the chunks around the edit: $dup3 of $n3")
+    assert(out(4L)._3 == 0L, s"unrelated payload shares nothing: ${out(4L)}")
+    Seq(5L, 6L).foreach { id =>
+      assert(out(id) == ((id, 0L, 0L, 0.0)),
+        s"degenerate payload $id must be 0-chunk: ${out(id)}")
+    }
+  }
+
   test("decodeFeatures runs distributed per-partition and appends features") {
     val media = Multimodal.mediaFrom(spark, dir).repartition(4)
     val decoded = Multimodal.decodeFeatures(media)
