@@ -1377,6 +1377,34 @@ object Similarity {
     kmeansAssign(e, "vec_id", "v", cents).orderBy($"vec_id")
   }
 
+  // ---------------------------------------------------------------- s20
+  /** The complete production clustering recipe: [[kmeansFitParallel]]'s
+    * O(rounds)-pass init, then `refineIters` full Lloyd rounds over the
+    * training frame ([[lloydRounds]] — argmin assignment + id-sorted fold
+    * means). This is what a 100 TB deployment actually runs: ‖-init on the
+    * sampled frame, a couple of refinement sweeps, then [[kmeansAssign]]'s
+    * shuffle-free projection over the corpus. */
+  def kmeansFitParallelRefined(train: DataFrame, idCol: String, vecCol: String,
+      k: Int, rounds: Int = 2, l: Int = 4, candIters: Int = 2,
+      refineIters: Int = 2): Seq[Array[Double]] = {
+    val init = kmeansFitParallel(train, idCol, vecCol, k, rounds, l, candIters)
+    val e = train.select(col(idCol).cast("long").as("__id"),
+      asDouble(col(vecCol)).as("__v")).persist()
+    try lloydRounds(e, init, refineIters) finally e.unpersist(false)
+  }
+
+  /** s20 oracle row — s19's configuration plus 2 full Lloyd refinement
+    * rounds; the DuckDB twin chains the refinement staging behind the ‖
+    * pipeline, so init AND refinement are cross-engine bit-pinned
+    * end-to-end. */
+  val s20KmeansPipeline: Q = (s, dir) => {
+    import s.implicits._
+    val e = vecs(s, dir)
+    val cents = kmeansFitParallelRefined(e.filter($"vec_id" < 256), "vec_id", "v",
+      k = 4, rounds = 2, l = 4, candIters = 2, refineIters = 2)
+    kmeansAssign(e, "vec_id", "v", cents).orderBy($"vec_id")
+  }
+
   // ---------------------------------------------------------------- s18
   /** Matryoshka / truncated-dimension two-stage search — the MRL serving
     * pattern (embeddings trained so information concentrates in the prefix
@@ -1460,6 +1488,7 @@ object Similarity {
     "s17_kmeans_weighted" -> s17KmeansWeighted,
     "s18_truncated_knn" -> s18TruncatedKnn,
     "s19_kmeans_parallel" -> s19KmeansParallel,
+    "s20_kmeans_pipeline" -> s20KmeansPipeline,
     "s14_filtered_knn" -> s14FilteredKnn,
     "s01_knn_brute" -> s01KnnBrute,
     "s02_ann_lsh" -> s02AnnLsh,
@@ -1587,7 +1616,7 @@ object Similarity {
     * then the s17 weighted-reduction staging over tc and the final
     * whole-table assignment. */
   private def kmeansParSql(k: Int, rounds: Int, l: Int, candIters: Int,
-      dim: Int): String = {
+      dim: Int, refineIters: Int = 0): String = {
     def d2(v: String, cv: String) =
       s"(list_dot_product($v, $v) - 2 * list_dot_product($v, $cv)) + list_dot_product($cv, $cv)"
     val zeros = s"list_transform(range(1, ${dim + 1}), i -> CAST(0 AS DOUBLE))"
@@ -1621,6 +1650,24 @@ object Similarity {
          |  SELECT $prev.cl, coalesce(m$r.v, $prev.v) AS v
          |  FROM $prev LEFT JOIN m$r USING (cl)),""".stripMargin
     }.mkString("\n")
+    // full-corpus Lloyd refinement behind the ‖ init (s20): the UNWEIGHTED
+    // staging over tr, round numbering continuing after the weighted ones
+    val rRounds = (candIters + 1 to candIters + refineIters).map { r =>
+      val prev = s"c${r - 1}"
+      s""" a$r AS MATERIALIZED (
+         |  SELECT t.vec_id, (min({'d': ${d2("t.v", "c.v")}, 'c': c.cl})).c AS cl
+         |  FROM tr t, $prev c GROUP BY t.vec_id),
+         | m$r AS MATERIALIZED (
+         |  SELECT cl, list_transform(s, z -> z / n) AS v FROM (
+         |   SELECT a.cl, count(*) AS n,
+         |    list_reduce(list_prepend($zeros, list(t.v ORDER BY t.vec_id)),
+         |      (acc, x) -> list_transform(range(1, ${dim + 1}), i -> acc[i] + x[i])) AS s
+         |   FROM a$r a JOIN tr t USING (vec_id) GROUP BY a.cl) q2),
+         | c$r AS MATERIALIZED (
+         |  SELECT $prev.cl, coalesce(m$r.v, $prev.v) AS v
+         |  FROM $prev LEFT JOIN m$r USING (cl)),""".stripMargin
+    }.mkString("\n")
+    val finRounds = candIters + refineIters
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        | tr AS (SELECT vec_id, v FROM e WHERE vec_id < 256),
        | j0 AS MATERIALIZED (SELECT vec_id, v FROM tr ORDER BY vec_id LIMIT 1),
@@ -1635,9 +1682,10 @@ object Similarity {
        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl, v
        |  FROM tc ORDER BY vec_id LIMIT $k),
        |$wRounds
+       |$rRounds
        | fin AS (
        |  SELECT t.vec_id, min({'d': ${d2("t.v", "c.v")}, 'c': c.cl}) AS p
-       |  FROM e t, c$candIters c GROUP BY t.vec_id)
+       |  FROM e t, c$finRounds c GROUP BY t.vec_id)
        |SELECT vec_id, CAST((p).c AS BIGINT) AS cluster,
        | round((p).d + 1e-9, 4) + 0.0 AS dist2
        |FROM fin ORDER BY vec_id""".stripMargin
@@ -1647,6 +1695,8 @@ object Similarity {
     "s15_kmeans" -> kmeansSql(k = 4, iters = 2, dim = 64),
     "s19_kmeans_parallel" -> kmeansParSql(k = 4, rounds = 2, l = 4,
       candIters = 2, dim = 64),
+    "s20_kmeans_pipeline" -> kmeansParSql(k = 4, rounds = 2, l = 4,
+      candIters = 2, dim = 64, refineIters = 2),
     "s16_kmeans_pp" -> kmeansSql(k = 4, iters = 2, dim = 64, ppInit = true),
     "s17_kmeans_weighted" -> kmeansSql(k = 4, iters = 2, dim = 64, weighted = true),
     // both stages at the production shape: prefix-16 stage-1 top-50 (raw

@@ -982,6 +982,31 @@ class DedupOpsSpec extends SparkSpec {
       "k-means‖ centroids differ bit-wise across input partitionings")
   }
 
+  test("kmeansFitParallelRefined: refinement never increases inertia; planted clusters separate") {
+    val pts = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(0.2f, 0.0f)), (2L, Seq(0.0f, 0.2f)),
+      (3L, Seq(0.2f, 0.2f)),
+      (10L, Seq(10.0f, 10.0f)), (11L, Seq(10.2f, 10.0f)), (12L, Seq(10.0f, 10.2f)))
+      .toDF("vec_id", "v")
+    def inertia(cents: Seq[Array[Double]]): Double =
+      Similarity.kmeansAssign(pts, "vec_id", "v", cents)
+        .agg(sum($"dist2")).head.getDouble(0)
+    val init = Similarity.kmeansFitParallel(pts, "vec_id", "v",
+      k = 2, rounds = 1, l = 2, candIters = 1)
+    val refined = Similarity.kmeansFitParallelRefined(pts, "vec_id", "v",
+      k = 2, rounds = 1, l = 2, candIters = 1, refineIters = 2)
+    // Lloyd monotonicity: each assignment+mean round can only lower the
+    // within-cluster squared distance (up to rounding in dist2)
+    assert(inertia(refined) <= inertia(init) + 1e-6,
+      s"refinement increased inertia: ${inertia(init)} -> ${inertia(refined)}")
+    val assign = Similarity.kmeansAssign(pts, "vec_id", "v", refined)
+      .select($"vec_id", $"cluster").as[(Long, Long)].collect().toMap
+    assert(Set(0L, 1L, 2L, 3L).map(assign).size == 1 &&
+      Set(10L, 11L, 12L).map(assign).size == 1 &&
+      assign(0L) != assign(10L),
+      s"refined pipeline must separate the planted clusters: $assign")
+  }
+
   test("kmeansFitWeighted: uniform weights equal kmeansFit bit-wise; heavy weight pulls the centroid") {
     val pts = Seq(
       (0L, Seq(0.0f, 0.0f)), (2L, Seq(0.2f, 0.0f)), (4L, Seq(0.0f, 0.2f)),
