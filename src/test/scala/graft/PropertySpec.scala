@@ -72,6 +72,48 @@ object PropertySpec extends Properties("graft.delivery") {
         })
     }
 
+  /** Reference (non-rolling) boundary rule: for each window end p, the
+    * DIRECT polynomial Σ cp·B^(w−1−j) mod M — the formula the DuckDB
+    * oracles stage. The rolling ring-buffer scan must match it for ALL
+    * inputs, or the cross-engine d13/m08 contract silently breaks. */
+  private def directBoundaries(cps: IndexedSeq[Int], window: Int,
+      divisor: Int): Seq[Int] = {
+    import graft.functions.CdcBoundaries.{B, M, powMod}
+    (window to cps.length).filter { p =>
+      val h = (0 until window)
+        .map(j => cps(p - window + j) * powMod(window - 1 - j) % M)
+        .sum % M
+      h % divisor == 0
+    }
+  }
+
+  private val unicodeStr: Gen[String] = Gen.listOf(Gen.frequency(
+    8 -> Gen.alphaNumChar.map(_.toString),
+    // multibyte + supplementary-plane strings exercise the 2/3/4-byte
+    // UTF-8 decode path of the rolling scan
+    2 -> Gen.oneOf("\u00e9", "\u0142", "\u3042", "\u4e2d", " ", "\u20ac",
+      "\ud834\udd1e", "\ud83d\ude00")))
+    .map(_.mkString)
+
+  property("CdcBoundaries rolling scan == direct polynomial (unicode incl. surrogates)") =
+    forAll(unicodeStr, Gen.choose(2, 12), Gen.choose(2, 16)) {
+      (s: String, window: Int, divisor: Int) =>
+        val rolled = graft.functions.CdcBoundaries.boundaries(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s), window, divisor)
+          .toIntArray().toSeq
+        val cps = s.codePoints().toArray.toIndexedSeq
+        rolled == directBoundaries(cps, window, divisor)
+    }
+
+  property("CdcBoundariesBytes rolling scan == direct polynomial (full byte range)") =
+    forAll(Gen.listOf(Gen.choose(0, 255)), Gen.choose(2, 12), Gen.choose(2, 16)) {
+      (bs: List[Int], window: Int, divisor: Int) =>
+        val bytes = bs.map(_.toByte).toArray
+        val rolled = graft.functions.CdcBoundariesBytes
+          .boundaries(bytes, window, divisor).toIntArray().toSeq
+        rolled == directBoundaries(bs.toIndexedSeq, window, divisor)
+    }
+
   property("xids unique, alphabet-clean, k-ordered over increasing seconds") =
     forAll(Gen.listOfN(50, Gen.choose(0L, 4000000000L))) { (seconds: List[Long]) =>
       val sorted = seconds.sorted
