@@ -143,6 +143,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"assignment must not join:\n$p")
   }
 
+  test("s20: the refined-pipeline centroids assign with the same shuffle-free projection") {
+    import org.apache.spark.sql.functions.col
+    val cents = graft.ext.Similarity.kmeansFitParallelRefined(
+      Tables.load(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        .filter(col("vec_id") < 64), "vec_id", "embedding",
+      k = 3, rounds = 1, l = 2, candIters = 1, refineIters = 1)
+    val p = graft.ext.Similarity.kmeansAssign(
+      Tables.load(spark, dir, "embeddings"), "vec_id", "embedding", cents)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("hashpartitioning"),
+      s"assignment must not shuffle (centroids are plan literals):\n$p")
+    assert(!p.contains("Join"), s"assignment must not join:\n$p")
+  }
+
+  test("s18: truncated search rides a broadcast; no all-pairs fallback") {
+    val p = plan("s18_truncated_knn")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"stage-1 queries must ride a broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("d13/m08: CDC boundary+digest derivation is projection-only below the digest-keyed aggs") {
+    // the per-row work (rolling-hash boundaries, chunk slicing, digests)
+    // must all sit BELOW any exchange: the only shuffles are the digest df
+    // count, the per-doc agg, and the joins back — never a cartesian
+    for (name <- Seq("d13_cdc_chunks", "m08_cdc_binary")) {
+      val p = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name fell back to an all-pairs strategy:\n$p")
+      assert(p.contains("graft_cdc_boundaries"),
+        s"$name must plan the native rolling-hash expression:\n$p")
+    }
+  }
+
   test("t19: char-entropy scoring is a shuffle-free scalar projection") {
     val p = plan("t19_char_entropy")
     assert(!p.contains("hashpartitioning"),
