@@ -290,7 +290,40 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- d15
+  /** Oracle-checkable SemDeDup — the deterministic twin of
+    * [[DedupOps.semanticDedup]]: that operator clusters with
+    * [[Similarity.trainCentroids]], whose per-cluster means are plain
+    * float sums (partial-aggregated in task order — fast, but the bits
+    * depend on partitioning, so a borderline pair could flip and no SQL
+    * twin can replay it; it stays spec-covered). This row swaps in the
+    * s15-pinned [[Similarity.kmeansFit]] over UNIT vectors — L2 argmin on
+    * the unit sphere IS the cosine clustering (d² = 2 − 2·cos) — so the
+    * whole pipeline (normalize → Lloyd → assign → within-cluster cosine
+    * pairs → drop the higher id of every pair) replays in DuckDB
+    * bit-for-bit. Output: the SURVIVORS with their cluster id.
+    *
+    * Scale shape: training is slice-bounded; assignment is the
+    * plan-literal projection; pairs materialize only inside clusters
+    * (corpus²/nlist expected work — the SemDeDup candidate-bounding
+    * story); the drop set joins back id-keyed. */
+  val d15SemanticDedup: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.loadSpread(s, dir, "embeddings")
+    val uv = Similarity.unitVecs(e, "vec_id", "embedding", "vec_id")
+    val cents = Similarity.kmeansFit(uv.filter($"vec_id" < 256), "vec_id", "__u",
+      k = 8, iters = 2)
+    val asg = Similarity.kmeansAssign(uv, "vec_id", "__u", cents)
+      .select($"vec_id", $"cluster")
+    val withCid = e.join(asg, Seq("vec_id"))
+    val drop = DedupOps.cosinePairs(withCid, "vec_id", "embedding", "cluster", 0.35)
+      .select($"id_b".as("vec_id")).distinct()
+    withCid.join(drop, Seq("vec_id"), "left_anti")
+      .select($"vec_id", $"cluster").orderBy($"vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d15_semantic_dedup" -> d15SemanticDedup,
     "d13_cdc_chunks" -> d13CdcChunks,
     "d14_containment" -> d14ContainmentPairs,
     "d01_exact_dedup" -> d01ExactDedup,
@@ -327,7 +360,57 @@ object Dedup {
       s"CAST(unicode(ch[$ref]) AS BIGINT) * ${graft.functions.CdcBoundaries.powMod(d)} % 2147483647"
     }.mkString("(", " + ", ") % 2147483647")
 
+  /** Generated DuckDB twin of [[d15SemanticDedup]]: unit-normalize, the
+    * s15 Lloyd staging (lowest-id seeds, argmin CTEs, id-sorted element
+    * fold means) over the unit-vector slice, whole-table argmin
+    * assignment, within-cluster raw-cosine pairs (the d05 expression on
+    * the ORIGINAL vectors), and the higher-id drop — every float the same
+    * expression shape the s15/s01/d05 oracles already prove exact. */
+  private def d15Sql(k: Int, iters: Int, dim: Int, threshold: Double): String = {
+    def d2(v: String, cv: String) =
+      s"(list_dot_product($v, $v) - 2 * list_dot_product($v, $cv)) + list_dot_product($cv, $cv)"
+    val zeros = s"list_transform(range(1, ${dim + 1}), i -> CAST(0 AS DOUBLE))"
+    val rounds = (1 to iters).map { r =>
+      val prev = s"c${r - 1}"
+      s""" a$r AS MATERIALIZED (
+         |  SELECT t.vec_id, (min({'d': ${d2("t.v", "c.v")}, 'c': c.cl})).c AS cl
+         |  FROM tr t, $prev c GROUP BY t.vec_id),
+         | m$r AS MATERIALIZED (
+         |  SELECT cl, list_transform(s, z -> z / n) AS v FROM (
+         |   SELECT a.cl, count(*) AS n,
+         |    list_reduce(list_prepend($zeros, list(t.v ORDER BY t.vec_id)),
+         |      (acc, x) -> list_transform(range(1, ${dim + 1}), i -> acc[i] + x[i])) AS s
+         |   FROM a$r a JOIN tr t USING (vec_id) GROUP BY a.cl) q2),
+         | c$r AS MATERIALIZED (
+         |  SELECT $prev.cl, coalesce(m$r.v, $prev.v) AS v
+         |  FROM $prev LEFT JOIN m$r USING (cl)),""".stripMargin
+    }.mkString("\n")
+    s"""WITH er AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |   sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nrm
+       |  FROM embeddings),
+       | u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS v FROM er),
+       | tr AS (SELECT vec_id, v FROM u WHERE vec_id < 256),
+       | c0 AS MATERIALIZED (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl, v
+       |  FROM tr ORDER BY vec_id LIMIT $k),
+       |$rounds
+       | asg AS MATERIALIZED (
+       |  SELECT t.vec_id, (min({'d': ${d2("t.v", "c.v")}, 'c': c.cl})).c AS cid
+       |  FROM u t, c$iters c GROUP BY t.vec_id),
+       | pr AS (
+       |  SELECT DISTINCT ay.vec_id AS id_b
+       |  FROM asg ax JOIN asg ay ON ax.cid = ay.cid AND ax.vec_id < ay.vec_id
+       |  JOIN er x ON x.vec_id = ax.vec_id
+       |  JOIN er y ON y.vec_id = ay.vec_id
+       |  WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) >= $threshold)
+       |SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster
+       |FROM asg a WHERE a.vec_id NOT IN (SELECT id_b FROM pr)
+       |ORDER BY a.vec_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "d15_semantic_dedup" -> d15Sql(k = 8, iters = 2, dim = 64, threshold = 0.35),
     // the c11 recursive-reachability machinery (same simhash pairs, same
     // component fixpoint), then the all-integer cluster-size histogram
     "d11_dup_stats" ->

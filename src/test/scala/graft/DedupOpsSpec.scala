@@ -953,6 +953,22 @@ class DedupOpsSpec extends SparkSpec {
       "++ centroids differ bit-wise across input partitionings")
   }
 
+  test("d15 deterministic SemDeDup: survivors carry NO intra-cluster pair above threshold; drops non-vacuous") {
+    // The operator's guarantee: after dropping the higher id of every
+    // within-cluster pair at cosine >= t, no surviving pair can violate t
+    // inside a cluster (a violating pair's higher id would be in the drop
+    // set). Re-checking the survivors against the SAME pair machinery
+    // must find nothing.
+    val e = Tables.load(spark, dir, "embeddings")
+    val out = graft.ext.Dedup.d15SemanticDedup(spark, dir)
+    val nAll = e.count(); val nSurv = out.count()
+    assert(nSurv < nAll && nSurv > 0, s"drops must be non-vacuous: $nSurv of $nAll")
+    val viol = DedupOps.cosinePairs(e.join(out, Seq("vec_id")),
+      "vec_id", "embedding", "cluster", 0.35)
+    assert(viol.isEmpty,
+      s"survivors still contain near-dup pairs: ${viol.collect().mkString(",")}")
+  }
+
   test("kmeansFitParallel: one oversampled round separates planted clusters; deterministic across partitionings") {
     // Same planted layout as the ++ test (all low ids in cluster A). One
     // race round with l = 2 must surface at least one far (cluster-B)
