@@ -17,7 +17,12 @@ OUT_DIR=${2:-/tmp/graft_gate_jar}
 ONLY=${3:-}
 cd "$(dirname "$0")/.."
 sbt -batch package
-JAR=$(ls -t target/scala-2.13/*.jar | head -1)
+# App artifact only — `ls -t *.jar | head -1` could pick a stale -sources
+# or -javadoc jar from a prior task and quietly validate the wrong build.
+JAR=$(ls -t target/scala-2.13/*_2.13-*.jar 2>/dev/null \
+  | grep -v -e '-sources\.jar$' -e '-javadoc\.jar$' | head -1)
+[ -n "$JAR" ] || { echo "gate_jar: no app jar under target/scala-2.13" >&2; exit 1; }
+SPARK_JARS_DIR=${SPARK_JARS_DIR:-/opt/spark/jars}
 ADD_OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent java.util.concurrent.atomic \
@@ -28,7 +33,7 @@ rm -rf "$OUT_DIR"
 # shellcheck disable=SC2086
 java $ADD_OPENS -Xmx8g -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
-  -cp "$JAR:/opt/spark/jars/*" graft.Verify "$SF_DIR" "$OUT_DIR" $ONLY
+  -cp "$JAR:$SPARK_JARS_DIR/*" graft.Verify "$SF_DIR" "$OUT_DIR" $ONLY
 # The Verify JVM is gone; everything the oracles need must now live in
 # OUT_DIR or the repo. Replay with the strict bit gate.
 if [ -n "$ONLY" ]; then

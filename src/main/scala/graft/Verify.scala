@@ -14,17 +14,25 @@ object Verify {
     // that SQL in DuckDB AFTER this JVM exits, and a jar-classpath run would
     // otherwise resolve the fixtures to a deleteOnExit temp dir — a path that
     // is gone by replay time, where DuckDB's read_blob returns 0 rows
-    // SILENTLY (round-11 verdict #1). Copy the fixtures into outDir — the
-    // oracle's inputs then live exactly as long as the oracle artifacts
-    // themselves (the parquet results are in the same directory) — and pin
-    // the resolver BEFORE Multimodal class-loads (chunkFixtureDir and the
-    // oracle map are vals initialized together on first touch of the object).
-    val chunkFixOut = new java.io.File(new java.io.File(outDir), "chunkfix")
-      .getAbsoluteFile
+    // SILENTLY (round-11 verdict #1). Copy the fixtures to a SIBLING of
+    // outDir (round-12 verdict #1): the driver's checker enumerates every
+    // subdirectory of outDir as a query result, so fixtures INSIDE it showed
+    // up as a junk non-parquet "chunkfix" error row. The sibling shares
+    // outDir's parent and therefore its lifetime, but is never enumerated.
+    // Pin the resolver BEFORE Multimodal class-loads (chunkFixtureDir and
+    // the oracle map are vals initialized together on first object touch).
+    val chunkFixOut = new java.io.File(
+      new java.io.File(outDir).getAbsoluteFile.getParentFile,
+      "chunkfix_fixtures")
     chunkFixOut.mkdirs()
     Seq("a.bin", "b.bin", "c.bin", "d.bin").foreach { n =>
       val in = getClass.getResourceAsStream(s"/chunkfix/$n")
-      if (in != null) try Files.copy(in, chunkFixOut.toPath.resolve(n),
+      // fail fast on a packaging regression — a silent skip would only
+      // surface later as m03's dead-input-path failure in the oracle replay
+      if (in == null) sys.error(s"chunkfix resource /chunkfix/$n missing " +
+        "from classpath — packaging regression; m03's oracle would replay " +
+        "against a dead path")
+      try Files.copy(in, chunkFixOut.toPath.resolve(n),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       finally in.close()
     }

@@ -423,27 +423,61 @@ object CurationOps {
     * assignment is integer-exact and engine-replayable — no interpolated
     * quantile float compare, no position-dependent ntile split.
     *
-    * Scale shape: a score-keyed histogram aggregation (cardinality =
-    * distinct rounded scores, thousands not billions), a cumulative window
-    * over THAT histogram (the only single-partition step — histogram-sized,
-    * never corpus-sized), a 1-row total, and a broadcast join back on the
-    * score. The corpus itself is never globally sorted — the textbook
-    * ntile-over-everything formulation would range-shuffle 100 TB for a
-    * 3-way label. */
+    * Scale shape (round-12 verdict #2 — the c13 bucketed decomposition
+    * applied to a continuous score domain): the earlier plan ran a
+    * cumulative window over the DISTINCT-score histogram with no
+    * partitionBy, which is histogram-sized only when scores are
+    * discretized — a continuous double score (this operator's actual
+    * input: per-doc LM means) has distinct count ≈ corpus count, so at
+    * 100 TB the whole score set sorted in ONE task. Now:
+    * [[graft.functions.Layout.sortableBits]] maps each score to an
+    * order-preserving 64-bit integer whose top 16 bits are a monotone
+    * bucket id (≤ 2¹⁶ buckets REGARDLESS of the score distribution);
+    * one corpus aggregation counts rows per bucket (≤ 65536 rows — bounded
+    * by the bucket space, never the corpus), the exclusive prefix offsets
+    * fold on the driver (the LshTuning closed-form discipline; the rows
+    * collected are capped at 2¹⁶ by construction); each document's global
+    * cumulative count is then `bucket offset + count over a PARTITIONED
+    * per-bucket RANGE window` (peers included, so equal scores still share
+    * a bucket label), ~1/65536 of the corpus per partition. No
+    * partition-less window anywhere in the plan (PlanSpec-pinned), no
+    * distinct-score-sized broadcast, and the corpus is never globally
+    * sorted — the textbook ntile-over-everything formulation would
+    * range-shuffle 100 TB for a 3-way label. Triggers one Spark job at
+    * call time (the bounded histogram collect). */
   def perplexityBuckets(scored: DataFrame, idCol: String,
       scoreCol: String): DataFrame = {
-    val hist = scored.groupBy(col(scoreCol).as("__s")).agg(count(lit(1)).as("__c"))
-    val cum = hist.withColumn("__cum",
-      sum(col("__c")).over(Window.orderBy(col("__s"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val tot = scored.agg(count(lit(1)).as("__n"))
-    val labels = cum.crossJoin(broadcast(tot))
-      .select(col("__s"),
-        when(col("__cum") * 3 <= col("__n"), "head")
-          .when(col("__cum") * 3 <= col("__n") * 2, "middle")
-          .otherwise("tail").as("bucket"))
-    scored.join(broadcast(labels), scored(scoreCol) === labels("__s"))
-      .drop("__s")
+    val s = scored.sparkSession
+    import s.implicits._
+    // +0.0 folds −0.0 into +0.0 so SQL-equal scores share one bucket id
+    // (groupBy normalizes −0.0; the bit pattern would not).
+    // Persisted: the histogram pass and the label pass both read this frame,
+    // and it is NARROW (id + score + bucket — bytes/row, not the corpus), so
+    // caching it beats recomputing the caller's scoring pipeline twice (the
+    // c13 persisted-histogram discipline; at 100 TB the upstream score is
+    // typically an LM pass you never want to run again).
+    val base = scored.withColumn("__bkt",
+      shiftright(graft.functions.Layout.sortableBits(col(scoreCol) + lit(0.0d)), 48))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = base.groupBy(col("__bkt")).agg(count(lit(1)).as("__bc")).collect()
+    // n counts every scored row (null scores included — they occupy the
+    // front of the cumulative order, matching the previous plan's
+    // nulls-first window, and drop from the output at the inner join below
+    // exactly as they dropped from the previous plan's equi-join).
+    val n = counts.map(_.getLong(1)).sum
+    val sorted = counts.filter(!_.isNullAt(0))
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = n - sorted.map(_._2).sum // null-score rows precede all buckets
+    val offs = sorted.map { case (b, c) => val o = acc; acc += c; (b, o) }
+    val within = Window.partitionBy(col("__bkt")).orderBy(col(scoreCol))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .join(broadcast(offs.toSeq.toDF("__bkt", "__off")), Seq("__bkt"))
+      .withColumn("__cum", col("__off") + count(lit(1)).over(within))
+      .select(scored.columns.map(col) :+
+        when(col("__cum") * 3 <= lit(n), "head")
+          .when(col("__cum") * 3 <= lit(n) * 2, "middle")
+          .otherwise("tail").as("bucket"): _*)
   }
 
   /** Leakage-safe train/val/test split: documents connected by a near-dup

@@ -66,4 +66,52 @@ object Layout {
         (interleave(x, 0) ++ interleave(y, 1))
           .reduce[Expression]((a, b) => BitwiseOr(a, b))
       })
+
+  /** Order-preserving IEEE-754 key: `sortableBits(a) < sortableBits(b)` iff
+    * `a < b` for every non-NaN double (NaN maps above +Inf, Spark's own sort
+    * order; −0.0 maps just below +0.0). The standard flip — raw bits for
+    * non-negatives, lower-63-bits inverted for negatives — so RANGE
+    * semantics over a continuous double domain become integer-bucket
+    * semantics: `shiftright(sortableBits(s), 48)` yields ≤ 2¹⁶ monotone
+    * buckets regardless of the score distribution, which is what lets
+    * [[graft.ext.CurationOps.perplexityBuckets]] decompose its corpus-wide
+    * cumulative count into bounded-histogram offsets + per-bucket windows
+    * (round-12 verdict #2). Native codegen'd Expression (no UDF, stays in
+    * WholeStageCodegen). */
+  def sortableBits(c: Column): Column = {
+    import org.apache.spark.sql.classic.GraftColumnBridge.{column => toCol}
+    import org.apache.spark.sql.classic.ExpressionColumnHelper.{expr => toExpr}
+    toCol(DoubleSortableBits(toExpr(c.cast("double"))))
+  }
+
+  /** Static codegen target / driver-side reference. */
+  def sortableBitsLocal(v: Double): Long = {
+    val b = java.lang.Double.doubleToLongBits(v)
+    if (b >= 0L) b else b ^ 0x7fffffffffffffffL
+  }
+}
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+
+/** See [[Layout.sortableBits]]. */
+case class DoubleSortableBits(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sortable_bits"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_sortable_bits expects a double input, got ${child.dataType.simpleString}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    Layout.sortableBitsLocal(input.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Layout.sortableBitsLocal($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

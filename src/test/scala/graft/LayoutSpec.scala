@@ -36,6 +36,31 @@ class LayoutSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("graft_zorder"))
   }
 
+  test("sortableBits is strictly order-preserving over the double line") {
+    val vals = Seq(Double.NegativeInfinity, -1.7e308, -3.5, -2.0, -1.0,
+      -Double.MinPositiveValue, -0.0, 0.0, Double.MinPositiveValue, 1e-300,
+      0.5, 1.0, 2.0, 3.5, 1.7e308, Double.PositiveInfinity)
+    // driver-side reference: strictly increasing along the sorted line
+    vals.sliding(2).foreach { case Seq(a, b) =>
+      assert(Layout.sortableBitsLocal(a) < Layout.sortableBitsLocal(b),
+        s"order violated at ($a, $b)")
+      case _ =>
+    }
+    // NaN above +Inf (Spark's sort order)
+    assert(Layout.sortableBitsLocal(Double.NaN) >
+      Layout.sortableBitsLocal(Double.PositiveInfinity))
+    // codegen'd Expression matches the reference bit-for-bit (indexed: a
+    // Double-keyed map would fold −0.0 and +0.0 into one entry)
+    val got = vals.zipWithIndex.toDF("v", "i")
+      .withColumn("b", Layout.sortableBits($"v"))
+      .select($"i", $"b").as[(Int, Long)].collect().toMap
+    vals.zipWithIndex.foreach { case (v, i) =>
+      assert(got(i) == Layout.sortableBitsLocal(v), s"at $v") }
+    // null propagates
+    assert(Seq[Option[Double]](None).toDF("v")
+      .select(Layout.sortableBits($"v")).head().isNullAt(0))
+  }
+
   test("range-bucketed zorder keys bound both dimensions (locality)") {
     val li = Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
       .select(($"l_orderkey" % 1024).as("xk"), ($"l_partkey" % 1024).as("yk"))

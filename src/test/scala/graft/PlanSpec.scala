@@ -282,6 +282,23 @@ class PlanSpec extends SparkSpec {
       s"prefix counts must re-aggregate the vocabulary, not re-explode the corpus:\n$p")
   }
 
+  test("c12: every window in the plan is partitioned (no corpus-sized single task)") {
+    // round-12 verdict #2: the old plan's cumulative window over DISTINCT
+    // double scores had no partitionBy — corpus-sized at 100 TB. The
+    // bucketed re-plan must leave NO partition-less window spec anywhere.
+    val df = SparkEntry.queries("c12_perplexity_buckets")(spark, dir)
+    df.collect() // AQE-finalize df's own QueryExecution (PlanDump note)
+    val p = df.queryExecution.executedPlan.toString
+    val specs = "windowspecdefinition\\([^#]*".r.findAllIn(p).toSeq
+    assert(specs.nonEmpty, s"expected a windowed plan:\n$p")
+    specs.foreach { sp =>
+      assert(sp.contains("__bkt"),
+        s"partition-less window spec in the c12 plan: $sp\n$p")
+    }
+    // and the bucket-offset side must arrive broadcast, never shuffled
+    assert(p.contains("BroadcastHashJoin"), s"offsets must broadcast:\n$p")
+  }
+
   test("s08: IVF-PQ candidates ride a broadcast probe; the code table never shuffles whole") {
     val p = plan("s08_ivfpq")
     assert(p.contains("BroadcastHashJoin"),
