@@ -643,7 +643,30 @@ object Similarity {
   private val modelCache =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
   private def cachedModel[T <: AnyRef](key: String)(train: => T): T =
-    modelCache.computeIfAbsent(key, _ => train).asInstanceOf[T]
+    modelCache.computeIfAbsent(key + ":" + embeddingsFingerprint(key),
+      _ => train).asInstanceOf[T]
+
+  /** Content fingerprint of the embeddings table under the dir embedded in
+    * `key` (name+length+mtime of every part file): a long-lived JVM (sbt
+    * session) that regenerates the data under an unchanged path gets a
+    * fresh model instead of a stale one that the DuckDB oracle — which
+    * always retrains from the current files — would mismatch. A stat walk,
+    * not a read; the per-JVM memo assumption otherwise stands. */
+  private def embeddingsFingerprint(key: String): String = {
+    val dir = key.dropWhile(_ != ':').drop(1)
+    val root = new java.io.File(dir, "embeddings.parquet")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).fold(Seq.empty[java.io.File])(
+          _.toSeq.sortBy(_.getName).flatMap(walk))
+      else Seq(f)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    walk(root).foreach { p =>
+      md.update(s"${p.getName}:${p.length}:${p.lastModified};"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
 
   // ---------------------------------------------------------------- s08
   /** IVF-PQ in the covering configuration — the oracle row for the
@@ -1348,7 +1371,12 @@ object Similarity {
           .orderBy(col("__score").desc, col("__id").asc)
           .limit(l).select(col("__id"), col("__v")).as[(Long, Seq[Double])]
           .collect()
-        cands = cands ++ batch.map(t => (t._1, t._2.toArray))
+        // degenerate edge (fewer than l points with nonzero D² remain):
+        // an already-chosen candidate scores an exact 0.0 and can re-enter
+        // the batch — dedup by id so it never appears twice (a duplicate
+        // would double-count in the weighted fold's DuckDB twin)
+        cands = (cands ++ batch.map(t => (t._1, t._2.toArray)))
+          .distinctBy(_._1)
       }
       // candidate index order = ascending id (kmeansPick ties resolve to
       // the lower index ⇔ the lower candidate id — the oracle's min-struct
@@ -1358,9 +1386,16 @@ object Similarity {
         .withColumn("__ci", kmeansPick(sorted.map(_._2), col("__v")).getField("c"))
         .groupBy(col("__ci")).agg(count(lit(1)).cast("double").as("w"))
         .as[(Int, Double)].collect().toMap
-      val candDf = sorted.zipWithIndex
+      val kept = sorted.zipWithIndex
         .map { case ((id0, v), i) => (id0, v.toSeq, wcounts.getOrElse(i, 0.0)) }
-        .toDF("__cid", "__cv", "__cw").filter($"__cw" > 0)
+        .filter(_._3 > 0)
+      // the zero-weight filter can drop oversampled candidates; reducing
+      // fewer than k survivors to k centroids would silently return fewer —
+      // surface the too-few-distinct-points contract instead
+      require(kept.size >= k, s"k-means‖ kept ${kept.size} weighted " +
+        s"candidates < k=$k — too few distinct training points for this " +
+        "(rounds, l, k); raise rounds*l or lower k")
+      val candDf = kept.toDF("__cid", "__cv", "__cw")
       kmeansFitWeighted(candDf, "__cid", "__cv", "__cw", k, candIters)
     } finally e.unpersist(false)
   }
@@ -1423,6 +1458,10 @@ object Similarity {
       s"need k,refine,dPrefix >= 1, got $k,$refine,$dPrefix")
     val c = unitVecs(corpus, idCol, vecCol, "id")
       .withColumn("__cp", slice(col("__u"), 1, dPrefix))
+    // slice() silently returns the whole vector past its end — the caller
+    // would believe truncation is in effect while stage 1 ranks full-dim
+    val dim = c.select(size(col("__u"))).head.getInt(0)
+    require(dPrefix <= dim, s"dPrefix=$dPrefix exceeds vector dim=$dim")
     val q = unitVecs(queries, idCol, vecCol, "query_id")
       .select(col("query_id"), col("__u").as("__qu"),
         slice(col("__u"), 1, dPrefix).as("__qp"))
