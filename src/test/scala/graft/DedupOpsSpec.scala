@@ -547,6 +547,38 @@ class DedupOpsSpec extends SparkSpec {
       s"mean IVF-PQ recall@5 too low: ${recall.sum / recall.size}")
   }
 
+  test("ivfPqTrainDet: deterministic model serves the same search path (covering = brute)") {
+    val queries = embs.filter($"vec_id" < 20)
+    val brute = DedupOps.knn(embs, queries, "vec_id", "embedding", 5)
+      .select($"query_id", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // the id-sorted-fold trainer plugs into the unchanged encode/search:
+    // covering config must still be exactly brute force
+    val model = Similarity.ivfPqTrainDet(embs, "vec_id", "embedding",
+      nlist = 8, m = 8, ksub = 16, iters = 1)
+    val cover = Similarity.ivfPqSearch(model,
+        Similarity.ivfPqEncode(model, embs, "vec_id", "embedding"),
+        embs, queries, "vec_id", "embedding", k = 5, nprobe = 8, refine = 200)
+      .select($"query_id", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(cover == brute)
+    // training is deterministic: a second fit reproduces every double
+    val again = Similarity.ivfPqTrainDet(embs, "vec_id", "embedding",
+      nlist = 8, m = 8, ksub = 16, iters = 1)
+    assert(model == again, "det training must be bit-reproducible")
+    // non-covering production shape keeps a useful recall floor
+    val approx = Similarity.ivfPqSearch(model,
+        Similarity.ivfPqEncode(model, embs, "vec_id", "embedding"),
+        embs, queries, "vec_id", "embedding", k = 5, nprobe = 3, refine = 4)
+      .select($"query_id", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recall = brute.keys.toSeq.map { q =>
+      (approx.getOrElse(q, Set.empty[Long]) & brute(q)).size.toDouble / brute(q).size
+    }
+    assert(recall.sum / recall.size > 0.4,
+      s"mean det-IVF-PQ recall@5 too low: ${recall.sum / recall.size}")
+  }
+
   test("ivfPqKnn byResidual: covering equals brute; residual recall is competitive") {
     val queries = embs.filter($"vec_id" < 20)
     val brute = DedupOps.knn(embs, queries, "vec_id", "embedding", 5)
