@@ -338,10 +338,22 @@ object CurationOps {
     * the corpus per partition). Budget arithmetic is all-integer — no
     * float-threshold edge cases. */
   def sampleTokenBudget(df: DataFrame, idCol: String, textCol: String,
+      numer: Long, denom: Long, salt: String = "budget"): DataFrame =
+    sampleTokenBudgetByCount(
+      df.withColumn("__ntok", size(toks(col(textCol))).cast("long")),
+      idCol, "__ntok", numer, denom, salt)
+
+  /** [[sampleTokenBudget]] over a CALLER-SUPPLIED per-document token count
+    * column — the seam that lets the budget run on real tokenizer counts
+    * (e.g. [[TextAnalysis.bpeSegment]]'s `n_subwords`, the t27 loop) instead
+    * of whitespace tokens: a training budget is denominated in the tokens
+    * the model will actually see. Same bucketed decomposition, same
+    * determinism contract. */
+  def sampleTokenBudgetByCount(df: DataFrame, idCol: String, countCol: String,
       numer: Long, denom: Long, salt: String = "budget"): DataFrame = {
     require(numer >= 0 && denom > 0, s"bad budget fraction $numer/$denom")
     val base = df
-      .withColumn("__ntok", size(toks(col(textCol))).cast("long"))
+      .withColumn("__ntok", col(countCol).cast("long"))
       .withColumn("__h", h60(concat(lit(salt), col(idCol).cast("string"))))
       .withColumn("__b", shiftright(col("__h"), 44))
     // ONE corpus aggregation feeds bucket offsets AND the grand total: the

@@ -604,20 +604,29 @@ object TextAnalysis {
       .select(col("rank").cast("long"), col("left"), col("right"), col("pair_freq"))
   }
 
-  /** Apply a learned merge list to a corpus: segment every doc's words with
-    * the merges in rank order (same greedy fold as training). The merge list
+  /** Apply a learned merge list to a corpus: segment every word with the
+    * merges in rank order (same greedy fold as training). The merge list
     * rides the plan as literals — chained folds, one per merge, so cap the
     * list (~64) or checkpoint between groups when applying deep vocabularies.
-    * Returns (idCol, n_words, n_subwords). */
+    * Returns (idCol, n_words, n_subwords).
+    *
+    * Scale shape (round-13, the bpeTrain discipline applied to serving):
+    * the folds run over the DISTINCT-WORD vocabulary, not the word-instance
+    * stream — a Zipf-distributed corpus repeats its words ~corpus/vocab
+    * times each, so folding per instance re-pays the per-merge fold chain
+    * thousands of times per common word. Segment the vocab once, join the
+    * per-word subword count back to the instances (vocab-keyed; AQE
+    * broadcasts it when the vocabulary fits), aggregate per document. */
   def bpeSegment(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
-    val words = df
+    val inst = df
       .withColumn("__tk", toks(col(textCol)))
       .select(col(idCol), explode_outer(col("__tk")).as("__w"))
       .filter(col("__w").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
+    val vocab = inst.select(col("__w")).distinct()
       .withColumn("__sym",
         expr("transform(sequence(1, length(__w)), i -> substring(__w, i, 1))"))
-    val segmented = merges.foldLeft(words) { case (acc0, (l, r)) =>
+    val segmented = merges.foldLeft(vocab) { case (acc0, (l, r)) =>
       acc0.withColumn("__sym",
         aggregate(col("__sym"),
           array().cast("array<string>"),
@@ -627,14 +636,34 @@ object TextAnalysis {
               concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
               .otherwise(concat(acc, array(x)))))
     }
-    segmented.groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_words"),
-        sum(size(col("__sym"))).cast("long").as("n_subwords"))
+    val wlen = segmented.select(col("__w"), size(col("__sym")).cast("long").as("__ns"))
+    inst.join(wlen, Seq("__w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("__ns")).as("n_subwords"))
   }
 
   val t14BpeMerges: Q = (s, dir) => {
     import s.implicits._
     bpeTrain(docs(s, dir), "text", nMerges = 8).orderBy($"rank")
+  }
+
+  // ---------------------------------------------------------------- t27
+  /** BPE end-to-end (round-12 verdict #7): train the t14 merge table, then
+    * TOKENIZE THE CORPUS WITH IT — per-document word and subword counts
+    * under the learned vocabulary. t14's oracle replays training only; this
+    * row closes the loop from tokenizer training to the token-count
+    * consumers (c13/c16 token budgets can run on BPE counts instead of
+    * whitespace counts — CurationSpec pins that wiring). The DuckDB twin
+    * extends the t14 staging with one more recursive fold (the final merge
+    * applied) and joins the segmented vocabulary back to the doc word
+    * stream — every output an exact integer. */
+  val t27BpeSegment: Q = (s, dir) => {
+    import s.implicits._
+    val d = docs(s, dir)
+    val merges = bpeTrain(d, "text", nMerges = 8)
+      .orderBy($"rank").select($"left", $"right")
+      .as[(String, String)].collect().toSeq
+    bpeSegment(d, "doc_id", "text", merges).orderBy($"doc_id")
   }
 
   // ---------------------------------------------------------------- t15
@@ -1230,6 +1259,7 @@ object TextAnalysis {
     "t12_bigram_surprise" -> t12BigramSurprise,
     "t13_url_filter" -> t13UrlFilter,
     "t14_bpe_merges" -> t14BpeMerges,
+    "t27_bpe_segment" -> t27BpeSegment,
     "t15_kn_surprise" -> t15KnSurprise,
     "t16_nfc_normalize" -> t16NfcNormalize,
     "t17_strip_accents" -> t17StripAccents,
@@ -1246,7 +1276,7 @@ object TextAnalysis {
     * inside the recursive part): without both, DuckDB re-inlines the chain
     * and the k-th stage re-evaluates everything before it once per
     * recursion level — measured exponential (minutes at sf0.001). */
-  private[ext] def bpeOracleSql(nMerges: Int): String = {
+  private[ext] def bpeOracleSql(nMerges: Int, segment: Boolean = false): String = {
     val sb = new StringBuilder
     sb.append(
       """WITH RECURSIVE wf AS MATERIALIZED (
@@ -1257,7 +1287,10 @@ object TextAnalysis {
         |  SELECT w, f, list_transform(range(1, length(w) + 1),
         |    i -> substr(w, i, 1)) AS sym FROM wf)""".stripMargin)
     for (k <- 1 to nMerges) {
-      val mkSym = if (k < nMerges)
+      // segment mode also folds the FINAL merge through the vocabulary —
+      // training itself never needs the post-last-merge symbol state
+      val foldToo = k < nMerges || segment
+      val mkSym = if (foldToo)
         s""",
            | s$k AS MATERIALIZED (SELECT w, f, acc AS sym FROM f$k WHERE len(rest) = 0)""".stripMargin
       else ""
@@ -1268,7 +1301,7 @@ object TextAnalysis {
         |    SELECT f, sym, unnest(range(1, len(sym))) AS i FROM s${k - 1}))
         |  GROUP BY l, r),
         | t$k AS MATERIALIZED (SELECT l, r, pf FROM p$k ORDER BY pf DESC, l, r LIMIT 1)""".stripMargin)
-      if (k < nMerges) sb.append(s""",
+      if (foldToo) sb.append(s""",
         | f$k(w, f, rest, acc, ml, mr) AS (
         |  SELECT s.w, s.f, s.sym, CAST([] AS VARCHAR[]), t.l, t.r
         |  FROM s${k - 1} s, t$k t
@@ -1280,10 +1313,23 @@ object TextAnalysis {
         |   ml, mr
         |  FROM f$k WHERE len(rest) > 0)$mkSym""".stripMargin)
     }
-    sb.append((1 to nMerges).map(k =>
-      s"""SELECT CAST($k AS BIGINT) AS rank, l AS "left", r AS "right",
-         | CAST(pf AS BIGINT) AS pair_freq FROM t$k""".stripMargin)
-      .mkString("\n", "\nUNION ALL\n", "\nORDER BY rank"))
+    if (!segment)
+      sb.append((1 to nMerges).map(k =>
+        s"""SELECT CAST($k AS BIGINT) AS rank, l AS "left", r AS "right",
+           | CAST(pf AS BIGINT) AS pair_freq FROM t$k""".stripMargin)
+        .mkString("\n", "\nUNION ALL\n", "\nORDER BY rank"))
+    else
+      // t27: join the fully-merged vocabulary back to the doc word stream —
+      // wf IS the corpus vocabulary, so every instance matches
+      sb.append(s""",
+        | dw AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+        |    x -> length(x) > 0)) AS w
+        |  FROM documents)
+        |SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        | CAST(sum(len(s$nMerges.sym)) AS BIGINT) AS n_subwords
+        |FROM dw JOIN s$nMerges ON dw.w = s$nMerges.w
+        |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin)
     sb.toString
   }
 
@@ -1750,6 +1796,7 @@ object TextAnalysis {
         | CAST(CASE WHEN nb = 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
         |FROM f ORDER BY doc_id""".stripMargin,
     "t14_bpe_merges" -> bpeOracleSql(8),
+    "t27_bpe_segment" -> bpeOracleSql(8, segment = true),
     "t15_kn_surprise" ->
       (toksCte +
         s""", b AS (

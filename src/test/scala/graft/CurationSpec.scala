@@ -451,6 +451,41 @@ class CurationSpec extends SparkSpec {
       .count() == keepAll)
   }
 
+  test("sampleTokenBudgetByCount: a token budget denominated in BPE subword counts") {
+    import graft.ext.TextOps.h60Local
+    // train merges on a corpus, segment it, budget-sample on n_subwords —
+    // the t27 loop feeding c13 (the budget counts what the model will see)
+    val corpus = Seq((1L, "low low lower"), (2L, "newest widest newest"),
+      (3L, "low widest"), (4L, "newest newest lowest"))
+      .toDF("doc_id", "text")
+    import graft.ext.TextAnalysis
+    val merges = TextAnalysis.bpeTrain(corpus, "text", nMerges = 4)
+      .orderBy($"rank").select($"left", $"right")
+      .as[(String, String)].collect().toSeq
+    val seg = TextAnalysis.bpeSegment(corpus, "doc_id", "text", merges)
+    val nSub = seg.select($"doc_id", $"n_subwords").as[(Long, Long)]
+      .collect().toMap
+    val total = nSub.values.sum
+    val budget = total * 1 / 2
+    val order = nSub.keys.toSeq.sortBy(id => (h60Local("budget" + id), id))
+    val expected = order.zip(order.scanLeft(0L)((s, id) => s + nSub(id)))
+      .collect { case (id, cumBefore) if cumBefore < budget => id }.toSet
+    val got = CurationOps.sampleTokenBudgetByCount(seg, "doc_id", "n_subwords",
+      1L, 2L).select($"doc_id", $"n_tok").as[(Long, Long)].collect().toMap
+    assert(got.keySet == expected, s"got ${got.keySet}, expected $expected")
+    // the reported n_tok IS the subword count, not whitespace tokens
+    assert(got.forall { case (id, n) => nSub(id) == n })
+    // and the textCol form is exactly the byCount form over whitespace counts
+    val viaText = CurationOps.sampleTokenBudget(corpus, "doc_id", "text", 1L, 2L)
+      .as[(Long, Long)].collect().toMap
+    val viaCount = CurationOps.sampleTokenBudgetByCount(
+      corpus.withColumn("nt", size(split(trim($"text"), "\\s+"))
+        .cast("long")).filter($"nt".isNotNull),
+      "doc_id", "nt", 1L, 2L).select($"doc_id", $"n_tok")
+      .as[(Long, Long)].collect().toMap
+    assert(viaText == viaCount)
+  }
+
   test("mixturePlan: epochs + fractional remainder by hand; unweighted plans to zero") {
     // a: 10 tokens, weight 0.5 of budget 100 -> target 50 = 5 full epochs
     // b: 20 tokens, weight 0.25 -> target 25 = 1 epoch + 5/20 = 0.25 rate
