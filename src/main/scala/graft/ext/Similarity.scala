@@ -618,6 +618,23 @@ object Similarity {
   def saveIvfPqModel(model: IvfPqModel, spark: SparkSession, path: String): Unit =
     model.toDF(spark).write.mode("overwrite").parquet(path)
 
+  /** Persist an [[ivfPqEncode]]'d code table in the INVERTED-LIST layout a
+    * serving deployment wants on disk (round-12 verdict #6 — the q38/bm25
+    * layout discipline applied to the ANN postings): range-partitioned and
+    * sorted by list id, so every parquet row group covers a narrow `__cid`
+    * range and a search probing `nprobe` lists reads only those row groups
+    * via min/max stats (with [[ivfPqSearch]]'s `pruneLists`, which pushes
+    * the probed ids into the scan as a literal In). Id-sorted within a list
+    * for deterministic layout. */
+  def saveIvfPqCodes(codes: DataFrame, path: String): Unit =
+    codes.repartitionByRange(col("__cid"), col("id"))
+      .sortWithinPartitions(col("__cid"), col("id"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Load a [[saveIvfPqCodes]]-persisted code table. */
+  def loadIvfPqCodes(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Train the coarse quantizer + PQ sub-codebooks on ONE persisted
     * deterministic sample (see [[ivfKnn]]'s trainSampleRows note). Residual
     * mode (FAISS by_residual=true): sub-codebooks train and encode on
@@ -671,9 +688,17 @@ object Similarity {
     * stays one LUT per query: dot(q,x) = dot(q,c_list) + dot(q,r̂), and the
     * coarse dot is already computed by the probe. No training happens here
     * — the steady-state per-query-batch path. */
+  /** @param pruneLists collect the probed list ids driver-side (bounded by
+    *   nprobe × |queries| distinct values ≤ nlist; query batches are tiny by
+    *   contract, like [[Retrieval.bm25Search]]'s query vocabulary) and push
+    *   them into the code-table scan as a chunked literal In — on a
+    *   [[saveIvfPqCodes]] list-sorted table the scan then reads ONLY the
+    *   probed lists' row groups instead of the whole code table. Off by
+    *   default: an in-plan (freshly encoded) code table has nothing to
+    *   prune, and the extra tiny probe job would be pure overhead. */
   def ivfPqSearch(model: IvfPqModel, codes: DataFrame, corpus: DataFrame,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
-      nprobe: Int = 4, refine: Int = 4): DataFrame = {
+      nprobe: Int = 4, refine: Int = 4, pruneLists: Boolean = false): DataFrame = {
     val m = model.pq.m; val dsub = model.pq.dsub
     def sub(u: Column, s: Int): Column = slice(u, s * dsub + 1, dsub)
     val c = unitVecs(corpus, idCol, vecCol, "id")
@@ -699,7 +724,23 @@ object Similarity {
       .select(col("query_id"), col("__u").as("__qu"), col("__lut"))
     // inverted lists partition the corpus, so a query's probed candidates
     // are distinct ids; list-pruned join on __cid, then the shared ADC tail
-    val cand0 = broadcast(probes).join(codes, Seq("__cid"))
+    val codesSrc =
+      if (!pruneLists) codes
+      else {
+        val cids = probes.select(col("__cid")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        if (cids.isEmpty) codes.filter(lit(false))
+        else {
+          // chunked In probe (the bm25Search discipline, see graft.Pushdown):
+          // an unchunked In past the session threshold silently degrades to
+          // a min/max RANGE filter and reads every probed-range row group
+          graft.Pushdown.ensureInThreshold(codes.sparkSession)
+          cids.sorted.grouped(graft.Pushdown.InChunk)
+            .map(chunk => codes.filter(col("__cid").isInCollection(chunk)))
+            .reduce(_ union _)
+        }
+      }
+    val cand0 = broadcast(probes).join(codesSrc, Seq("__cid"))
       .filter(col("query_id") =!= col("id"))
       .join(broadcast(qlut), Seq("query_id"))
     adcRankRerank(cand0, c, m, k, refine,
