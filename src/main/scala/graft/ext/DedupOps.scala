@@ -768,19 +768,31 @@ object DedupOps {
     * (null/empty vectors) never enter the pair stage and are retained.
     *
     * Scale shape: pair candidates exist only inside a cluster — Σ cluster²
-    * with cluster count CHOSEN to scale with the corpus (`nlist` is a
-    * parameter, unlike d05's fixed label cardinality); the final join is a
-    * LEFT ANTI against the dropped ids only (duplicates ≪ corpus), no
-    * broadcast hint. */
+    * with cluster count SIZED WITH THE CORPUS (the round-12 verdict #5
+    * k-sizing rule): by default (`nlist = 0`) the operator counts the
+    * embeddable rows and picks `nlist = n / targetClusterSize` via
+    * [[semanticDedupNlist]], which keeps expected in-cluster pair work at
+    * ~n × targetClusterSize — LINEAR in the corpus — instead of the n²/k
+    * blowup a fixed k suffers at 100 TB (a fixed k = 8 makes every
+    * "cluster" ~n/8 of the corpus; d15's k = 8 is the ORACLE-WITNESS
+    * config, not a production default). The auto k caps at 4096 because
+    * assignment folds the k×dim centroid matrix into the plan as literals;
+    * past that, cluster with the s20 [[Similarity.kmeansFitParallelRefined]]
+    * pipeline and pass the explicit `nlist`. The final join is a LEFT ANTI
+    * against the dropped ids only (duplicates ≪ corpus), no broadcast
+    * hint. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nlist: Int = 16, iters: Int = 2,
-      trainSampleRows: Long = 262144L): DataFrame = {
+      threshold: Double, nlist: Int = 0, iters: Int = 2,
+      trainSampleRows: Long = 262144L, targetClusterSize: Long = 4096L): DataFrame = {
     val c = Similarity.unitVecs(df.filter(col(vecCol).isNotNull), idCol, vecCol, "id")
+    val k =
+      if (nlist > 0) nlist
+      else semanticDedupNlist(c.count(), targetClusterSize)
     // k-means trains on the deterministic hash sample (the ivfKnn/pqKnn
     // practice — centroid placement needs a density sketch, not the corpus);
     // cluster ASSIGNMENT below always runs over every row
     val centroids = Similarity.trainCentroids(
-      Similarity.trainSample(c, trainSampleRows), nlist, iters,
+      Similarity.trainSample(c, trainSampleRows), k, iters,
       persistInput = trainSampleRows != Long.MaxValue)
     val clustered = df.filter(col(vecCol).isNotNull)
       .withColumn("__cid", Similarity.assignExpr(
@@ -788,6 +800,18 @@ object DedupOps {
     val drop = cosinePairs(clustered, idCol, vecCol, "__cid", threshold)
       .select(col("id_b").as(idCol)).distinct()
     df.join(drop, Seq(idCol), "left_anti")
+  }
+
+  /** [[semanticDedup]]'s default cluster-count rule: `n / targetClusterSize`
+    * clusters (floored at 16 so tiny corpora still partition, capped at
+    * 4096 — the practical limit for literal-folded centroid assignment).
+    * With k ∝ n the expected in-cluster pair work Σ cluster² stays
+    * ~n × targetClusterSize, linear in the corpus; a FIXED k would go
+    * quadratic. Pure driver arithmetic, exposed for sizing audits. */
+  def semanticDedupNlist(n: Long, targetClusterSize: Long = 4096L): Int = {
+    require(targetClusterSize > 0, s"targetClusterSize > 0, got $targetClusterSize")
+    math.max(16L, math.min(4096L,
+      (n + targetClusterSize - 1) / targetClusterSize)).toInt
   }
 
   /** Brute-force cosine top-k: broadcast the (small) query set, stream the

@@ -896,6 +896,34 @@ class DedupOpsSpec extends SparkSpec {
     assert(keptNull.contains(200001L))
   }
 
+  test("semanticDedup default k scales with the corpus (round-12 verdict #5)") {
+    import DedupOps.semanticDedupNlist
+    // floor, proportional region, cap
+    assert(semanticDedupNlist(1000L) == 16)
+    assert(semanticDedupNlist(4096L * 64) == 64)
+    assert(semanticDedupNlist(4096L * 1024) == 1024)
+    assert(semanticDedupNlist(1L << 40) == 4096,
+      "past the literal-assignment cap, callers pass explicit nlist (s20 pipeline)")
+    // k doubles when the corpus doubles: in-cluster pair work stays linear
+    assert(semanticDedupNlist(4096L * 128) == 2 * semanticDedupNlist(4096L * 64))
+    // targetClusterSize rescales the rule
+    assert(semanticDedupNlist(4096L * 64, targetClusterSize = 2048L) == 128)
+    // the auto default (nlist = 0) behaves like the pinned-k run on real
+    // data: planted exact duplicates drop, originals stay — here the corpus
+    // is big enough relative to targetClusterSize that k comes from the
+    // scaling rule, not the floor
+    val dups = embs.filter($"vec_id".isin(3L, 17L))
+      .select(($"vec_id" + 100000L).as("vec_id"), $"label", $"embedding")
+    val corpus = embs.select($"vec_id", $"label", $"embedding").unionByName(dups)
+    val n = corpus.filter($"embedding".isNotNull).count()
+    assert(semanticDedupNlist(n, targetClusterSize = 16L) > 16)
+    val kept = DedupOps.semanticDedup(corpus, "vec_id", "embedding",
+        threshold = 0.999, iters = 1, targetClusterSize = 16L)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(Seq(100003L, 100017L).forall(!kept.contains(_)))
+    assert(Seq(3L, 17L).forall(kept.contains))
+  }
+
   test("knnInt8: codes bounded, per-dim error <= step/2, high recall vs exact") {
     val queries = embs.filter($"vec_id" < 20)
     val ranges = Similarity.int8Ranges(embs, "embedding")
