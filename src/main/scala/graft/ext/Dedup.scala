@@ -322,7 +322,26 @@ object Dedup {
       .select($"vec_id", $"cluster").orderBy($"vec_id")
   }
 
+  // ---------------------------------------------------------------- d16
+  /** Quality-aware near-dup resolution — the oracle row for
+    * [[DedupOps.keepBestPerGroup]]: the c11 simhash pair graph, components
+    * by the d07 recursive fixpoint, then keep the LONGEST member of every
+    * group (token count DESC, doc_id ASC) instead of c11/d02's lowest-id
+    * rule — both engines must agree on every survivor AND its group label.
+    * Scores are exact integers, so the argmax replays trivially. */
+  val d16KeepBestDedup: Q = (s, dir) => {
+    import s.implicits._
+    val d = docs(s, dir)
+    val pairs = DedupOps.simhashPairs(d, "doc_id", "text",
+      bands = 2, bitsPerBand = 15, maxHamming = 1)
+    val scored = d.withColumn("n_tok", size(toks($"text")).cast("long"))
+    DedupOps.keepBestPerGroup(scored, "doc_id", "n_tok", pairs, "id_a", "id_b")
+      .select($"doc_id", $"dup_group", $"n_tok")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d16_keepbest_dedup" -> d16KeepBestDedup,
     "d15_semantic_dedup" -> d15SemanticDedup,
     "d13_cdc_chunks" -> d13CdcChunks,
     "d14_containment" -> d14ContainmentPairs,
@@ -410,6 +429,59 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    // the c11 simhash-pair + recursive-component machinery, then the
+    // keep-best argmax (n_tok DESC, doc_id ASC) per group — integer scores,
+    // so the winner replays exactly
+    "d16_keepbest_dedup" ->
+      """WITH RECURSIVE l AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        | t AS (SELECT doc_id, unnest(toks) AS tok FROM l),
+        | h AS (
+        |  SELECT doc_id,
+        |   CAST(CAST(('0x' || substr(md5(tok),1,15)) AS UBIGINT) % 2147483647 AS BIGINT) AS hm
+        |  FROM t),
+        | g AS (SELECT doc_id, hm, count(*) AS cnt FROM h GROUP BY doc_id, hm),
+        | b AS (
+        |  SELECT doc_id, j,
+        |   sum(CASE WHEN (hm >> j) & 1 = 1 THEN cnt ELSE -cnt END) AS sgn
+        |  FROM g, (SELECT unnest(range(0,30)) AS j) GROUP BY doc_id, j),
+        | sig AS (
+        |  SELECT doc_id,
+        |   CAST(sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM b GROUP BY doc_id),
+        | bands AS (
+        |  SELECT doc_id, simhash, bd, (simhash >> (15*bd)) & 32767 AS bv
+        |  FROM sig, (SELECT unnest(range(0,2)) AS bd)),
+        | cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |   any_value(a.simhash) AS sa, any_value(b.simhash) AS sb
+        |  FROM bands a JOIN bands b ON a.bd = b.bd AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        | pairs AS (
+        |  SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sa, sb)) <= 1),
+        | e AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        | n AS (SELECT DISTINCT src AS id FROM e),
+        | reach(id, r) AS (
+        |  SELECT id, id FROM n
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+        | comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        | sc AS (
+        |  SELECT l.doc_id,
+        |   CAST(coalesce(c.component, l.doc_id) AS BIGINT) AS dup_group,
+        |   CAST(len(l.toks) AS BIGINT) AS n_tok
+        |  FROM l LEFT JOIN comp c ON l.doc_id = c.id),
+        | best AS (
+        |  SELECT doc_id, dup_group, n_tok,
+        |   row_number() OVER (PARTITION BY dup_group
+        |     ORDER BY n_tok DESC, doc_id) AS rk
+        |  FROM sc)
+        |SELECT doc_id, dup_group, n_tok FROM best WHERE rk = 1
+        |ORDER BY doc_id""".stripMargin,
     "d15_semantic_dedup" -> d15Sql(k = 8, iters = 2, dim = 64, threshold = 0.35),
     // the c11 recursive-reachability machinery (same simhash pairs, same
     // component fixpoint), then the all-integer cluster-size histogram

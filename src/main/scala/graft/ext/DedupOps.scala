@@ -759,6 +759,43 @@ object DedupOps {
     (if (lsh) "lsh" else "block", est)
   }
 
+  /** Quality-aware near-dup resolution: keep the BEST-scoring member of
+    * every near-duplicate group instead of the lowest id — the rule a real
+    * curation pipeline wants ("among these paraphrases, keep the longest /
+    * highest-quality one"), composing any `*Pairs` operator with any scoring
+    * column (token count, t02 quality, a classifier score). Groups come
+    * from [[connectedComponents]] over the pair relation; within a group
+    * the winner is (scoreCol DESC, id ASC) — deterministic, engine-
+    * replayable. Unpaired documents survive untouched. Output: the
+    * surviving rows plus their `dup_group` (component minimum id; own id
+    * when unpaired).
+    *
+    * Scale shape: the component labeling runs on the pair graph only
+    * (duplicates ≪ corpus — the size-adaptive [[connectedComponents]]
+    * machinery) and ONLY PAIRED rows enter the keep-best window (partition
+    * = one duplicate group, a handful of rows); the unpaired bulk of the
+    * corpus passes through with a projection — no corpus-sized shuffle
+    * anywhere (the [[graft.ext.CurationOps.splitLeakageSafe]] shape with an
+    * argmax instead of a hash split). */
+  def keepBestPerGroup(df: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol)
+      .select(col("id").as("__cid"), col("component"))
+    val grouped = df
+      .join(comp, col(idCol).cast("long") === col("__cid"), "left")
+      .withColumn("dup_group",
+        coalesce(col("component"), col(idCol).cast("long")))
+      .drop("__cid")
+    val unpaired = grouped.filter(col("component").isNull).drop("component")
+    val w = Window.partitionBy(col("dup_group"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val bestOfPaired = grouped.filter(col("component").isNotNull)
+      .drop("component")
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1).drop("__rk")
+    unpaired.unionByName(bestOfPaired)
+  }
+
   /** SemDeDup-style semantic dedup: cluster the embedding space with the IVF
     * coarse quantizer (deterministic seeded k-means, centroid matrix is
     * driver-side KBs folded into the plan as literals), then inside each

@@ -869,6 +869,21 @@ class DedupOpsSpec extends SparkSpec {
     assert(withDup.contains((7L, 900007L, 0L)))
   }
 
+  test("keepBestPerGroup keeps the argmax per component; unpaired rows pass through") {
+    val rows = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 5L), (9L, 1L))
+      .toDF("doc_id", "score")
+    // components: {1,2,3} (chained), {4} via no pair, 9 unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = DedupOps.keepBestPerGroup(rows, "doc_id", "score",
+        pairs, "id_a", "id_b")
+      .select($"doc_id", $"dup_group", $"score")
+      .as[(Long, Long, Long)].collect().toSet
+    // group {1,2,3}: scores 10/30/30 — tie between 2 and 3 goes to the
+    // LOWER id; group label is the component minimum (1)
+    // 4 and 9 are unpaired: survive with their own id as group
+    assert(kept == Set((2L, 1L, 30L), (4L, 4L, 5L), (9L, 9L, 1L)))
+  }
+
   test("semanticDedup drops in-cluster near-identical vectors, keeps the rest") {
     // append exact duplicates of three corpus vectors under higher ids: an
     // exact copy lands in the same k-means cluster, cosine 1.0 >= any
