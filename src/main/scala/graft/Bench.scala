@@ -60,7 +60,7 @@ object Bench {
     // persisted model (the layout_s precedent: first build includes one
     // query execution, steady-state is the sweeps' number).
     val trainNames = Seq("s05_pq_rerank", "s08_ivfpq", "s09_ivfpq_residual",
-      "s21_ivfpq_recall").filter(names.contains)
+      "s21_ivfpq_recall", "s22_ivfpq_residual_recall").filter(names.contains)
     val train = trainNames.map { n =>
       val t0 = System.nanoTime()
       try { drain(n, sfDir); n -> (System.nanoTime() - t0) / 1e9 }

@@ -385,7 +385,7 @@ object Similarity {
     * s08 witness is training-insensitive by construction). */
   def ivfPqTrainDet(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int = 16, m: Int = 8, ksub: Int = 16, iters: Int = 2,
-      trainSampleRows: Long = 262144L): IvfPqModel = {
+      trainSampleRows: Long = 262144L, byResidual: Boolean = false): IvfPqModel = {
     val c = unitVecs(corpus, idCol, vecCol, "id")
     val dim = c.select(size(col("__u"))).head.getInt(0)
     require(dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
@@ -393,8 +393,13 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val cens = trainCentroidsDet(ct, nlist, iters)
-      val cbs = trainPqCodebooksDet(ct, m, ksub, dim / m, iters)
-      IvfPqModel(cens, PqModel(m, dim / m, cbs), byResidual = false)
+      // residual mode mirrors ivfPqTrain: sub-codebooks train on
+      // r = u − centroid(list(u)) — zip_with subtraction against the
+      // det-trained (hence replayable) coarse centroids
+      val cbs = trainPqCodebooksDet(
+        if (byResidual) ct.select(col("id"), residualOf(col("__u"), cens).as("__u"))
+        else ct, m, ksub, dim / m, iters)
+      IvfPqModel(cens, PqModel(m, dim / m, cbs), byResidual)
     } finally { ct.unpersist(false); () }
   }
 
@@ -1246,6 +1251,40 @@ object Similarity {
       .orderBy($"query_id")
   }
 
+  // ---------------------------------------------------------------- s22
+  /** The s21 recall measurement for the RESIDUAL IVF-PQ path
+    * (by_residual = true — the configuration a deployment prefers: finer
+    * cells from the same m×ksub budget): same non-covering shape (nprobe 2
+    * of 8, refine·k 10), same deterministic-training discipline, but the
+    * sub-codebooks train and encode on r = u − centroid(list(u)) and the
+    * ADC adds the coarse dot as its base term. The DuckDB twin extends the
+    * s21 staging with the residual projection (element-wise subtraction
+    * against the staged coarse centroids) and the base-plus-LUT-fold score.
+    * Closes the round-13 NEXT #3 gap: s09 proved the residual plumbing
+    * loses no candidate under a covering witness; this row oracle-checks
+    * its recall at a production config. */
+  val s22IvfPqResidualRecall: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.loadSpread(s, dir, "embeddings")
+      .filter($"vec_id" < 500).localCheckpoint(true)
+    val q = e.filter($"vec_id" < 20)
+    val model = cachedModel(s"s22:$dir")(
+      ivfPqTrainDet(e, "vec_id", "embedding", nlist = 8, m = 8, ksub = 16,
+        iters = 2, byResidual = true))
+    val approx = ivfPqSearch(model, ivfPqEncode(model, e, "vec_id", "embedding"),
+      e, q, "vec_id", "embedding", k = 5, nprobe = 2, refine = 2)
+    val u = unitVecs(e, "vec_id", "embedding", "id")
+    val qu = unitVecs(q, "vec_id", "embedding", "query_id")
+      .select($"query_id", $"__u".as("__qu"))
+    val wT = Window.partitionBy($"query_id").orderBy($"cosine".desc, $"id")
+    val truth = broadcast(qu).join(u, $"query_id" =!= $"id")
+      .withColumn("cosine", graft.functions.VectorExprs.dot($"__qu", $"__u"))
+      .withColumn("rk", row_number().over(wT).cast("long"))
+      .filter($"rk" <= 5).select($"query_id", $"id")
+    recallAtK(truth, approx.select($"query_id", $"id"), "query_id", "id", k = 5)
+      .orderBy($"query_id")
+  }
+
   // ----------------------------------------------------------- recall / s12
   /** Per-query recall@k of an approximate result against ground truth: both
     * frames are (queryCol, idCol) rankings; recall = |approx ∩ truth| / k.
@@ -1715,7 +1754,8 @@ object Similarity {
     "s11_jl_knn" -> s11JlKnn,
     "s12_ann_recall" -> s12AnnRecall,
     "s13_binary_rerank" -> s13BinaryRerank,
-    "s21_ivfpq_recall" -> s21IvfPqRecall)
+    "s21_ivfpq_recall" -> s21IvfPqRecall,
+    "s22_ivfpq_residual_recall" -> s22IvfPqResidualRecall)
 
   /** Generated DuckDB twin of [[s21IvfPqRecall]]: stages the entire
     * deterministic IVF-PQ pipeline — coarse Lloyd with re-normalized
@@ -1728,7 +1768,8 @@ object Similarity {
     * cosine rerank, and the s12 recall join against the brute ranking.
     * `AS MATERIALIZED` everywhere so DuckDB cannot re-inline the chain. */
   private def ivfPqRecallSql(nlist: Int, m: Int, ksub: Int, dsub: Int,
-      iters: Int, nprobe: Int, refineK: Int, k: Int): String = {
+      iters: Int, nprobe: Int, refineK: Int, k: Int,
+      byResidual: Boolean = false): String = {
     val dim = m * dsub
     def foldSum(lst: String, width: Int) =
       s"""list_reduce(list_prepend(list_transform(range(1, ${width + 1}), i -> CAST(0 AS DOUBLE)), $lst),
@@ -1751,21 +1792,44 @@ object Similarity {
     }.mkString("\n")
     val l2pick = (subExpr: String, cbTable: String) =>
       s"(min({'d': -(list_dot_product($subExpr, $cbTable.v) - list_dot_product($cbTable.v, $cbTable.v)/2), 'c': $cbTable.cid})).c"
+    // residual mode trains the codebooks on residual slices (rsub)
+    val trainFrame = if (byResidual) "rsub" else "tsub"
     val books = (1 to iters).map { r =>
       s""" pa$r AS MATERIALIZED (
          |  SELECT t.id, t.s, ${l2pick("t.sub", "c")} AS cid
-         |  FROM tsub t JOIN cb${r - 1} c USING (s) GROUP BY t.id, t.s),
+         |  FROM $trainFrame t JOIN cb${r - 1} c USING (s) GROUP BY t.id, t.s),
          | pm$r AS MATERIALIZED (
          |  SELECT s, cid, list_transform(sm, z -> z / n) AS v FROM (
          |   SELECT a.s, a.cid, count(*) AS n,
          |    ${foldSum("list(t.sub ORDER BY t.id)", dsub)} AS sm
-         |   FROM pa$r a JOIN tsub t ON a.id = t.id AND a.s = t.s
+         |   FROM pa$r a JOIN $trainFrame t ON a.id = t.id AND a.s = t.s
          |   GROUP BY a.s, a.cid) q),
          | cb$r AS MATERIALIZED (
          |  SELECT cb${r - 1}.s, cb${r - 1}.cid, coalesce(pm$r.v, cb${r - 1}.v) AS v
          |  FROM cb${r - 1} LEFT JOIN pm$r
          |    ON cb${r - 1}.s = pm$r.s AND cb${r - 1}.cid = pm$r.cid),""".stripMargin
     }.mkString("\n")
+    // residual mode: codebooks train/encode on r = u − centroid(list(u))
+    // (rsub slices of the staged element-wise subtraction); queries' LUT
+    // side always slices the ORIGINAL unit vector, and the ADC score adds
+    // the probe's coarse dot as a SEPARATE leading addition — Spark
+    // computes base + (l0+l1+…), so the fold must not absorb the base.
+    val encFrame = trainFrame
+    val seedFrame = if (byResidual) "(SELECT id, ru AS u FROM rv)" else "u"
+    val residualCtes = if (!byResidual) "" else s"""
+       | rv AS MATERIALIZED (
+       |  SELECT t.id, list_transform(range(1, ${dim + 1}), i -> t.u[i] - c.v[i]) AS ru
+       |  FROM u t JOIN lst l ON t.id = l.id JOIN cc$iters c ON c.cl = l.cl),
+       | rsub AS MATERIALIZED (
+       |  SELECT rv.id, ss.s, rv.ru[ss.s*$dsub+1 : ss.s*$dsub+$dsub] AS sub FROM rv, ss),""".stripMargin
+    val scoreExpr =
+      if (byResidual)
+        """c.d + list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          |     list(list_dot_product(qs.sub, cb.v) ORDER BY e.s)), (a, x) -> a + x)""".stripMargin
+      else
+        """list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          |     list(list_dot_product(qs.sub, cb.v) ORDER BY e.s)), (a, x) -> a + x)""".stripMargin
+    val candGroup = if (byResidual) "c.qid, c.id, c.d" else "c.qid, c.id"
     s"""WITH u AS MATERIALIZED (
        |  SELECT vec_id AS id,
        |   ${norm("embedding::DOUBLE[]")} AS u
@@ -1777,33 +1841,32 @@ object Similarity {
        |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cl, u AS v
        |  FROM u ORDER BY id LIMIT $nlist),
        |$coarse
+       | lst AS MATERIALIZED (
+       |  SELECT t.id, (min({'d': -list_dot_product(t.u, c.v), 'c': c.cl})).c AS cl
+       |  FROM u t, cc$iters c GROUP BY t.id),$residualCtes
        | sd AS MATERIALIZED (
        |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cid, u
-       |  FROM u ORDER BY id LIMIT $ksub),
+       |  FROM $seedFrame ORDER BY id LIMIT $ksub),
        | cb0 AS MATERIALIZED (
        |  SELECT ss.s, sd.cid, sd.u[ss.s*$dsub+1 : ss.s*$dsub+$dsub] AS v FROM sd, ss),
        |$books
-       | lst AS MATERIALIZED (
-       |  SELECT t.id, (min({'d': -list_dot_product(t.u, c.v), 'c': c.cl})).c AS cl
-       |  FROM u t, cc$iters c GROUP BY t.id),
        | enc AS MATERIALIZED (
        |  SELECT t.id, t.s, ${l2pick("t.sub", "c")} AS code
-       |  FROM tsub t JOIN cb$iters c USING (s) GROUP BY t.id, t.s),
+       |  FROM $encFrame t JOIN cb$iters c USING (s) GROUP BY t.id, t.s),
        | pr AS MATERIALIZED (
-       |  SELECT qid, cl FROM (
-       |   SELECT q.id AS qid, c.cl,
+       |  SELECT qid, cl, d FROM (
+       |   SELECT q.id AS qid, c.cl, list_dot_product(q.u, c.v) AS d,
        |    row_number() OVER (PARTITION BY q.id
        |      ORDER BY list_dot_product(q.u, c.v) DESC, c.cl DESC) AS rk
        |   FROM u q, cc$iters c WHERE q.id < 20) t WHERE rk <= $nprobe),
        | adc AS MATERIALIZED (
        |  SELECT c.qid, c.id,
-       |   list_reduce(list_prepend(CAST(0 AS DOUBLE),
-       |     list(list_dot_product(qs.sub, cb.v) ORDER BY e.s)), (a, x) -> a + x) AS score
-       |  FROM (SELECT pr.qid, l.id FROM pr JOIN lst l ON pr.cl = l.cl AND pr.qid <> l.id) c
+       |   $scoreExpr AS score
+       |  FROM (SELECT pr.qid, pr.d, l.id FROM pr JOIN lst l ON pr.cl = l.cl AND pr.qid <> l.id) c
        |  JOIN enc e ON e.id = c.id
        |  JOIN cb$iters cb ON cb.s = e.s AND cb.cid = e.code
        |  JOIN tsub qs ON qs.id = c.qid AND qs.s = e.s
-       |  GROUP BY c.qid, c.id),
+       |  GROUP BY $candGroup),
        | top AS MATERIALIZED (
        |  SELECT qid, id FROM (
        |   SELECT qid, id,
@@ -2121,6 +2184,8 @@ object Similarity {
     // CTEs, then the s12 recall join — see ivfPqRecallSql
     "s21_ivfpq_recall" -> ivfPqRecallSql(nlist = 8, m = 8, ksub = 16,
       dsub = 8, iters = 2, nprobe = 2, refineK = 10, k = 5),
+    "s22_ivfpq_residual_recall" -> ivfPqRecallSql(nlist = 8, m = 8, ksub = 16,
+      dsub = 8, iters = 2, nprobe = 2, refineK = 10, k = 5, byResidual = true),
     // int8 quantize → dequantize → brute cosine: the affine code/decode is
     // replayed exactly (same doubles, same away-from-zero rounding on the
     // non-negative (x−mn)/step), then the s03 ranking contract

@@ -577,6 +577,15 @@ class DedupOpsSpec extends SparkSpec {
     }
     assert(recall.sum / recall.size > 0.4,
       s"mean det-IVF-PQ recall@5 too low: ${recall.sum / recall.size}")
+    // residual mode: det twin plugs into the same search; covering = brute
+    val rmodel = Similarity.ivfPqTrainDet(embs, "vec_id", "embedding",
+      nlist = 8, m = 8, ksub = 16, iters = 1, byResidual = true)
+    val rcover = Similarity.ivfPqSearch(rmodel,
+        Similarity.ivfPqEncode(rmodel, embs, "vec_id", "embedding"),
+        embs, queries, "vec_id", "embedding", k = 5, nprobe = 8, refine = 200)
+      .select($"query_id", $"id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(rcover == brute, "residual det covering must equal brute")
   }
 
   test("ivfPqKnn byResidual: covering equals brute; residual recall is competitive") {
