@@ -147,4 +147,83 @@ object TwsDedup {
         new EventTimeDedupProcessor[T](ttl.toMillis, t => eventTime(t).getTime),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  /** Streaming quality-aware dedup — [[graft.ext.DedupOps.keepBestPerGroup]]
+    * in streaming form (round-13 NEXT #4): within an event-time window of
+    * `ttl` from a key's first sight, BUFFER the best arrival
+    * (score DESC, tieBreak ASC) and emit it only when the WATERMARK passes
+    * firstSeen + ttl (the fired timer). Append-mode-correct by
+    * construction: nothing emits until the group can no longer change (the
+    * session_window discipline) — the emit-first [[EventTimeDedupProcessor]]
+    * cannot retract when a better duplicate arrives later. A post-expiry
+    * arrival opens a fresh window (the at-least-once downstream contract).
+    *
+    * State: ONE best-so-far row per distinct key inside the TTL horizon
+    * (never per event), on RocksDB; expiry is an event-time timer, so a
+    * paused stream ages nothing. In-batch and cross-batch winner selection
+    * is deterministic whenever (score, tieBreak) pairs are distinct —
+    * exactly d16's contract with tieBreak in the id role. */
+  final class KeepBestProcessor[T](ttlMs: Long, eventTimeMs: T => Long,
+      score: T => Double, tieBreak: T => String, rowEnc: Encoder[T])
+      extends StatefulProcessor[String, T, T] {
+    // (expiresAt, bestScore, bestTie, bestRow)
+    @transient private var st: ValueState[(Long, Double, String, T)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Double, String, T)]("best",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble,
+          Encoders.STRING, rowEnc), TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[T],
+        tv: TimerValues): Iterator[T] = {
+      var cur: (Long, Double, String, T) =
+        if (st.exists()) st.get() else null
+      val firstSight = cur == null
+      var minTs = Long.MaxValue
+      while (rows.hasNext) {
+        val r = rows.next()
+        val s = score(r)
+        val tb = tieBreak(r)
+        val ts0 = eventTimeMs(r)
+        if (ts0 < minTs) minTs = ts0
+        if (cur == null || s > cur._2 || (s == cur._2 && tb < cur._3))
+          cur = (if (cur == null) 0L else cur._1, s, tb, r)
+      }
+      if (cur != null) {
+        // the window anchors on the batch's MIN event time at first sight
+        // (iterator order must not matter), and never moves afterwards
+        val expiry = if (firstSight) minTs + ttlMs else cur._1
+        if (firstSight) getHandle.registerTimer(expiry)
+        st.update((expiry, cur._2, cur._3, cur._4))
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: String, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[T] = {
+      // only a timer covering the CURRENT window emits+clears (a re-armed
+      // key's stale timer must not flush the new window early)
+      if (st.exists() && st.get()._1 <= info.getExpiryTimeInMs) {
+        val best = st.get()._4
+        st.clear()
+        Iterator.single(best)
+      } else Iterator.empty
+    }
+  }
+
+  /** Keep the best-scoring event per key within `ttl` of EVENT time; the
+    * winner emits when the watermark passes firstSeen + ttl. `events` must
+    * carry a watermark (`withWatermark` upstream). */
+  def keepBestWithTtlEventTime[T: Encoder](events: Dataset[T],
+      key: T => String, eventTime: T => java.sql.Timestamp,
+      score: T => Double, tieBreak: T => String,
+      ttl: java.time.Duration): Dataset[T] = {
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    events
+      .groupByKey(key)
+      .transformWithState(
+        new KeepBestProcessor[T](ttl.toMillis, t => eventTime(t).getTime,
+          score, tieBreak, implicitly[Encoder[T]]),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

@@ -532,6 +532,61 @@ class StreamingPipelineSpec extends SparkSpec {
     }
   }
 
+  test("streaming keep-best dedup: the window buffers, the watermark flushes the winner") {
+    import graft.streaming.TwsDedup
+    val knobs = GraftSession.rocksDbStateConfs()
+    val prev = knobs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    knobs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val mem = MemoryStream[StreamEvt]
+      // key = event_id; score = user_id (the quality stand-in); tie = user_id
+      val out = TwsDedup.keepBestWithTtlEventTime[StreamEvt](
+        mem.toDS().withWatermark("ts", "1 second").as[StreamEvt],
+        e => e.event_id.toString, e => e.ts, e => e.user_id.toDouble,
+        e => e.user_id.toString, java.time.Duration.ofMinutes(1))
+      val q = out.writeStream.format("memory").queryName("keepbest")
+        .outputMode("append").start()
+      try {
+        def rows() = spark.table("keepbest").collect()
+          .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id")))
+          .sorted.toSeq
+        // one batch, two duplicates of key 1 (scores 10 and 30, better one
+        // listed FIRST so min-event-time anchoring is also exercised):
+        // NOTHING may emit while the window can still change
+        mem.addData(StreamEvt(1, 30, "click", ts(1, 10)), StreamEvt(1, 10, "click", ts(1)))
+        q.processAllAvailable()
+        assert(rows() == Seq(), s"keep-best must buffer, not emit; got ${rows()}")
+        // a better duplicate arrives inside the window (and above the
+        // watermark, 00:00:09) -> replaces the buffer
+        mem.addData(StreamEvt(1, 50, "click", ts(1, 30)))
+        q.processAllAvailable()
+        assert(rows() == Seq(), s"still inside the window; got ${rows()}")
+        // advance the watermark past firstSeen (00:01) + 1 min -> the timer
+        // flushes exactly ONE row: the best-scoring duplicate
+        mem.addData(StreamEvt(9, 9, "view", ts(10)))
+        q.processAllAvailable()
+        mem.addData(StreamEvt(9, 9, "view", ts(11)))
+        q.processAllAvailable()
+        assert(rows() == Seq((1L, 50L)),
+          s"the watermark must flush the best duplicate once; got ${rows()}")
+        // a post-expiry arrival opens a NEW window and flushes independently
+        // once the watermark passes ITS expiry (key 9's first window flushes
+        // along the way; key 9's second window stays open past the test)
+        mem.addData(StreamEvt(1, 40, "click", ts(12)))
+        q.processAllAvailable()
+        mem.addData(StreamEvt(9, 9, "view", ts(20)))
+        q.processAllAvailable()
+        mem.addData(StreamEvt(9, 9, "view", ts(21)))
+        q.processAllAvailable()
+        assert(rows() == Seq((1L, 40L), (1L, 50L), (9L, 9L)),
+          s"a fresh window must flush its own winner; got ${rows()}")
+      } finally q.stop()
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("incremental near-dup dedup: the signature index drops later arrivals across batches") {
     import graft.streaming.CurationStream
     val dir = Files.createTempDirectory("neardup_idx").toString
