@@ -155,8 +155,6 @@ object DedupOps {
     * share every bucket and contribute quadratic pairs by definition. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       bands: Int = 2, bitsPerBand: Int = 15, maxHamming: Int = 1): DataFrame = {
-    require(maxHamming <= bands - 1,
-      s"maxHamming=$maxHamming needs bands >= ${maxHamming + 1} for exact candidates")
     val bits = bands * bitsPerBand
     require(bits <= 60, "token hash provides 60 bits")
     val sig = df
@@ -173,6 +171,22 @@ object DedupOps {
       .groupBy(col("__id"))
       .agg(sum(when(col("__sgn") > 0, expr("shiftleft(CAST(1 AS BIGINT), __j)"))
         .otherwise(0L)).as("__sig"))
+    simhashPairsFromSigs(sig, "__id", "__sig", bands, bitsPerBand, maxHamming)
+  }
+
+  /** The banding + pair half of [[simhashPairs]] over PRECOMPUTED
+    * fingerprints — the production seam at 100 TB: signatures are 8 bytes
+    * per document ([[withSimhash]]'s output, the thing a pipeline
+    * materializes once as a table), and every downstream pair/cluster/
+    * keep-best query bands and joins THAT table instead of re-tokenizing
+    * the corpus. `sigs` carries (idCol, sigCol) with the fingerprint in the
+    * low `bands × bitsPerBand` bits; the pigeonhole-exactness and band-
+    * sizing notes on [[simhashPairs]] apply unchanged. */
+  def simhashPairsFromSigs(sigs: DataFrame, idCol: String, sigCol: String,
+      bands: Int = 2, bitsPerBand: Int = 15, maxHamming: Int = 1): DataFrame = {
+    require(maxHamming <= bands - 1,
+      s"maxHamming=$maxHamming needs bands >= ${maxHamming + 1} for exact candidates")
+    val sig = sigs.select(col(idCol).as("__id"), col(sigCol).cast("long").as("__sig"))
     val mask = (1L << bitsPerBand) - 1
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("bd"),

@@ -878,6 +878,25 @@ class DedupOpsSpec extends SparkSpec {
     assert(withDup.contains((7L, 900007L, 0L)))
   }
 
+  test("simhashPairsFromSigs over a persisted signature table equals the inline pairs") {
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val inline = DedupOps.simhashPairs(d, "doc_id", "text",
+        bands = 2, bitsPerBand = 15, maxHamming = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    // the production shape: d03's withSimhash output (8 bytes/doc — what a
+    // 100 TB pipeline stores) round-tripped through parquet, then banded
+    val dir = java.nio.file.Files.createTempDirectory("simhash_sigs").toString
+    DedupOps.withSimhash(d.select($"doc_id", $"text"), "text", "simhash", 30)
+      .select($"doc_id", $"simhash").write.mode("overwrite").parquet(dir)
+    val fromTable = DedupOps.simhashPairsFromSigs(
+        spark.read.parquet(dir), "doc_id", "simhash",
+        bands = 2, bitsPerBand = 15, maxHamming = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fromTable == inline,
+      "pairs from the persisted signature table must equal inline pairs")
+    assert(inline.nonEmpty)
+  }
+
   test("keepBestPerGroup keeps the argmax per component; unpaired rows pass through") {
     val rows = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 5L), (9L, 1L))
       .toDF("doc_id", "score")
