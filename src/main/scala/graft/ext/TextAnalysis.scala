@@ -666,6 +666,30 @@ object TextAnalysis {
     bpeSegment(d, "doc_id", "text", merges).orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- t28
+  /** Tokenizer fertility by language — subwords per word under the trained
+    * t14/t27 BPE, the standard tokenizer-quality report (a high-fertility
+    * language pays more sequence length per word; the number that drives
+    * per-language token budgets and vocab-size decisions). Integer sums
+    * from the t27 segmentation joined to the language column; fertility is
+    * the one float, derived from exact integers at the very end. */
+  val t28BpeFertility: Q = (s, dir) => {
+    import s.implicits._
+    val d = docs(s, dir)
+    val merges = bpeTrain(d, "text", nMerges = 8)
+      .orderBy($"rank").select($"left", $"right")
+      .as[(String, String)].collect().toSeq
+    bpeSegment(d, "doc_id", "text", merges)
+      .join(d.select($"doc_id", $"lang"), Seq("doc_id"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_words").as("n_words"),
+        sum($"n_subwords").as("n_subwords"))
+      .withColumn("fertility",
+        round($"n_subwords" / $"n_words" + 1e-9, 4))
+      .orderBy($"lang")
+  }
+
   // ---------------------------------------------------------------- t15
   /** Interpolated Kneser-Ney bigram cross-entropy per document — t12's
     * CCNet-style quality proxy under the smoothing KenLM (CCNet's actual
@@ -1260,6 +1284,7 @@ object TextAnalysis {
     "t13_url_filter" -> t13UrlFilter,
     "t14_bpe_merges" -> t14BpeMerges,
     "t27_bpe_segment" -> t27BpeSegment,
+    "t28_bpe_fertility" -> t28BpeFertility,
     "t15_kn_surprise" -> t15KnSurprise,
     "t16_nfc_normalize" -> t16NfcNormalize,
     "t17_strip_accents" -> t17StripAccents,
@@ -1331,6 +1356,28 @@ object TextAnalysis {
         |FROM dw JOIN s$nMerges ON dw.w = s$nMerges.w
         |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin)
     sb.toString
+  }
+
+  /** t28 twin: the t27 per-doc segmentation aggregated by language —
+    * integer sums, fertility derived at the end (same +1e-9 round guard
+    * both engines apply). */
+  private[ext] def bpeFertilitySql(nMerges: Int): String = {
+    val base = bpeOracleSql(nMerges, segment = true)
+    // swap t27's final select for the per-language rollup
+    val cut = base.lastIndexOf("SELECT dw.doc_id,")
+    base.substring(0, cut) +
+      s""", seg AS MATERIALIZED (
+         |  SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |   CAST(sum(len(s$nMerges.sym)) AS BIGINT) AS n_subwords
+         |  FROM dw JOIN s$nMerges ON dw.w = s$nMerges.w
+         |  GROUP BY dw.doc_id)
+         |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(seg.n_words) AS BIGINT) AS n_words,
+         | CAST(sum(seg.n_subwords) AS BIGINT) AS n_subwords,
+         | round(CAST(sum(seg.n_subwords) AS DOUBLE)
+         |   / CAST(sum(seg.n_words) AS DOUBLE) + 1e-9, 4) + 0.0 AS fertility
+         |FROM seg JOIN documents d USING (doc_id)
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin
   }
 
   private val toksCte =
@@ -1797,6 +1844,7 @@ object TextAnalysis {
         |FROM f ORDER BY doc_id""".stripMargin,
     "t14_bpe_merges" -> bpeOracleSql(8),
     "t27_bpe_segment" -> bpeOracleSql(8, segment = true),
+    "t28_bpe_fertility" -> bpeFertilitySql(8),
     "t15_kn_surprise" ->
       (toksCte +
         s""", b AS (
