@@ -299,6 +299,40 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"offsets must broadcast:\n$p")
   }
 
+  test("s21/s22: recall rows keep the bounded-heap ADC and broadcast probes") {
+    for (name <- Seq("s21_ivfpq_recall", "s22_ivfpq_residual_recall")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name: probes+LUTs must broadcast against the code table:\n$p")
+      assert(p.contains("partial_topkagg") || p.contains("ObjectHashAggregate"),
+        s"$name: ADC ranking must combine map-side (bounded-heap partial agg):\n$p")
+      assert(!p.contains("CartesianProduct"), s"$name fell back to all-pairs:\n$p")
+    }
+  }
+
+  test("d16: keep-best windows only the paired rows; component labels broadcast") {
+    val df = SparkEntry.queries("d16_keepbest_dedup")(spark, dir)
+    df.collect() // AQE-finalize df's own QueryExecution (PlanDump note)
+    val p = df.queryExecution.executedPlan.toString
+    // every window partitions by the duplicate group — no corpus-wide task
+    val specs = "windowspecdefinition\\([^#]*".r.findAllIn(p).toSeq
+    assert(specs.nonEmpty && specs.forall(_.contains("dup_group")),
+      s"keep-best windows must partition by dup_group:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the pair-graph component labels must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"d16 fell back to all-pairs:\n$p")
+  }
+
+  test("t27/t28: BPE segmentation joins the folded vocabulary, never cross-products") {
+    for (name <- Seq("t27_bpe_segment", "t28_bpe_fertility")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name fell back to all-pairs:\n$p")
+    }
+  }
+
   test("s08: IVF-PQ candidates ride a broadcast probe; the code table never shuffles whole") {
     val p = plan("s08_ivfpq")
     assert(p.contains("BroadcastHashJoin"),
