@@ -276,9 +276,8 @@ object Curation {
   val c11LeakageSplit: Q = (s, dir) => {
     import s.implicits._
     val d = docs(s, dir)
-    val pairs = DedupOps.simhashPairs(d, "doc_id", "text",
-      bands = 2, bitsPerBand = 15, maxHamming = 1)
-    CurationOps.splitLeakageSafe(d, "doc_id", pairs, "id_a", "id_b")
+    CurationOps.splitLeakageSafe(d, "doc_id",
+      Dedup.sigPairs(s, dir), "id_a", "id_b")
       .select($"doc_id", $"split_group", $"split")
       .orderBy($"doc_id")
   }
