@@ -894,6 +894,41 @@ object DedupOps {
         col("__t._1").as("id"), col("__t._2").as("cosine"))
   }
 
+  /** Hard-negative mining — [[knn]] with a PER-QUERY label-mismatch
+    * predicate: for each query, the top-k most-similar corpus rows whose
+    * `labelCol` differs from the query's own. The contrastive-training
+    * mining primitive (the negatives an embedding model actually learns
+    * from); s14's `knnFiltered` covers the static-predicate case, this one
+    * the query-dependent case, which must ride the join condition.
+    *
+    * Scale shape is knn's: queries broadcast, the corpus streams map-side
+    * with the label test fused into the same codegen'd stage as the dot
+    * product, and [[graft.functions.Aggregators.TopKAgg]] caps the ranking
+    * exchange at k rows per map partition per query. Oracle row:
+    * s23_hard_negatives (window form, same ranking contract). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    def prep(df: DataFrame, id: String) =
+      df.select(col(idCol).as(id), col(labelCol).as(s"__l_$id"),
+          transform(col(vecCol), x => x.cast("double")).as(s"__v_$id"))
+        .withColumn(s"__n_$id", graft.functions.VectorExprs.l2(col(s"__v_$id")))
+    val c = prep(corpus, "id")
+    val q = prep(queries, "query_id")
+    val topk = udaf(new graft.functions.Aggregators.TopKAgg(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaLong))
+    broadcast(q).join(c, col("query_id") =!= col("id")
+        && col("__l_query_id") =!= col("__l_id"))
+      .withColumn("cosine",
+        graft.functions.VectorExprs.dot(col("__v_query_id"), col("__v_id"))
+          / (col("__n_query_id") * col("__n_id")))
+      .groupBy(col("query_id"))
+      .agg(topk(col("cosine"), col("id")).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__p", "__t")))
+      .select(col("query_id"), (col("__p") + 1).cast("long").as("rank"),
+        col("__t._1").as("id"), col("__t._2").as("cosine"))
+  }
+
   /** Content-defined chunking (CDC) duplicate audit — the rsync/LBFS/
     * FastCDC boundary idea, the dedup primitive fixed-size and fixed-n-gram
     * chunking both lack: a chunk boundary falls wherever the hash of the

@@ -1285,6 +1285,35 @@ object Similarity {
       .orderBy($"query_id")
   }
 
+  // ---------------------------------------------------------------- s23
+  /** Hard-negative mining for contrastive training: for each query vector,
+    * the top-5 most-similar corpus vectors whose LABEL DIFFERS from the
+    * query's — the pairs an embedding model trains against (easy negatives
+    * teach nothing; in-batch randoms are easy at scale). s14's filtered KNN
+    * takes a STATIC corpus predicate; here the predicate is per-query
+    * (label ≠ the query's own label), so it rides the join condition.
+    *
+    * Ranking contract is s01's (round-6 cosine desc, id tie-break), so the
+    * row replays exactly. Scale shape: queries broadcast, the corpus — the
+    * 100 TB side — streams map-side; the label mismatch prunes in the same
+    * codegen'd stage as the dot product, and only ranked rows shuffle.
+    * The API twin is [[DedupOps.hardNegatives]] (TopKAgg — k rows per map
+    * partition per query reach the exchange). */
+  val s23HardNegatives: Q = (s, dir) => {
+    import s.implicits._
+    val e = vecs(s, dir)
+    val q = e.filter($"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"label".as("qlabel"),
+        $"v".as("qv"), $"nrm".as("qn"))
+    val w = Window.partitionBy($"qid").orderBy($"cos6".desc, $"vec_id")
+    broadcast(q).join(e, $"qid" =!= $"vec_id" && $"qlabel" =!= $"label")
+      .withColumn("cos6", round(dot($"qv", $"v") / ($"qn" * $"nrm"), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 5)
+      .select($"qid", $"rk", $"vec_id".as("neg_id"), round($"cos6", 4).as("cos"))
+      .orderBy($"qid", $"rk")
+  }
+
   // ----------------------------------------------------------- recall / s12
   /** Per-query recall@k of an approximate result against ground truth: both
     * frames are (queryCol, idCol) rankings; recall = |approx ∩ truth| / k.
@@ -1755,7 +1784,8 @@ object Similarity {
     "s12_ann_recall" -> s12AnnRecall,
     "s13_binary_rerank" -> s13BinaryRerank,
     "s21_ivfpq_recall" -> s21IvfPqRecall,
-    "s22_ivfpq_residual_recall" -> s22IvfPqResidualRecall)
+    "s22_ivfpq_residual_recall" -> s22IvfPqResidualRecall,
+    "s23_hard_negatives" -> s23HardNegatives)
 
   /** Generated DuckDB twin of [[s21IvfPqRecall]]: stages the entire
     * deterministic IVF-PQ pipeline — coarse Lloyd with re-normalized
@@ -2132,6 +2162,20 @@ object Similarity {
           |    ORDER BY round(list_dot_product(q.v, e.v) / (q.nrm * e.nrm), 6) DESC,
           |             e.vec_id) AS BIGINT) AS rk
           | FROM e q JOIN e ON q.vec_id < 20 AND q.vec_id <> e.vec_id) t
+          |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin),
+    // the s01 brute shape with the per-query label-mismatch predicate in
+    // the join — same round-6 ranking contract, so it replays exactly
+    "s23_hard_negatives" ->
+      (vecsCte +
+        """
+          |SELECT qid, rk, neg_id, round(cos6, 4) + 0.0 AS cos FROM (
+          | SELECT q.vec_id AS qid, e.vec_id AS neg_id,
+          |  round(list_dot_product(q.v, e.v) / (q.nrm * e.nrm), 6) AS cos6,
+          |  CAST(row_number() OVER (PARTITION BY q.vec_id
+          |    ORDER BY round(list_dot_product(q.v, e.v) / (q.nrm * e.nrm), 6) DESC,
+          |             e.vec_id) AS BIGINT) AS rk
+          | FROM e q JOIN e ON q.vec_id < 20 AND q.vec_id <> e.vec_id
+          |   AND q.label <> e.label) t
           |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin),
     "s02_ann_lsh" ->
       (vecsCte +

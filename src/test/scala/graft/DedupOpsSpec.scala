@@ -355,6 +355,23 @@ class DedupOpsSpec extends SparkSpec {
     assert(gotSets == oraSets)
   }
 
+  test("hardNegatives matches s23; every negative has a different label") {
+    val got = DedupOps.hardNegatives(embs, embs.filter($"vec_id" < 20),
+        "vec_id", "embedding", "label", 5)
+      .select($"query_id", $"id").as[(Long, Long)].collect()
+    val oracle = Similarity.s23HardNegatives(spark, dir)
+      .select($"qid", $"neg_id").as[(Long, Long)].collect()
+    // same set-per-query contract as the knn test: s23 ranks on round(cos,6)
+    val gotSets = got.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val oraSets = oracle.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(gotSets == oraSets)
+    val labels = embs.select($"vec_id", $"label".cast("long"))
+      .as[(Long, Long)].collect().toMap
+    got.foreach { case (q, n) =>
+      assert(labels(q) != labels(n), s"negative $n shares query $q's label")
+    }
+  }
+
   test("knnBinary: hand-computed Hamming ranks; udaf form equals the s10 window form") {
     // 64-dim sign patterns: id2 flips dims 0..2 (ham 3), id3 flips 0..9
     // (ham 10), id4 flips everything (ham 64) relative to the query id1
