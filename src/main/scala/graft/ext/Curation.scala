@@ -282,6 +282,21 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- c17
+  /** Soft dedup over the d06 near-dup pair graph — the oracle row for
+    * [[CurationOps.softDedupWeights]]: DuckDB recomputes the simhash pairs,
+    * reaches components with the d07 recursive fixpoint, counts each
+    * group, and divides — both engines must agree on every document's
+    * (dup_group, group_size, weight), the weights being exact IEEE
+    * divisions of exact integers. */
+  val c17SoftDedupWeights: Q = (s, dir) => {
+    import s.implicits._
+    CurationOps.softDedupWeights(docs(s, dir), "doc_id",
+      Dedup.sigPairs(s, dir), "id_a", "id_b")
+      .select($"doc_id", $"dup_group", $"group_size", $"weight")
+      .orderBy($"doc_id")
+  }
+
   // ---------------------------------------------------------------- c12
   /** CCNet-style perplexity tercile bucketing on the t12 bigram-LM score —
     * the oracle row for [[CurationOps.perplexityBuckets]]: both engines
@@ -350,6 +365,7 @@ object Curation {
     "c01_decontaminate" -> c01Decontaminate,
     "c12_perplexity_buckets" -> c12PerplexityBuckets,
     "c11_leakage_split" -> c11LeakageSplit,
+    "c17_soft_dedup_weights" -> c17SoftDedupWeights,
     "c06_decontaminate_bloom" -> c06DecontaminateBloom,
     "c07_temperature_sample" -> c07TemperatureSample,
     "c02_pack_sequences" -> c02PackSequences,
@@ -475,6 +491,57 @@ object Curation {
         |SELECT doc_id, split_group,
         | CASE WHEN pct < 90 THEN 'train' WHEN pct < 95 THEN 'val' ELSE 'test' END AS split
         |FROM pc ORDER BY doc_id""".stripMargin,
+    // the c11 simhash-pair + recursive-component machinery, then the
+    // group-size count and the exact-integer IEEE division
+    "c17_soft_dedup_weights" ->
+      """WITH RECURSIVE l AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        | t AS (SELECT doc_id, unnest(toks) AS tok FROM l),
+        | h AS (
+        |  SELECT doc_id,
+        |   CAST(CAST(('0x' || substr(md5(tok),1,15)) AS UBIGINT) % 2147483647 AS BIGINT) AS hm
+        |  FROM t),
+        | g AS (SELECT doc_id, hm, count(*) AS cnt FROM h GROUP BY doc_id, hm),
+        | b AS (
+        |  SELECT doc_id, j,
+        |   sum(CASE WHEN (hm >> j) & 1 = 1 THEN cnt ELSE -cnt END) AS sgn
+        |  FROM g, (SELECT unnest(range(0,30)) AS j) GROUP BY doc_id, j),
+        | sig AS (
+        |  SELECT doc_id,
+        |   CAST(sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM b GROUP BY doc_id),
+        | bands AS (
+        |  SELECT doc_id, simhash, bd, (simhash >> (15*bd)) & 32767 AS bv
+        |  FROM sig, (SELECT unnest(range(0,2)) AS bd)),
+        | cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |   any_value(a.simhash) AS sa, any_value(b.simhash) AS sb
+        |  FROM bands a JOIN bands b ON a.bd = b.bd AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        | pairs AS (
+        |  SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sa, sb)) <= 1),
+        | e AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        | n AS (SELECT DISTINCT src AS id FROM e),
+        | reach(id, r) AS (
+        |  SELECT id, id FROM n
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+        | comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        | sz AS (SELECT component, count(*) AS gsz FROM comp GROUP BY component),
+        | lab AS (
+        |  SELECT d.doc_id,
+        |   CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS dup_group,
+        |   CAST(coalesce(s.gsz, 1) AS BIGINT) AS group_size
+        |  FROM documents d
+        |  LEFT JOIN comp c ON d.doc_id = c.id
+        |  LEFT JOIN sz s ON c.component = s.component)
+        |SELECT doc_id, dup_group, group_size,
+        | CAST(1 AS DOUBLE) / group_size AS weight
+        |FROM lab ORDER BY doc_id""".stripMargin,
     "c01_decontaminate" ->
       (toksCte +
         """, g AS (

@@ -532,6 +532,38 @@ object CurationOps {
     grouped.withColumn("split", splitCol)
   }
 
+  /** Soft deduplication — down-WEIGHT duplicates instead of dropping them:
+    * every document gets `weight = 1 / |its near-dup cluster|`, so each
+    * duplicated content unit contributes one document's worth of training
+    * mass in expectation while keeping every stylistic variant available to
+    * the sampler (the repetition-without-information-loss middle ground
+    * between no dedup and hard removal; pair it with
+    * [[sampleTokenBudgetByCount]] or a sampler that honors per-row
+    * weights). Output per row: (id, dup_group, group_size, weight) —
+    * group_size is an exact integer and weight divides two exact values,
+    * so the row replays bit-for-bit in any IEEE engine.
+    *
+    * Scale shape is [[splitLeakageSafe]]'s: components run over the PAIR
+    * graph only; group sizes aggregate pair-graph-sized (unpaired docs are
+    * size-1 by construction and never shuffle); the corpus-side work is
+    * one small-side join AQE broadcasts plus a projection. */
+  def softDedupWeights(df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val comp = DedupOps.connectedComponents(pairs, aCol, bCol)
+      .select(col("id").as("__cid"), col("component"))
+    val sizes = comp.groupBy(col("component"))
+      .agg(count(lit(1)).as("__gsz"))
+    // no forced broadcast: the pair-graph side is usually tiny and AQE
+    // broadcasts it, but a pathological corpus (everything duplicated)
+    // must still degrade to a shuffle join instead of OOMing the driver
+    df.join(comp, col(idCol).cast("long") === col("__cid"), "left")
+      .join(sizes, Seq("component"), "left")
+      .withColumn("dup_group", coalesce(col("component"), col(idCol).cast("long")))
+      .withColumn("group_size", coalesce(col("__gsz"), lit(1L)))
+      .withColumn("weight", lit(1.0d) / col("group_size"))
+      .drop("__cid", "component", "__gsz")
+  }
+
   /** Per-group unigram KL divergence KL(P_g ‖ P_corpus): how far each
     * slice's token distribution drifts from the whole corpus — the standard
     * monitor for source mix drift between crawl snapshots, dedup stages, or

@@ -358,6 +358,19 @@ class CurationSpec extends SparkSpec {
     assert(exp1 > 0 && exp2 < 0, "target-slice doc scores positive, raw negative")
   }
 
+  test("softDedupWeights: 1/cluster-size, unpaired rows weigh 1.0, mass = #groups") {
+    val d = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val got = CurationOps.softDedupWeights(d, "id", pairs, "a", "b")
+      .select($"id", $"dup_group", $"group_size", $"weight")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 1L, 3L, 1.0 / 3), (2L, 1L, 3L, 1.0 / 3), (3L, 1L, 3L, 1.0 / 3),
+      (4L, 4L, 1L, 1.0), (5L, 5L, 2L, 0.5), (6L, 5L, 2L, 0.5)))
+    // each cluster contributes exactly one document of expected mass
+    assert(math.abs(got.map(_._4).sum - 3.0) < 1e-12)
+  }
+
   test("splitLeakageSafe: paired docs share a split, total coverage, deterministic") {
     import graft.ext.DedupOps
     val d = docs
