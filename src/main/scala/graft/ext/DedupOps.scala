@@ -313,6 +313,59 @@ object DedupOps {
     }
   }
 
+  /** DBSCAN-style density clustering over a precomputed neighbor-pair
+    * graph: a point with >= `minPts` neighbors is a CORE; clusters are the
+    * connected components of the core-core subgraph (label = minimum core
+    * id); a non-core point with a core neighbor is a BORDER and joins its
+    * minimum core neighbor's cluster (the deterministic tie-break for the
+    * classic "border reachable from two clusters" ambiguity); everything
+    * else is NOISE (cluster −1). The density model k-means lacks: clusters
+    * of arbitrary shape, an explicit outlier verdict, and no k to choose —
+    * the curation use is isolating dense near-duplicate regions and
+    * surfacing low-density junk in one pass.
+    *
+    * The neighbor graph is an INPUT (the [[keepBestPerGroup]] /
+    * [[graft.ext.CurationOps.softDedupWeights]] composition discipline):
+    * feed [[cosinePairs]] for exact in-block neighbors, [[cosinePairsLsh]]
+    * at scale — density semantics then inherit that generator's
+    * eps-neighborhood. `minPts` counts NEIGHBORS, self excluded.
+    *
+    * Scale shape: every aggregation and join here is pair-graph- or
+    * node-keyed (degree count, two semi-joins, the size-adaptive
+    * [[connectedComponents]], the border min-agg) — the corpus-sized side
+    * appears once, in the final label join. All-integer labels. */
+  def dbscan(df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String, bCol: String, minPts: Int): DataFrame = {
+    require(minPts >= 1, s"minPts >= 1, got $minPts")
+    val p = pairs.select(col(aCol).cast("long").as("src"),
+      col(bCol).cast("long").as("dst"))
+    val e = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    val ids = df.select(col(idCol).cast("long").as("id"))
+    val withDeg = ids.join(deg, ids("id") === deg("src"), "left")
+      .select(col("id"), coalesce(col("__deg"), lit(0L)).as("degree"))
+    val core = withDeg.filter(col("degree") >= minPts).select(col("id"))
+    val coreEdges = e
+      .join(core.select(col("id").as("src")), Seq("src"), "left_semi")
+      .join(core.select(col("id").as("dst")), Seq("dst"), "left_semi")
+    val comp = connectedComponents(coreEdges, "src", "dst")
+    // a core with no CORE neighbor is its own singleton cluster
+    val coreLab = core.join(comp, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("__cc"))
+    val borderLab = e
+      .join(coreLab.select(col("id").as("dst"), col("__cc")), Seq("dst"))
+      .groupBy(col("src")).agg(min(col("__cc")).as("__bc"))
+    withDeg
+      .join(coreLab, Seq("id"), "left")
+      .join(borderLab.withColumnRenamed("src", "id"), Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("__cc"), col("__bc"), lit(-1L)).as("cluster"),
+        when(col("__cc").isNotNull, "core")
+          .when(col("__bc").isNotNull, "border")
+          .otherwise("noise").as("role"))
+  }
+
   /** Duplicate-cluster size statistics over a near-dup pair graph — the
     * dedup report: every corpus row labels with its
     * [[connectedComponents]] component (itself when unpaired — singletons

@@ -1314,6 +1314,28 @@ object Similarity {
       .orderBy($"qid", $"rk")
   }
 
+  // ---------------------------------------------------------------- s24
+  /** DBSCAN density clustering over the s02 LSH-bucketed neighbor graph —
+    * the oracle row for [[DedupOps.dbscan]]: neighbors are same-bucket
+    * pairs with cosine >= 0.12 (the d05 exact-verification discipline:
+    * LSH prunes candidates, the dot product decides), cores need 2
+    * neighbors, clusters are core-core components, borders attach to their
+    * minimum core neighbor, the rest is noise. Every edge, degree, and
+    * label replays in DuckDB (the s02 bucket CTE + the d07 recursive
+    * fixpoint), so the full (degree, cluster, role) row set is exact.
+    *
+    * Scale shape: the bucket join bounds candidates (n²/256 expected),
+    * [[DedupOps.dbscan]] is pair-graph-keyed throughout; nothing here
+    * is corpus-quadratic. */
+  val s24DensityClusters: Q = (s, dir) => {
+    import s.implicits._
+    val e = vecs(s, dir).withColumn("bucket", bucketOf($"v"))
+    val pairs = DedupOps.cosinePairs(e, "vec_id", "v", "bucket", 0.12)
+    DedupOps.dbscan(e, "vec_id", pairs, "id_a", "id_b", minPts = 2)
+      .select($"id".as("vec_id"), $"degree", $"cluster", $"role")
+      .orderBy($"vec_id")
+  }
+
   // ----------------------------------------------------------- recall / s12
   /** Per-query recall@k of an approximate result against ground truth: both
     * frames are (queryCol, idCol) rankings; recall = |approx ∩ truth| / k.
@@ -1785,7 +1807,8 @@ object Similarity {
     "s13_binary_rerank" -> s13BinaryRerank,
     "s21_ivfpq_recall" -> s21IvfPqRecall,
     "s22_ivfpq_residual_recall" -> s22IvfPqResidualRecall,
-    "s23_hard_negatives" -> s23HardNegatives)
+    "s23_hard_negatives" -> s23HardNegatives,
+    "s24_density_clusters" -> s24DensityClusters)
 
   /** Generated DuckDB twin of [[s21IvfPqRecall]]: stages the entire
     * deterministic IVF-PQ pipeline — coarse Lloyd with re-normalized
@@ -2177,6 +2200,61 @@ object Similarity {
           | FROM e q JOIN e ON q.vec_id < 20 AND q.vec_id <> e.vec_id
           |   AND q.label <> e.label) t
           |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin),
+    // the s02 bucket CTE builds the neighbor graph (in-bucket exact cosine
+    // >= 0.12), then degree -> core -> the d07 recursive fixpoint over
+    // core-core edges -> border min-attach; "cluster"/"role" are quoted
+    // (DuckDB reserved words), matching the Spark column names exactly
+    "s24_density_clusters" ->
+      (vecsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        """, hp AS (
+          |  SELECT j, d,
+          |   (CAST(CAST(('0x' || substr(md5('hp:' || j || ':' || d),1,15)) AS UBIGINT)
+          |     % 2001 AS BIGINT) - 1000) / 1000.0 AS r
+          |  FROM (SELECT unnest(range(0,8)) AS j), (SELECT unnest(range(0,64)) AS d)),
+          | ev AS (
+          |  SELECT vec_id, generate_subscripts(v,1)-1 AS d, unnest(v) AS x FROM e),
+          | dots AS (
+          |  SELECT ev.vec_id, hp.j, sum(ev.x * hp.r) AS s
+          |  FROM ev JOIN hp USING (d) GROUP BY ev.vec_id, hp.j),
+          | buck AS (
+          |  SELECT vec_id,
+          |   CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS bucket
+          |  FROM dots GROUP BY vec_id),
+          | eb AS (SELECT e.*, buck.bucket FROM e JOIN buck USING (vec_id)),
+          | p2 AS (
+          |  SELECT a.vec_id AS ia, b.vec_id AS ib
+          |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.12),
+          | ed AS (SELECT ia AS src, ib AS dst FROM p2 UNION SELECT ib, ia FROM p2),
+          | deg AS (SELECT src AS id, count(*) AS degree FROM ed GROUP BY src),
+          | nodes AS (
+          |  SELECT e.vec_id AS id, coalesce(deg.degree, 0) AS degree
+          |  FROM e LEFT JOIN deg ON e.vec_id = deg.id),
+          | core AS (SELECT id FROM nodes WHERE degree >= 2),
+          | ce AS (
+          |  SELECT src, dst FROM ed
+          |  WHERE src IN (SELECT id FROM core) AND dst IN (SELECT id FROM core)),
+          | n2 AS (SELECT DISTINCT src AS id FROM ce),
+          | reach(id, r) AS (
+          |  SELECT id, id FROM n2
+          |  UNION
+          |  SELECT ce.src, reach.r FROM ce JOIN reach ON ce.dst = reach.id),
+          | comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+          | corelab AS (
+          |  SELECT c.id, coalesce(comp.component, c.id) AS ccv
+          |  FROM core c LEFT JOIN comp ON c.id = comp.id),
+          | borderlab AS (
+          |  SELECT ed.src AS id, min(cl.ccv) AS bcv
+          |  FROM ed JOIN corelab cl ON ed.dst = cl.id GROUP BY ed.src)
+          |SELECT n.id AS vec_id, CAST(n.degree AS BIGINT) AS degree,
+          | CAST(coalesce(cl.ccv, bl.bcv, -1) AS BIGINT) AS "cluster",
+          | CASE WHEN cl.id IS NOT NULL THEN 'core'
+          |      WHEN bl.bcv IS NOT NULL THEN 'border'
+          |      ELSE 'noise' END AS "role"
+          |FROM nodes n
+          |LEFT JOIN corelab cl ON n.id = cl.id
+          |LEFT JOIN borderlab bl ON n.id = bl.id
+          |ORDER BY vec_id""".stripMargin),
     "s02_ann_lsh" ->
       (vecsCte +
         """, hp AS (

@@ -355,6 +355,29 @@ class DedupOpsSpec extends SparkSpec {
     assert(gotSets == oraSets)
   }
 
+  test("dbscan: core/border/noise semantics, border min-attach, singleton core") {
+    val ids = (Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L) ++ Seq(11L, 12L, 13L, 14L) ++
+      Seq(20L, 21L, 22L, 23L)).toDF("id")
+    // two K4 cliques (cores), 5 bridges both at degree 2 < minPts (border,
+    // min-attach -> 1; its presence must NOT merge the cliques), 6 and 7
+    // isolated (noise), 20 is a hub whose spokes are all non-core
+    // (singleton-core cluster labeled by itself)
+    val k4a = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val k4b = for (a <- 11L to 14L; b <- (a + 1) to 14L) yield (a, b)
+    val pairs = (k4a ++ k4b ++ Seq((1L, 5L), (11L, 5L),
+      (20L, 21L), (20L, 22L), (20L, 23L))).toDF("a", "b")
+    val got = DedupOps.dbscan(ids, "id", pairs, "a", "b", minPts = 3)
+      .select($"id", $"cluster", $"role").as[(Long, Long, String)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    (1L to 4L).foreach(i => assert(got(i) == (1L, "core")))
+    (11L to 14L).foreach(i => assert(got(i) == (11L, "core")))
+    assert(got(5L) == (1L, "border"), "border attaches to its MIN core cluster")
+    assert(got(6L) == (-1L, "noise"))
+    assert(got(7L) == (-1L, "noise"))
+    assert(got(20L) == (20L, "core"), "a core with no core neighbor labels itself")
+    (21L to 23L).foreach(i => assert(got(i) == (20L, "border")))
+  }
+
   test("hardNegatives matches s23; every negative has a different label") {
     val got = DedupOps.hardNegatives(embs, embs.filter($"vec_id" < 20),
         "vec_id", "embedding", "label", 5)
