@@ -297,6 +297,26 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- c18
+  /** Cluster-balanced coreset over the s15 k-means structure — the oracle
+    * row for [[CurationOps.coresetSample]]: fit the pinned deterministic
+    * clustering (k = 4, 2 Lloyd rounds on the vec_id < 256 slice), assign
+    * the whole table, keep the 25 rows nearest each centroid. The DuckDB
+    * twin replays the full training ([[Similarity.kmeansSql]]) and ranks
+    * on the same rounded distance, so every surviving (vec_id, cluster,
+    * dist2, coreset_rank) is exact. */
+  val c18CoresetSample: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.loadSpread(s, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val cents = Similarity.kmeansFit(e.filter($"vec_id" < 256), "vec_id", "v",
+      k = 4, iters = 2)
+    val asg = Similarity.kmeansAssign(e, "vec_id", "v", cents)
+    CurationOps.coresetSample(asg, "vec_id", "cluster", "dist2", perCluster = 25)
+      .select($"vec_id", $"cluster", $"dist2", $"coreset_rank")
+      .orderBy($"vec_id")
+  }
+
   // ---------------------------------------------------------------- c12
   /** CCNet-style perplexity tercile bucketing on the t12 bigram-LM score —
     * the oracle row for [[CurationOps.perplexityBuckets]]: both engines
@@ -366,6 +386,7 @@ object Curation {
     "c12_perplexity_buckets" -> c12PerplexityBuckets,
     "c11_leakage_split" -> c11LeakageSplit,
     "c17_soft_dedup_weights" -> c17SoftDedupWeights,
+    "c18_coreset_sample" -> c18CoresetSample,
     "c06_decontaminate_bloom" -> c06DecontaminateBloom,
     "c07_temperature_sample" -> c07TemperatureSample,
     "c02_pack_sequences" -> c02PackSequences,
@@ -491,6 +512,9 @@ object Curation {
         |SELECT doc_id, split_group,
         | CASE WHEN pct < 90 THEN 'train' WHEN pct < 95 THEN 'val' ELSE 'test' END AS split
         |FROM pc ORDER BY doc_id""".stripMargin,
+    // the s15 staged Lloyd replay with the per-cluster nearest-rank tail
+    "c18_coreset_sample" ->
+      Similarity.kmeansSql(k = 4, iters = 2, dim = 64, coresetPerCluster = 25),
     // the c11 simhash-pair + recursive-component machinery, then the
     // group-size count and the exact-integer IEEE division
     "c17_soft_dedup_weights" ->

@@ -532,6 +532,30 @@ object CurationOps {
     grouped.withColumn("split", splitCol)
   }
 
+  /** Cluster-balanced coreset sampling: keep the `perCluster` rows NEAREST
+    * their centroid from an assigned frame (the [[graft.ext.Similarity]]
+    * k-means output shape) — every region of the embedding space
+    * contributes equally many prototypical representatives, where uniform
+    * sampling over-draws the dense regions (the stratified-sampling idea
+    * of c03 applied to learned structure instead of a metadata column).
+    * Ranking is (distCol asc, idCol asc) — feed the rounded `dist2`
+    * k-means assignment column and the rank replays in any engine.
+    *
+    * Scale shape: one window partitioned by cluster over a projection —
+    * per-partition sort, no corpus-wide order. Cluster sizes stay bounded
+    * when k follows the corpus-proportional rule
+    * ([[graft.ext.Dedup.semanticDedupNlist]]); for a pathologically
+    * skewed clustering, rank with a bounded-heap TopKAgg per cluster
+    * instead (the [[DedupOps.knn]] discipline). */
+  def coresetSample(assigned: DataFrame, idCol: String, clusterCol: String,
+      distCol: String, perCluster: Int): DataFrame = {
+    require(perCluster >= 1, s"perCluster >= 1, got $perCluster")
+    val w = Window.partitionBy(col(clusterCol))
+      .orderBy(col(distCol).asc, col(idCol).asc)
+    assigned.withColumn("coreset_rank", row_number().over(w).cast("long"))
+      .filter(col("coreset_rank") <= perCluster)
+  }
+
   /** Soft deduplication — down-WEIGHT duplicates instead of dropping them:
     * every document gets `weight = 1 / |its near-dup cluster|`, so each
     * duplicated content unit contributes one document's worth of training

@@ -1976,8 +1976,9 @@ object Similarity {
     * selections (p_j: min-d2 against the chosen set; n_j: the
     * d2 × md5-weight race winner; i_j: the growing center set), replaying
     * [[kmeansFitPp]]'s derandomized rule term for term. */
-  private def kmeansSql(k: Int, iters: Int, dim: Int,
-      ppInit: Boolean = false, weighted: Boolean = false): String = {
+  private[ext] def kmeansSql(k: Int, iters: Int, dim: Int,
+      ppInit: Boolean = false, weighted: Boolean = false,
+      coresetPerCluster: Int = 0): String = {
     def d2(v: String, cv: String) =
       s"(list_dot_product($v, $v) - 2 * list_dot_product($v, $cv)) + list_dot_product($cv, $cv)"
     val zeros = s"list_transform(range(1, ${dim + 1}), i -> CAST(0 AS DOUBLE))"
@@ -2039,6 +2040,22 @@ object Similarity {
         " tr AS (SELECT vec_id, v, CAST(label + 1 AS DOUBLE) AS w FROM e WHERE vec_id < 256),"
       else
         " tr AS (SELECT vec_id, v FROM e WHERE vec_id < 256),"
+    // coreset mode: rank within each cluster on the SAME rounded distance
+    // the assignment emits (then id), keep the perCluster nearest — the
+    // c18 twin of CurationOps.coresetSample over this assignment
+    val tail =
+      if (coresetPerCluster <= 0)
+        """SELECT vec_id, CAST((p).c AS BIGINT) AS cluster,
+          | round((p).d + 1e-9, 4) + 0.0 AS dist2
+          |FROM fin ORDER BY vec_id""".stripMargin
+      else
+        s"""SELECT vec_id, cluster, dist2, coreset_rank FROM (
+           | SELECT vec_id, CAST((p).c AS BIGINT) AS cluster,
+           |  round((p).d + 1e-9, 4) + 0.0 AS dist2,
+           |  CAST(row_number() OVER (PARTITION BY (p).c
+           |    ORDER BY round((p).d + 1e-9, 4), vec_id) AS BIGINT) AS coreset_rank
+           | FROM fin) t
+           |WHERE coreset_rank <= $coresetPerCluster ORDER BY vec_id""".stripMargin
     s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
        |$trCte
        |$init
@@ -2046,9 +2063,7 @@ object Similarity {
        | fin AS (
        |  SELECT t.vec_id, min({'d': ${d2("t.v", "c.v")}, 'c': c.cl}) AS p
        |  FROM e t, c$iters c GROUP BY t.vec_id)
-       |SELECT vec_id, CAST((p).c AS BIGINT) AS cluster,
-       | round((p).d + 1e-9, 4) + 0.0 AS dist2
-       |FROM fin ORDER BY vec_id""".stripMargin
+       |$tail""".stripMargin
   }
 
   /** Generated DuckDB twin of [[s19KmeansParallel]]: the race batches

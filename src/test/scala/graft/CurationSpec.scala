@@ -358,6 +358,16 @@ class CurationSpec extends SparkSpec {
     assert(exp1 > 0 && exp2 < 0, "target-slice doc scores positive, raw negative")
   }
 
+  test("coresetSample: per-cluster nearest-m, distance then id tie-break") {
+    val df = Seq((1L, 0L, 0.5), (2L, 0L, 0.1), (3L, 0L, 0.1), (4L, 0L, 0.9),
+      (5L, 1L, 0.2)).toDF("id", "cluster", "d")
+    val got = CurationOps.coresetSample(df, "id", "cluster", "d", 2)
+      .select($"id", $"coreset_rank").as[(Long, Long)].collect().toMap
+    // cluster 0 keeps its two nearest (tie at 0.1 broken by id), cluster 1
+    // keeps its only member; 4 (farthest) is dropped
+    assert(got == Map(2L -> 1L, 3L -> 2L, 5L -> 1L))
+  }
+
   test("softDedupWeights: 1/cluster-size, unpaired rows weigh 1.0, mass = #groups") {
     val d = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id")
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
