@@ -1978,7 +1978,7 @@ object Similarity {
     * [[kmeansFitPp]]'s derandomized rule term for term. */
   private[ext] def kmeansSql(k: Int, iters: Int, dim: Int,
       ppInit: Boolean = false, weighted: Boolean = false,
-      coresetPerCluster: Int = 0): String = {
+      coresetPerCluster: Int = 0, customTail: String = ""): String = {
     def d2(v: String, cv: String) =
       s"(list_dot_product($v, $v) - 2 * list_dot_product($v, $cv)) + list_dot_product($cv, $cv)"
     val zeros = s"list_transform(range(1, ${dim + 1}), i -> CAST(0 AS DOUBLE))"
@@ -2043,8 +2043,12 @@ object Similarity {
     // coreset mode: rank within each cluster on the SAME rounded distance
     // the assignment emits (then id), keep the perCluster nearest — the
     // c18 twin of CurationOps.coresetSample over this assignment
+    // customTail: continue the CTE chain after `fin` (start with a comma)
+    // and end with the final SELECT — the t29 cluster-labeling twin rides
+    // the same staged training this way
     val tail =
-      if (coresetPerCluster <= 0)
+      if (customTail.nonEmpty) customTail
+      else if (coresetPerCluster <= 0)
         """SELECT vec_id, CAST((p).c AS BIGINT) AS cluster,
           | round((p).d + 1e-9, 4) + 0.0 AS dist2
           |FROM fin ORDER BY vec_id""".stripMargin

@@ -1260,6 +1260,62 @@ object TextAnalysis {
 
   val t26ZipfFit: Q = (s, dir) => zipfFit(docs(s, dir), "text")
 
+  // ---------------------------------------------------------------- t29
+  /** Distinctive terms per document group by LIFT — in-group relative
+    * frequency over corpus relative frequency, the label a cluster/source/
+    * slice gets in a corpus report ("what over-indexes here"). lift =
+    * (cnt·corpus_total) / (group_total·corpus_cnt): both products are
+    * exact integers and the score is ONE IEEE division, so ranking and
+    * output replay bit-for-bit (no logs, no idf transcendentals — the
+    * integer-ratio discipline of c17/c04). At web scale the integer
+    * products can exceed 2⁶³ — there the double-product form trades the
+    * last ulp for range; this exact form is correct to ~4·10¹⁸ token-pairs.
+    *
+    * Scale shape: one (group, token) count off a single scan, two
+    * vocab-sized re-aggs (the t12 pattern — the corpus never tokenizes
+    * twice), a 1-row total broadcast, and a group-partitioned top-n window
+    * over the vocab-sized frame. */
+  def clusterTermLift(grouped: DataFrame, groupCol: String, textCol: String,
+      topN: Int): DataFrame = {
+    require(topN >= 1, s"topN >= 1, got $topN")
+    val tc = grouped
+      .withColumn("__tk", toks(col(textCol)))
+      .select(col(groupCol), explode_outer(col("__tk")).as("__tok"))
+      .filter(col("__tok").isNotNull)
+      .groupBy(col(groupCol), col("__tok")).agg(count(lit(1)).as("cnt"))
+    val gt = tc.groupBy(col(groupCol)).agg(sum(col("cnt")).as("__gtot"))
+    val cc = tc.groupBy(col("__tok")).agg(sum(col("cnt")).as("__ccnt"))
+    val tot = cc.agg(sum(col("__ccnt")).as("__tot"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__lift").desc, col("__tok"))
+    tc.join(gt, Seq(groupCol)).join(cc, Seq("__tok"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__lift",
+        (col("cnt") * col("__tot")).cast("double") / (col("__gtot") * col("__ccnt")))
+      .withColumn("term_rank", row_number().over(w).cast("long"))
+      .filter(col("term_rank") <= topN)
+      .select(col(groupCol), col("term_rank"), col("__tok").as("token"),
+        col("cnt"), round(col("__lift") + 1e-9, 4).as("lift"))
+  }
+
+  /** t29: [[clusterTermLift]] over the s15 embedding clusters — label each
+    * k-means cluster with its five highest-lift tokens (`embeddings.vec_id`
+    * keys `documents.doc_id`). The DuckDB twin replays the staged training
+    * ([[Similarity.kmeansSql]] custom tail), the token counts, and the
+    * single-division lift. */
+  val t29ClusterTerms: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.loadSpread(s, dir, "embeddings")
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val cents = Similarity.kmeansFit(e.filter($"vec_id" < 256), "vec_id", "v",
+      k = 4, iters = 2)
+    val asg = Similarity.kmeansAssign(e, "vec_id", "v", cents)
+      .select($"vec_id", $"cluster")
+    val d = docs(s, dir).join(asg, $"doc_id" === $"vec_id")
+    clusterTermLift(d, "cluster", "text", topN = 5)
+      .orderBy($"cluster", $"term_rank")
+  }
+
   val queries: Map[String, Q] = Map(
     "t26_zipf_fit" -> t26ZipfFit,
     "t25_lexical_diversity" -> t25LexicalDiversity,
@@ -1285,6 +1341,7 @@ object TextAnalysis {
     "t14_bpe_merges" -> t14BpeMerges,
     "t27_bpe_segment" -> t27BpeSegment,
     "t28_bpe_fertility" -> t28BpeFertility,
+    "t29_cluster_terms" -> t29ClusterTerms,
     "t15_kn_surprise" -> t15KnSurprise,
     "t16_nfc_normalize" -> t16NfcNormalize,
     "t17_strip_accents" -> t17StripAccents,
@@ -1845,6 +1902,30 @@ object TextAnalysis {
     "t14_bpe_merges" -> bpeOracleSql(8),
     "t27_bpe_segment" -> bpeOracleSql(8, segment = true),
     "t28_bpe_fertility" -> bpeFertilitySql(8),
+    // the s15 staged Lloyd replay, then token counts joined through the
+    // assignment and the single-division lift rank
+    "t29_cluster_terms" -> Similarity.kmeansSql(k = 4, iters = 2, dim = 64,
+      customTail = """, asg AS (SELECT vec_id, CAST((p).c AS BIGINT) AS cl FROM fin),
+        | dl AS (
+        |  SELECT a.cl,
+        |   list_filter(string_split_regex(d.text, '\s+'), x -> length(x) > 0) AS toks
+        |  FROM documents d JOIN asg a ON d.doc_id = a.vec_id),
+        | t AS (SELECT cl, unnest(toks) AS tok FROM dl),
+        | tc AS (SELECT cl, tok, count(*) AS cnt FROM t GROUP BY cl, tok),
+        | gt AS (SELECT cl, sum(cnt) AS gtot FROM tc GROUP BY cl),
+        | cc AS (SELECT tok, sum(cnt) AS ccnt FROM tc GROUP BY tok),
+        | tt AS (SELECT sum(ccnt) AS tot FROM cc),
+        | sc AS (
+        |  SELECT tc.cl, tc.tok, tc.cnt,
+        |   CAST(tc.cnt * tt.tot AS DOUBLE) / (gt.gtot * cc.ccnt) AS lift
+        |  FROM tc JOIN gt USING (cl) JOIN cc USING (tok), tt),
+        | rk AS (
+        |  SELECT cl, tok, cnt, lift,
+        |   row_number() OVER (PARTITION BY cl ORDER BY lift DESC, tok) AS r
+        |  FROM sc)
+        |SELECT cl AS "cluster", CAST(r AS BIGINT) AS term_rank, tok AS token,
+        | CAST(cnt AS BIGINT) AS cnt, round(lift + 1e-9, 4) + 0.0 AS lift
+        |FROM rk WHERE r <= 5 ORDER BY "cluster", term_rank""".stripMargin),
     "t15_kn_surprise" ->
       (toksCte +
         s""", b AS (

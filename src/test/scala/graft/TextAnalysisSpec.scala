@@ -8,6 +8,19 @@ import graft.ext.TextAnalysis
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("clusterTermLift: hand-computed lifts, rank by lift desc then token") {
+    // g0 = "a a b", g1 = "b b c": corpus a:2 b:3 c:1, total 6, gtot 3 each
+    // lift(g0,a) = 2*6/(3*2) = 2.0   lift(g0,b) = 1*6/(3*3) = 0.6667
+    // lift(g1,c) = 1*6/(3*1) = 2.0   lift(g1,b) = 2*6/(3*3) = 1.3333
+    val df = Seq((0L, "a a b"), (1L, "b b c")).toDF("g", "text")
+    val got = TextAnalysis.clusterTermLift(df, "g", "text", topN = 2)
+      .select($"g", $"term_rank", $"token", $"cnt", $"lift")
+      .as[(Long, Long, String, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(got.toSeq == Seq(
+      (0L, 1L, "a", 2L, 2.0), (0L, 2L, "b", 1L, 0.6667),
+      (1L, 1L, "c", 1L, 2.0), (1L, 2L, "b", 2L, 1.3333)))
+  }
+
   test("unigramSurprise: mean -ln p(token) under the corpus unigram distribution") {
     // corpus: "a a b" + "b c" -> total 5 instances; p(a)=p(b)=2/5, p(c)=1/5
     val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
