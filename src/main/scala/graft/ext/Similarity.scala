@@ -1371,6 +1371,85 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  // ---------------------------------------------------------------- s25
+  /** Maximal-marginal-relevance re-ranking: greedily pick `k` results per
+    * query from its `nCand` most-relevant candidates, each pick maximizing
+    * `lambda·relevance − (1−lambda)·max-similarity-to-already-picked` —
+    * the standard redundancy-aware re-rank (Carbonell & Goldstein '98)
+    * that keeps a near-duplicate-heavy corpus from returning k copies of
+    * one document. Deterministic throughout: relevance is the s01 round-6
+    * cosine contract, pairwise similarity is the raw unit-vector dot, and
+    * every greedy argmax ties on the lower id — so all k staged picks
+    * replay bit-for-bit (the kmeansFitPp staged-selection discipline).
+    *
+    * Scale shape: one broadcast-query corpus scan ranks the candidates
+    * (the s01 window form); everything after operates on the
+    * nCand × |queries| candidate slice, localCheckpointed once —
+    * k−1 join+agg+argmax stages on a frame that never touches the corpus
+    * again. */
+  def mmrRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nCand: Int, lambda: Double): DataFrame = {
+    require(k >= 1 && nCand >= k, s"need k >= 1 and nCand >= k, got k=$k nCand=$nCand")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    val c = unitVecs(corpus, idCol, vecCol, "id")
+    val q = unitVecs(queries, idCol, vecCol, "query_id")
+      .select(col("query_id"), col("__u").as("__qu"))
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(col("rel").desc, col("id"))
+    val cands = broadcast(q).join(c, col("query_id") =!= col("id"))
+      .withColumn("rel",
+        round(graft.functions.VectorExprs.dot(col("__qu"), col("__u")), 6))
+      .withColumn("__rk", row_number().over(wC))
+      .filter(col("__rk") <= nCand)
+      .select(col("query_id"), col("id"), col("rel"), col("__u"))
+      .localCheckpoint(true)
+    val wPick = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("id"))
+    def argmax(scored: DataFrame, rank: Int): DataFrame = scored
+      .withColumn("__p", row_number().over(wPick))
+      .filter(col("__p") === 1)
+      .select(col("query_id"), col("id"), col("rel"), col("__u"),
+        col("score"), lit(rank.toLong).as("mmr_rank"))
+    var selected = argmax(cands.withColumn("score", col("rel")), 1)
+    var remaining = cands.join(
+      selected.select(col("query_id"), col("id")), Seq("query_id", "id"),
+      "left_anti")
+    for (j <- 2 to k) {
+      val sel = selected.select(col("query_id"), col("__u").as("__su"))
+      val scored = remaining
+        .join(sel, Seq("query_id"))
+        // rel and __u are constant within a (query, candidate) group; max
+        // is the deterministic way to carry them through the aggregation
+        .groupBy(col("query_id"), col("id"))
+        .agg(max(col("rel")).as("rel"), max(col("__u")).as("__u"),
+          max(graft.functions.VectorExprs.dot(col("__u"), col("__su")))
+            .as("__msim"))
+        .withColumn("score",
+          lit(lambda) * col("rel") - lit(1.0 - lambda) * col("__msim"))
+      val pick = argmax(scored, j)
+      selected = selected.unionByName(pick)
+      remaining = remaining.join(
+        pick.select(col("query_id"), col("id")), Seq("query_id", "id"),
+        "left_anti")
+    }
+    // + 0.0 on both float outputs (and in the twin): round() can land on
+    // -0.0 and the engines disagree on which zero they keep (the q25 note)
+    selected.select(col("query_id"), col("mmr_rank"), col("id"),
+      (col("rel") + lit(0.0)).as("rel"),
+      (round(col("score") + lit(1e-9), 4) + lit(0.0)).as("score"))
+  }
+
+  /** s25: [[mmrRerank]] over the standard 20-query witness — top-5 of 20
+    * candidates at lambda = 0.7. The DuckDB twin stages the same greedy
+    * selections CTE by CTE. */
+  val s25MmrRerank: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.loadSpread(s, dir, "embeddings")
+    mmrRerank(e, e.filter($"vec_id" < 20), "vec_id", "embedding",
+      k = 5, nCand = 20, lambda = 0.7)
+      .orderBy($"query_id", $"mmr_rank")
+  }
+
   // ----------------------------------------------------------- recall / s12
   /** Per-query recall@k of an approximate result against ground truth: both
     * frames are (queryCol, idCol) rankings; recall = |approx ∩ truth| / k.
@@ -1843,7 +1922,8 @@ object Similarity {
     "s21_ivfpq_recall" -> s21IvfPqRecall,
     "s22_ivfpq_residual_recall" -> s22IvfPqResidualRecall,
     "s23_hard_negatives" -> s23HardNegatives,
-    "s24_density_clusters" -> s24DensityClusters)
+    "s24_density_clusters" -> s24DensityClusters,
+    "s25_mmr_rerank" -> s25MmrRerank)
 
   /** Generated DuckDB twin of [[s21IvfPqRecall]]: stages the entire
     * deterministic IVF-PQ pipeline — coarse Lloyd with re-normalized
@@ -2188,7 +2268,64 @@ object Similarity {
        |FROM fin ORDER BY vec_id""".stripMargin
   }
 
+  /** Generated DuckDB twin of [[mmrRerank]]: the candidate ranking (s01
+    * round-6 contract over unit vectors), then each greedy pick staged as
+    * its own argmax CTE (the kmeansFitPp staging discipline). The lambda
+    * weights are interpolated from the SAME Scala doubles the Spark plan
+    * folds in — `1.0 - lambda` is computed ONCE here, so both engines
+    * subtract the identical (binary) constant. */
+  private def mmrSql(k: Int, nCand: Int, lambda: Double): String = {
+    val oneMinus = 1.0 - lambda
+    val stages = (2 to k).map { j =>
+      s""" ms$j AS (
+         |  SELECT r.query_id, r.id, max(list_dot_product(r.u, s.u)) AS msim
+         |  FROM rem${j - 1} r JOIN selall${j - 1} s USING (query_id)
+         |  GROUP BY r.query_id, r.id),
+         | sc$j AS (
+         |  SELECT c.query_id, c.id, c.rel, c.u,
+         |   $lambda * c.rel - $oneMinus * m.msim AS score
+         |  FROM cand c JOIN ms$j m ON c.query_id = m.query_id AND c.id = m.id),
+         | sel$j AS (
+         |  SELECT query_id, id, rel, u, score FROM (
+         |   SELECT *, row_number() OVER (PARTITION BY query_id
+         |     ORDER BY score DESC, id) AS p FROM sc$j) t WHERE p = 1),
+         | selall$j AS (
+         |  SELECT * FROM selall${j - 1} UNION ALL SELECT * FROM sel$j),
+         | rem$j AS (
+         |  SELECT r.* FROM rem${j - 1} r ANTI JOIN sel$j s USING (query_id, id)),""".stripMargin
+    }.mkString("\n")
+    val unions = (1 to k).map { j =>
+      s"""SELECT query_id, CAST($j AS BIGINT) AS mmr_rank, id, rel + 0.0 AS rel,
+         | round(score + 1e-9, 4) + 0.0 AS score FROM sel$j""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH eu AS (
+       |  SELECT vec_id,
+       |   list_transform(embedding::DOUBLE[],
+       |     x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y)))) AS u
+       |  FROM embeddings),
+       | cand AS (
+       |  SELECT query_id, id, rel, u FROM (
+       |   SELECT q.vec_id AS query_id, c.vec_id AS id,
+       |    round(list_dot_product(q.u, c.u), 6) AS rel, c.u,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY round(list_dot_product(q.u, c.u), 6) DESC, c.vec_id) AS rk
+       |   FROM eu q JOIN eu c ON q.vec_id < 20 AND q.vec_id <> c.vec_id) t
+       |  WHERE rk <= $nCand),
+       | sel1 AS (
+       |  SELECT query_id, id, rel, u, rel AS score FROM (
+       |   SELECT *, row_number() OVER (PARTITION BY query_id
+       |     ORDER BY rel DESC, id) AS p FROM cand) t WHERE p = 1),
+       | selall1 AS (SELECT * FROM sel1),
+       | rem1 AS (
+       |  SELECT c.* FROM cand c ANTI JOIN sel1 s USING (query_id, id)),
+       |$stages
+       | fin AS (
+       |$unions)
+       |SELECT * FROM fin ORDER BY query_id, mmr_rank""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "s25_mmr_rerank" -> mmrSql(k = 5, nCand = 20, lambda = 0.7),
     "s15_kmeans" -> kmeansSql(k = 4, iters = 2, dim = 64),
     "s19_kmeans_parallel" -> kmeansParSql(k = 4, rounds = 2, l = 4,
       candIters = 2, dim = 64),

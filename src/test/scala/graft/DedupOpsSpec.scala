@@ -395,6 +395,23 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("mmrRerank: demotes near-duplicates of already-picked results") {
+    val corpus = Seq(
+      (1L, Seq(0.9, 0.1, 0.0, 0.0)), // highest relevance
+      (2L, Seq(0.9, 0.11, 0.0, 0.0)), // near-dup of 1, 2nd by pure relevance
+      (3L, Seq(0.5, 0.0, 0.8, 0.0))) // diverse, 3rd by pure relevance
+      .toDF("vec_id", "embedding")
+    val q = Seq((100L, Seq(1.0, 0.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val got = Similarity.mmrRerank(corpus, q, "vec_id", "embedding",
+      k = 3, nCand = 3, lambda = 0.5)
+      .select($"mmr_rank", $"id", $"rel").as[(Long, Long, Double)]
+      .collect().sortBy(_._1)
+    // pure relevance would order 1, 2, 3; MMR demotes the near-dup 2
+    assert(got.map(_._2).toSeq == Seq(1L, 3L, 2L))
+    val rel = got.map(r => r._2 -> r._3).toMap
+    assert(rel(2L) > rel(3L), "precondition: 2 outranks 3 on pure relevance")
+  }
+
   test("knnBinary: hand-computed Hamming ranks; udaf form equals the s10 window form") {
     // 64-dim sign patterns: id2 flips dims 0..2 (ham 3), id3 flips 0..9
     // (ham 10), id4 flips everything (ham 64) relative to the query id1
