@@ -333,6 +333,59 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("s23/s25: queries broadcast; the corpus side never cross-products unbroadcast") {
+    // s23 is a non-equi join (label mismatch), so the legitimate physical
+    // shape is a BroadcastNestedLoopJoin with the tiny QUERY side as the
+    // build side; a CartesianProduct would mean the broadcast was lost and
+    // the corpus pairs with itself
+    val p23 = plan("s23_hard_negatives")
+    assert(p23.contains("BroadcastNestedLoopJoin") || p23.contains("BroadcastHashJoin"),
+      s"s23: the query side must broadcast:\n$p23")
+    assert(!p23.contains("CartesianProduct"), s"s23 fell back to all-pairs:\n$p23")
+    // s25's corpus-touching candidate ranking lives BEHIND the
+    // localCheckpoint (the executed plan starts at Scan ExistingRDD — the
+    // broadcast shape there is s23/s01's, asserted above); the greedy
+    // stages after it must stay query-keyed with no all-pairs product
+    val p25 = plan("s25_mmr_rerank")
+    assert(!p25.contains("CartesianProduct"), s"s25 fell back to all-pairs:\n$p25")
+    assert(p25.contains("Scan ExistingRDD"),
+      s"s25: candidates must be checkpointed once, not recomputed per stage:\n$p25")
+  }
+
+  test("s24: DBSCAN stays pair-graph-keyed — bucket equi-join, no all-pairs") {
+    val df = SparkEntry.queries("s24_density_clusters")(spark, dir)
+    df.collect() // AQE-finalize df's own QueryExecution (PlanDump note)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"s24 materializes an all-pairs product:\n$p")
+  }
+
+  test("c17: soft-dedup weights broadcast the pair-graph side; no windows at all") {
+    val df = SparkEntry.queries("c17_soft_dedup_weights")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"component labels/sizes must broadcast onto the corpus:\n$p")
+    assert(!p.contains("windowspecdefinition"),
+      s"the weight is a projection — no window should appear:\n$p")
+    assert(!p.contains("CartesianProduct"), s"c17 fell back to all-pairs:\n$p")
+  }
+
+  test("c18/t29: every window partitions by the cluster (no corpus-sized task)") {
+    for (name <- Seq("c18_coreset_sample", "t29_cluster_terms")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      val specs = "windowspecdefinition\\([^#]*".r.findAllIn(p).toSeq
+      assert(specs.nonEmpty, s"$name: expected a windowed plan:\n$p")
+      specs.foreach { sp =>
+        assert(sp.contains("cluster"),
+          s"$name: partition-less window spec: $sp\n$p")
+      }
+      assert(!p.contains("CartesianProduct"), s"$name fell back to all-pairs:\n$p")
+    }
+  }
+
   test("s08: IVF-PQ candidates ride a broadcast probe; the code table never shuffles whole") {
     val p = plan("s08_ivfpq")
     assert(p.contains("BroadcastHashJoin"),
