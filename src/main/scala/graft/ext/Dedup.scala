@@ -372,7 +372,48 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- d17
+  /** URL canonicalization + canonical-URL dedup — the provenance-keyed
+    * dedup step a web corpus runs BEFORE any content hashing (the same
+    * page recrawled under `www.`/default-port/fragment/tracking-param
+    * variants is the cheapest duplicate class to kill, and no text-level
+    * method needs to see it). [[DedupOps.canonicalizeUrl]] normalizes:
+    * lowercase scheme+host, strip `www.` and the scheme's default port,
+    * drop the fragment, drop `utm_*`/`fbclid`/`gclid` tracking params,
+    * sort the surviving query params, strip trailing path slashes. Keep
+    * the lowest doc_id per canonical URL.
+    *
+    * The oracle injects deterministic synthetic provenance URLs derived
+    * from doc_id (the t08/t13 pattern — the corpus has none): five variant
+    * classes per 10-host cycle, engineered so classes 0+1 and 2+3
+    * canonicalize together across case/www/port/fragment/tracking noise.
+    * Pure string/integer outputs — exact in any engine.
+    *
+    * Scale shape: canonicalization is a shuffle-free codegen'd projection;
+    * the dedup is one window partitioned by the canonical URL (group
+    * sizes are recrawl multiplicities — tiny), the d02 band-window
+    * shape. */
+  val d17UrlDedup: Q = (s, dir) => {
+    import s.implicits._
+    val base = concat(lit("site"), pmod($"doc_id", lit(10)).cast("string"),
+      lit(".example.com"))
+    val url = when(pmod($"doc_id", lit(5)) === 0,
+        concat(lit("https://"), base, lit("/a/b")))
+      .when(pmod($"doc_id", lit(5)) === 1,
+        concat(lit("HTTPS://WWW."), upper(base), lit(":443/a/b#frag")))
+      .when(pmod($"doc_id", lit(5)) === 2,
+        concat(lit("https://"), base, lit("/a/b?utm_source=x&b=2&a=1")))
+      .when(pmod($"doc_id", lit(5)) === 3,
+        concat(lit("https://"), base, lit("/a/b?a=1&b=2&gclid=zzz")))
+      .otherwise(concat(lit("http://"), base, lit(":80/c/")))
+    DedupOps.dedupByCanonicalUrl(
+        docs(s, dir).select($"doc_id", url.as("url")), "doc_id", "url")
+      .select($"doc_id", $"canon_url", $"kept", $"n_copies")
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d17_url_dedup" -> d17UrlDedup,
     "d16_keepbest_dedup" -> d16KeepBestDedup,
     "d15_semantic_dedup" -> d15SemanticDedup,
     "d13_cdc_chunks" -> d13CdcChunks,
@@ -461,6 +502,46 @@ object Dedup {
   }
 
   val oracles: Map[String, String] = Map(
+    // same injected provenance URLs, same canonicalization chain (RE2-safe
+    // regex subset — no backrefs/lookaround — so both dialects agree),
+    // same canonical-URL window
+    "d17_url_dedup" ->
+      """WITH u0 AS (
+        |  SELECT doc_id,
+        |   CASE doc_id % 5
+        |    WHEN 0 THEN 'https://site' || (doc_id % 10) || '.example.com/a/b'
+        |    WHEN 1 THEN 'HTTPS://WWW.' || upper('site' || (doc_id % 10) || '.example.com') || ':443/a/b#frag'
+        |    WHEN 2 THEN 'https://site' || (doc_id % 10) || '.example.com/a/b?utm_source=x&b=2&a=1'
+        |    WHEN 3 THEN 'https://site' || (doc_id % 10) || '.example.com/a/b?a=1&b=2&gclid=zzz'
+        |    ELSE 'http://site' || (doc_id % 10) || '.example.com:80/c/'
+        |   END AS url
+        |  FROM documents),
+        | p AS (
+        |  SELECT doc_id, url,
+        |   lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 1)) AS scheme,
+        |   regexp_replace(lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 2)), '^www\.', '') AS h1,
+        |   regexp_replace(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 3), '/+$', '') AS pth,
+        |   regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\?[^#]*)?(#.*)?$', 4) AS q0
+        |  FROM u0),
+        | c AS (
+        |  SELECT doc_id, url, scheme,
+        |   CASE WHEN scheme = 'http' THEN regexp_replace(h1, ':80$', '')
+        |        WHEN scheme = 'https' THEN regexp_replace(h1, ':443$', '')
+        |        ELSE h1 END AS host, pth,
+        |   coalesce(array_to_string(list_sort(list_filter(
+        |     string_split(regexp_replace(q0, '^\?', ''), '&'),
+        |     x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid)='))), '&'), '') AS qq
+        |  FROM p),
+        | canon AS (
+        |  SELECT doc_id,
+        |   CASE WHEN scheme = '' OR host = '' THEN url
+        |        ELSE scheme || '://' || host || pth ||
+        |         CASE WHEN qq = '' THEN '' ELSE '?' || qq END END AS canon_url
+        |  FROM c)
+        |SELECT doc_id, canon_url,
+        | CAST(doc_id = min(doc_id) OVER (PARTITION BY canon_url) AS BIGINT) AS kept,
+        | count(*) OVER (PARTITION BY canon_url) AS n_copies
+        |FROM canon ORDER BY doc_id""".stripMargin,
     // the c11 simhash-pair + recursive-component machinery, then the
     // keep-best argmax (n_tok DESC, doc_id ASC) per group — integer scores,
     // so the winner replays exactly

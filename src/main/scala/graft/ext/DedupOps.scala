@@ -313,6 +313,50 @@ object DedupOps {
     }
   }
 
+  /** Canonicalize a URL column — the web-corpus provenance normalization
+    * (see [[graft.ext.Dedup.d17UrlDedup]]): lowercase scheme and host,
+    * strip `www.` and the scheme's default port (:80 http, :443 https),
+    * drop the fragment, drop `utm_*`/`fbclid`/`gclid` tracking params,
+    * SORT the surviving query params (binary order — param order never
+    * distinguishes pages), strip trailing path slashes. Built from
+    * codegen'd string/regexp/array primitives only, so it is a shuffle-free
+    * projection and replays in any engine with the same regex dialect
+    * subset (no backrefs, no lookaround). A string that doesn't parse as
+    * scheme://host... passes through unchanged. */
+  def canonicalizeUrl(u: Column): Column = {
+    val pat = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(\\?[^#]*)?(#.*)?$"
+    val scheme = lower(regexp_extract(u, pat, 1))
+    val host0 = lower(regexp_extract(u, pat, 2))
+    val host1 = regexp_replace(host0, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(host1, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host1, ":443$", ""))
+      .otherwise(host1)
+    val path = regexp_replace(regexp_extract(u, pat, 3), "/+$", "")
+    val q0 = regexp_extract(u, pat, 4)
+    val params = filter(
+      split(regexp_replace(q0, "^\\?", ""), "&"),
+      p => p =!= "" && !p.rlike("^(utm_[^=]*|fbclid|gclid)="))
+    val query = array_join(array_sort(params), "&")
+    when(scheme === "" || host === "", u)
+      .otherwise(concat(scheme, lit("://"), host, path,
+        when(query === "", lit("")).otherwise(concat(lit("?"), query))))
+  }
+
+  /** Dedup by canonical URL: every row gets its [[canonicalizeUrl]] key,
+    * the group's lowest id wins (`kept` = 1), and `n_copies` reports the
+    * recrawl multiplicity. One shuffle-free canonicalization projection +
+    * one window partitioned by the canonical URL (group sizes are recrawl
+    * multiplicities — never corpus-scaled). */
+  def dedupByCanonicalUrl(df: DataFrame, idCol: String,
+      urlCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("canon_url"))
+    df.withColumn("canon_url", canonicalizeUrl(col(urlCol)))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .withColumn("kept",
+        (col(idCol) === min(col(idCol)).over(w)).cast("long"))
+  }
+
   /** DBSCAN-style density clustering over a precomputed neighbor-pair
     * graph: a point with >= `minPts` neighbors is a CORE; clusters are the
     * connected components of the core-core subgraph (label = minimum core

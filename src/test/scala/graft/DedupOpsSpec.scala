@@ -969,6 +969,51 @@ class DedupOpsSpec extends SparkSpec {
     assert(kept == Set((2L, 1L, 30L), (4L, 4L, 5L), (9L, 9L, 1L)))
   }
 
+  test("canonicalizeUrl: case/www/default-port/fragment/tracking/param-order/trailing-slash noise collapses; non-URLs pass through") {
+    val cases = Seq(
+      // scheme+host case, www, https default port, fragment
+      ("HTTPS://WWW.Ex.COM:443/a/b#frag", "https://ex.com/a/b"),
+      ("https://ex.com/a/b", "https://ex.com/a/b"),
+      // http default port + trailing slashes
+      ("http://ex.com:80/c///", "http://ex.com/c"),
+      // NON-default port for the scheme is kept
+      ("http://ex.com:443/c", "http://ex.com:443/c"),
+      // tracking params dropped, survivors sorted
+      ("https://ex.com/p?utm_source=x&b=2&a=1", "https://ex.com/p?a=1&b=2"),
+      ("https://ex.com/p?a=1&gclid=z&b=2&fbclid=y", "https://ex.com/p?a=1&b=2"),
+      // all params tracking -> no query at all
+      ("https://ex.com/p?utm_campaign=c", "https://ex.com/p"),
+      // utm must be a prefix of the NAME, not a substring
+      ("https://ex.com/p?xutm_a=1", "https://ex.com/p?xutm_a=1"),
+      // not scheme://host -> unchanged
+      ("not a url", "not a url"),
+      ("/relative/path", "/relative/path"))
+    val got = cases.toDF("url", "want")
+      .select(DedupOps.canonicalizeUrl($"url").as("got"), $"want")
+      .as[(String, String)].collect()
+    got.foreach { case (g, w) => assert(g == w, s"got $g want $w") }
+  }
+
+  test("dedupByCanonicalUrl: variants group, lowest id kept, multiplicity counted") {
+    val rows = Seq(
+      (1L, "https://ex.com/a"),
+      (2L, "HTTPS://WWW.EX.COM:443/a#f"),
+      (3L, "https://ex.com/a?utm_source=t"),
+      (7L, "https://ex.com/b?b=2&a=1"),
+      (8L, "https://ex.com/b?a=1&b=2"),
+      (9L, "https://other.com/z")).toDF("doc_id", "url")
+    val out = DedupOps.dedupByCanonicalUrl(rows, "doc_id", "url")
+      .select($"doc_id", $"canon_url", $"kept", $"n_copies")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, "https://ex.com/a", 1L, 3L),
+      (2L, "https://ex.com/a", 0L, 3L),
+      (3L, "https://ex.com/a", 0L, 3L),
+      (7L, "https://ex.com/b?a=1&b=2", 1L, 2L),
+      (8L, "https://ex.com/b?a=1&b=2", 0L, 2L),
+      (9L, "https://other.com/z", 1L, 1L)))
+  }
+
   test("semanticDedup drops in-cluster near-identical vectors, keeps the rest") {
     // append exact duplicates of three corpus vectors under higher ids: an
     // exact copy lands in the same k-means cluster, cosine 1.0 >= any
