@@ -870,6 +870,46 @@ object DedupOps {
     (if (lsh) "lsh" else "block", est)
   }
 
+  /** Approximate k-nearest-neighbor GRAPH over the corpus — every vector's
+    * top-`k` neighbors by exact cosine among its banded-LSH candidates (the
+    * [[lshParts]] OR-of-ANDs blocking, symmetrized: a candidate pair feeds
+    * BOTH endpoints' rankings). The primitive under NN-descent refinement,
+    * graph-based ANN serving, and local-neighborhood diversity analysis —
+    * distinct from [[knn]], whose query set is small and broadcast; here
+    * the corpus ranks against itself.
+    *
+    * Ranking is on round(cos, 6) with neighbor-id tie-break — the s01
+    * determinism contract — and emits (src, rk, dst, cos6). A vector whose
+    * buckets hold no other member emits no rows (its neighborhood is
+    * unknown at this banding, not empty — callers wanting guaranteed
+    * degree re-run with narrower bands or union a [[knn]] pass).
+    *
+    * Scale: candidate volume is Σ bucket² per band — no all-pairs; the
+    * per-src ranking window shuffles only candidate edges (bucket-bounded,
+    * ≈ n·E[bucket] rows, never n²), hash-partitioned on src. At 100 TB the
+    * edge list is the big frame and it never materializes unranked: the
+    * window's rank filter cuts to k·n rows. */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int,
+      planesPerBand: Int = 4, bands: Int = 4, dim: Int = 64): DataFrame = {
+    val (candidates, docs) =
+      lshParts(df, idCol, vecCol, None, planesPerBand, bands, dim)
+    val sym = candidates.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(candidates.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val ds = docs.select(col("__id").as("src"),
+      col("__v").as("__vs"), col("__nrm").as("__ns"))
+    val dd = docs.select(col("__id").as("dst"),
+      col("__v").as("__vd"), col("__nrm").as("__nd"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("cos6").desc, col("dst"))
+    sym.join(ds, Seq("src")).join(dd, Seq("dst"))
+      .withColumn("cos6",
+        round(graft.functions.VectorExprs.dot(col("__vs"), col("__vd"))
+          / (col("__ns") * col("__nd")), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("src"), col("rk"), col("dst"), col("cos6"))
+  }
+
   /** Quality-aware near-dup resolution: keep the BEST-scoring member of
     * every near-duplicate group instead of the lowest id — the rule a real
     * curation pipeline wants ("among these paraphrases, keep the longest /

@@ -1450,6 +1450,27 @@ object Similarity {
       .orderBy($"query_id", $"mmr_rank")
   }
 
+  // ---------------------------------------------------------------- s26
+  /** s26: [[DedupOps.knnGraph]] over the whole corpus — every vector's
+    * top-3 exact-cosine neighbors among its banded-LSH candidates (4 bands
+    * × 4 hyperplane bits, the [[DedupOps.lshParts]] blocking symmetrized).
+    * Unlike s01/s02 the corpus ranks against ITSELF — the primitive under
+    * NN-descent, graph-ANN serving, and neighborhood diversity audits.
+    * The DuckDB twin replays the banding (the s02 hp CTE widened to 16
+    * planes, grouped 4 bits per band), the symmetrize, and the s01 ranking
+    * contract (round-6 cosine desc, lower-id ties). */
+  val s26KnnGraph: Q = (s, dir) => {
+    import s.implicits._
+    DedupOps.knnGraph(Tables.loadSpread(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 3)
+      // +1e-9 before the display round: a round-6 cosine can land EXACTLY on
+      // a 4-digit halfway (0.25175 here at sf0.001) where the engines'
+      // rounding rules disagree — the d04/s25 nudge; +0.0 folds -0.0
+      .select($"src", $"rk", $"dst",
+        (round($"cos6" + lit(1e-9), 4) + lit(0.0)).as("cos"))
+      .orderBy($"src", $"rk")
+  }
+
   // ----------------------------------------------------------- recall / s12
   /** Per-query recall@k of an approximate result against ground truth: both
     * frames are (queryCol, idCol) rankings; recall = |approx ∩ truth| / k.
@@ -1923,7 +1944,8 @@ object Similarity {
     "s22_ivfpq_residual_recall" -> s22IvfPqResidualRecall,
     "s23_hard_negatives" -> s23HardNegatives,
     "s24_density_clusters" -> s24DensityClusters,
-    "s25_mmr_rerank" -> s25MmrRerank)
+    "s25_mmr_rerank" -> s25MmrRerank,
+    "s26_knn_graph" -> s26KnnGraph)
 
   /** Generated DuckDB twin of [[s21IvfPqRecall]]: stages the entire
     * deterministic IVF-PQ pipeline — coarse Lloyd with re-normalized
@@ -2326,6 +2348,40 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "s25_mmr_rerank" -> mmrSql(k = 5, nCand = 20, lambda = 0.7),
+    // the lshParts banding replayed: 16 hyperplanes grouped 4 bits/band,
+    // OR-of-ANDs candidates symmetrized, then the s01 ranking contract
+    "s26_knn_graph" ->
+      (vecsCte +
+        """, hp AS (
+          |  SELECT j, d,
+          |   (CAST(CAST(('0x' || substr(md5('hp:' || j || ':' || d),1,15)) AS UBIGINT)
+          |     % 2001 AS BIGINT) - 1000) / 1000.0 AS r
+          |  FROM (SELECT unnest(range(0,16)) AS j), (SELECT unnest(range(0,64)) AS d)),
+          | ev AS (
+          |  SELECT vec_id, generate_subscripts(v,1)-1 AS d, unnest(v) AS x FROM e),
+          | dots AS (
+          |  SELECT ev.vec_id, hp.j, sum(ev.x * hp.r) AS s
+          |  FROM ev JOIN hp USING (d) GROUP BY ev.vec_id, hp.j),
+          | sig AS (
+          |  SELECT vec_id, j // 4 AS band,
+          |   CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << (j % 4)) ELSE 0 END)
+          |     AS BIGINT) AS bsig
+          |  FROM dots GROUP BY vec_id, j // 4),
+          | cand AS (
+          |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          |  FROM sig a JOIN sig b
+          |   ON a.band = b.band AND a.bsig = b.bsig AND a.vec_id < b.vec_id),
+          | sym AS (
+          |  SELECT id_a AS src, id_b AS dst FROM cand
+          |  UNION ALL SELECT id_b, id_a FROM cand)
+          |SELECT src, rk, dst, round(cos6 + 1e-9, 4) + 0.0 AS cos FROM (
+          | SELECT sym.src, sym.dst,
+          |  round(list_dot_product(sa.v, sb.v) / (sa.nrm * sb.nrm), 6) AS cos6,
+          |  CAST(row_number() OVER (PARTITION BY sym.src
+          |    ORDER BY round(list_dot_product(sa.v, sb.v) / (sa.nrm * sb.nrm), 6) DESC,
+          |             sym.dst) AS BIGINT) AS rk
+          | FROM sym JOIN e sa ON sym.src = sa.vec_id JOIN e sb ON sym.dst = sb.vec_id) t
+          |WHERE rk <= 3 ORDER BY src, rk""".stripMargin),
     "s15_kmeans" -> kmeansSql(k = 4, iters = 2, dim = 64),
     "s19_kmeans_parallel" -> kmeansParSql(k = 4, rounds = 2, l = 4,
       candIters = 2, dim = 64),

@@ -412,6 +412,29 @@ class DedupOpsSpec extends SparkSpec {
     assert(rel(2L) > rel(3L), "precondition: 2 outranks 3 on pure relevance")
   }
 
+  test("knnGraph = top-k exact-cosine ranking over the symmetrized LSH candidate set") {
+    import org.apache.spark.sql.expressions.Window
+    val got = DedupOps.knnGraph(embs, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got.nonEmpty, "graph should have edges on the real embeddings")
+    // re-derive from cosinePairsLsh at a pass-everything threshold with the
+    // SAME banding: symmetrize, round-6, rank, cut at k — must agree exactly
+    val cand = DedupOps.cosinePairsLsh(embs, "vec_id", "embedding",
+      threshold = -2.0, blockCol = None, planesPerBand = 4, bands = 4)
+    val sym = cand.select($"id_a".as("src"), $"id_b".as("dst"), $"cosine")
+      .unionAll(cand.select($"id_b", $"id_a", $"cosine"))
+      .withColumn("cos6", round($"cosine", 6))
+    val w = Window.partitionBy($"src").orderBy($"cos6".desc, $"dst")
+    val expected = sym
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 3).select($"src", $"rk", $"dst", $"cos6")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(got == expected)
+    // no self edges, degree bounded by k
+    assert(got.forall(e => e._1 != e._3))
+    assert(got.groupBy(_._1).forall(_._2.size <= 3))
+  }
+
   test("knnBinary: hand-computed Hamming ranks; udaf form equals the s10 window form") {
     // 64-dim sign patterns: id2 flips dims 0..2 (ham 3), id3 flips 0..9
     // (ham 10), id4 flips everything (ham 64) relative to the query id1

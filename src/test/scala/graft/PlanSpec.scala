@@ -360,6 +360,18 @@ class PlanSpec extends SparkSpec {
       s"s24 materializes an all-pairs product:\n$p")
   }
 
+  test("s26: knn graph stays band-bucket-keyed — equi-join candidates, partitioned ranking") {
+    val df = SparkEntry.queries("s26_knn_graph")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"s26 materializes an all-pairs product:\n$p")
+    // the per-src ranking must never sort the edge list in one task
+    assert(p.contains("windowspecdefinition(src#") ||
+      p.contains("windowspecdefinition(src,"),
+      s"s26's ranking window must partition by src:\n$p")
+  }
+
   test("c17: soft-dedup weights broadcast the pair-graph side; no windows at all") {
     val df = SparkEntry.queries("c17_soft_dedup_weights")(spark, dir)
     df.collect()
