@@ -1471,6 +1471,25 @@ object Similarity {
       .orderBy($"src", $"rk")
   }
 
+  // ---------------------------------------------------------------- s27
+  /** s27: [[kmeansFitSpherical]] at the s15 configuration (fit on the
+    * vec_id < 256 sample, k = 4, 2 Lloyd rounds), whole-table assignment
+    * over the SAME unit vectors. The DuckDB twin is the s15 staging with
+    * the corpus normalized in the base CTE and every round's mean
+    * projected back to the unit sphere — so the full spherical training,
+    * not just the labels, is cross-engine bit-pinned. dist2 on unit
+    * vectors is 2·(1 − cos): the output ranks by cosine. */
+  val s27KmeansSpherical: Q = (s, dir) => {
+    import s.implicits._
+    val raw = Tables.loadSpread(s, dir, "embeddings")
+    // the fit normalizes its own input — pass RAW vectors both places so
+    // training and assignment share one single normalization
+    val cents = kmeansFitSpherical(raw.filter($"vec_id" < 256),
+      "vec_id", "embedding", k = 4, iters = 2)
+    kmeansAssign(unitVecs(raw, "vec_id", "embedding", "vec_id"),
+      "vec_id", "__u", cents).orderBy($"vec_id")
+  }
+
   // ----------------------------------------------------------- recall / s12
   /** Per-query recall@k of an approximate result against ground truth: both
     * frames are (queryCol, idCol) rankings; recall = |approx ∩ truth| / k.
@@ -1552,12 +1571,16 @@ object Similarity {
     } finally e.unpersist(false)
   }
 
-  /** The shared Lloyd loop of [[kmeansFit]]/[[kmeansFitPp]]: `iters` rounds
-    * of plan-literal argmin assignment + the id-sorted element-wise fold
-    * mean, empty clusters keeping their previous centroid. `e` must be the
-    * persisted (__id, __v) training frame. */
+  /** The shared Lloyd loop of [[kmeansFit]]/[[kmeansFitPp]]/
+    * [[kmeansFitSpherical]]: `iters` rounds of plan-literal argmin
+    * assignment + the id-sorted element-wise fold mean, empty clusters
+    * keeping their previous centroid. `e` must be the persisted
+    * (__id, __v) training frame. With `renormalize` each new centroid is
+    * divided by its L2 norm on the driver (k×dim state; the sequential
+    * square-sum + IEEE sqrt replays as sqrt(list_dot_product) in the
+    * DuckDB twin) — the spherical-k-means mean-then-project step. */
   private def lloydRounds(e: DataFrame, init: Seq[Array[Double]],
-      iters: Int): Seq[Array[Double]] = {
+      iters: Int, renormalize: Boolean = false): Seq[Array[Double]] = {
     val sp = e.sparkSession
     import sp.implicits._
     val dim = e.select(size(col("__v"))).as[Int].head()
@@ -1576,9 +1599,46 @@ object Similarity {
           transform(col("__s"), z => z / col("__n")).as("__c"))
         .as[(Int, Seq[Double])].collect().toMap
       cents = cents.indices.map(i =>
-        means.get(i).map(_.toArray).getOrElse(cents(i)))
+        means.get(i).map { m =>
+          val arr = m.toArray
+          if (!renormalize) arr
+          else {
+            // sequential square-sum — the same left-to-right association as
+            // dot(v, v), so the twin's sqrt(list_dot_product(mv, mv)) bits it
+            val nrm = math.sqrt(arr.foldLeft(0.0d)((a, x) => a + x * x))
+            arr.map(_ / nrm)
+          }
+        }.getOrElse(cents(i)))
     }
     cents
+  }
+
+  /** Spherical k-means — the embedding-native Lloyd variant: inputs are
+    * L2-normalized once, assignment is the same fixed-shape d2 argmin
+    * (on unit vectors min distance ≡ max cosine, same lower-index ties),
+    * and each new centroid is the member mean PROJECTED BACK to the unit
+    * sphere (mean, then divide by its norm). The clustering a cosine-
+    * similarity corpus actually wants: plain [[kmeansFit]] lets vector
+    * magnitude (document length, embedding scale) pull centroids off the
+    * directions the retrieval operators (s01–s14) rank by.
+    *
+    * Contract: a cluster whose member mean is the exact zero vector would
+    * normalize to NaN — adversarial antipodal symmetry, not reachable on
+    * real embedding data; empty clusters keep their previous (unit)
+    * centroid. Same scale shape as [[kmeansFit]]: bounded training frame,
+    * k×dim driver state, shuffle-free [[kmeansAssign]] projection. */
+  def kmeansFitSpherical(train: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): Seq[Array[Double]] = {
+    val sp = train.sparkSession
+    import sp.implicits._
+    val e = unitVecs(train, idCol, vecCol, "__id")
+      .select(col("__id").cast("long").as("__id"), col("__u").as("__v"))
+      .persist()
+    try {
+      val cents: Seq[Array[Double]] = e.orderBy(col("__id")).limit(k)
+        .select(col("__v")).as[Seq[Double]].collect().map(_.toArray).toSeq
+      lloydRounds(e, cents, iters, renormalize = true)
+    } finally e.unpersist(false)
   }
 
   /** k-means++ deterministic init + Lloyd — the [[kmeansFit]] upgrade for
@@ -1945,7 +2005,8 @@ object Similarity {
     "s23_hard_negatives" -> s23HardNegatives,
     "s24_density_clusters" -> s24DensityClusters,
     "s25_mmr_rerank" -> s25MmrRerank,
-    "s26_knn_graph" -> s26KnnGraph)
+    "s26_knn_graph" -> s26KnnGraph,
+    "s27_kmeans_spherical" -> s27KmeansSpherical)
 
   /** Generated DuckDB twin of [[s21IvfPqRecall]]: stages the entire
     * deterministic IVF-PQ pipeline — coarse Lloyd with re-normalized
@@ -2115,7 +2176,8 @@ object Similarity {
     * [[kmeansFitPp]]'s derandomized rule term for term. */
   private[ext] def kmeansSql(k: Int, iters: Int, dim: Int,
       ppInit: Boolean = false, weighted: Boolean = false,
-      coresetPerCluster: Int = 0, customTail: String = ""): String = {
+      coresetPerCluster: Int = 0, customTail: String = "",
+      spherical: Boolean = false): String = {
     def d2(v: String, cv: String) =
       s"(list_dot_product($v, $v) - 2 * list_dot_product($v, $cv)) + list_dot_product($cv, $cv)"
     val zeros = s"list_transform(range(1, ${dim + 1}), i -> CAST(0 AS DOUBLE))"
@@ -2160,14 +2222,21 @@ object Similarity {
            |        list(list_transform(t.v, x -> x * t.w) ORDER BY t.vec_id)),
            |      (acc, x) -> list_transform(range(1, ${dim + 1}), i -> acc[i] + x[i])) AS s
            |   FROM a%R% a JOIN tr t USING (vec_id) GROUP BY a.cl""".stripMargin
+    // spherical mode: the round mean projects back to the unit sphere —
+    // exactly lloydRounds' driver-side renormalize (sequential square-sum
+    // ≡ list_dot_product(mv, mv), then one IEEE sqrt and per-element divide)
+    val meanVec =
+      if (spherical) "list_transform(mv, x -> x / sqrt(list_dot_product(mv, mv)))"
+      else "mv"
     val rounds = (1 to iters).map { r =>
       val prev = s"c${r - 1}"
       s""" a$r AS MATERIALIZED (
          |  SELECT t.vec_id, (min({'d': ${d2("t.v", "c.v")}, 'c': c.cl})).c AS cl
          |  FROM tr t, $prev c GROUP BY t.vec_id),
          | m$r AS MATERIALIZED (
-         |  SELECT cl, list_transform(s, z -> z / n) AS v FROM (
-         |${meanInner.replace("%R%", r.toString)}) q),
+         |  SELECT cl, $meanVec AS v FROM (
+         |   SELECT cl, list_transform(s, z -> z / n) AS mv FROM (
+         |${meanInner.replace("%R%", r.toString)}) q0) q),
          | c$r AS MATERIALIZED (
          |  SELECT $prev.cl, coalesce(m$r.v, $prev.v) AS v
          |  FROM $prev LEFT JOIN m$r USING (cl)),""".stripMargin
@@ -2197,7 +2266,16 @@ object Similarity {
            |    ORDER BY round((p).d + 1e-9, 4), vec_id) AS BIGINT) AS coreset_rank
            | FROM fin) t
            |WHERE coreset_rank <= $coresetPerCluster ORDER BY vec_id""".stripMargin
-    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    // spherical mode: the corpus normalizes ONCE in the base CTE (the s03
+    // unit-vector staging, proven ≡ unitVecs) — training and assignment
+    // then share the same unit vectors, like the Spark side
+    val baseV =
+      if (spherical)
+        """list_transform(embedding::DOUBLE[],
+          |   x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y))))"""
+          .stripMargin
+      else "embedding::DOUBLE[]"
+    s"""WITH e AS (SELECT vec_id, label, $baseV AS v FROM embeddings),
        |$trCte
        |$init
        |$rounds
@@ -2383,6 +2461,8 @@ object Similarity {
           | FROM sym JOIN e sa ON sym.src = sa.vec_id JOIN e sb ON sym.dst = sb.vec_id) t
           |WHERE rk <= 3 ORDER BY src, rk""".stripMargin),
     "s15_kmeans" -> kmeansSql(k = 4, iters = 2, dim = 64),
+    "s27_kmeans_spherical" -> kmeansSql(k = 4, iters = 2, dim = 64,
+      spherical = true),
     "s19_kmeans_parallel" -> kmeansParSql(k = 4, rounds = 2, l = 4,
       candIters = 2, dim = 64),
     "s20_kmeans_pipeline" -> kmeansParSql(k = 4, rounds = 2, l = 4,

@@ -1213,6 +1213,41 @@ class DedupOpsSpec extends SparkSpec {
       s"planted clusters not separated: $assign")
   }
 
+  test("kmeansFitSpherical: clusters by DIRECTION where plain k-means splits by magnitude; unit centroids; deterministic") {
+    // Two planted DIRECTIONS (x-ish ids 0-2, y-ish ids 3-5) with one huge-
+    // magnitude member (id 2 at ~100x). Plain Lloyd on the raw vectors
+    // converges to {the big vector} vs {everything else} — magnitude wins;
+    // spherical must recover the directions.
+    val pts = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.05f)), (2L, Seq(100.0f, 1.0f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.05f, 0.9f)), (5L, Seq(0.02f, 1.1f)))
+      .toDF("vec_id", "v")
+    val cents = Similarity.kmeansFitSpherical(pts, "vec_id", "v", k = 2, iters = 2)
+    cents.foreach { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-12, s"centroid not unit-norm: $n")
+    }
+    // raw-vector assignment against unit centroids is direction-correct:
+    // argmin d2 = argmax v·c when every c is unit (the ||v||² term is
+    // constant per row)
+    val sph = Similarity.kmeansAssign(pts, "vec_id", "v", cents)
+      .select($"vec_id", $"cluster").as[(Long, Long)].collect().toMap
+    assert(Set(0L, 1L, 2L).map(sph).size == 1 && Set(3L, 4L, 5L).map(sph).size == 1 &&
+      sph(0L) != sph(3L), s"spherical must cluster by direction: $sph")
+    val plain = Similarity.kmeansAssign(pts, "vec_id", "v",
+      Similarity.kmeansFit(pts, "vec_id", "v", k = 2, iters = 2))
+      .select($"vec_id", $"cluster").as[(Long, Long)].collect().toMap
+    assert(plain(2L) != plain(0L),
+      s"precondition: plain k-means splits the big vector off by magnitude: $plain")
+    // determinism: bit-identical centroids at 1/3/6 input partitions
+    val outs = Seq(1, 3, 6).map { p =>
+      Similarity.kmeansFitSpherical(pts.repartition(p), "vec_id", "v", k = 2, iters = 2)
+        .map(_.map(java.lang.Double.doubleToRawLongBits).toSeq)
+    }
+    assert(outs.tail.forall(_ == outs.head),
+      "spherical centroids differ bit-wise across input partitionings")
+  }
+
   test("kmeansFitPp: ++ init separates clusters the lowest-id seeds all miss; deterministic across partitionings") {
     // All four lowest ids (0-3) sit in planted cluster A; B has only
     // higher ids. Lowest-id init with k=2 seeds BOTH centroids inside A —
