@@ -1490,6 +1490,20 @@ object Similarity {
       "vec_id", "__u", cents).orderBy($"vec_id")
   }
 
+  // ---------------------------------------------------------------- s28
+  /** s28: [[clusterQuality]] over the pinned s15 training (fit on
+    * vec_id < 256, k = 4, 2 Lloyd rounds) — per-cluster size, inertia, and
+    * mean simplified silhouette of the whole-corpus assignment. The DuckDB
+    * twin rides the s15 staged training and recomputes the sorted
+    * (own, runner-up) distance pair per row. */
+  val s28ClusterQuality: Q = (s, dir) => {
+    import s.implicits._
+    val e = vecs(s, dir)
+    val cents = kmeansFit(e.filter($"vec_id" < 256), "vec_id", "v",
+      k = 4, iters = 2)
+    clusterQuality(e, "vec_id", "v", cents).orderBy($"cluster")
+  }
+
   // ----------------------------------------------------------- recall / s12
   /** Per-query recall@k of an approximate result against ground truth: both
     * frames are (queryCol, idCol) rankings; recall = |approx ∩ truth| / k.
@@ -1704,6 +1718,43 @@ object Similarity {
       kmeansPick(cents, asDouble(col(vecCol))).as("__p"))
       .select(col(idCol), col("__p.c").cast("long").as("cluster"),
         round(col("__p.d") + 1e-9, 4).as("dist2"))
+
+  /** Per-cluster quality report for a fitted k-means model: size, inertia
+    * (Σ squared distance to the own centroid — the quantity Lloyd descends),
+    * and mean SIMPLIFIED silhouette (per row: (b−a)/b on the distances to
+    * the own and second-nearest centroid — the centroid-based silhouette
+    * that needs no pairwise member distances, so it stays linear where the
+    * classic formulation is quadratic per cluster). The loop-closer for the
+    * s15–s20 family: pick k / compare inits by MEASURING, the way s12/s21
+    * close the ANN tuning loop.
+    *
+    * Every per-row quantity is a projection against plan-literal centroids
+    * (the [[kmeansAssign]] scale shape — shuffle-free scan, then one
+    * k-row agg); d2 is clamped at 0 before sqrt (the fixed-shape expansion
+    * can go −1e-18 by cancellation when v ≈ c, and sqrt(−ε) is NaN).
+    * Requires k ≥ 2 (a second-nearest centroid must exist). */
+  def clusterQuality(df: DataFrame, idCol: String, vecCol: String,
+      cents: Seq[Array[Double]]): DataFrame = {
+    require(cents.size >= 2, s"silhouette needs k >= 2, got ${cents.size}")
+    val v = asDouble(col(vecCol))
+    val opts = cents.zipWithIndex.map { case (c, i) =>
+      val cl = typedLit(c.toSeq)
+      struct(((dot(v, v) - lit(2.0d) * dot(v, cl)) + dot(cl, cl)).as("d"),
+        lit(i).as("c"))
+    }
+    val sorted = sort_array(array(opts: _*))
+    df.select(col(idCol),
+        sorted.getItem(0).getField("c").cast("long").as("cluster"),
+        greatest(sorted.getItem(0).getField("d"), lit(0.0d)).as("__a2"),
+        greatest(sorted.getItem(1).getField("d"), lit(0.0d)).as("__b2"))
+      .withColumn("__sil",
+        when(sqrt(col("__b2")) === 0.0d, lit(0.0d))
+          .otherwise((sqrt(col("__b2")) - sqrt(col("__a2"))) / sqrt(col("__b2"))))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"),
+        (round(sum(col("__a2")) + lit(1e-9), 4) + lit(0.0)).as("inertia"),
+        (round(avg(col("__sil")) + lit(1e-9), 4) + lit(0.0)).as("mean_sil"))
+  }
 
   /** k-means as an oracle row: fit on the deterministic vec_id < 256
     * sample (k = 4, 2 Lloyd rounds), assign the WHOLE table. The DuckDB
@@ -2006,7 +2057,8 @@ object Similarity {
     "s24_density_clusters" -> s24DensityClusters,
     "s25_mmr_rerank" -> s25MmrRerank,
     "s26_knn_graph" -> s26KnnGraph,
-    "s27_kmeans_spherical" -> s27KmeansSpherical)
+    "s27_kmeans_spherical" -> s27KmeansSpherical,
+    "s28_cluster_quality" -> s28ClusterQuality)
 
   /** Generated DuckDB twin of [[s21IvfPqRecall]]: stages the entire
     * deterministic IVF-PQ pipeline — coarse Lloyd with re-normalized
@@ -2463,6 +2515,29 @@ object Similarity {
     "s15_kmeans" -> kmeansSql(k = 4, iters = 2, dim = 64),
     "s27_kmeans_spherical" -> kmeansSql(k = 4, iters = 2, dim = 64,
       spherical = true),
+    // rides the s15 staged training; per row the sorted (own, runner-up)
+    // distance pair, clamped at 0 before sqrt exactly like clusterQuality
+    "s28_cluster_quality" -> kmeansSql(k = 4, iters = 2, dim = 64,
+      customTail =
+        """, sd AS (
+          |  SELECT t.vec_id,
+          |   (list_sort(list({'d': (list_dot_product(t.v, t.v)
+          |       - 2 * list_dot_product(t.v, c.v)) + list_dot_product(c.v, c.v),
+          |     'c': c.cl})))[1:2] AS ps
+          |  FROM e t, c2 c GROUP BY t.vec_id),
+          | pr AS (
+          |  SELECT vec_id, CAST((ps[1]).c AS BIGINT) AS cluster,
+          |   greatest((ps[1]).d, 0) AS a2, greatest((ps[2]).d, 0) AS b2
+          |  FROM sd),
+          | silr AS (
+          |  SELECT cluster, a2,
+          |   CASE WHEN sqrt(b2) = 0 THEN 0.0
+          |        ELSE (sqrt(b2) - sqrt(a2)) / sqrt(b2) END AS sil
+          |  FROM pr)
+          |SELECT cluster, count(*) AS n,
+          | round(sum(a2) + 1e-9, 4) + 0.0 AS inertia,
+          | round(avg(sil) + 1e-9, 4) + 0.0 AS mean_sil
+          |FROM silr GROUP BY cluster ORDER BY cluster""".stripMargin),
     "s19_kmeans_parallel" -> kmeansParSql(k = 4, rounds = 2, l = 4,
       candIters = 2, dim = 64),
     "s20_kmeans_pipeline" -> kmeansParSql(k = 4, rounds = 2, l = 4,

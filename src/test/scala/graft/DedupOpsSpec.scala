@@ -1248,6 +1248,35 @@ class DedupOpsSpec extends SparkSpec {
       "spherical centroids differ bit-wise across input partitionings")
   }
 
+  test("clusterQuality: tight well-separated clusters score near-1 silhouette; counts and inertia check out") {
+    val pts = Seq(
+      (0L, Seq(0.0f, 0.0f)), (2L, Seq(0.2f, 0.0f)), (4L, Seq(0.0f, 0.2f)),
+      (1L, Seq(10.0f, 10.0f)), (3L, Seq(10.2f, 10.0f)), (5L, Seq(10.0f, 10.2f)))
+      .toDF("vec_id", "v")
+    val cents = Similarity.kmeansFit(pts, "vec_id", "v", k = 2, iters = 2)
+    val q = Similarity.clusterQuality(pts, "vec_id", "v", cents)
+      .select($"cluster", $"n", $"inertia", $"mean_sil")
+      .as[(Long, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(q.map(_._2) == Seq(3L, 3L), s"3 members per planted cluster: $q")
+    // members are ~0.19 from their own centroid and ~14 from the other:
+    // simplified silhouette ≈ 1 − 0.19/14; inertia per cluster is the
+    // within-cluster square sum (2/3 · 0.04 · 2 ≈ 0.0533)
+    assert(q.forall(_._4 > 0.95), s"well-separated clusters must score near 1: $q")
+    assert(q.forall(r => r._3 > 0.0 && r._3 < 0.1), s"inertia out of range: $q")
+    // the own-centroid distance aggregated here is the one kmeansAssign
+    // emits: per-cluster inertia ≈ Σ dist2 (both sides 4-digit rounded)
+    val byAssign = Similarity.kmeansAssign(pts, "vec_id", "v", cents)
+      .groupBy($"cluster").agg(sum($"dist2").as("s"))
+      .select($"cluster", $"s").as[(Long, Double)].collect().toMap
+    q.foreach { r =>
+      assert(math.abs(r._3 - byAssign(r._1)) < 1e-3,
+        s"inertia disagrees with the assignment distances: $q vs $byAssign")
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.clusterQuality(pts, "vec_id", "v", cents.take(1))
+    }
+  }
+
   test("kmeansFitPp: ++ init separates clusters the lowest-id seeds all miss; deterministic across partitionings") {
     // All four lowest ids (0-3) sit in planted cluster A; B has only
     // higher ids. Lowest-id init with k=2 seeds BOTH centroids inside A —
