@@ -784,9 +784,42 @@ object Similarity {
     * `train` section (the q38 layout-split precedent). */
   private val modelCache =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
-  private def cachedModel[T <: AnyRef](key: String)(train: => T): T =
-    modelCache.computeIfAbsent(key + ":" + embeddingsFingerprint(key),
-      _ => train).asInstanceOf[T]
+  private def cachedModel[T <: AnyRef](key: String)(train: => T): T = {
+    val full = key + ":" + embeddingsFingerprint(key)
+    // evict superseded entries for the same tag:dir — a long-lived JVM that
+    // regenerates data under the path otherwise accumulates one stale model
+    // per generation (round-13 ADVICE)
+    modelCache.keySet.removeIf(k => k.startsWith(key + ":") && k != full)
+    modelCache.computeIfAbsent(full, _ => train).asInstanceOf[T]
+  }
+
+  /** MD5 over the trained model's raw IEEE-754 bits (coarse centroids,
+    * sub-codebooks, residual flag) — the content address for persisted
+    * code tables. Codes are a pure projection of (model, data), so a code
+    * table is only reusable under the EXACT model that produced it;
+    * keying the store on the data fingerprint alone served codes from a
+    * bit-different earlier fit when float training varied (round-13
+    * ADVICE #1). */
+  private def modelFingerprint(model: AnyRef): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(8)
+    def putD(d: Double): Unit = {
+      buf.clear()
+      buf.putLong(java.lang.Double.doubleToRawLongBits(d))
+      md.update(buf.array())
+    }
+    model match {
+      case m: IvfPqModel =>
+        m.centroids.foreach(_.foreach(putD))
+        md.update(if (m.byResidual) 1.toByte else 0.toByte)
+        m.pq.codebooks.foreach(_.foreach(_.foreach(putD)))
+      case m: PqModel =>
+        m.codebooks.foreach(_.foreach(_.foreach(putD)))
+      case other => md.update(other.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
 
   /** Content fingerprint of the embeddings table under the dir embedded in
     * `key` (name+length+mtime of every part file): a long-lived JVM (sbt
@@ -806,6 +839,22 @@ object Similarity {
     walk(root).foreach { p =>
       md.update(s"${p.getName}:${p.length}:${p.lastModified};"
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // mtime granularity is 1 s on many filesystems — same-sized data
+      // regenerated under the path within one tick would collide on the
+      // stat triple alone. The parquet FOOTER (tail bytes: thrift-encoded
+      // row-group stats + schema) is content-dependent, so fold in the
+      // last 4 KiB of each part file (round-13 ADVICE #4). A 4 KiB tail
+      // read per part, not a data scan.
+      if (p.getName.endsWith(".parquet") && p.length > 0) {
+        val raf = new java.io.RandomAccessFile(p, "r")
+        try {
+          val n = math.min(4096L, p.length).toInt
+          raf.seek(p.length - n)
+          val tail = new Array[Byte](n)
+          raf.readFully(tail)
+          md.update(tail)
+        } finally raf.close()
+      }
     }
     md.digest().map("%02x".format(_)).mkString
   }
