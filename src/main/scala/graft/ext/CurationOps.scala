@@ -457,6 +457,8 @@ object CurationOps {
     * sorted — the textbook ntile-over-everything formulation would
     * range-shuffle 100 TB for a 3-way label. Triggers one Spark job at
     * call time (the bounded histogram collect). */
+  private val lastPerplexityBase =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
   def perplexityBuckets(scored: DataFrame, idCol: String,
       scoreCol: String): DataFrame = {
     val s = scored.sparkSession
@@ -467,10 +469,16 @@ object CurationOps {
     // and it is NARROW (id + score + bucket — bytes/row, not the corpus), so
     // caching it beats recomputing the caller's scoring pipeline twice (the
     // c13 persisted-histogram discipline; at 100 TB the upstream score is
-    // typically an LM pass you never want to run again).
+    // typically an LM pass you never want to run again). The PREVIOUS
+    // call's handle is unpersisted here — a long-lived JVM (bench sweeps
+    // run every query ≥3×) otherwise leaks one cached relation per call.
     val base = scored.withColumn("__bkt",
       shiftright(graft.functions.Layout.sortableBits(col(scoreCol) + lit(0.0d)), 48))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    lastPerplexityBase.getAndSet(base) match {
+      case prev: DataFrame if prev ne base => prev.unpersist(blocking = false)
+      case _ => ()
+    }
     val counts = base.groupBy(col("__bkt")).agg(count(lit(1)).as("__bc")).collect()
     // n counts every scored row (null scores included — they occupy the
     // front of the cumulative order, matching the previous plan's

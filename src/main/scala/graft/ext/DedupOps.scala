@@ -1056,9 +1056,12 @@ object DedupOps {
         org.apache.spark.sql.Encoders.scalaDouble, org.apache.spark.sql.Encoders.scalaLong))
     broadcast(q).join(c, col("query_id") =!= col("id")
         && col("__l_query_id") =!= col("__l_id"))
-      .withColumn("cosine",
+      // rank on round(cos, 6) — the documented s23/s01 contract; feeding
+      // the raw cosine to the heap could diverge the k-th pick on a
+      // 6-digit tie whose raw bits differ
+      .withColumn("cosine", round(
         graft.functions.VectorExprs.dot(col("__v_query_id"), col("__v_id"))
-          / (col("__n_query_id") * col("__n_id")))
+          / (col("__n_query_id") * col("__n_id")), 6))
       .groupBy(col("query_id"))
       .agg(topk(col("cosine"), col("id")).as("__top"))
       .select(col("query_id"), posexplode(col("__top")).as(Seq("__p", "__t")))

@@ -800,7 +800,7 @@ object Similarity {
     * keying the store on the data fingerprint alone served codes from a
     * bit-different earlier fit when float training varied (round-13
     * ADVICE #1). */
-  private def modelFingerprint(model: AnyRef): String = {
+  private[graft] def modelFingerprint(model: AnyRef): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val buf = java.nio.ByteBuffer.allocate(8)
     def putD(d: Double): Unit = {
@@ -845,44 +845,80 @@ object Similarity {
       // row-group stats + schema) is content-dependent, so fold in the
       // last 4 KiB of each part file (round-13 ADVICE #4). A 4 KiB tail
       // read per part, not a data scan.
-      if (p.getName.endsWith(".parquet") && p.length > 0) {
-        val raf = new java.io.RandomAccessFile(p, "r")
+      // snapshot the length ONCE (the stat line above may race a concurrent
+      // data regeneration) and tolerate the part file vanishing/shrinking
+      // between the walk and the read: fall back to the stat triple already
+      // folded in — the next call re-walks and sees the new generation.
+      val len = p.length
+      if (p.getName.endsWith(".parquet") && len > 0) {
         try {
-          val n = math.min(4096L, p.length).toInt
-          raf.seek(p.length - n)
-          val tail = new Array[Byte](n)
-          raf.readFully(tail)
-          md.update(tail)
-        } finally raf.close()
+          val raf = new java.io.RandomAccessFile(p, "r")
+          try {
+            val n = math.min(4096L, len).toInt
+            raf.seek(len - n)
+            val tail = new Array[Byte](n)
+            raf.readFully(tail)
+            md.update(tail)
+          } finally raf.close()
+        } catch { case _: java.io.IOException => () }
       }
     }
     md.digest().map("%02x".format(_)).mkString
   }
 
-  /** Content-addressed per-(tag, dir) PERSISTED code table — the
+  /** Content-addressed per-(tag, dir, MODEL) PERSISTED code table — the
     * [[graft.ext.Dedup.simhashSigTable]] / q38 layout discipline applied
     * to the ANN codes (round-13 NEXT #1): built AT MOST ONCE per
-    * dir-content (addressed by the same stat fingerprint as the model
-    * memo, so regenerated data gets fresh codes), then every s05/s08/s09
-    * call searches the STORED table instead of re-running the
-    * literal-heavy encode projection per sweep — exactly what a
-    * deployment's steady state does against its written index. Codes are
-    * deterministic projections of the deterministic model, so serving
-    * from the store is bit-identical to in-plan encoding (PlanSpec-class
-    * parity is the existing materialized-≡-inline spec; the oracle rows
-    * stay exact). `listSorted` uses the [[saveIvfPqCodes]] inverted-list
-    * layout; otherwise the table range-sorts by id. */
-  private def cachedCodes(s: SparkSession, dir: String, tag: String,
-      listSorted: Boolean)(build: => DataFrame): DataFrame = {
-    val fp = embeddingsFingerprint(s"$tag:$dir")
-    val path = new java.io.File(new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_ann_codes"), s"$tag-$fp")
+    * (dir-content, trained-model) pair, then every s05/s08/s09 call
+    * searches the STORED table instead of re-running the literal-heavy
+    * encode projection per sweep — exactly what a deployment's steady
+    * state does against its written index. Codes are a pure projection of
+    * (model, data), so the store key folds in BOTH fingerprints: the data
+    * stat+footer hash ([[embeddingsFingerprint]]) AND the model's raw
+    * IEEE-754 bits ([[modelFingerprint]]) — a later JVM whose float
+    * training came out bit-different misses the cache and re-encodes
+    * instead of serving stale codes (round-13/14 ADVICE #1). The write is
+    * build-to-temp-sibling + atomic rename, so a concurrent gate/bench
+    * JVM never reads a half-written table: it either sees the completed
+    * directory or builds its own temp and loses the rename race benignly
+    * (its finished temp replaces an identical table). Superseded
+    * generations of the same tag are deleted on write — content-addressed
+    * garbage otherwise accumulates one dir per data/model generation.
+    * `listSorted` uses the [[saveIvfPqCodes]] inverted-list layout;
+    * otherwise the table range-sorts by id. */
+  private[graft] def cachedCodes(s: SparkSession, dir: String, tag: String,
+      model: AnyRef, listSorted: Boolean)(build: => DataFrame): DataFrame = {
+    val fp = embeddingsFingerprint(s"$tag:$dir") + "-" +
+      modelFingerprint(model)
+    val root = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_ann_codes")
+    val path = new java.io.File(root, s"$tag-$fp")
     if (!new java.io.File(path, "_SUCCESS").isFile) {
-      if (listSorted) saveIvfPqCodes(build, path.getPath)
+      val tmp = new java.io.File(root,
+        s".tmp-$tag-$fp-${java.util.UUID.randomUUID}")
+      if (listSorted) saveIvfPqCodes(build, tmp.getPath)
       else build.repartitionByRange(col("id")).sortWithinPartitions(col("id"))
-        .write.mode("overwrite").parquet(path.getPath)
+        .write.mode("overwrite").parquet(tmp.getPath)
+      // atomic publish: rename the finished temp into place; losing the
+      // race to a concurrent identical build is benign (same content)
+      if (!tmp.renameTo(path) && !new java.io.File(path, "_SUCCESS").isFile) {
+        deleteRecursively(path); tmp.renameTo(path)
+      }
+      if (tmp.isDirectory) deleteRecursively(tmp)
+      // evict superseded generations of this tag (stale data OR stale
+      // model fingerprints) — mirror of the modelCache removeIf above
+      Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
+        if (f.getName.startsWith(s"$tag-") && f.getName != s"$tag-$fp")
+          deleteRecursively(f)
+      }
     }
     s.read.parquet(path.getPath)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   // ---------------------------------------------------------------- s08
@@ -910,7 +946,7 @@ object Similarity {
     // serve the PERSISTED list-sorted code table (built once per
     // dir-content); no pruneLists: the covering nprobe = nlist probes
     // every list, so the In push would be pure probe-job overhead
-    val codes = cachedCodes(s, dir, "s08", listSorted = true)(
+    val codes = cachedCodes(s, dir, "s08", model, listSorted = true)(
       ivfPqEncode(model, e, "vec_id", "embedding"))
     ivfPqSearch(model, codes, e, q,
         "vec_id", "embedding", k = 5, nprobe = 8, refine = 200)
@@ -938,7 +974,7 @@ object Similarity {
     val model = cachedModel(s"s09:$dir")(
       ivfPqTrain(e, "vec_id", "embedding", nlist = 8, m = 8, ksub = 16,
         iters = 2, byResidual = true))
-    val codes = cachedCodes(s, dir, "s09", listSorted = true)(
+    val codes = cachedCodes(s, dir, "s09", model, listSorted = true)(
       ivfPqEncode(model, e, "vec_id", "embedding"))
     ivfPqSearch(model, codes, e, q,
         "vec_id", "embedding", k = 5, nprobe = 8, refine = 200)
@@ -990,7 +1026,7 @@ object Similarity {
     val q = e.filter($"vec_id" < 20)
     val model = cachedModel(s"s05:$dir")(
       pqTrain(e, "vec_id", "embedding", m = 8, ksub = 16, iters = 2))
-    val codes = cachedCodes(s, dir, "s05", listSorted = false)(
+    val codes = cachedCodes(s, dir, "s05", model, listSorted = false)(
       pqEncode(model, e, "vec_id", "embedding"))
     pqSearch(model, codes, e, q,
         "vec_id", "embedding", k = 5, refine = 200)
@@ -1553,6 +1589,34 @@ object Similarity {
     clusterQuality(e, "vec_id", "v", cents).orderBy($"cluster")
   }
 
+  // ---------------------------------------------------------------- s29
+  /** s29: [[recallAtK]]@3 of the s26 banded knn-graph against brute-force
+    * truth — the quality gauge for the one approximate operator whose
+    * recall was previously unmeasured (round-13 NEXT #2). Evaluated on the
+    * fixed 500-vector slice (the s05 witness discipline: SF-stable truth,
+    * oracle-cheap replay) at s26's production banding (4 bands × 4
+    * hyperplane bits) — NON-covering, so per-src recalls land strictly
+    * inside (0, 1) on contested neighborhoods and the row measures the
+    * blocking, not a tautology. A src whose buckets hold no other member
+    * emits no graph rows and reports recall 0 — the [[DedupOps.knnGraph]]
+    * "unknown neighborhood" contract made visible to the evaluation. */
+  val s29KnnGraphRecall: Q = (s, dir) => {
+    import s.implicits._
+    val e = vecs(s, dir).filter($"vec_id" < 500)
+    val w = Window.partitionBy($"qid").orderBy($"cos6".desc, $"vec_id")
+    val truth = broadcast(
+        e.select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn")))
+      .join(e, $"qid" =!= $"vec_id")
+      .withColumn("cos6", round(dot($"qv", $"v") / ($"qn" * $"nrm"), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 3).select($"qid", $"vec_id")
+    val approx = DedupOps.knnGraph(
+        Tables.loadSpread(s, dir, "embeddings").filter($"vec_id" < 500),
+        "vec_id", "embedding", k = 3)
+      .select($"src".as("qid"), $"dst".as("vec_id"))
+    recallAtK(truth, approx, "qid", "vec_id", k = 3).orderBy($"query_id")
+  }
+
   // ----------------------------------------------------------- recall / s12
   /** Per-query recall@k of an approximate result against ground truth: both
     * frames are (queryCol, idCol) rankings; recall = |approx ∩ truth| / k.
@@ -1669,7 +1733,10 @@ object Similarity {
             // sequential square-sum — the same left-to-right association as
             // dot(v, v), so the twin's sqrt(list_dot_product(mv, mv)) bits it
             val nrm = math.sqrt(arr.foldLeft(0.0d)((a, x) => a + x * x))
-            arr.map(_ / nrm)
+            // a zero-vector member mean has no unit projection: keep the
+            // previous centroid (trainCentroids' guard, line ~336) instead
+            // of poisoning every later assignment with NaNs
+            if (nrm == 0) cents(i) else arr.map(_ / nrm)
           }
         }.getOrElse(cents(i)))
     }
@@ -1685,11 +1752,12 @@ object Similarity {
     * magnitude (document length, embedding scale) pull centroids off the
     * directions the retrieval operators (s01–s14) rank by.
     *
-    * Contract: a cluster whose member mean is the exact zero vector would
-    * normalize to NaN — adversarial antipodal symmetry, not reachable on
-    * real embedding data; empty clusters keep their previous (unit)
-    * centroid. Same scale shape as [[kmeansFit]]: bounded training frame,
-    * k×dim driver state, shuffle-free [[kmeansAssign]] projection. */
+    * Contract: a cluster whose member mean is the exact zero vector
+    * (adversarial antipodal symmetry) keeps its previous (unit) centroid —
+    * the same guard as empty clusters — rather than normalizing to NaN
+    * and poisoning every later assignment. Same scale shape as
+    * [[kmeansFit]]: bounded training frame, k×dim driver state,
+    * shuffle-free [[kmeansAssign]] projection. */
   def kmeansFitSpherical(train: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): Seq[Array[Double]] = {
     val sp = train.sparkSession
@@ -2107,7 +2175,8 @@ object Similarity {
     "s25_mmr_rerank" -> s25MmrRerank,
     "s26_knn_graph" -> s26KnnGraph,
     "s27_kmeans_spherical" -> s27KmeansSpherical,
-    "s28_cluster_quality" -> s28ClusterQuality)
+    "s28_cluster_quality" -> s28ClusterQuality,
+    "s29_knn_graph_recall" -> s29KnnGraphRecall)
 
   /** Generated DuckDB twin of [[s21IvfPqRecall]]: stages the entire
     * deterministic IVF-PQ pipeline — coarse Lloyd with re-normalized
@@ -2325,9 +2394,14 @@ object Similarity {
            |   FROM a%R% a JOIN tr t USING (vec_id) GROUP BY a.cl""".stripMargin
     // spherical mode: the round mean projects back to the unit sphere —
     // exactly lloydRounds' driver-side renormalize (sequential square-sum
-    // ≡ list_dot_product(mv, mv), then one IEEE sqrt and per-element divide)
+    // ≡ list_dot_product(mv, mv), then one IEEE sqrt and per-element
+    // divide). A zero-norm mean yields NULL so the c$r coalesce keeps the
+    // previous centroid — the same guard as lloydRounds' nrm == 0 branch.
     val meanVec =
-      if (spherical) "list_transform(mv, x -> x / sqrt(list_dot_product(mv, mv)))"
+      if (spherical)
+        """CASE WHEN list_dot_product(mv, mv) = 0 THEN NULL
+          |   ELSE list_transform(mv, x -> x / sqrt(list_dot_product(mv, mv))) END"""
+          .stripMargin
       else "mv"
     val rounds = (1 to iters).map { r =>
       val prev = s"c${r - 1}"
@@ -2561,6 +2635,56 @@ object Similarity {
           |             sym.dst) AS BIGINT) AS rk
           | FROM sym JOIN e sa ON sym.src = sa.vec_id JOIN e sb ON sym.dst = sb.vec_id) t
           |WHERE rk <= 3 ORDER BY src, rk""".stripMargin),
+    // the s26 banding CTEs over the fixed 500-vector slice, an apx/tru
+    // rank pair (same round-6/lower-id contract), then the s12 recall join
+    "s29_knn_graph_recall" ->
+      (vecsCte +
+        """, es AS (SELECT * FROM e WHERE vec_id < 500),
+          | hp AS (
+          |  SELECT j, d,
+          |   (CAST(CAST(('0x' || substr(md5('hp:' || j || ':' || d),1,15)) AS UBIGINT)
+          |     % 2001 AS BIGINT) - 1000) / 1000.0 AS r
+          |  FROM (SELECT unnest(range(0,16)) AS j), (SELECT unnest(range(0,64)) AS d)),
+          | ev AS (
+          |  SELECT vec_id, generate_subscripts(v,1)-1 AS d, unnest(v) AS x FROM es),
+          | dots AS (
+          |  SELECT ev.vec_id, hp.j, sum(ev.x * hp.r) AS s
+          |  FROM ev JOIN hp USING (d) GROUP BY ev.vec_id, hp.j),
+          | sig AS (
+          |  SELECT vec_id, j // 4 AS band,
+          |   CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << (j % 4)) ELSE 0 END)
+          |     AS BIGINT) AS bsig
+          |  FROM dots GROUP BY vec_id, j // 4),
+          | cand AS (
+          |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          |  FROM sig a JOIN sig b
+          |   ON a.band = b.band AND a.bsig = b.bsig AND a.vec_id < b.vec_id),
+          | sym AS (
+          |  SELECT id_a AS src, id_b AS dst FROM cand
+          |  UNION ALL SELECT id_b, id_a FROM cand),
+          | apx AS (
+          |  SELECT src, dst FROM (
+          |   SELECT sym.src, sym.dst,
+          |    CAST(row_number() OVER (PARTITION BY sym.src
+          |      ORDER BY round(list_dot_product(sa.v, sb.v) / (sa.nrm * sb.nrm), 6) DESC,
+          |               sym.dst) AS BIGINT) AS rk
+          |   FROM sym JOIN es sa ON sym.src = sa.vec_id
+          |     JOIN es sb ON sym.dst = sb.vec_id) t
+          |  WHERE rk <= 3),
+          | tru AS (
+          |  SELECT src, dst FROM (
+          |   SELECT a.vec_id AS src, b.vec_id AS dst,
+          |    CAST(row_number() OVER (PARTITION BY a.vec_id
+          |      ORDER BY round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) DESC,
+          |               b.vec_id) AS BIGINT) AS rk
+          |   FROM es a JOIN es b ON a.vec_id <> b.vec_id) t
+          |  WHERE rk <= 3)
+          |SELECT tru.src AS query_id,
+          | CAST(sum(CASE WHEN apx.dst IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hits,
+          | round(CAST(sum(CASE WHEN apx.dst IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+          |   / 3 + 1e-9, 4) AS recall
+          |FROM tru LEFT JOIN apx ON tru.src = apx.src AND tru.dst = apx.dst
+          |GROUP BY tru.src ORDER BY query_id""".stripMargin),
     "s15_kmeans" -> kmeansSql(k = 4, iters = 2, dim = 64),
     "s27_kmeans_spherical" -> kmeansSql(k = 4, iters = 2, dim = 64,
       spherical = true),

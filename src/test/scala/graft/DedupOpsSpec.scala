@@ -760,6 +760,44 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("cachedCodes is model-content-addressed: a perturbed model misses the cache") {
+    // round-14 verdict #1: the persisted code table must be keyed on the
+    // MODEL fingerprint too — a later JVM whose float training came out
+    // bit-different must rebuild codes, never serve the stale table.
+    val model = Similarity.pqTrain(embs, "vec_id", "embedding",
+      m = 8, ksub = 16, iters = 1)
+    // flip the last mantissa bit of one sub-centroid coordinate — the
+    // smallest possible bit-divergence a re-trained model could show
+    val cb = model.codebooks
+    val perturbed = model.copy(codebooks = cb.updated(0, cb(0).updated(0,
+      cb(0)(0).updated(0, java.lang.Double.longBitsToDouble(
+        java.lang.Double.doubleToRawLongBits(cb(0)(0)(0)) ^ 1L)))))
+    assert(Similarity.modelFingerprint(model) !=
+      Similarity.modelFingerprint(perturbed),
+      "one flipped centroid bit must change the model fingerprint")
+    var builds = 0
+    def serve(m: AnyRef) = {
+      Similarity.cachedCodes(spark, dir, "spec_cm", m, listSorted = false) {
+        builds += 1
+        Similarity.pqEncode(model, embs, "vec_id", "embedding")
+      }.count()
+    }
+    serve(model)
+    assert(builds == 1, "first call must build the code table")
+    serve(model)
+    assert(builds == 1, "same (data, model) must serve the persisted table")
+    serve(perturbed)
+    assert(builds == 2, "a bit-different model must MISS the cache and rebuild")
+    serve(perturbed)
+    assert(builds == 2, "the rebuilt table serves under the perturbed key")
+    // superseded generations of the tag are evicted on write: only the
+    // perturbed-model directory remains
+    val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_ann_codes")
+    val dirs = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("spec_cm-")).map(_.getName).toSeq
+    assert(dirs.size == 1, s"superseded code tables must be evicted: $dirs")
+  }
+
   test("materialized ANN model path equals inline bit-for-bit, incl. relational round-trip") {
     // The train/encode/search seam (round-11 verdict #3): a deployment
     // trains once, persists the model + code table, and serves query
@@ -1246,6 +1284,21 @@ class DedupOpsSpec extends SparkSpec {
     }
     assert(outs.tail.forall(_ == outs.head),
       "spherical centroids differ bit-wise across input partitionings")
+  }
+
+  test("kmeansFitSpherical: a zero-norm member mean keeps the previous centroid (no NaN poisoning)") {
+    // Adversarial antipodal symmetry: with k=1 the two opposite unit
+    // vectors land in one cluster whose mean is the exact zero vector —
+    // unguarded renormalization divides 0/0 and every later assignment
+    // is NaN. The guard keeps the previous centroid (round-14 ADVICE #3).
+    val pts = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(-1.0f, 0.0f)))
+      .toDF("vec_id", "v")
+    val cents = Similarity.kmeansFitSpherical(pts, "vec_id", "v", k = 1, iters = 3)
+    assert(cents.forall(_.forall(x => !x.isNaN)),
+      s"zero-mean cluster must not yield NaN centroids: ${cents.map(_.toSeq)}")
+    // the kept centroid is the initial one: the lowest-id unit vector
+    assert(cents.head.toSeq == Seq(1.0, 0.0),
+      s"guard must keep the previous centroid: ${cents.head.toSeq}")
   }
 
   test("clusterQuality: tight well-separated clusters score near-1 silhouette; counts and inertia check out") {
