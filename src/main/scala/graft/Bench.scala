@@ -66,12 +66,14 @@ object Bench {
       try { drain(n, sfDir); n -> (System.nanoTime() - t0) / 1e9 }
       catch { case _: Throwable => n -> -1.0 }
     }
-    // Simhash signature table (d06/d07/d11/d16/c11 share one persisted
-    // 8-byte/doc fingerprint relation, built at most once per dir — the
-    // layout_s precedent): time the first consumer separately as sigs_s so
-    // the sweeps measure the band-join/component plans a deployment re-runs
-    // against the stored table. (First build includes one query execution.)
-    val sigNames = Seq("d06_simhash_hamming").filter(names.contains)
+    // Persisted signature/posting tables (simhash: d06/d07/d11/d16/c11;
+    // minhash postings: d02/d09; minhash shingle hashes: d12 — each built
+    // at most once per dir — the layout_s precedent): time the first
+    // consumer of each table separately as sigs_s so the sweeps measure
+    // the band-join/component plans a deployment re-runs against the
+    // stored tables. (First build includes one query execution.)
+    val sigNames = Seq("d06_simhash_hamming", "d02_minhash_lsh",
+      "d12_minhash_accuracy").filter(names.contains)
     val sigs = sigNames.map { n =>
       val t0 = System.nanoTime()
       try { drain(n, sfDir); n -> (System.nanoTime() - t0) / 1e9 }

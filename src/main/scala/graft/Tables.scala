@@ -58,4 +58,79 @@ object Tables {
   /** Register every table as a temp view for `spark.sql` surfaces. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Content fingerprint of `<dir>/<table>.parquet`: name+length+mtime of
+    * every part file PLUS the last 4 KiB of each part (the thrift-encoded
+    * parquet footer — row-group stats + schema, content-dependent), so a
+    * same-sized regeneration inside one mtime tick still changes the
+    * address. A stat walk + one bounded tail read per part, never a data
+    * scan. Tolerates parts vanishing or shrinking mid-walk (concurrent
+    * regeneration): the stat triple already folded in changes the digest
+    * on the next call. */
+  def tableFingerprint(dir: String, table: String): String = {
+    val root = new java.io.File(dir, s"$table.parquet")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).fold(Seq.empty[java.io.File])(
+          _.toSeq.sortBy(_.getName).flatMap(walk))
+      else Seq(f)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    walk(root).foreach { p =>
+      md.update(s"${p.getName}:${p.length}:${p.lastModified};"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val len = p.length
+      if (p.getName.endsWith(".parquet") && len > 0) {
+        try {
+          val raf = new java.io.RandomAccessFile(p, "r")
+          try {
+            val n = math.min(4096L, len).toInt
+            raf.seek(len - n)
+            val tail = new Array[Byte](n)
+            raf.readFully(tail)
+            md.update(tail)
+          } finally raf.close()
+        } catch { case _: java.io.IOException => () }
+      }
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Content-addressed persisted DERIVED table under
+    * `${java.io.tmpdir}/graft_derived/<name>-<fp>`: built AT MOST ONCE per
+    * source-table content (the q38 layout / ANN code-table discipline —
+    * Bench times the one-time build in its `sigs`/`layout` sections; the
+    * sweeps then measure the plans a deployment re-runs against the stored
+    * relation). Published via temp-sibling + atomic rename, so a concurrent
+    * gate/bench JVM never reads a half-written table — it either sees the
+    * completed directory or builds its own temp and loses the rename race
+    * benignly (identical content). Superseded generations of the same
+    * `name` are evicted on publish. Every parameter that changes the
+    * produced rows must be folded into `name`; trained-model addressing is
+    * [[graft.ext.Similarity]]'s cachedCodes (model-fingerprint half). */
+  def cachedDerived(s: SparkSession, dir: String, table: String,
+      name: String)(build: => DataFrame): DataFrame = {
+    val fp = tableFingerprint(dir, table)
+    val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_derived")
+    val path = new java.io.File(root, s"$name-$fp")
+    if (!new java.io.File(path, "_SUCCESS").isFile) {
+      val tmp = new java.io.File(root,
+        s".tmp-$name-$fp-${java.util.UUID.randomUUID}")
+      build.write.mode("overwrite").parquet(tmp.getPath)
+      if (!tmp.renameTo(path) && !new java.io.File(path, "_SUCCESS").isFile) {
+        deleteRecursively(path); tmp.renameTo(path): Unit
+      }
+      if (tmp.isDirectory) deleteRecursively(tmp)
+      Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
+        if (f.getName.startsWith(s"$name-") && f.getName != s"$name-$fp")
+          deleteRecursively(f)
+      }
+    }
+    s.read.parquet(path.getPath)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
 }

@@ -23,6 +23,7 @@ import org.apache.spark.sql.expressions.Window
   *     DuckDB oracle compare is stable.
   */
 object Queries {
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   type Q = (SparkSession, String) => DataFrame
 
@@ -869,6 +870,64 @@ object Queries {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  /** The [[exactPercentilesAuto]] switch decision, exposed for specs and
+    * telemetry: ("builtin" | "histogram", distinct values observed in the
+    * probed slice). ONE bounded job — countDistinct over the first
+    * `sampleRows` values — never a corpus scan: if even a 64k-row slice
+    * shows more than `switchDistinct` distinct values, the domain is
+    * treated as unbounded. The probe's row choice is partition-order
+    * dependent, but the pick only selects between two plans that are
+    * bit-equal by contract (q37 ≡ q40, one shared oracle), so results
+    * never depend on it. */
+  def exactPercentilesAutoChoice(df: DataFrame, valueCol: String,
+      sampleRows: Int = 65536, switchDistinct: Long = 4096L): (String, Long) = {
+    val seen = df.select(col(valueCol)).limit(sampleRows)
+      .agg(countDistinct(col(valueCol))).head().getLong(0)
+    (if (seen > switchDistinct) "histogram" else "builtin", seen)
+  }
+
+  /** Size-adaptive exact percentiles — the [[graft.ext.DedupOps]]
+    * jaccardPairsAuto adoption seam applied to the q37/q40 plan pair:
+    * the builtin `percentile_disc` (q37) holds a value→count map as
+    * aggregation-buffer STATE — compact and single-shuffle while the value
+    * domain is bounded (2-decimal prices), but on an unbounded domain at
+    * 100 TB that buffer grows with the data inside one task; the
+    * keyed-histogram re-plan ([[exactPercentilesDisc]]/q40) moves the
+    * histogram into the PLAN, where it partitions and spills like any
+    * relation. Both plans implement the same ceil(p·n) value-copy rule and
+    * are bit-equal (one shared DuckDB oracle), so the switch is purely a
+    * physical-plan choice past a bounded distinct-count probe. */
+  def exactPercentilesAuto(df: DataFrame, keyCols: Seq[String],
+      valueCol: String, ps: Seq[(String, Double)],
+      sampleRows: Int = 65536, switchDistinct: Long = 4096L): DataFrame = {
+    val (choice, seen) =
+      exactPercentilesAutoChoice(df, valueCol, sampleRows, switchDistinct)
+    log.info(s"exactPercentilesAuto: picked '$choice' plan " +
+      s"($seen distinct in a $sampleRows-row probe, switch at $switchDistinct)")
+    if (choice == "builtin") {
+      val aggs = ps.map { case (name, p) =>
+        expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY $valueCol)").as(name)
+      } :+ count(lit(1)).as("n")
+      df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    } else exactPercentilesDisc(df, keyCols, valueCol, ps)
+  }
+
+  // ---------------------------------------------------------------- q51
+  /** q51: [[exactPercentilesAuto]] on the q37/q40 configuration — the
+    * oracle row proving the adaptive seam returns the SAME rows as both
+    * fixed plans regardless of which the probe picks (the shared
+    * percentile_disc oracle; testdata prices show >4096 distinct values
+    * already at sf0.001, so the default switch routes to the histogram
+    * plan — and either verdict hash-matches q37 and q40 by the bit-equal
+    * contract PlanSpec pins). */
+  val q51PercentilesAuto: Q = (s, dir) => {
+    import s.implicits._
+    exactPercentilesAuto(t(s, dir, "lineitem"),
+      Seq("l_returnflag", "l_linestatus"), "l_extendedprice",
+      Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p95" -> 0.95))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
   // ---------------------------------------------------------------- q41
   /** Sessionization via the NATIVE `session_window` operator — the built-in
     * twin of q17's hand-rolled lag/cumsum form (one declarative groupBy the
@@ -1135,6 +1194,7 @@ object Queries {
     "q38_bucketed_join" -> q38BucketedJoin,
     "q39_partition_pruning" -> q39PartitionPruning,
     "q40_percentiles_hist" -> q40PercentilesHist,
+    "q51_percentiles_auto" -> q51PercentilesAuto,
     "q34_zorder" -> q34Zorder,
     // single-scan form registered as THE q35 (one events scan, one user-keyed
     // shuffle, zero joins — the plan to run at 100 TB); the chained
@@ -1319,6 +1379,7 @@ object Queries {
         |ORDER BY user_id, sess_start_us""".stripMargin,
     "q37_percentiles" -> percentileDiscSql,
     "q40_percentiles_hist" -> percentileDiscSql,
+    "q51_percentiles_auto" -> percentileDiscSql,
     // the same one-day filter on the RAW table — the partitioned layout
     // must be invisible in the rows
     "q39_partition_pruning" ->

@@ -36,27 +36,45 @@ object Dedup {
     * Signatures are integers ([[DedupOps.withSimhash]]), so the table is
     * bit-identical to the inline computation (DedupOpsSpec pins pairs
     * parity) and every oracle row stays exact. */
-  private[ext] def simhashSigTable(s: SparkSession, dir: String): DataFrame = {
-    val src = new java.io.File(dir, "documents.parquet")
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory)
-        Option(f.listFiles()).fold(Seq.empty[java.io.File])(
-          _.toSeq.sortBy(_.getName).flatMap(walk))
-      else Seq(f)
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.update(dir.getBytes("UTF-8"))
-    walk(src).foreach(p => md.update(
-      s"${p.getName}:${p.length}:${p.lastModified};".getBytes("UTF-8")))
-    val tag = md.digest().take(8).map(b => f"$b%02x").mkString
-    val path = new java.io.File(new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_simhash_sigs"), tag)
-    if (!new java.io.File(path, "_SUCCESS").isFile)
+  private[ext] def simhashSigTable(s: SparkSession, dir: String): DataFrame =
+    Tables.cachedDerived(s, dir, "documents", "simhash_30")(
       DedupOps.withSimhash(
           docs(s, dir).select(col("doc_id"), col("text")), "text", "simhash", 30)
-        .select(col("doc_id"), col("simhash"))
-        .write.mode("overwrite").parquet(path.getPath)
-    s.read.parquet(path.getPath)
-  }
+        .select(col("doc_id"), col("simhash")))
+
+  /** Content-addressed per-dir MinHash BAND-POSTING table — the
+    * [[simhashSigTable]] discipline extended to the MinHash family
+    * (round-13 NEXT #3): the (doc_id, band, bsig) relation of the d02
+    * configuration (16 affine hm-permutations, 4 bands × 4 rows, word
+    * 3-shingles), built at most once per dir-content and persisted SORTED
+    * on the (band, bsig) join/window key, so every consumer (d02's greedy
+    * keep, d09's cross-corpus semi-join) re-runs only the band-bucket
+    * plan a deployment runs against its stored index — not the
+    * tokenize+shingle+16-min signature pass. Postings are integers/strings
+    * of integers, so the table is bit-identical to the inline computation
+    * (DedupOpsSpec pins parity) and every oracle row stays exact. d09's
+    * corpus/reference SPLIT commutes with posting construction (postings
+    * are per-doc), so both sides filter the one shared table. */
+  private[ext] def minhashPostTable(s: SparkSession, dir: String): DataFrame =
+    Tables.cachedDerived(s, dir, "documents", "minhash_post_16x4x4_sh3")(
+      DedupOps.bandPostings(docs(s, dir).select(col("doc_id"), col("text")),
+          "doc_id", "text", bands = 4, rowsPerBand = 4, shingleLen = 3)
+        .repartitionByRange(col("band"), col("bsig"))
+        .sortWithinPartitions(col("band"), col("bsig")))
+
+  /** Content-addressed per-dir distinct (doc, 60-bit shingle hash) relation
+    * — the d12 sketch-accuracy serving table: the tokenize + 3-shingle +
+    * h60 + distinct pass is the expensive half of
+    * [[DedupOps.minhashEstimates]]; signatures, band postings, and the
+    * exact intersection all re-derive from this relation with keyed
+    * aggregations only. Sorted by (__id, __h) for the per-doc folds. */
+  private[ext] def minhashHashTable(s: SparkSession, dir: String): DataFrame =
+    Tables.cachedDerived(s, dir, "documents", "minhash_h60_sh3")(
+      DedupOps.minhashShingleHashes(
+          docs(s, dir).select(col("doc_id"), col("text")), "doc_id", "text",
+          shingleLen = 3)
+        .repartitionByRange(col("__id"))
+        .sortWithinPartitions(col("__id"), col("__h")))
 
   /** The shared 2×15-band Hamming-1 pair relation over [[simhashSigTable]]. */
   private[ext] def sigPairs(s: SparkSession, dir: String): DataFrame =
@@ -80,43 +98,23 @@ object Dedup {
     * permutations → 4 bands of 4 → band-signature buckets. A doc is kept iff
     * no smaller doc_id shares any band bucket (greedy keep-first).
     *
-    * One shuffle for the signature aggregation (16 partial-aggregated mins),
-    * one for the band-bucket window — both keyed on values whose cardinality
-    * scales with the corpus, so no quadratic blowup at scale. */
+    * Serves the PERSISTED [[minhashPostTable]] (built once per dir-content;
+    * Bench times that build in its `sigs` section), so the steady-state
+    * plan is what a deployment re-runs against its stored index: one
+    * band-bucket window + one doc-keyed aggregation over the (band,
+    * bsig)-sorted posting relation — keys whose cardinality scales with
+    * the corpus, no quadratic blowup. The inline signature construction
+    * lives in [[DedupOps.bandPostings]] (DedupOpsSpec pins served ≡ inline
+    * bit-exact). */
   val d02MinhashLsh: Q = (s, dir) => {
     import s.implicits._
-    // array_distinct before the explode: min over the distinct shingle set
-    // equals min over the multiset, and it cuts the exploded row count (and
-    // the md5 work) by the repeat factor before anything shuffles.
-    // tk is materialized in its own projection: inlining toks(text) into the
-    // shingle lambda would re-tokenize the document once per shingle
-    // position (O(n²) regex work per row — no CSE inside lambdas).
-    // explode_outer + isNotNull, NOT plain explode: a non-outer Generate
-    // makes InferFiltersFromGenerate push `size(shingles(...)) > 0` to the
-    // scan with the whole tokenize+shingle chain inlined — re-evaluated per
-    // doc several times over (measured 20x slower at sf0.1). See TextOps.
-    val sh = docs(s, dir)
-      .withColumn("tk", toks($"text"))
-      .withColumn("shs", array_distinct(shingles3($"tk")))
-      .select($"doc_id", explode_outer($"shs").as("sh"))
-      .filter($"sh".isNotNull)
-      .select($"doc_id", hm($"sh").as("hm"))
-    val aggs = (0 until 16).map(k => min(perm(k, $"hm")).as(s"mh$k"))
-    val sig = sh.groupBy($"doc_id").agg(aggs.head, aggs.tail: _*)
-    val bandCols = (0 until 4).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws(",", (0 until 4).map(i => col(s"mh${4 * b + i}").cast("string")): _*).as("bsig"))
-    }
-    val bands = sig
-      .select($"doc_id", explode(array(bandCols: _*)).as("bb"))
-      .select($"doc_id", $"bb.band".as("band"), $"bb.bsig".as("bsig"))
     val w = Window.partitionBy($"band", $"bsig")
-    bands
-      .withColumn("mn", min($"doc_id").over(w))
-      .groupBy($"doc_id")
+    minhashPostTable(s, dir)
+      .withColumn("mn", min($"__id").over(w))
+      .groupBy($"__id")
       .agg(min($"mn").as("gmin"))
-      .select($"doc_id",
-        when($"gmin" === $"doc_id", 1L).otherwise(0L).as("kept"))
+      .select($"__id".as("doc_id"),
+        when($"gmin" === $"__id", 1L).otherwise(0L).as("kept"))
       .orderBy($"doc_id")
   }
 
@@ -254,9 +252,14 @@ object Dedup {
   val d09CrossCorpusNearDup: Q = (s, dir) => {
     import s.implicits._
     val d = docs(s, dir)
-    DedupOps.dropNearDuplicatesAgainst(
-        d.filter($"doc_id" % 20 =!= 0), d.filter($"doc_id" % 20 === 0),
-        "doc_id", "text")
+    // the corpus/reference split commutes with posting construction
+    // (postings are per-doc), so both sides filter the ONE persisted
+    // posting table instead of re-running the signature pass twice
+    val posts = minhashPostTable(s, dir)
+    DedupOps.dropNearDuplicatesAgainstFromPostings(
+        d.filter($"doc_id" % 20 =!= 0),
+        posts.filter($"__id" % 20 =!= 0), posts.filter($"__id" % 20 === 0),
+        "doc_id")
       .select($"doc_id", $"lang", $"source")
       .orderBy($"doc_id")
   }
@@ -292,7 +295,10 @@ object Dedup {
     * the oracle-checkable counterpart to q26's engine-specific sketches. */
   val d12MinhashAccuracy: Q = (s, dir) => {
     import s.implicits._
-    DedupOps.minhashEstimates(docs(s, dir), "doc_id", "text")
+    // serve the persisted distinct (doc, h60 shingle hash) relation — the
+    // expensive tokenize+shingle half; signatures, postings and the exact
+    // intersection re-derive with keyed aggregations (bit-identical)
+    DedupOps.minhashEstimatesFromHashes(minhashHashTable(s, dir))
       .orderBy($"doc_a", $"doc_b")
   }
 

@@ -92,11 +92,26 @@ object DedupOps {
     * before the final LEFT ANTI, which carries only the matched ids. */
   def dropNearDuplicatesAgainst(corpus: DataFrame, reference: DataFrame,
       idCol: String, textCol: String, bands: Int = 4, rowsPerBand: Int = 4,
-      shingleLen: Int = 3): DataFrame = {
-    val cp = bandPostings(corpus, idCol, textCol, bands, rowsPerBand, shingleLen)
-    val rp = bandPostings(reference, idCol, textCol, bands, rowsPerBand, shingleLen)
-      .select(col("band"), col("bsig")).distinct()
-    val dropIds = cp.join(rp, Seq("band", "bsig"), "left_semi")
+      shingleLen: Int = 3): DataFrame =
+    dropNearDuplicatesAgainstFromPostings(corpus,
+      bandPostings(corpus, idCol, textCol, bands, rowsPerBand, shingleLen),
+      bandPostings(reference, idCol, textCol, bands, rowsPerBand, shingleLen),
+      idCol)
+
+  /** [[dropNearDuplicatesAgainst]] from pre-built (served or inline)
+    * posting relations in the [[bandPostings]] shape `(__id, band, bsig)` —
+    * the serving path when a deployment persists its posting index (see
+    * [[graft.ext.Dedup]]'s minhashPostTable): the signature pass never
+    * re-runs, only the semi-join + anti-join a stored index answers.
+    * Postings are integers/strings of integers, so served ≡ inline
+    * bit-exact (DedupOpsSpec). Same scale contract as the inline form:
+    * the reference posting set distinct's to benchmark-sized, AQE
+    * broadcasts it when it fits, and the final LEFT ANTI carries only the
+    * matched ids. */
+  def dropNearDuplicatesAgainstFromPostings(corpus: DataFrame,
+      corpusPosts: DataFrame, refPosts: DataFrame, idCol: String): DataFrame = {
+    val rp = refPosts.select(col("band"), col("bsig")).distinct()
+    val dropIds = corpusPosts.join(rp, Seq("band", "bsig"), "left_semi")
       .select(col("__id")).distinct()
     corpus.join(dropIds.withColumnRenamed("__id", idCol), Seq(idCol), "left_anti")
   }
@@ -408,6 +423,29 @@ object DedupOps {
         when(col("__cc").isNotNull, "core")
           .when(col("__bc").isNotNull, "border")
           .otherwise("noise").as("role"))
+  }
+
+  /** [[dbscan]] with its neighbor generator DERIVED from the target eps —
+    * the closed parameter loop (round-13 NEXT #5): the caller states the
+    * MEANINGFUL numbers (cosine eps, minPts, a signature-size budget) and
+    * [[LshTuning.tuneCosine]] picks the (bands, planesPerBand) hyperplane
+    * layout minimizing S-curve error mass at that eps, instead of the
+    * layout being hand-tuned per corpus. Candidates then verify on the
+    * exact cosine ([[cosinePairsLsh]]), so precision is exact and recall
+    * is the tuned OR-of-ANDs amplification — on witness data with planted
+    * clusters DedupOpsSpec pins tuned-layout clustering ≡ exact-all-pairs
+    * clustering. Same scale shape as its parts: banded candidates, never
+    * all-pairs; pair-graph-keyed labeling. */
+  def dbscanTuned(df: DataFrame, idCol: String, vecCol: String, eps: Double,
+      minPts: Int, signatureBudget: Int = 24, dim: Int = 64,
+      blockCol: Option[String] = None): DataFrame = {
+    val (bands, planes) = LshTuning.tuneCosine(eps, signatureBudget)
+    log.info(s"dbscanTuned: eps=$eps budget=$signatureBudget -> " +
+      s"bands=$bands planesPerBand=$planes " +
+      s"(inflection p=${LshTuning.inflection(bands, planes)})")
+    val pairs = cosinePairsLsh(df, idCol, vecCol, eps, blockCol,
+      planes, bands, dim)
+    dbscan(df, idCol, pairs, "id_a", "id_b", minPts)
   }
 
   /** Duplicate-cluster size statistics over a near-dup pair graph — the
@@ -1204,17 +1242,32 @@ object DedupOps {
     *
     * @return (doc_a, doc_b, n_eq, n_inter, n_union, est_sim, true_sim) */
   def minhashEstimates(df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 4, rowsPerBand: Int = 4, shingleLen: Int = 3): DataFrame = {
-    val n = bands * rowsPerBand
-    // distinct (doc, 60-bit shingle hash): one relation feeds BOTH the
-    // signature mins (mod P) and the exact set intersection
-    val hs = df
-      .withColumn("__tk", toks(col(textCol)))
+      bands: Int = 4, rowsPerBand: Int = 4, shingleLen: Int = 3): DataFrame =
+    minhashEstimatesFromHashes(
+      minhashShingleHashes(df, idCol, textCol, shingleLen), bands, rowsPerBand)
+
+  /** The distinct (doc, 60-bit shingle hash) relation under
+    * [[minhashEstimates]] — factored out so a deployment can persist it
+    * (the tokenize + shingle + distinct pass is the expensive half; see
+    * [[graft.ext.Dedup]]'s minhashHashTable) and re-derive signatures,
+    * postings, and exact intersections with keyed aggregations only. */
+  def minhashShingleHashes(df: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int = 3): DataFrame =
+    df.withColumn("__tk", toks(col(textCol)))
       .withColumn("__shs", array_distinct(shinglesN(col("__tk"), shingleLen)))
       .select(col(idCol).as("__id"), explode_outer(col("__shs")).as("__sh"))
       .filter(col("__sh").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
       .select(col("__id"), h60(col("__sh")).as("__h"))
       .distinct()
+
+  /** [[minhashEstimates]] from a pre-built (served or inline)
+    * [[minhashShingleHashes]] relation: signature mins, band postings,
+    * candidate pairs, sketch estimate, and exact Jaccard — all keyed
+    * aggregations/joins over `hs`; bit-identical whether `hs` comes from
+    * the inline pass or a persisted parquet table (integers only). */
+  def minhashEstimatesFromHashes(hs: DataFrame,
+      bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val n = bands * rowsPerBand
     val aggs = (0 until n).map(k =>
       min(perm(k, col("__h") % P)).as(s"__mh$k")) :+
       count(lit(1)).as("__nsh")

@@ -73,4 +73,33 @@ object LshTuning {
       (fpWeight * fp + fnWeight * fn, b * r, -b)
     }
   }
+
+  /** Per-plane agreement probability of random-hyperplane LSH for a pair at
+    * cosine similarity `c`: `p = 1 − arccos(c)/π` (the Goemans–Williamson
+    * rounding identity — the probability a random hyperplane does NOT
+    * separate the two vectors). The hyperplane analogue of MinHash's
+    * "per-row collision probability = Jaccard". */
+  def hyperplaneAgreement(c: Double): Double = {
+    require(c >= -1.0 && c <= 1.0, s"cosine out of [-1,1]: $c")
+    1.0 - math.acos(c) / math.Pi
+  }
+
+  /** [[tune]] for COSINE thresholds on banded random-hyperplane signatures
+    * — the seam that closes the clustering/tuning loop (round-13 NEXT #5):
+    * banded hyperplane sketches follow the identical OR-of-ANDs S-curve
+    * `P = 1 − (1 − p^w)^L` with the per-plane agreement `p` in place of
+    * Jaccard, so mapping the target cosine through
+    * [[hyperplaneAgreement]] reduces the problem to the MinHash
+    * optimization verbatim. Returns `(bands, planesPerBand)` for
+    * [[DedupOps.cosinePairsLsh]] / [[DedupOps.dbscanTuned]].
+    *
+    * Same determinism contract as [[tune]]: exact driver-side math over
+    * plan constants, fixed integration grid, no data. */
+  def tuneCosine(cosThreshold: Double, signatureBudget: Int,
+      fpWeight: Double = 0.5, fnWeight: Double = 0.5): (Int, Int) = {
+    val p = hyperplaneAgreement(cosThreshold)
+    require(p > 0.0 && p < 1.0,
+      s"cosine $cosThreshold maps to degenerate agreement $p")
+    tune(p, signatureBudget, fpWeight, fnWeight)
+  }
 }

@@ -459,6 +459,103 @@ object CurationStream {
     clean
   }
 
+  // ------------------------------------------------------- streaming ANN
+  /** Append ONE micro-batch's IVF-PQ codes to a partitioned on-disk ANN
+    * index (round-13 NEXT #4 — the [[nearDedupBatch]] incremental-index
+    * discipline applied to the
+    * [[graft.ext.Similarity.saveIvfPqCodes]] layout): the batch encodes
+    * under the FIXED serving `model` and rewrites EXACTLY its own
+    * `batch=<id>` partition, list-sorted (range-partitioned + sorted on
+    * (__cid, id)) within the partition, so [[graft.ext.Similarity]]'s
+    * `ivfPqSearch(pruneLists = true)` skips row groups inside every
+    * partition exactly as against a batch-built index.
+    *
+    * Replay idempotency: a replayed batch overwrites its own partition —
+    * including rewriting it to NOTHING on an empty replay. Codes are
+    * deterministic per-row projections of (model, row), so the union of
+    * batch partitions is bit-identical to a one-shot corpus encode
+    * (StreamingPipelineSpec pins streamed-built ≡ batch-built search).
+    * The write-and-verify loop and up-front [[Fence]] epoch bump mirror
+    * [[nearDedupBatch]]: a concurrent compactor aborts at its next check,
+    * and its one possible in-flight delete is absorbed by a re-write. */
+  def ivfPqIndexBatch(indexDir: String,
+      model: graft.ext.Similarity.IvfPqModel, idCol: String, vecCol: String,
+      onWrite: () => Unit = () => ())
+      (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val codes = graft.ext.Similarity
+      .ivfPqEncode(model, batch, idCol, vecCol).persist()
+    try lockFor(indexDir).synchronized {
+      val root = new org.apache.hadoop.fs.Path(indexDir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(root)
+      Fence.acquire(fs, root) // fence any cross-process compactor FIRST
+      healCompaction(fs, root)
+      val target = new org.apache.hadoop.fs.Path(s"$indexDir/batch=$batchId")
+      val hasRows = !codes.isEmpty
+      var attempts = 0
+      var settled = false
+      while (!settled) {
+        attempts += 1
+        require(attempts <= 5,
+          s"ivfPqIndexBatch: batch=$batchId partition kept disappearing " +
+            "under concurrent compaction — external coordination is broken")
+        if (hasRows)
+          codes.repartitionByRange(col("__cid"), col("id"))
+            .sortWithinPartitions(col("__cid"), col("id"))
+            .write.mode("overwrite").parquet(target.toString)
+        else fs.delete(target, true)
+        onWrite() // test seam (the nearDedupBatch fencing-spec pattern)
+        settled =
+          if (hasRows)
+            fs.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS"))
+          else !fs.exists(target)
+      }
+    } finally codes.unpersist(false)
+  }
+
+  /** Read the [[ivfPqIndexBatch]]-maintained index as one code table for
+    * [[graft.ext.Similarity]]'s `ivfPqSearch`. Heals any interrupted
+    * compaction first, then reads the batch partitions WITHOUT the
+    * partition-discovery column (the explicit-subdir read, so the schema
+    * matches a [[graft.ext.Similarity.saveIvfPqCodes]] table exactly).
+    * `dedupIds = true` (default) adds a one-pass distinct on `idCol`: in
+    * steady state partitions are disjoint and it removes nothing, but in
+    * the one documented crash window — a compactor dying AFTER its commit
+    * rename and BEFORE deleting the merged originals — a doc's code row
+    * exists in two partitions, and an ANN top-k must not surface one id
+    * twice. Codes of a duplicate id are bit-identical (deterministic
+    * projection), so the distinct is exact. A deployment that compacts
+    * (with healing) before serving can pass `dedupIds = false` to keep the
+    * scan exchange-free. */
+  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, idCol: String = "id",
+      dedupIds: Boolean = true): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"no index at $indexDir")
+    lockFor(indexDir).synchronized(healCompaction(fs, root))
+    val dirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("batch=")).map(_.toString).sorted
+    require(dirs.nonEmpty, s"no batch partitions under $indexDir")
+    val codes = spark.read.parquet(dirs.toIndexedSeq: _*)
+    if (dedupIds) codes.dropDuplicates(idCol) else codes
+  }
+
+  /** Compact the [[ivfPqIndexBatch]] index: merge every partition strictly
+    * below `uptoBatchId` into one partition named after the highest merged
+    * id — [[compactIndex]]'s rename-aside machinery with a list-sorted,
+    * id-DISTINCT merge (a post-commit-crash leftover partition duplicates
+    * code rows; the distinct folds them away exactly, codes being
+    * deterministic). Same PRECONDITION as [[compactCounts]]: pass only the
+    * streaming checkpoint's committed horizon. Returns `true` when a merge
+    * committed (or there was nothing to merge). */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, uptoBatchId: Long,
+      idCol: String = "id", onStep: String => Unit = _ => ()): Boolean =
+    compactPartitions(spark, indexDir, uptoBatchId, onStep)(
+      _.dropDuplicates(idCol).sort(col("__cid"), col(idCol)))
+
   /** Recover an interrupted [[compactIndex]] run. For each `.old-<id>` aside
     * copy: if `batch=<id>` exists the commit rename happened — the aside is
     * redundant (its content is inside the merged partition), delete it; if

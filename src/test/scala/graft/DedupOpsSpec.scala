@@ -378,6 +378,44 @@ class DedupOpsSpec extends SparkSpec {
     (21L to 23L).foreach(i => assert(got(i) == (20L, "border")))
   }
 
+  test("dbscanTuned: layout derived from eps; clustering equals exact-all-pairs dbscan") {
+    // round-13 NEXT #5: the caller states eps/minPts/budget, tuneCosine
+    // picks the banding. Witness: three planted DIRECTION clusters (scale
+    // variants of one direction — pairwise cosine exactly ~1, so both the
+    // exact generator and any banded layout must find them) plus two
+    // orthogonal noise vectors; eps = 0.95 keeps cross-cluster candidates
+    // out (exact verification), minPts = 2 makes all planted members core.
+    val dirs4 = Seq(
+      Seq(1.0f, 0.0f, 0.0f, 0.0f),
+      Seq(0.0f, 1.0f, 0.0f, 0.0f),
+      Seq(0.0f, 0.0f, 1.0f, 0.0f))
+    val pts = (for ((d, ci) <- dirs4.zipWithIndex; j <- 0 until 3)
+      yield ((ci * 10 + j).toLong, d.map(_ * (j + 1)))).toDF("id", "v")
+      .union(Seq((90L, Seq(0.5f, -0.5f, 0.5f, -0.5f)),
+        (91L, Seq(-0.5f, 0.5f, 0.5f, 0.5f))).toDF("id", "v"))
+    val exactPairs = DedupOps.cosinePairs(
+      pts.withColumn("blk", lit(0)), "id", "v", "blk", 0.95)
+    val exact = DedupOps.dbscan(pts, "id", exactPairs, "id_a", "id_b", minPts = 2)
+      .select($"id", $"cluster", $"role").as[(Long, Long, String)]
+      .collect().sortBy(_._1).toSeq
+    val tuned = DedupOps.dbscanTuned(pts, "id", "v", eps = 0.95, minPts = 2,
+        signatureBudget = 24, dim = 4)
+      .select($"id", $"cluster", $"role").as[(Long, Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(tuned == exact,
+      s"tuned-layout clustering must equal exact-pairs clustering:\n$tuned\nvs\n$exact")
+    // the witness is non-vacuous: three clusters found, noise flagged
+    assert(exact.count(_._3 == "core") == 9 && exact.count(_._3 == "noise") == 2,
+      s"witness shape: $exact")
+    // the derived layout's S-curve inflection sits near the target: mapped
+    // back through the hyperplane identity it brackets eps
+    val (bands, planes) = graft.ext.LshTuning.tuneCosine(0.95, 24)
+    val pInfl = graft.ext.LshTuning.inflection(bands, planes)
+    val cosInfl = math.cos(math.Pi * (1.0 - pInfl))
+    assert(cosInfl > 0.5 && cosInfl < 0.999,
+      s"inflection cosine $cosInfl (bands=$bands planes=$planes) far from eps")
+  }
+
   test("hardNegatives matches s23; every negative has a different label") {
     val got = DedupOps.hardNegatives(embs, embs.filter($"vec_id" < 20),
         "vec_id", "embedding", "label", 5)
@@ -1013,6 +1051,57 @@ class DedupOpsSpec extends SparkSpec {
     assert(fromTable == inline,
       "pairs from the persisted signature table must equal inline pairs")
     assert(inline.nonEmpty)
+  }
+
+  test("minhash served from persisted posting/hash tables equals the inline computations") {
+    // round-13 NEXT #3: d02/d09/d12 now serve persisted relations (the
+    // d06 simhashSigTable discipline); parity contract: postings and
+    // shingle hashes are integers/strings of integers, so a parquet
+    // round-trip must leave every consumer's output bit-identical.
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("minhash_srv")
+    // d02 keep flags from a round-tripped posting table ≡ inline
+    val postsInline = DedupOps.bandPostings(d.select($"doc_id", $"text"),
+      "doc_id", "text", bands = 4, rowsPerBand = 4, shingleLen = 3)
+    postsInline.write.mode("overwrite").parquet(s"$tmp/posts")
+    val posts = spark.read.parquet(s"$tmp/posts")
+    def keepSet(p: org.apache.spark.sql.DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"band", $"bsig")
+      p.withColumn("mn", min($"__id").over(w))
+        .groupBy($"__id").agg(min($"mn").as("gmin"))
+        .select($"__id", when($"gmin" === $"__id", 1L).otherwise(0L).as("kept"))
+        .as[(Long, Long)].collect().toSet
+    }
+    assert(keepSet(posts) == keepSet(postsInline),
+      "d02 keep flags from the persisted posting table must equal inline")
+    // d09 drop set from filtered shared postings ≡ the two-pass inline form
+    val inline09 = DedupOps.dropNearDuplicatesAgainst(
+        d.filter($"doc_id" % 20 =!= 0), d.filter($"doc_id" % 20 === 0),
+        "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    val served09 = DedupOps.dropNearDuplicatesAgainstFromPostings(
+        d.filter($"doc_id" % 20 =!= 0),
+        posts.filter($"__id" % 20 =!= 0), posts.filter($"__id" % 20 === 0),
+        "doc_id")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(served09 == inline09,
+      "d09 survivors from the shared posting table must equal inline")
+    // d12 estimates from a round-tripped shingle-hash table ≡ inline
+    DedupOps.minhashShingleHashes(d.select($"doc_id", $"text"),
+      "doc_id", "text", shingleLen = 3).write.mode("overwrite").parquet(s"$tmp/hs")
+    def estRows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_a", $"doc_b", $"n_eq", $"n_inter", $"n_union",
+          $"est_sim", $"true_sim")
+        .as[(Long, Long, Long, Long, Long, Double, Double)].collect()
+        .map(t => t.copy(_6 = java.lang.Double.doubleToRawLongBits(t._6).toDouble,
+          _7 = java.lang.Double.doubleToRawLongBits(t._7).toDouble)).toSet
+    val inline12 = estRows(DedupOps.minhashEstimates(d, "doc_id", "text"))
+    val served12 = estRows(DedupOps.minhashEstimatesFromHashes(
+      spark.read.parquet(s"$tmp/hs")))
+    assert(served12 == inline12,
+      "d12 estimates from the persisted hash table must equal inline (raw bits)")
+    assert(inline12.nonEmpty && served09.nonEmpty)
   }
 
   test("keepBestPerGroup keeps the argmax per component; unpaired rows pass through") {

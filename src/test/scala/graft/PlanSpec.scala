@@ -405,4 +405,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_topkagg") || p.contains("ObjectHashAggregate"),
       s"ADC ranking must combine map-side (bounded-heap partial agg):\n$p")
   }
+
+  test("q51: exactPercentilesAuto picks builtin below the distinct switch, histogram above; plans bit-equal") {
+    import spark.implicits._
+    val lineitem = Tables.load(spark, dir, "lineitem")
+    // the probe sees the real distinct count; force each verdict with an
+    // explicit switch around it (sf0.001 prices show ~6k distinct, so the
+    // DEFAULT 4096 switch routes lineitem prices to the histogram plan —
+    // the scale-safe side)
+    val (cb, seenB) = Queries.exactPercentilesAutoChoice(
+      lineitem, "l_extendedprice", switchDistinct = Long.MaxValue)
+    assert(cb == "builtin" && seenB > 0L, s"($cb, $seenB)")
+    val (ch, seenH) = Queries.exactPercentilesAutoChoice(
+      lineitem, "l_extendedprice", switchDistinct = 1L)
+    assert(ch == "histogram" && seenH > 1L, s"($ch, $seenH)")
+    val ps = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p95" -> 0.95)
+    val keys = Seq("l_returnflag", "l_linestatus")
+    def built(switch: Long) = Queries.exactPercentilesAuto(
+      lineitem, keys, "l_extendedprice", ps, switchDistinct = switch)
+    val builtin = built(Long.MaxValue)
+    val hist = built(1L)
+    assert(builtin.queryExecution.executedPlan.toString
+        .contains("percentile_disc"),
+      "below the switch the builtin agg-buffer plan must run")
+    val hp = hist.queryExecution.executedPlan.toString
+    assert(!hp.contains("percentile_disc") && hp.contains("Window"),
+      s"above the switch the keyed-histogram window plan must run:\n$hp")
+    // one contract, two plans: the rows are bit-equal either way
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"l_returnflag", $"l_linestatus")
+        .collect().map(_.toSeq).toSeq
+    assert(rows(builtin) == rows(hist),
+      "both percentile plans must return identical rows")
+  }
 }

@@ -1237,4 +1237,89 @@ class StreamingPipelineSpec extends SparkSpec {
       assert(u1.toSeq == Seq(1L, 3L), "sessions of 3 events and 1 event")
     } finally q.stop()
   }
+
+  test("streaming IVF-PQ index: streamed-built search equals batch-built; replay idempotent") {
+    import graft.streaming.CurationStream
+    import graft.ext.Similarity
+    val e = Tables.loadSpread(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(col("vec_id") < 500).localCheckpoint(true)
+    val queries = e.filter(col("vec_id") < 10)
+    val model = Similarity.ivfPqTrain(e, "vec_id", "embedding",
+      nlist = 8, m = 8, ksub = 16, iters = 1)
+    def searchRows(codes: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqSearch(model, codes, e, queries, "vec_id", "embedding",
+          k = 5, nprobe = 2, refine = 2, pruneLists = true)
+        .select(col("query_id"), col("rank"), col("id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val batchRows = searchRows(
+      Similarity.ivfPqEncode(model, e, "vec_id", "embedding"))
+    val dir = Files.createTempDirectory("ivfpq_stream").toString
+    val slices = (0 until 3).map(i => e.filter(col("vec_id") % 3 === i))
+    slices.zipWithIndex.foreach { case (b, i) =>
+      CurationStream.ivfPqIndexBatch(dir, model, "vec_id", "embedding")(b, i.toLong)
+    }
+    assert(searchRows(CurationStream.loadIvfPqIndex(spark, dir)) == batchRows,
+      "streamed-built index search must equal the batch-built search")
+    // replay idempotency: batch 1 re-runs against an index that already
+    // holds its partition — rewritten, not duplicated
+    CurationStream.ivfPqIndexBatch(dir, model, "vec_id", "embedding")(slices(1), 1L)
+    assert(CurationStream.loadIvfPqIndex(spark, dir, dedupIds = false).count() == 500L,
+      "a replayed batch must rewrite, not duplicate, its partition")
+    assert(searchRows(CurationStream.loadIvfPqIndex(spark, dir)) == batchRows,
+      "replay must leave the search identical")
+    // an empty replay rewrites the partition to nothing, then a fresh
+    // non-empty replay restores it (the delete/rewrite idempotency pair)
+    CurationStream.ivfPqIndexBatch(dir, model, "vec_id", "embedding")(
+      slices(1).filter(lit(false)), 1L)
+    assert(!new java.io.File(dir, "batch=1").exists(),
+      "an empty replay must delete the stale partition")
+    CurationStream.ivfPqIndexBatch(dir, model, "vec_id", "embedding")(slices(1), 1L)
+    assert(searchRows(CurationStream.loadIvfPqIndex(spark, dir)) == batchRows)
+  }
+
+  test("IVF-PQ index compaction is crash-safe in every window; search stays exact") {
+    import graft.streaming.CurationStream
+    import graft.ext.Similarity
+    val e = Tables.loadSpread(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(col("vec_id") < 500).localCheckpoint(true)
+    val queries = e.filter(col("vec_id") < 10)
+    val model = Similarity.ivfPqTrain(e, "vec_id", "embedding",
+      nlist = 8, m = 8, ksub = 16, iters = 1)
+    def searchRows(codes: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqSearch(model, codes, e, queries, "vec_id", "embedding",
+          k = 5, nprobe = 2, refine = 2, pruneLists = true)
+        .select(col("query_id"), col("rank"), col("id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    val batchRows = searchRows(
+      Similarity.ivfPqEncode(model, e, "vec_id", "embedding"))
+    for (step <- Seq("merged", "aside", "committed")) {
+      val dir = Files.createTempDirectory(s"ivfpq_crash_$step").toString
+      (0 until 3).foreach { i =>
+        CurationStream.ivfPqIndexBatch(dir, model, "vec_id", "embedding")(
+          e.filter(col("vec_id") % 3 === i), i.toLong)
+      }
+      val boom = intercept[RuntimeException] {
+        CurationStream.compactIvfPqIndex(spark, dir, uptoBatchId = 3L,
+          onStep = s => if (s == step) throw new RuntimeException(s"crash at $s"))
+      }
+      assert(boom.getMessage == s"crash at $step")
+      // the next reader heals in-line; the default id-dedup load keeps the
+      // search exact even in the post-commit coexistence window
+      assert(searchRows(CurationStream.loadIvfPqIndex(spark, dir)) == batchRows,
+        s"crash window '$step' broke the search")
+      // a follow-up compaction completes, folds any duplicate rows away
+      // exactly, and leaves no recovery residue
+      assert(CurationStream.compactIvfPqIndex(spark, dir, uptoBatchId = 3L))
+      val residue = new java.io.File(dir).listFiles().map(_.getName)
+        .filter(n => n.startsWith(".old-") || n.startsWith(".compact-")).toSeq
+      assert(residue.isEmpty, s"crash window '$step' left $residue")
+      assert(CurationStream.loadIvfPqIndex(spark, dir, dedupIds = false)
+          .count() == 500L,
+        s"post-compaction index after '$step' must hold exactly one row per id")
+      assert(searchRows(CurationStream.loadIvfPqIndex(spark, dir)) == batchRows,
+        s"post-compaction search after '$step' must stay exact")
+    }
+  }
 }
