@@ -430,6 +430,28 @@ class CurationSpec extends SparkSpec {
       4L -> "middle", 5L -> "tail", 6L -> "tail"), s"got $gotTied")
   }
 
+  test("perplexityBuckets memo: identical re-calls reuse; a different input never serves stale") {
+    // the one-entry persisted-base memo (round-15: a plain unpersist-per-
+    // call re-paid the upstream scoring every bench sweep; a STRING plan
+    // key collided two same-schema LocalRelations). Alternate two inputs
+    // that share a schema and re-call each — every answer must match its
+    // own input, and repeated identical calls stay stable.
+    val a = (1L to 9L).map(i => (i, ((i - 1) / 3 + 1).toDouble))
+      .toDF("doc_id", "ppl")
+    val b = Seq((1L, 1.0), (2L, 1.0), (3L, 1.0), (4L, 1.0), (5L, 5.0), (6L, 9.0))
+      .toDF("doc_id", "ppl")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      CurationOps.perplexityBuckets(df, "doc_id", "ppl")
+        .select($"doc_id", $"bucket").as[(Long, String)].collect()
+        .sortBy(_._1).toSeq
+    val a1 = run(a); val b1 = run(b); val a2 = run(a); val b2 = run(b)
+    assert(a1 == a2 && b1 == b2, "identical re-calls must be stable")
+    assert(a1.size == 9 && b1.size == 6,
+      s"each answer must match its own input: ${a1.size}/${b1.size}")
+    assert(b1 == Seq(1L -> "middle", 2L -> "middle", 3L -> "middle",
+      4L -> "middle", 5L -> "tail", 6L -> "tail"), s"stale memo? $b1")
+  }
+
   test("c01 query agrees with contaminationCounts on the id-split testdata") {
     val c = docs.filter($"doc_id" % 20 =!= 0)
     val b = docs.filter($"doc_id" % 20 === 0)
