@@ -1536,17 +1536,23 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------- s26
-  /** s26: [[DedupOps.knnGraph]] over the whole corpus — every vector's
+  /** s26: [[DedupOps.knnGraphAuto]] over the whole corpus — every vector's
     * top-3 exact-cosine neighbors among its banded-LSH candidates (4 bands
-    * × 4 hyperplane bits, the [[DedupOps.lshParts]] blocking symmetrized).
-    * Unlike s01/s02 the corpus ranks against ITSELF — the primitive under
-    * NN-descent, graph-ANN serving, and neighborhood diversity audits.
-    * The DuckDB twin replays the banding (the s02 hp CTE widened to 16
-    * planes, grouped 4 bits per band), the symmetrize, and the s01 ranking
-    * contract (round-6 cosine desc, lower-id ties). */
+    * of SIZE-ADAPTIVE width: ceil(log2(n/512)) hyperplane bits, floor 4 —
+    * the [[DedupOps.lshParts]] blocking symmetrized). Unlike s01/s02 the
+    * corpus ranks against ITSELF — the primitive under NN-descent,
+    * graph-ANN serving, and neighborhood diversity audits. The width must
+    * scale with the corpus: frozen 4-bit bands measured 2.3 s at sf0.1 but
+    * 49.9 s on the 10× scale-up (bucket sizes grow linearly, candidates
+    * quadratically); the adaptive width holds E[bucket] ≈ 512 and
+    * candidate volume ≈ n·512 — linear. The DuckDB twin derives the SAME
+    * width from count(*) (exact-integer agreement with the Scala loop —
+    * see [[DedupOps.adaptivePlanes]]), replays the banding, the
+    * symmetrize, and the s01 ranking contract (round-6 cosine desc,
+    * lower-id ties). */
   val s26KnnGraph: Q = (s, dir) => {
     import s.implicits._
-    DedupOps.knnGraph(Tables.loadSpread(s, dir, "embeddings"),
+    DedupOps.knnGraphAuto(Tables.loadSpread(s, dir, "embeddings"),
         "vec_id", "embedding", k = 3)
       // +1e-9 before the display round: a round-6 cosine can land EXACTLY on
       // a 4-digit halfway (0.25175 here at sf0.001) where the engines'
@@ -2605,21 +2611,28 @@ object Similarity {
     // OR-of-ANDs candidates symmetrized, then the s01 ranking contract
     "s26_knn_graph" ->
       (vecsCte +
-        """, hp AS (
+        """, nw AS (
+          |  SELECT LEAST(15, GREATEST(4,
+          |   CAST(ceil(log2(count(*) / 512.0)) AS INT))) AS w FROM e),
+          | hp AS (
           |  SELECT j, d,
           |   (CAST(CAST(('0x' || substr(md5('hp:' || j || ':' || d),1,15)) AS UBIGINT)
           |     % 2001 AS BIGINT) - 1000) / 1000.0 AS r
-          |  FROM (SELECT unnest(range(0,16)) AS j), (SELECT unnest(range(0,64)) AS d)),
+          |  FROM (SELECT unnest(range(0,60)) AS j), (SELECT unnest(range(0,64)) AS d)
+          |  WHERE j < 4 * (SELECT w FROM nw)),
           | ev AS (
           |  SELECT vec_id, generate_subscripts(v,1)-1 AS d, unnest(v) AS x FROM e),
           | dots AS (
           |  SELECT ev.vec_id, hp.j, sum(ev.x * hp.r) AS s
           |  FROM ev JOIN hp USING (d) GROUP BY ev.vec_id, hp.j),
+          | sigj AS (
+          |  SELECT vec_id, j // (SELECT w FROM nw) AS band,
+          |   j % (SELECT w FROM nw) AS bit, s FROM dots),
           | sig AS (
-          |  SELECT vec_id, j // 4 AS band,
-          |   CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << (j % 4)) ELSE 0 END)
+          |  SELECT vec_id, band,
+          |   CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
           |     AS BIGINT) AS bsig
-          |  FROM dots GROUP BY vec_id, j // 4),
+          |  FROM sigj GROUP BY vec_id, band),
           | cand AS (
           |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
           |  FROM sig a JOIN sig b

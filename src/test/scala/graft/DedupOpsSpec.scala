@@ -378,6 +378,28 @@ class DedupOpsSpec extends SparkSpec {
     (21L to 23L).foreach(i => assert(got(i) == (20L, "border")))
   }
 
+  test("knnGraphAuto: band width scales with the corpus; small corpus equals fixed banding") {
+    // the exact-integer width loop vs the oracle's ceil(log2(n/512)):
+    // boundary agreement at powers of two and the floor/cap clamps
+    def sqlW(n: Long) = math.min(15, math.max(4,
+      math.ceil(math.log(n / 512.0) / math.log(2.0)).toInt))
+    for (n <- Seq(1L, 500L, 512L, 513L, 1024L, 5000L, 50000L, 65536L,
+        65537L, 500000L, 524288L, 524289L, 100000000L, Long.MaxValue / 4)) {
+      val got = DedupOps.adaptivePlanes(n, 512L, bands = 4)
+      assert(got == sqlW(n), s"n=$n: loop=$got sql=${sqlW(n)}")
+    }
+    assert(DedupOps.adaptivePlanes(Long.MaxValue / 4, 512L, 4) == 15,
+      "width must cap at the 60-bit signature budget")
+    // at the 500-vector testdata the auto width floors to 4, so the auto
+    // graph is bit-identical to the fixed 4x4 banding s26 used before
+    val auto = DedupOps.knnGraphAuto(embs, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(t => (t._1, t._2)).toSeq
+    val fixed = DedupOps.knnGraph(embs, "vec_id", "embedding", k = 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(auto == fixed, "auto width must floor to the fixed banding on a small corpus")
+    assert(auto.nonEmpty)
+  }
+
   test("dbscanTuned: layout derived from eps; clustering equals exact-all-pairs dbscan") {
     // round-13 NEXT #5: the caller states eps/minPts/budget, tuneCosine
     // picks the banding. Witness: three planted DIRECTION clusters (scale
