@@ -57,6 +57,8 @@ object BenchApi {
     // list-sorted code tables and 8-byte/doc simhash signature tables
     val codeTables = scala.collection.mutable.Map[String, String]()
     val sigTables = scala.collection.mutable.Map[String, String]()
+    val streamIdx = scala.collection.mutable.Map[String, String]()
+    val postTables = scala.collection.mutable.Map[String, String]()
 
     val ops: Seq[(String, String => Unit)] = Seq(
       "pq_knn" -> { dir =>
@@ -124,6 +126,46 @@ object BenchApi {
           graft.ext.Similarity.loadIvfPqCodes(spark, codesDir),
           e, e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5,
           pruneLists = true))
+      },
+      "ivfpq_search_streamed" -> { dir =>
+        // the STREAMED-index serving twin of ivfpq_search_indexed: the
+        // index was built incrementally (4 micro-batch partitions, each
+        // list-sorted), loaded with the id-dedup guard, probed lists
+        // pushed into the scan — what a deployment pays per query batch
+        // against an index a stream maintains
+        val e = Tables.loadSpread(spark, dir, "embeddings")
+        val m = ivfModels.getOrElseUpdate(dir,
+          graft.ext.Similarity.ivfPqTrain(e, "vec_id", "embedding"))
+        val idxDir = streamIdx.getOrElseUpdate(dir, {
+          val d = java.nio.file.Files.createTempDirectory("bench_sidx").toString
+          (0L until 4L).foreach { b =>
+            graft.streaming.CurationStream.ivfPqIndexBatch(
+              d, m, "vec_id", "embedding")(
+              e.filter(pmod(col("vec_id"), lit(4)) === b), b)
+          }
+          d
+        })
+        drainDf(graft.ext.Similarity.ivfPqSearch(m,
+          graft.streaming.CurationStream.loadIvfPqIndex(spark, idxDir),
+          e, e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5,
+          pruneLists = true))
+      },
+      "minhash_drop_from_posts" -> { dir =>
+        // the persisted-posting serving seam: greedy keep-first dedup from
+        // a stored (band,bsig)-sorted posting table, never re-tokenizing
+        val docs = Tables.loadSpread(spark, dir, "documents")
+        val postDir = postTables.getOrElseUpdate(dir, {
+          val d = java.nio.file.Files.createTempDirectory("bench_posts").toString
+          graft.ext.DedupOps.bandPostings(
+              docs.select(col("doc_id"), col("text")), "doc_id", "text",
+              bands = 4, rowsPerBand = 4, shingleLen = 3)
+            .repartitionByRange(col("band"), col("bsig"))
+            .sortWithinPartitions(col("band"), col("bsig"))
+            .write.mode("overwrite").parquet(d)
+          d
+        })
+        drainDf(graft.ext.DedupOps.dropNearDuplicatesMinhashFromPostings(
+          docs, spark.read.parquet(postDir), "doc_id"))
       },
       "keep_best_dedup" -> { dir =>
         // d16's API shape: simhash pairs -> components -> argmax keep

@@ -67,9 +67,20 @@ object DedupOps {
     * the shingle relation, so the anti-join retains them — they are not
     * duplicates of anything. */
   def dropNearDuplicatesMinhash(df: DataFrame, idCol: String, textCol: String,
-      bands: Int = 4, rowsPerBand: Int = 4, shingleLen: Int = 3): DataFrame = {
+      bands: Int = 4, rowsPerBand: Int = 4, shingleLen: Int = 3): DataFrame =
+    dropNearDuplicatesMinhashFromPostings(df,
+      bandPostings(df, idCol, textCol, bands, rowsPerBand, shingleLen), idCol)
+
+  /** [[dropNearDuplicatesMinhash]] from a pre-built (served or inline)
+    * posting relation in the [[bandPostings]] shape `(__id, band, bsig)` —
+    * the serving path against a persisted posting index (see
+    * [[graft.ext.Dedup]]'s minhashPostTable): only the band-bucket window
+    * + greedy keep re-run, never the signature pass. Served ≡ inline
+    * bit-exact (postings are integers/strings of integers). */
+  def dropNearDuplicatesMinhashFromPostings(df: DataFrame, posts: DataFrame,
+      idCol: String): DataFrame = {
     val w = Window.partitionBy(col("band"), col("bsig"))
-    val dropIds = bandPostings(df, idCol, textCol, bands, rowsPerBand, shingleLen)
+    val dropIds = posts
       .withColumn("__mn", min(col("__id")).over(w))
       .groupBy(col("__id")).agg(min(col("__mn")).as("__gmin"))
       .filter(col("__gmin") =!= col("__id"))

@@ -1623,6 +1623,82 @@ object Similarity {
     recallAtK(truth, approx, "qid", "vec_id", k = 3).orderBy($"query_id")
   }
 
+  // ---------------------------------------------------------------- s30
+  /** Deterministic top-principal-component fit — power iteration over the
+    * mean-centered, id-sorted training sample: the primitive under
+    * embedding WHITENING and "all-but-the-top" post-processing (Mu &
+    * Viswanath 2018 — removing the dominant direction measurably improves
+    * similarity search on anisotropic embedding spaces) and the per-vector
+    * projection a curation pipeline uses to audit/strip that direction.
+    *
+    * Determinism contract (the kmeans discipline): the sample collects
+    * id-sorted to the driver (sample-bounded — k×dim-class state, never
+    * the corpus), the mean and every matrix-vector fold run sequentially
+    * in id order, the init is the md5-derived pseudo-random direction
+    * ((h60("pi:<d>") % 2001 − 1000)/1000 — no transcendentals), and a
+    * zero-norm iterate keeps the previous vector (the lloydRounds guard).
+    * Every double therefore replays bit-exactly in the DuckDB twin's
+    * staged CTEs (s30 oracle row).
+    *
+    * Scale shape: training is one bounded collect; the corpus-wide
+    * projection is a single codegen'd dot against plan literals — a
+    * shuffle-free scan at any size. Returns (mean, component). */
+  def topComponentFit(train: DataFrame, idCol: String, vecCol: String,
+      iters: Int = 8): (Array[Double], Array[Double]) = {
+    val sp = train.sparkSession
+    import sp.implicits._
+    val sample = train
+      .select(col(idCol).cast("long").as("__id"), asDouble(col(vecCol)).as("__v"))
+      .orderBy(col("__id"))
+      .as[(Long, Seq[Double])].collect().map(_._2.toArray)
+    require(sample.nonEmpty, "topComponentFit: empty training sample")
+    val dim = sample.head.length
+    val n = sample.length.toDouble
+    def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var d = 0
+      while (d < a.length) { acc += a(d) * b(d); d += 1 }
+      acc
+    }
+    val mu = new Array[Double](dim)
+    sample.foreach { x =>
+      var d = 0; while (d < dim) { mu(d) += x(d); d += 1 }
+    }
+    locally { var d = 0; while (d < dim) { mu(d) = mu(d) / n; d += 1 } }
+    val ctr = sample.map(x => Array.tabulate(dim)(d => x(d) - mu(d)))
+    var v = Array.tabulate(dim)(d =>
+      ((TextOps.h60Local(s"pi:$d") % 2001L) - 1000L) / 1000.0)
+    for (_ <- 0 until iters) {
+      val acc = new Array[Double](dim)
+      ctr.foreach { c =>
+        val s = dotSeq(c, v)
+        var d = 0; while (d < dim) { acc(d) += s * c(d); d += 1 }
+      }
+      val nrm = math.sqrt(dotSeq(acc, acc))
+      if (nrm != 0) v = acc.map(_ / nrm)
+    }
+    (mu, v)
+  }
+
+  /** s30: [[topComponentFit]] on the s15 sample configuration (vec_id <
+    * 256, 8 power-iteration rounds), then every corpus vector's projection
+    * onto the fitted component — (x − μ)·v computed as x·v − μ·v so the
+    * corpus scan is one codegen'd dot against literals. The DuckDB twin
+    * stages the whole fit (mean fold, md5 init, 8 matrix-vector roundtrips
+    * with re-normalization) and recomputes μ·v from its own staged
+    * doubles, so the full training replays cross-engine bit-exactly. */
+  val s30TopComponent: Q = (s, dir) => {
+    import s.implicits._
+    val e = vecs(s, dir)
+    val (mu, v) = topComponentFit(e.filter($"vec_id" < 256), "vec_id", "v")
+    var muDotV = 0.0
+    locally { var d = 0; while (d < mu.length) { muDotV += mu(d) * v(d); d += 1 } }
+    val vLit = array(v.toIndexedSeq.map(lit): _*)
+    e.select($"vec_id",
+        (round(dot($"v", vLit) - lit(muDotV) + lit(1e-9), 4) + lit(0.0))
+          .as("proj"))
+      .orderBy($"vec_id")
+  }
+
   // ----------------------------------------------------------- recall / s12
   /** Per-query recall@k of an approximate result against ground truth: both
     * frames are (queryCol, idCol) rankings; recall = |approx ∩ truth| / k.
@@ -2182,7 +2258,8 @@ object Similarity {
     "s26_knn_graph" -> s26KnnGraph,
     "s27_kmeans_spherical" -> s27KmeansSpherical,
     "s28_cluster_quality" -> s28ClusterQuality,
-    "s29_knn_graph_recall" -> s29KnnGraphRecall)
+    "s29_knn_graph_recall" -> s29KnnGraphRecall,
+    "s30_top_component" -> s30TopComponent)
 
   /** Generated DuckDB twin of [[s21IvfPqRecall]]: stages the entire
     * deterministic IVF-PQ pipeline — coarse Lloyd with re-normalized
@@ -2350,6 +2427,50 @@ object Similarity {
     * selections (p_j: min-d2 against the chosen set; n_j: the
     * d2 × md5-weight race winner; i_j: the growing center set), replaying
     * [[kmeansFitPp]]'s derandomized rule term for term. */
+  /** Generated DuckDB twin of [[s30TopComponent]]: stages the id-sorted
+    * mean fold, the centered sample, the md5-derived init, and `iters`
+    * power-iteration rounds (matrix-vector fold in vec_id order,
+    * re-normalize with the zero-norm keep-previous guard), then projects
+    * the whole corpus. Every fold is the same left-to-right association
+    * the Scala fit runs, so the doubles replay bit-exactly. */
+  private def topComponentSql(iters: Int, dim: Int): String = {
+    val zeros = s"list_transform(range(1, ${dim + 1}), i -> CAST(0 AS DOUBLE))"
+    val rounds = (1 to iters).map { r =>
+      s""" a$r AS MATERIALIZED (
+         |  SELECT list_reduce(list_prepend($zeros,
+         |    list(list_transform(q.c, x -> x * q.s) ORDER BY q.vec_id)),
+         |   (acc, x) -> list_transform(range(1, ${dim + 1}), i -> acc[i] + x[i])) AS acc
+         |  FROM (SELECT ctr.vec_id, ctr.c,
+         |    list_dot_product(ctr.c, p${r - 1}.v) AS s FROM ctr, p${r - 1}) q),
+         | p$r AS MATERIALIZED (
+         |  SELECT CASE WHEN list_dot_product(acc, acc) = 0 THEN (SELECT v FROM p${r - 1})
+         |   ELSE list_transform(acc, x -> x / sqrt(list_dot_product(acc, acc))) END AS v
+         |  FROM a$r),""".stripMargin
+    }.mkString("\n")
+    vecsCte +
+      s""", tr AS (SELECT vec_id, v FROM e WHERE vec_id < 256),
+         | nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tr),
+         | mu AS MATERIALIZED (
+         |  SELECT list_transform(q.sm, z -> z / nn.n) AS m
+         |  FROM (SELECT list_reduce(list_prepend($zeros, list(v ORDER BY vec_id)),
+         |     (acc, x) -> list_transform(range(1, ${dim + 1}), i -> acc[i] + x[i])) AS sm
+         |    FROM tr) q, nn),
+         | ctr AS MATERIALIZED (
+         |  SELECT t.vec_id,
+         |   list_transform(range(1, ${dim + 1}), i -> t.v[i] - mu.m[i]) AS c
+         |  FROM tr t, mu),
+         | p0 AS (
+         |  SELECT list_transform(range(0, $dim), d ->
+         |   (CAST(CAST(('0x' || substr(md5('pi:' || d),1,15)) AS UBIGINT)
+         |     % 2001 AS BIGINT) - 1000) / 1000.0) AS v),
+         |$rounds
+         | fin AS (SELECT v FROM p$iters)
+         |SELECT e.vec_id,
+         | round(list_dot_product(e.v, fin.v) - list_dot_product(mu.m, fin.v)
+         |   + 1e-9, 4) + 0.0 AS proj
+         |FROM e, fin, mu ORDER BY e.vec_id""".stripMargin
+  }
+
   private[ext] def kmeansSql(k: Int, iters: Int, dim: Int,
       ppInit: Boolean = false, weighted: Boolean = false,
       coresetPerCluster: Int = 0, customTail: String = "",
@@ -2698,6 +2819,7 @@ object Similarity {
           |   / 3 + 1e-9, 4) AS recall
           |FROM tru LEFT JOIN apx ON tru.src = apx.src AND tru.dst = apx.dst
           |GROUP BY tru.src ORDER BY query_id""".stripMargin),
+    "s30_top_component" -> topComponentSql(iters = 8, dim = 64),
     "s15_kmeans" -> kmeansSql(k = 4, iters = 2, dim = 64),
     "s27_kmeans_spherical" -> kmeansSql(k = 4, iters = 2, dim = 64,
       spherical = true),

@@ -1412,6 +1412,34 @@ class DedupOpsSpec extends SparkSpec {
       s"guard must keep the previous centroid: ${cents.head.toSeq}")
   }
 
+  test("topComponentFit recovers a planted dominant direction; projections separate along it") {
+    // variance planted along the x-axis (spread -4..4) dwarfs the y-jitter
+    // (±0.2): the fitted top component must align with x, and projections
+    // must order the points by their x coordinate
+    val pts = Seq(
+      (0L, Seq(-4.0f, 0.1f)), (1L, Seq(-2.0f, -0.2f)), (2L, Seq(-1.0f, 0.2f)),
+      (3L, Seq(1.0f, -0.1f)), (4L, Seq(2.0f, 0.2f)), (5L, Seq(4.0f, -0.2f)))
+      .toDF("vec_id", "v")
+    val (mu, v) = Similarity.topComponentFit(pts, "vec_id", "v")
+    assert(math.abs(mu(0)) < 1e-9 && math.abs(mu(1)) < 0.05,
+      s"mean ~ origin: ${mu.toSeq}")
+    assert(math.abs(v(0)) > 0.99, s"component must align with x: ${v.toSeq}")
+    assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-12,
+      "component must be unit-norm")
+    // determinism across input partitionings (the collect is id-sorted)
+    val (_, v3) = Similarity.topComponentFit(pts.repartition(3), "vec_id", "v")
+    assert(v.toSeq.map(java.lang.Double.doubleToRawLongBits) ==
+      v3.toSeq.map(java.lang.Double.doubleToRawLongBits),
+      "fit must be bit-deterministic across partitionings")
+    // projections (x - mu)·v order the points along the planted axis
+    val sgn = math.signum(v(0))
+    val proj = pts.collect().map(r => (r.getLong(0),
+      sgn * ((r.getSeq[Float](1)(0) - mu(0)) * v(0) +
+        (r.getSeq[Float](1)(1) - mu(1)) * v(1)))).sortBy(_._2).map(_._1).toSeq
+    assert(proj == Seq(0L, 1L, 2L, 3L, 4L, 5L),
+      s"projection order must follow the planted axis: $proj")
+  }
+
   test("clusterQuality: tight well-separated clusters score near-1 silhouette; counts and inertia check out") {
     val pts = Seq(
       (0L, Seq(0.0f, 0.0f)), (2L, Seq(0.2f, 0.0f)), (4L, Seq(0.0f, 0.2f)),

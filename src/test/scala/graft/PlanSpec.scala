@@ -406,6 +406,21 @@ class PlanSpec extends SparkSpec {
       s"ADC ranking must combine map-side (bounded-heap partial agg):\n$p")
   }
 
+  test("d02/d09: the minhash queries run on the persisted posting table — no tokenization in-plan") {
+    // the serving contract: the signature pass (tokenize + shingle + 16
+    // md5 mins) happens ONCE at table build; the query plans must contain
+    // only the band-bucket window/joins over the stored relation. A
+    // regression here silently re-pays the scan-dominant pass per query.
+    for (q <- Seq("d02_minhash_lsh", "d09_crosscorpus_neardup")) {
+      val p = plan(q)
+      assert(!p.contains("regexp") && !p.contains("explode") &&
+        !p.contains("md5"),
+        s"$q must serve the persisted posting table, not recompute signatures:\n$p")
+      assert(p.contains("graft_derived"),
+        s"$q must scan the content-addressed posting store:\n$p")
+    }
+  }
+
   test("q51: exactPercentilesAuto picks builtin below the distinct switch, histogram above; plans bit-equal") {
     import spark.implicits._
     val lineitem = Tables.load(spark, dir, "lineitem")
