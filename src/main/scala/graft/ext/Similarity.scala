@@ -36,12 +36,27 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     graft.functions.VectorExprs.dot(a, b)
 
-  /** 8-bit random-hyperplane signature of a double-array column. */
-  private def bucketOf(v: Column): Column =
-    (0 until NPlanes).map { j =>
+  /** `w`-bit random-hyperplane signature of a double-array column. */
+  private def bucketOf(v: Column, w: Int = NPlanes): Column =
+    (0 until w).map { j =>
       val plane = array(hyperplane(j).map(lit): _*)
       when(dot(v, plane) > 0.0d, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Signature width for the single-band bucket operators (s02/s12/s24) —
+    * the [[DedupOps.adaptivePlanes]] discipline: smallest `w` with
+    * `2^w ≥ n/256`, floored at the historical 8 planes (so the sf ≤ 0.1
+    * testdata keeps its exact pre-adaptive buckets) and capped at 20.
+    * With `w` frozen, E[bucket] = n/2^w grows linearly and the in-bucket
+    * candidate volume quadratically — the same defect [[DedupOps
+    * .knnGraphAuto]] fixed for the banded graph. The DuckDB twins derive
+    * the identical value as ceil(log2(count/256)) (exact-integer boundary
+    * agreement — see adaptivePlanes' scaladoc). */
+  private[graft] def bucketPlanes(n: Long): Int = {
+    var w = 0
+    while (w < 20 && (256L << w) < n) w += 1
+    math.max(NPlanes, w)
+  }
 
   private def vecs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -88,14 +103,19 @@ object Similarity {
   }
 
   // ---------------------------------------------------------------- s02
-  /** ANN via random-hyperplane LSH: every vector gets an 8-bit signature;
-    * candidates for a query are ONLY the vectors in its bucket (≈ n/256 of
-    * the corpus), then exact cosine top-3 within the bucket (window ranking
-    * like s01 — see the s01 note). The bucket join is an equi-join on the
-    * signature — hash-partitioned, no all-pairs. */
+  /** ANN via random-hyperplane LSH: every vector gets a SIZE-ADAPTIVE
+    * [[bucketPlanes]]-bit signature (8 bits up to ~65k vectors, widening
+    * by ceil(log2(n/256)) past that so E[bucket] stays ≈ 256 and the
+    * in-bucket candidate volume grows linearly, not quadratically);
+    * candidates for a query are ONLY the vectors in its bucket, then
+    * exact cosine top-3 within the bucket (window ranking like s01 — see
+    * the s01 note). The bucket join is an equi-join on the signature —
+    * hash-partitioned, no all-pairs. The DuckDB twin derives the same
+    * width from count(*). */
   val s02AnnLsh: Q = (s, dir) => {
     import s.implicits._
-    val e = vecs(s, dir).withColumn("bucket", bucketOf($"v"))
+    val e0 = vecs(s, dir)
+    val e = e0.withColumn("bucket", bucketOf($"v", bucketPlanes(e0.count())))
     val q = e.filter($"vec_id" < 20)
       .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"), $"bucket")
     val w = Window.partitionBy($"qid").orderBy($"cos6".desc, $"vec_id")
@@ -1444,12 +1464,15 @@ object Similarity {
     * label replays in DuckDB (the s02 bucket CTE + the d07 recursive
     * fixpoint), so the full (degree, cluster, role) row set is exact.
     *
-    * Scale shape: the bucket join bounds candidates (n²/256 expected),
-    * [[DedupOps.dbscan]] is pair-graph-keyed throughout; nothing here
-    * is corpus-quadratic. */
+    * Scale shape: the bucket join bounds candidates, and the bucket WIDTH
+    * adapts ([[bucketPlanes]]: E[bucket] ≈ 256 at every corpus size, so
+    * candidates ≈ n·256 — linear, where the old fixed 8-plane bucketing
+    * was n²/256); [[DedupOps.dbscan]] is pair-graph-keyed throughout;
+    * nothing here is corpus-quadratic. */
   val s24DensityClusters: Q = (s, dir) => {
     import s.implicits._
-    val e = vecs(s, dir).withColumn("bucket", bucketOf($"v"))
+    val e0 = vecs(s, dir)
+    val e = e0.withColumn("bucket", bucketOf($"v", bucketPlanes(e0.count())))
     val pairs = DedupOps.cosinePairs(e, "vec_id", "v", "bucket", 0.12)
     DedupOps.dbscan(e, "vec_id", pairs, "id_a", "id_b", minPts = 2)
       .select($"id".as("vec_id"), $"degree", $"cluster", $"role")
@@ -1739,7 +1762,7 @@ object Similarity {
       .withColumn("cos6", round(dot($"qv", $"v") / ($"qn" * $"nrm"), 6))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter($"rk" <= 5).select($"qid", $"vec_id")
-    val eb = e.withColumn("bucket", bucketOf($"v"))
+    val eb = e.withColumn("bucket", bucketOf($"v", bucketPlanes(e.count())))
     val qb = eb.filter($"vec_id" < 20)
       .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"), $"bucket")
     val approx = broadcast(qb).join(eb, Seq("bucket"))
@@ -2916,11 +2939,15 @@ object Similarity {
     // (DuckDB reserved words), matching the Spark column names exactly
     "s24_density_clusters" ->
       (vecsCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
-        """, hp AS (
+        """, nb AS (
+          |  SELECT LEAST(20, GREATEST(8,
+          |   CAST(ceil(log2(count(*) / 256.0)) AS INT))) AS w FROM e),
+          | hp AS (
           |  SELECT j, d,
           |   (CAST(CAST(('0x' || substr(md5('hp:' || j || ':' || d),1,15)) AS UBIGINT)
           |     % 2001 AS BIGINT) - 1000) / 1000.0 AS r
-          |  FROM (SELECT unnest(range(0,8)) AS j), (SELECT unnest(range(0,64)) AS d)),
+          |  FROM (SELECT unnest(range(0,20)) AS j), (SELECT unnest(range(0,64)) AS d)
+          |  WHERE j < (SELECT w FROM nb)),
           | ev AS (
           |  SELECT vec_id, generate_subscripts(v,1)-1 AS d, unnest(v) AS x FROM e),
           | dots AS (
@@ -2967,11 +2994,15 @@ object Similarity {
           |ORDER BY vec_id""".stripMargin),
     "s02_ann_lsh" ->
       (vecsCte +
-        """, hp AS (
+        """, nb AS (
+          |  SELECT LEAST(20, GREATEST(8,
+          |   CAST(ceil(log2(count(*) / 256.0)) AS INT))) AS w FROM e),
+          | hp AS (
           |  SELECT j, d,
           |   (CAST(CAST(('0x' || substr(md5('hp:' || j || ':' || d),1,15)) AS UBIGINT)
           |     % 2001 AS BIGINT) - 1000) / 1000.0 AS r
-          |  FROM (SELECT unnest(range(0,8)) AS j), (SELECT unnest(range(0,64)) AS d)),
+          |  FROM (SELECT unnest(range(0,20)) AS j), (SELECT unnest(range(0,64)) AS d)
+          |  WHERE j < (SELECT w FROM nb)),
           | ev AS (
           |  SELECT vec_id, generate_subscripts(v,1)-1 AS d, unnest(v) AS x FROM e),
           | dots AS (
@@ -3086,11 +3117,15 @@ object Similarity {
           |               e2.vec_id) AS BIGINT) AS rk
           |   FROM e q JOIN e e2 ON q.vec_id < 20 AND q.vec_id <> e2.vec_id) t
           |  WHERE rk <= 5),
+          | nb AS (
+          |  SELECT LEAST(20, GREATEST(8,
+          |   CAST(ceil(log2(count(*) / 256.0)) AS INT))) AS w FROM e),
           | hp AS (
           |  SELECT j, d,
           |   (CAST(CAST(('0x' || substr(md5('hp:' || j || ':' || d),1,15)) AS UBIGINT)
           |     % 2001 AS BIGINT) - 1000) / 1000.0 AS r
-          |  FROM (SELECT unnest(range(0,8)) AS j), (SELECT unnest(range(0,64)) AS d)),
+          |  FROM (SELECT unnest(range(0,20)) AS j), (SELECT unnest(range(0,64)) AS d)
+          |  WHERE j < (SELECT w FROM nb)),
           | ev AS (
           |  SELECT vec_id, generate_subscripts(v,1)-1 AS d, unnest(v) AS x FROM e),
           | dots AS (

@@ -400,6 +400,21 @@ class DedupOpsSpec extends SparkSpec {
     assert(auto.nonEmpty)
   }
 
+  test("bucketPlanes (s02/s12/s24 single-band width) agrees with the twins' ceil-log2 formula") {
+    def sqlW(n: Long) = math.min(20, math.max(8,
+      math.ceil(math.log(n / 256.0) / math.log(2.0)).toInt))
+    for (n <- Seq(1L, 256L, 257L, 500L, 5000L, 50000L, 65536L, 65537L,
+        131072L, 131073L, 500000L, 1000000L, 268435456L, Long.MaxValue / 4)) {
+      val got = Similarity.bucketPlanes(n)
+      assert(got == sqlW(n), s"n=$n: loop=$got sql=${sqlW(n)}")
+    }
+    // the floor keeps every verify/bench SF (n <= 65536) on the historical
+    // 8-plane buckets — pre-adaptive outputs unchanged there
+    assert(Similarity.bucketPlanes(500L) == 8 &&
+      Similarity.bucketPlanes(5000L) == 8 && Similarity.bucketPlanes(50000L) == 8)
+    assert(Similarity.bucketPlanes(Long.MaxValue / 4) == 20, "cap at 20 planes")
+  }
+
   test("dbscanTuned: layout derived from eps; clustering equals exact-all-pairs dbscan") {
     // round-13 NEXT #5: the caller states eps/minPts/budget, tuneCosine
     // picks the banding. Witness: three planted DIRECTION clusters (scale
