@@ -1722,6 +1722,52 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  /** All-but-the-top transformation (Mu & Viswanath 2018): subtract the
+    * mean and each vector's projection onto the fitted top component —
+    * `x' = (x − μ) − ((x − μ)·v)·v` — the post-processing that removes the
+    * dominant "common direction" anisotropic embedding spaces share and
+    * measurably improves cosine retrieval. Fit via [[topComponentFit]] on
+    * a bounded sample; the transform itself is a shuffle-free codegen'd
+    * projection against plan literals (the projection column `__p` is
+    * materialized FIRST so the zip_with lambda references an attribute —
+    * inlining the dot into the lambda would re-evaluate it per element,
+    * the TextOps lambda-CSE trap). Output: the input columns with `vecCol`
+    * replaced by the transformed vector. */
+  def removeTopComponent(df: DataFrame, idCol: String, vecCol: String,
+      mu: Array[Double], v: Array[Double]): DataFrame = {
+    var muDotV = 0.0
+    locally { var d = 0; while (d < mu.length) { muDotV += mu(d) * v(d); d += 1 } }
+    val vLit = array(v.toIndexedSeq.map(lit): _*)
+    val muLit = array(mu.toIndexedSeq.map(lit): _*)
+    val others = df.columns.filterNot(_ == vecCol).map(col)
+    df.withColumn("__v64", transform(col(vecCol), x => x.cast("double")))
+      .withColumn("__p", dot(col("__v64"), vLit) - lit(muDotV))
+      .withColumn(vecCol,
+        zip_with(zip_with(col("__v64"), muLit, (a, b) => a - b), vLit,
+          (a, b) => a - col("__p") * b))
+      .select((others :+ col(vecCol)).toIndexedSeq: _*)
+  }
+
+  // ---------------------------------------------------------------- s31
+  /** s31: the [[removeTopComponent]] residual audit — per corpus vector,
+    * its L2 norm after the all-but-the-top transform under the s30 fit.
+    * Vectors dominated by the common direction collapse toward 0; content
+    * that carries signal OFF the top component keeps most of its norm —
+    * exactly the quantity a curation pipeline inspects before deciding to
+    * whiten. The DuckDB twin rides the s30 staged fit (custom tail) and
+    * recomputes projection, subtraction, and the sequential norm from its
+    * own staged doubles — bit-exact. */
+  val s31AbttResidual: Q = (s, dir) => {
+    import s.implicits._
+    val e = vecs(s, dir)
+    val (mu, v) = topComponentFit(e.filter($"vec_id" < 256), "vec_id", "v")
+    removeTopComponent(e.select($"vec_id", $"v"), "vec_id", "v", mu, v)
+      .select($"vec_id",
+        (round(graft.functions.VectorExprs.l2($"v") + lit(1e-9), 4) + lit(0.0))
+          .as("resid"))
+      .orderBy($"vec_id")
+  }
+
   // ----------------------------------------------------------- recall / s12
   /** Per-query recall@k of an approximate result against ground truth: both
     * frames are (queryCol, idCol) rankings; recall = |approx ∩ truth| / k.
@@ -2282,7 +2328,8 @@ object Similarity {
     "s27_kmeans_spherical" -> s27KmeansSpherical,
     "s28_cluster_quality" -> s28ClusterQuality,
     "s29_knn_graph_recall" -> s29KnnGraphRecall,
-    "s30_top_component" -> s30TopComponent)
+    "s30_top_component" -> s30TopComponent,
+    "s31_abtt_residual" -> s31AbttResidual)
 
   /** Generated DuckDB twin of [[s21IvfPqRecall]]: stages the entire
     * deterministic IVF-PQ pipeline — coarse Lloyd with re-normalized
@@ -2456,7 +2503,8 @@ object Similarity {
     * re-normalize with the zero-norm keep-previous guard), then projects
     * the whole corpus. Every fold is the same left-to-right association
     * the Scala fit runs, so the doubles replay bit-exactly. */
-  private def topComponentSql(iters: Int, dim: Int): String = {
+  private def topComponentSql(iters: Int, dim: Int,
+      customTail: String = ""): String = {
     val zeros = s"list_transform(range(1, ${dim + 1}), i -> CAST(0 AS DOUBLE))"
     val rounds = (1 to iters).map { r =>
       s""" a$r AS MATERIALIZED (
@@ -2488,10 +2536,13 @@ object Similarity {
          |     % 2001 AS BIGINT) - 1000) / 1000.0) AS v),
          |$rounds
          | fin AS (SELECT v FROM p$iters)
-         |SELECT e.vec_id,
-         | round(list_dot_product(e.v, fin.v) - list_dot_product(mu.m, fin.v)
-         |   + 1e-9, 4) + 0.0 AS proj
-         |FROM e, fin, mu ORDER BY e.vec_id""".stripMargin
+         |""".stripMargin +
+      (if (customTail.nonEmpty) customTail
+       else
+         """SELECT e.vec_id,
+           | round(list_dot_product(e.v, fin.v) - list_dot_product(mu.m, fin.v)
+           |   + 1e-9, 4) + 0.0 AS proj
+           |FROM e, fin, mu ORDER BY e.vec_id""".stripMargin)
   }
 
   private[ext] def kmeansSql(k: Int, iters: Int, dim: Int,
@@ -2843,6 +2894,23 @@ object Similarity {
           |FROM tru LEFT JOIN apx ON tru.src = apx.src AND tru.dst = apx.dst
           |GROUP BY tru.src ORDER BY query_id""".stripMargin),
     "s30_top_component" -> topComponentSql(iters = 8, dim = 64),
+    // the s30 staged fit with a residual tail: projection p staged FIRST
+    // (a plain column — inlining the dot into the transform lambda would
+    // re-evaluate it per element), then (x−μ) − p·v and the sequential norm
+    "s31_abtt_residual" -> topComponentSql(iters = 8, dim = 64,
+      customTail =
+        """, b AS (
+          |  SELECT e.vec_id, e.v,
+          |   list_dot_product(e.v, fin.v) - list_dot_product(mu.m, fin.v) AS p
+          |  FROM e, fin, mu)
+          |SELECT vec_id,
+          | round(sqrt(list_dot_product(o, o)) + 1e-9, 4) + 0.0 AS resid
+          |FROM (
+          | SELECT b.vec_id,
+          |  list_transform(range(1, 65),
+          |   i -> (b.v[i] - mu.m[i]) - b.p * fin.v[i]) AS o
+          | FROM b, mu, fin) q
+          |ORDER BY vec_id""".stripMargin),
     "s15_kmeans" -> kmeansSql(k = 4, iters = 2, dim = 64),
     "s27_kmeans_spherical" -> kmeansSql(k = 4, iters = 2, dim = 64,
       spherical = true),

@@ -1455,6 +1455,30 @@ class DedupOpsSpec extends SparkSpec {
       s"projection order must follow the planted axis: $proj")
   }
 
+  test("removeTopComponent kills the dominant direction; off-axis signal survives") {
+    val pts = Seq(
+      (0L, Seq(-4.0f, 0.1f)), (1L, Seq(-2.0f, -0.2f)), (2L, Seq(-1.0f, 0.2f)),
+      (3L, Seq(1.0f, -0.1f)), (4L, Seq(2.0f, 0.2f)), (5L, Seq(4.0f, -0.2f)))
+      .toDF("vec_id", "v")
+    val (mu, v) = Similarity.topComponentFit(pts, "vec_id", "v")
+    val out = Similarity.removeTopComponent(pts, "vec_id", "v", mu, v)
+      .select($"vec_id", $"v").as[(Long, Seq[Double])].collect().toMap
+    // every transformed vector is orthogonal to the removed component
+    out.values.foreach { x =>
+      val proj = x.zip(v).map { case (a, b) => a * b }.sum
+      assert(math.abs(proj) < 1e-9, s"residual must be orthogonal: $proj")
+    }
+    // the x-spread collapses (was -4..4) while the y-jitter survives
+    val xs = out.values.map(_.head).toSeq
+    assert(xs.forall(x => math.abs(x) < 0.2),
+      s"dominant-axis coordinates must collapse: $xs")
+    val ys = out.values.map(_(1))
+    assert(ys.exists(y => math.abs(y) > 0.05),
+      s"off-axis signal must survive: ${ys.toSeq}")
+    // schema contract: vecCol replaced in place, other columns untouched
+    assert(out.keySet == (0L to 5L).toSet)
+  }
+
   test("clusterQuality: tight well-separated clusters score near-1 silhouette; counts and inertia check out") {
     val pts = Seq(
       (0L, Seq(0.0f, 0.0f)), (2L, Seq(0.2f, 0.0f)), (4L, Seq(0.0f, 0.2f)),
