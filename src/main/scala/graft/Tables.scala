@@ -95,33 +95,60 @@ object Tables {
     md.digest().map("%02x".format(_)).mkString
   }
 
+  /** Short stable hash of a source data dir's canonical path — folded into
+    * every persisted-store name so entries for DIFFERENT dirs coexist on
+    * disk. Fingerprints legitimately differ across dirs (a gate JVM on
+    * sf0.001 and a bench JVM on sf1 run concurrently); before this, each
+    * publish evicted the OTHER dir's live table, so a reader mid-scan could
+    * hit FileNotFoundException and sequential alternation between dirs
+    * rebuilt the table every run (round-15 ADVICE #1). Eviction now only
+    * matches entries for the SAME dir (superseded generations of the same
+    * data under one path — the case eviction exists for). */
+  private[graft] def dirHash(dir: String): String = {
+    val canonical =
+      try new java.io.File(dir).getCanonicalPath
+      catch { case _: java.io.IOException => dir }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(8)
+  }
+
   /** Content-addressed persisted DERIVED table under
-    * `${java.io.tmpdir}/graft_derived/<name>-<fp>`: built AT MOST ONCE per
-    * source-table content (the q38 layout / ANN code-table discipline —
-    * Bench times the one-time build in its `sigs`/`layout` sections; the
-    * sweeps then measure the plans a deployment re-runs against the stored
-    * relation). Published via temp-sibling + atomic rename, so a concurrent
-    * gate/bench JVM never reads a half-written table — it either sees the
-    * completed directory or builds its own temp and loses the rename race
-    * benignly (identical content). Superseded generations of the same
-    * `name` are evicted on publish. Every parameter that changes the
-    * produced rows must be folded into `name`; trained-model addressing is
-    * [[graft.ext.Similarity]]'s cachedCodes (model-fingerprint half). */
+    * `${java.io.tmpdir}/graft_derived/<name>-<dirHash>-<fp>`: built AT MOST
+    * ONCE per source-table content (the q38 layout / ANN code-table
+    * discipline — Bench times the one-time build in its `sigs`/`layout`
+    * sections; the sweeps then measure the plans a deployment re-runs
+    * against the stored relation). Published via temp-sibling + atomic
+    * rename, so a concurrent gate/bench JVM never reads a half-written
+    * table — it either sees the completed directory or builds its own temp
+    * and loses the rename race benignly (identical content). Superseded
+    * generations of the same `name` FOR THE SAME SOURCE DIR are evicted on
+    * publish ([[dirHash]] scoping — different dirs coexist). Every
+    * parameter that changes the produced rows must be folded into `name`;
+    * trained-model addressing is [[graft.ext.Similarity]]'s cachedCodes
+    * (model-fingerprint half). */
   def cachedDerived(s: SparkSession, dir: String, table: String,
       name: String)(build: => DataFrame): DataFrame = {
+    val dh = dirHash(dir)
     val fp = tableFingerprint(dir, table)
     val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_derived")
-    val path = new java.io.File(root, s"$name-$fp")
+    val path = new java.io.File(root, s"$name-$dh-$fp")
     if (!new java.io.File(path, "_SUCCESS").isFile) {
       val tmp = new java.io.File(root,
-        s".tmp-$name-$fp-${java.util.UUID.randomUUID}")
+        s".tmp-$name-$dh-$fp-${java.util.UUID.randomUUID}")
       build.write.mode("overwrite").parquet(tmp.getPath)
       if (!tmp.renameTo(path) && !new java.io.File(path, "_SUCCESS").isFile) {
         deleteRecursively(path); tmp.renameTo(path): Unit
       }
       if (tmp.isDirectory) deleteRecursively(tmp)
+      // legacy pre-dirHash entries (`<name>-<32-hex fp>`) are unreachable
+      // under the new naming — clean them up too (first segment length
+      // disambiguates: 8-hex dir hash vs 32-hex fingerprint)
+      val legacy = s"\\Q$name\\E-[0-9a-f]{32}".r
       Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
-        if (f.getName.startsWith(s"$name-") && f.getName != s"$name-$fp")
+        val n = f.getName
+        if ((n.startsWith(s"$name-$dh-") && n != s"$name-$dh-$fp") ||
+            legacy.matches(n))
           deleteRecursively(f)
       }
     }

@@ -908,14 +908,19 @@ object Similarity {
     * otherwise the table range-sorts by id. */
   private[graft] def cachedCodes(s: SparkSession, dir: String, tag: String,
       model: AnyRef, listSorted: Boolean)(build: => DataFrame): DataFrame = {
+    // fold the dir hash into the on-disk name so entries for DIFFERENT data
+    // dirs coexist: tag-wide eviction otherwise let a gate JVM on sf0.001
+    // and a bench JVM on sf1 evict each other's live table mid-scan
+    // (round-15 ADVICE #1, mirrors Tables.cachedDerived)
+    val dh = graft.Tables.dirHash(dir)
     val fp = embeddingsFingerprint(s"$tag:$dir") + "-" +
       modelFingerprint(model)
     val root = new java.io.File(sys.props("java.io.tmpdir"),
       "graft_ann_codes")
-    val path = new java.io.File(root, s"$tag-$fp")
+    val path = new java.io.File(root, s"$tag-$dh-$fp")
     if (!new java.io.File(path, "_SUCCESS").isFile) {
       val tmp = new java.io.File(root,
-        s".tmp-$tag-$fp-${java.util.UUID.randomUUID}")
+        s".tmp-$tag-$dh-$fp-${java.util.UUID.randomUUID}")
       if (listSorted) saveIvfPqCodes(build, tmp.getPath)
       else build.repartitionByRange(col("id")).sortWithinPartitions(col("id"))
         .write.mode("overwrite").parquet(tmp.getPath)
@@ -925,10 +930,15 @@ object Similarity {
         deleteRecursively(path); tmp.renameTo(path)
       }
       if (tmp.isDirectory) deleteRecursively(tmp)
-      // evict superseded generations of this tag (stale data OR stale
-      // model fingerprints) — mirror of the modelCache removeIf above
+      // evict superseded generations of this tag FOR THIS DIR (stale data
+      // OR stale model fingerprints) — mirror of the modelCache removeIf.
+      // Legacy pre-dirHash entries (`<tag>-<32hex>-<32hex>`) are
+      // unreachable under the new naming — clean them up too.
+      val legacy = s"\\Q$tag\\E-[0-9a-f]{32}-[0-9a-f]{32}".r
       Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
-        if (f.getName.startsWith(s"$tag-") && f.getName != s"$tag-$fp")
+        val n = f.getName
+        if ((n.startsWith(s"$tag-$dh-") && n != s"$tag-$dh-$fp") ||
+            legacy.matches(n))
           deleteRecursively(f)
       }
     }

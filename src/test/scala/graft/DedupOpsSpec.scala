@@ -873,6 +873,43 @@ class DedupOpsSpec extends SparkSpec {
     assert(dirs.size == 1, s"superseded code tables must be evicted: $dirs")
   }
 
+  test("cachedDerived: stores for different source dirs coexist (no cross-dir eviction)") {
+    // round-15 ADVICE #1: eviction was name-wide while fingerprints differ
+    // across data dirs, so a gate JVM on sf0.001 and a bench JVM on sf1
+    // evicted each other's live table. The dir hash in the store name must
+    // keep both generations on disk, and re-serving either dir must NOT
+    // rebuild.
+    val dirA = "/root/testdata/sf0.001"
+    val dirB = "/root/testdata/sf0.01"
+    // drop persisted entries from earlier runs so build counting is exact
+    val store = new java.io.File(sys.props("java.io.tmpdir"), "graft_derived")
+    Option(store.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.contains("spec_xdir")).foreach { f =>
+        def rm(x: java.io.File): Unit = {
+          if (x.isDirectory)
+            Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+          x.delete(): Unit
+        }
+        rm(f)
+      }
+    var builds = 0
+    def serve(d: String) =
+      Tables.cachedDerived(spark, d, "documents", "spec_xdir") {
+        builds += 1
+        spark.range(1).toDF("v")
+      }.count()
+    serve(dirA); serve(dirB)
+    assert(builds == 2, "each dir builds its own table once")
+    serve(dirA); serve(dirB)
+    assert(builds == 2,
+      "re-serving either dir must hit its persisted table — publishing for " +
+        "one dir must not evict the other's")
+    val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_derived")
+    val entries = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("spec_xdir-")).map(_.getName).toSeq
+    assert(entries.size == 2, s"both dirs' tables must coexist: $entries")
+  }
+
   test("materialized ANN model path equals inline bit-for-bit, incl. relational round-trip") {
     // The train/encode/search seam (round-11 verdict #3): a deployment
     // trains once, persists the model + code table, and serves query
