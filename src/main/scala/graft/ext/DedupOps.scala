@@ -786,9 +786,23 @@ object DedupOps {
     * `blockCol` when the caller's semantics are per-block.
     *
     * @return (candidates (id_a, id_b), docs (__id, __v, __nrm)) */
+  /** `probes > 0` turns on MARGIN-BASED MULTI-PROBE (Lv et al., "Multi-Probe
+    * LSH", VLDB 2007): besides its exact bucket, each vector also probes the
+    * `probes` buckets obtained by flipping the band bits whose hyperplane
+    * projection is CLOSEST to zero (the bits most likely to disagree with a
+    * true neighbor's signature). Candidates grow by a constant (1+probes)
+    * factor — independent of the band width — where matching the same
+    * recall by re-banding (more, narrower bands) shifts the whole S-curve
+    * and multiplies candidates by the band count. Probe-bit ranking is on
+    * `round(abs(projection), 6)` with bit-index tie-break — the round-6
+    * cross-engine determinism contract, replayed by the DuckDB twins. The
+    * probe side joins against the EXACT-signature index only (probe↔probe
+    * buckets are not matched), so a pair is caught when the band signatures
+    * agree exactly or differ in one bit that is among EITHER endpoint's
+    * `probes` weakest. */
   private[graft] def lshParts(df: DataFrame, idCol: String, vecCol: String,
       blockCol: Option[String], planesPerBand: Int, bands: Int,
-      dim: Int): (DataFrame, DataFrame) = {
+      dim: Int, probes: Int = 0): (DataFrame, DataFrame) = {
     val e = df.select(col(idCol).as("__id"),
         blockCol.map(col).getOrElse(lit(0)).as("__blk"),
         transform(col(vecCol), x => x.cast("double")).as("__v"))
@@ -809,30 +823,62 @@ object DedupOps {
             .cast("array<double>")))
       .withColumn("__nrm", graft.functions.VectorExprs.l2(col("__v")))
     val bandCols = (0 until bands).map { b =>
-      val bits = (0 until planesPerBand).map { i =>
+      val projs = (0 until planesPerBand).map { i =>
         val plane = array(Similarity.hyperplane(b * planesPerBand + i, dim).map(lit): _*)
-        when(graft.functions.VectorExprs.dot(col("__v"), plane) > 0.0d,
-          lit(1L << i)).otherwise(lit(0L))
+        graft.functions.VectorExprs.dot(col("__v"), plane)
+      }
+      val bits = projs.zipWithIndex.map { case (p, i) =>
+        when(p > 0.0d, lit(1L << i)).otherwise(lit(0L))
       }.reduce(_ + _)
-      struct(lit(b).as("band"), bits.as("bsig"))
+      if (probes == 0) struct(lit(b).as("band"), bits.as("bsig"),
+        array().cast("array<bigint>").as("pb"))
+      else {
+        // the `probes` weakest-margin bits, pre-flipped into probe
+        // signatures: sort (round(|proj|,6), bitIdx, mask) lexicographically
+        // — the mask rides along so the flip is pure Column bit-math
+        val sorted = array_sort(array(projs.zipWithIndex.map { case (p, i) =>
+          struct(round(abs(p), 6).as("m"), lit(i).as("i"),
+            lit(1L << i).as("k"))
+        }: _*))
+        val pb = transform(slice(sorted, 1, math.min(probes, planesPerBand)),
+          f => bits.bitwiseXOR(f.getField("k")))
+        struct(lit(b).as("band"), bits.as("bsig"), pb.as("pb"))
+      }
     }
-    val posting = e
+    val entries = e
       // null embeddings never enter the postings: they can produce no pair
       // (their cosine is null), and since every null row hashes to the
       // all-zero signature they would otherwise pile into ONE bucket whose
       // self-join is quadratic in the null-row count
       .filter(col("__v").isNotNull)
       .select(col("__id"), col("__blk"), explode(array(bandCols: _*)).as("__bb"))
-      .select(col("__id"), col("__blk"),
-        col("__bb.band").as("__band"), col("__bb.bsig").as("__bsig"))
+    val posting = entries.select(col("__id"), col("__blk"),
+      col("__bb.band").as("__band"), col("__bb.bsig").as("__bsig"))
     // same ReusedExchange self-join shape as the shingle operators: one scan,
     // hash-partitioned on the bucket key, candidate pairs only inside buckets
     val pp = posting.repartition(col("__blk"), col("__band"), col("__bsig"))
-    val candidates = pp.as("a").hint("merge").join(pp.as("b"),
-        col("a.__blk") === col("b.__blk") && col("a.__band") === col("b.__band") &&
-          col("a.__bsig") === col("b.__bsig") && col("a.__id") < col("b.__id"))
-      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
-      .distinct()
+    val candidates =
+      if (probes == 0)
+        pp.as("a").hint("merge").join(pp.as("b"),
+            col("a.__blk") === col("b.__blk") && col("a.__band") === col("b.__band") &&
+              col("a.__bsig") === col("b.__bsig") && col("a.__id") < col("b.__id"))
+          .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+          .distinct()
+      else {
+        // probe side = exact entry ∪ flipped variants; it joins the
+        // EXACT-signature index, so each pair normalizes via least/greatest
+        // (a may probe b's bucket without b probing a's)
+        val probeSide = posting.unionAll(
+          entries.select(col("__id"), col("__blk"),
+              col("__bb.band").as("__band"), explode(col("__bb.pb")).as("__bsig")))
+          .repartition(col("__blk"), col("__band"), col("__bsig"))
+        probeSide.as("a").hint("merge").join(pp.as("b"),
+            col("a.__blk") === col("b.__blk") && col("a.__band") === col("b.__band") &&
+              col("a.__bsig") === col("b.__bsig") && col("a.__id") =!= col("b.__id"))
+          .select(least(col("a.__id"), col("b.__id")).as("id_a"),
+            greatest(col("a.__id"), col("b.__id")).as("id_b"))
+          .distinct()
+      }
     (candidates, e.select(col("__id"), col("__v"), col("__nrm")))
   }
 
@@ -939,9 +985,10 @@ object DedupOps {
     * edge list is the big frame and it never materializes unranked: the
     * window's rank filter cuts to k·n rows. */
   def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      planesPerBand: Int = 4, bands: Int = 4, dim: Int = 64): DataFrame = {
+      planesPerBand: Int = 4, bands: Int = 4, dim: Int = 64,
+      probes: Int = 0): DataFrame = {
     val (candidates, docs) =
-      lshParts(df, idCol, vecCol, None, planesPerBand, bands, dim)
+      lshParts(df, idCol, vecCol, None, planesPerBand, bands, dim, probes)
     val sym = candidates.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(candidates.select(col("id_b").as("src"), col("id_a").as("dst")))
     val ds = docs.select(col("__id").as("src"),
@@ -986,11 +1033,28 @@ object DedupOps {
     * p^w), i.e. the graph finds only CLOSER neighbors at bigger n — the
     * standard LSH contract, measured per-banding by the s29 recall row. */
   def knnGraphAuto(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      bands: Int = 4, targetBucket: Long = 512L, dim: Int = 64): DataFrame = {
+      bands: Int = 4, targetBucket: Long = 128L, dim: Int = 64,
+      probes: Int = KnnGraphProbes): DataFrame = {
     val w = adaptivePlanes(df.count(), targetBucket, bands)
-    log.info(s"knnGraphAuto: planesPerBand=$w (bands=$bands, target=$targetBucket)")
-    knnGraph(df, idCol, vecCol, k, planesPerBand = w, bands = bands, dim = dim)
+    log.info(s"knnGraphAuto: planesPerBand=$w (bands=$bands, " +
+      s"target=$targetBucket, probes=$probes)")
+    knnGraph(df, idCol, vecCol, k, planesPerBand = w, bands = bands,
+      dim = dim, probes = probes)
   }
+
+  /** The tuned multi-probe default for [[knnGraphAuto]] — probe the two
+    * weakest-margin bit flips per band on top of the exact bucket. Chosen
+    * over re-banding (the [[LshTuning.tune]] route) because the candidate
+    * multiplier is a CONSTANT (1+2)× at any corpus size, where hitting the
+    * same recall with more/narrower bands multiplies candidates by the band
+    * count and shifts the S-curve with n. Measured by the s29 recall row at
+    * the production banding (the config s26 actually serves): mean recall@3
+    * 0.44 → 0.90 at the driver gate scales. The `targetBucket = 128`
+    * default pairs with it so TOTAL candidate volume (1+probes)·E[bucket]
+    * ≈ 384 stays at-or-below the old exact-only 512 — measured at the 10×
+    * scale-up: probes=2 at target 512 ran 85 s where target 128 runs
+    * 14 s, matching the exact-only plan's time with 2× the recall. */
+  val KnnGraphProbes: Int = 2
 
   /** Quality-aware near-dup resolution: keep the BEST-scoring member of
     * every near-duplicate group instead of the lowest id — the rule a real

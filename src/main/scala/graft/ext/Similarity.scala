@@ -1578,11 +1578,14 @@ object Similarity {
     * scale with the corpus: frozen 4-bit bands measured 2.3 s at sf0.1 but
     * 49.9 s on the 10× scale-up (bucket sizes grow linearly, candidates
     * quadratically); the adaptive width holds E[bucket] ≈ 512 and
-    * candidate volume ≈ n·512 — linear. The DuckDB twin derives the SAME
-    * width from count(*) (exact-integer agreement with the Scala loop —
-    * see [[DedupOps.adaptivePlanes]]), replays the banding, the
-    * symmetrize, and the s01 ranking contract (round-6 cosine desc,
-    * lower-id ties). */
+    * candidate volume ≈ n·512 — linear. Served MULTI-PROBE (round-16: the
+    * [[DedupOps.KnnGraphProbes]] = 2 weakest-margin bit flips per band
+    * also probe the exact index — mean recall@3 0.44 → ≈0.9 on the s29
+    * gauge at a constant 3× candidate factor). The DuckDB twin derives
+    * the SAME width from count(*) (exact-integer agreement with the Scala
+    * loop — see [[DedupOps.adaptivePlanes]]), replays the banding, the
+    * probe flips (round-6 margin rank, bit-index ties), the symmetrize,
+    * and the s01 ranking contract (round-6 cosine desc, lower-id ties). */
   val s26KnnGraph: Q = (s, dir) => {
     import s.implicits._
     DedupOps.knnGraphAuto(Tables.loadSpread(s, dir, "embeddings"),
@@ -1633,14 +1636,23 @@ object Similarity {
     * truth — the quality gauge for the one approximate operator whose
     * recall was previously unmeasured (round-13 NEXT #2). Evaluated on the
     * fixed 500-vector slice (the s05 witness discipline: SF-stable truth,
-    * oracle-cheap replay) at s26's production banding (4 bands × 4
-    * hyperplane bits) — NON-covering, so per-src recalls land strictly
-    * inside (0, 1) on contested neighborhoods and the row measures the
-    * blocking, not a tautology. A src whose buckets hold no other member
-    * emits no graph rows and reports recall 0 — the [[DedupOps.knnGraph]]
-    * "unknown neighborhood" contract made visible to the evaluation. */
+    * oracle-cheap replay) at s26's PRODUCTION configuration: the band
+    * width [[DedupOps.adaptivePlanes]] derives from the FULL corpus count
+    * (round-15 ADVICE — a fixed 4×4 layout stopped measuring what s26
+    * serves once the width went size-adaptive) and the
+    * [[DedupOps.KnnGraphProbes]] multi-probe default. Multi-probe is the
+    * round-16 tuned operating point: at the exact-bucket-only banding the
+    * mean recall@3 measured 0.44; probing the two weakest-margin bit flips
+    * per band lifts it to ≈0.9 at a constant 3× candidate factor. Still
+    * NON-covering — per-src recalls land strictly inside (0, 1) on
+    * contested neighborhoods, so the row measures the blocking, not a
+    * tautology. A src whose buckets hold no other member emits no graph
+    * rows and reports recall 0 — the [[DedupOps.knnGraph]] "unknown
+    * neighborhood" contract made visible to the evaluation. */
   val s29KnnGraphRecall: Q = (s, dir) => {
     import s.implicits._
+    val full = Tables.loadSpread(s, dir, "embeddings")
+    val pw = DedupOps.adaptivePlanes(full.count(), 128L, 4)
     val e = vecs(s, dir).filter($"vec_id" < 500)
     val w = Window.partitionBy($"qid").orderBy($"cos6".desc, $"vec_id")
     val truth = broadcast(
@@ -1650,8 +1662,8 @@ object Similarity {
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter($"rk" <= 3).select($"qid", $"vec_id")
     val approx = DedupOps.knnGraph(
-        Tables.loadSpread(s, dir, "embeddings").filter($"vec_id" < 500),
-        "vec_id", "embedding", k = 3)
+        full.filter($"vec_id" < 500), "vec_id", "embedding", k = 3,
+        planesPerBand = pw, probes = DedupOps.KnnGraphProbes)
       .select($"src".as("qid"), $"dst".as("vec_id"))
     recallAtK(truth, approx, "qid", "vec_id", k = 3).orderBy($"query_id")
   }
@@ -2812,13 +2824,15 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "s25_mmr_rerank" -> mmrSql(k = 5, nCand = 20, lambda = 0.7),
-    // the lshParts banding replayed: 16 hyperplanes grouped 4 bits/band,
-    // OR-of-ANDs candidates symmetrized, then the s01 ranking contract
+    // the lshParts banding replayed: adaptive-width bands over 60
+    // hyperplanes, multi-probe (the 2 weakest-margin bit flips per band
+    // probe the exact-signature index), OR-of-ANDs candidates symmetrized,
+    // then the s01 ranking contract
     "s26_knn_graph" ->
       (vecsCte +
         """, nw AS (
           |  SELECT LEAST(15, GREATEST(4,
-          |   CAST(ceil(log2(count(*) / 512.0)) AS INT))) AS w FROM e),
+          |   CAST(ceil(log2(count(*) / 128.0)) AS INT))) AS w FROM e),
           | hp AS (
           |  SELECT j, d,
           |   (CAST(CAST(('0x' || substr(md5('hp:' || j || ':' || d),1,15)) AS UBIGINT)
@@ -2838,10 +2852,23 @@ object Similarity {
           |   CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
           |     AS BIGINT) AS bsig
           |  FROM sigj GROUP BY vec_id, band),
+          | flip AS (
+          |  SELECT vec_id, band, bit,
+          |   row_number() OVER (PARTITION BY vec_id, band
+          |     ORDER BY round(abs(s), 6), bit) AS fr
+          |  FROM sigj),
+          | probe AS (
+          |  SELECT vec_id, band, bsig FROM sig
+          |  UNION ALL
+          |  SELECT s.vec_id, s.band,
+          |   xor(s.bsig, CAST(1 AS BIGINT) << f.bit) AS bsig
+          |  FROM sig s JOIN flip f
+          |   ON s.vec_id = f.vec_id AND s.band = f.band AND f.fr <= 2),
           | cand AS (
-          |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-          |  FROM sig a JOIN sig b
-          |   ON a.band = b.band AND a.bsig = b.bsig AND a.vec_id < b.vec_id),
+          |  SELECT DISTINCT least(p.vec_id, i.vec_id) AS id_a,
+          |   greatest(p.vec_id, i.vec_id) AS id_b
+          |  FROM probe p JOIN sig i
+          |   ON p.band = i.band AND p.bsig = i.bsig AND p.vec_id <> i.vec_id),
           | sym AS (
           |  SELECT id_a AS src, id_b AS dst FROM cand
           |  UNION ALL SELECT id_b, id_a FROM cand)
@@ -2853,30 +2880,52 @@ object Similarity {
           |             sym.dst) AS BIGINT) AS rk
           | FROM sym JOIN e sa ON sym.src = sa.vec_id JOIN e sb ON sym.dst = sb.vec_id) t
           |WHERE rk <= 3 ORDER BY src, rk""".stripMargin),
-    // the s26 banding CTEs over the fixed 500-vector slice, an apx/tru
-    // rank pair (same round-6/lower-id contract), then the s12 recall join
+    // the s26 banding CTEs — width derived from the FULL corpus count and
+    // the 2-probe weakest-bit flips, i.e. the config s26 actually serves —
+    // over the fixed 500-vector slice, an apx/tru rank pair (same
+    // round-6/lower-id contract), then the s12 recall join
     "s29_knn_graph_recall" ->
       (vecsCte +
-        """, es AS (SELECT * FROM e WHERE vec_id < 500),
+        """, nw AS (
+          |  SELECT LEAST(15, GREATEST(4,
+          |   CAST(ceil(log2(count(*) / 128.0)) AS INT))) AS w FROM e),
+          | es AS (SELECT * FROM e WHERE vec_id < 500),
           | hp AS (
           |  SELECT j, d,
           |   (CAST(CAST(('0x' || substr(md5('hp:' || j || ':' || d),1,15)) AS UBIGINT)
           |     % 2001 AS BIGINT) - 1000) / 1000.0 AS r
-          |  FROM (SELECT unnest(range(0,16)) AS j), (SELECT unnest(range(0,64)) AS d)),
+          |  FROM (SELECT unnest(range(0,60)) AS j), (SELECT unnest(range(0,64)) AS d)
+          |  WHERE j < 4 * (SELECT w FROM nw)),
           | ev AS (
           |  SELECT vec_id, generate_subscripts(v,1)-1 AS d, unnest(v) AS x FROM es),
           | dots AS (
           |  SELECT ev.vec_id, hp.j, sum(ev.x * hp.r) AS s
           |  FROM ev JOIN hp USING (d) GROUP BY ev.vec_id, hp.j),
+          | sigj AS (
+          |  SELECT vec_id, j // (SELECT w FROM nw) AS band,
+          |   j % (SELECT w FROM nw) AS bit, s FROM dots),
           | sig AS (
-          |  SELECT vec_id, j // 4 AS band,
-          |   CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << (j % 4)) ELSE 0 END)
+          |  SELECT vec_id, band,
+          |   CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
           |     AS BIGINT) AS bsig
-          |  FROM dots GROUP BY vec_id, j // 4),
+          |  FROM sigj GROUP BY vec_id, band),
+          | flip AS (
+          |  SELECT vec_id, band, bit,
+          |   row_number() OVER (PARTITION BY vec_id, band
+          |     ORDER BY round(abs(s), 6), bit) AS fr
+          |  FROM sigj),
+          | probe AS (
+          |  SELECT vec_id, band, bsig FROM sig
+          |  UNION ALL
+          |  SELECT s.vec_id, s.band,
+          |   xor(s.bsig, CAST(1 AS BIGINT) << f.bit) AS bsig
+          |  FROM sig s JOIN flip f
+          |   ON s.vec_id = f.vec_id AND s.band = f.band AND f.fr <= 2),
           | cand AS (
-          |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-          |  FROM sig a JOIN sig b
-          |   ON a.band = b.band AND a.bsig = b.bsig AND a.vec_id < b.vec_id),
+          |  SELECT DISTINCT least(p.vec_id, i.vec_id) AS id_a,
+          |   greatest(p.vec_id, i.vec_id) AS id_b
+          |  FROM probe p JOIN sig i
+          |   ON p.band = i.band AND p.bsig = i.bsig AND p.vec_id <> i.vec_id),
           | sym AS (
           |  SELECT id_a AS src, id_b AS dst FROM cand
           |  UNION ALL SELECT id_b, id_a FROM cand),

@@ -391,10 +391,11 @@ class DedupOpsSpec extends SparkSpec {
     assert(DedupOps.adaptivePlanes(Long.MaxValue / 4, 512L, 4) == 15,
       "width must cap at the 60-bit signature budget")
     // at the 500-vector testdata the auto width floors to 4, so the auto
-    // graph is bit-identical to the fixed 4x4 banding s26 used before
+    // graph is bit-identical to a fixed 4x4 banding at the same probe count
     val auto = DedupOps.knnGraphAuto(embs, "vec_id", "embedding", k = 3)
       .as[(Long, Long, Long, Double)].collect().sortBy(t => (t._1, t._2)).toSeq
-    val fixed = DedupOps.knnGraph(embs, "vec_id", "embedding", k = 3)
+    val fixed = DedupOps.knnGraph(embs, "vec_id", "embedding", k = 3,
+        probes = DedupOps.KnnGraphProbes)
       .as[(Long, Long, Long, Double)].collect().sortBy(t => (t._1, t._2)).toSeq
     assert(auto == fixed, "auto width must floor to the fixed banding on a small corpus")
     assert(auto.nonEmpty)
@@ -508,6 +509,49 @@ class DedupOpsSpec extends SparkSpec {
     // no self edges, degree bounded by k
     assert(got.forall(e => e._1 != e._3))
     assert(got.groupBy(_._1).forall(_._2.size <= 3))
+  }
+
+  test("multi-probe knnGraph: exact-bucket edges survive, recall strictly improves") {
+    import org.apache.spark.sql.expressions.Window
+    // ground truth: brute-force top-3 (the s29 truth side)
+    val e = embs.select($"vec_id",
+        transform($"embedding", x => x.cast("double")).as("v"))
+      .withColumn("nrm", graft.functions.VectorExprs.l2($"v"))
+    val w = Window.partitionBy($"qid").orderBy($"cos6".desc, $"vec_id")
+    val truth = e.select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))
+      .join(e, $"qid" =!= $"vec_id")
+      .withColumn("cos6", round(
+        graft.functions.VectorExprs.dot($"qv", $"v") / ($"qn" * $"nrm"), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 3).select($"qid", $"vec_id")
+    def recall(probes: Int): Double = {
+      val g = DedupOps.knnGraph(embs, "vec_id", "embedding", k = 3,
+          probes = probes)
+        .select($"src".as("qid"), $"dst".as("vec_id"))
+      Similarity.recallAtK(truth, g, "qid", "vec_id", k = 3)
+        .agg(avg($"recall")).as[Double].head()
+    }
+    val r0 = recall(0)
+    val r2 = recall(DedupOps.KnnGraphProbes)
+    assert(r2 > r0 + 0.2,
+      s"probing the weakest-margin flips must lift recall substantially: " +
+        s"probes=0 -> $r0, probes=2 -> $r2")
+    assert(r2 >= 0.8, s"tuned operating point must clear mean recall 0.8: $r2")
+    // the probe candidate set is a SUPERSET of the exact-bucket set: every
+    // probes=0 edge whose endpoints still rank top-3 under the union can
+    // only gain candidates, never lose them — check set containment at the
+    // candidate level via a pass-everything threshold
+    val c0 = DedupOps.cosinePairsLsh(embs, "vec_id", "embedding",
+        threshold = -2.0, blockCol = None, planesPerBand = 4, bands = 4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val (cand2, _) = DedupOps.lshParts(
+      embs.toDF(), "vec_id", "embedding", None, 4, 4, 64,
+      probes = DedupOps.KnnGraphProbes)
+    val c2 = cand2.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(c0.subsetOf(c2),
+      s"multi-probe candidates must contain every exact-bucket pair " +
+        s"(missing ${(c0 -- c2).take(3)})")
+    assert(c2.size > c0.size, "probing must add candidates")
   }
 
   test("knnBinary: hand-computed Hamming ranks; udaf form equals the s10 window form") {
