@@ -871,18 +871,24 @@ object Queries {
   }
 
   /** The [[exactPercentilesAuto]] switch decision, exposed for specs and
-    * telemetry: ("builtin" | "histogram", distinct values observed in the
-    * probed slice). ONE bounded job — countDistinct over the first
-    * `sampleRows` values — never a corpus scan: if even a 64k-row slice
-    * shows more than `switchDistinct` distinct values, the domain is
-    * treated as unbounded. The probe's row choice is partition-order
-    * dependent, but the pick only selects between two plans that are
-    * bit-equal by contract (q37 ≡ q40, one shared oracle), so results
-    * never depend on it. */
+    * telemetry: ("builtin" | "histogram", approximate distinct count of the
+    * value column). ONE bounded-state scan — `approx_count_distinct`
+    * (HyperLogLog++) over the FULL column: constant sketch state per task,
+    * merge is commutative/associative, so the estimate — and therefore the
+    * PLAN a production run gets — is DETERMINISTIC under any partitioning
+    * or file layout. (The previous probe countDistinct'ed an unordered
+    * 64k-row `limit` slice: an arbitrary prefix, so a corpus clustered by
+    * the value column could show few distinct values in the slice while
+    * the full domain is unbounded — routing to the builtin plan whose agg
+    * buffer grows with the data, the exact scale failure the switch exists
+    * to avoid; and the plan could flip run-to-run with file order.) The
+    * ±5% HLL error only matters within a hair of `switchDistinct`, where
+    * both plans are bit-equal by contract anyway (q37 ≡ q40, one shared
+    * oracle), so results never depend on the estimate. */
   def exactPercentilesAutoChoice(df: DataFrame, valueCol: String,
-      sampleRows: Int = 65536, switchDistinct: Long = 4096L): (String, Long) = {
-    val seen = df.select(col(valueCol)).limit(sampleRows)
-      .agg(countDistinct(col(valueCol))).head().getLong(0)
+      switchDistinct: Long = 4096L): (String, Long) = {
+    val seen = df.select(col(valueCol))
+      .agg(approx_count_distinct(col(valueCol))).head().getLong(0)
     (if (seen > switchDistinct) "histogram" else "builtin", seen)
   }
 
@@ -896,14 +902,14 @@ object Queries {
     * histogram into the PLAN, where it partitions and spills like any
     * relation. Both plans implement the same ceil(p·n) value-copy rule and
     * are bit-equal (one shared DuckDB oracle), so the switch is purely a
-    * physical-plan choice past a bounded distinct-count probe. */
+    * physical-plan choice past a deterministic approx-distinct probe. */
   def exactPercentilesAuto(df: DataFrame, keyCols: Seq[String],
       valueCol: String, ps: Seq[(String, Double)],
-      sampleRows: Int = 65536, switchDistinct: Long = 4096L): DataFrame = {
+      switchDistinct: Long = 4096L): DataFrame = {
     val (choice, seen) =
-      exactPercentilesAutoChoice(df, valueCol, sampleRows, switchDistinct)
+      exactPercentilesAutoChoice(df, valueCol, switchDistinct)
     log.info(s"exactPercentilesAuto: picked '$choice' plan " +
-      s"($seen distinct in a $sampleRows-row probe, switch at $switchDistinct)")
+      s"(~$seen distinct full-column HLL estimate, switch at $switchDistinct)")
     if (choice == "builtin") {
       val aggs = ps.map { case (name, p) =>
         expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY $valueCol)").as(name)

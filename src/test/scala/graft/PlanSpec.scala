@@ -434,6 +434,18 @@ class PlanSpec extends SparkSpec {
     val (ch, seenH) = Queries.exactPercentilesAutoChoice(
       lineitem, "l_extendedprice", switchDistinct = 1L)
     assert(ch == "histogram" && seenH > 1L, s"($ch, $seenH)")
+    // round-15 ADVICE: the choice must be DETERMINISTIC under partitioning
+    // — the HLL probe sees the full column, so any file layout of the same
+    // data yields the same estimate and the same plan (the old 64k-row
+    // limit probe was an arbitrary prefix that could flip with file order)
+    val expected = (if (seenB > 4096L) "histogram" else "builtin", seenB)
+    val sortedByValue = lineitem.orderBy($"l_extendedprice")
+    for (parts <- Seq(1, 64)) {
+      val got = Queries.exactPercentilesAutoChoice(
+        sortedByValue.repartition(parts), "l_extendedprice")
+      assert(got == expected,
+        s"choice must not depend on layout: parts=$parts -> $got != $expected")
+    }
     val ps = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "p95" -> 0.95)
     val keys = Seq("l_returnflag", "l_linestatus")
     def built(switch: Long) = Queries.exactPercentilesAuto(
