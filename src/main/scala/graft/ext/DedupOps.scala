@@ -1034,8 +1034,10 @@ object DedupOps {
     * standard LSH contract, measured per-banding by the s29 recall row. */
   def knnGraphAuto(df: DataFrame, idCol: String, vecCol: String, k: Int,
       bands: Int = 4, targetBucket: Long = 128L, dim: Int = 64,
-      probes: Int = KnnGraphProbes): DataFrame = {
-    val w = adaptivePlanes(df.count(), targetBucket, bands)
+      probes: Int = KnnGraphProbes, knownCount: Option[Long] = None): DataFrame = {
+    // `knownCount` lets callers reading a stable table pass the memoized
+    // [[graft.Tables.cachedCount]] so repeat invocations run zero count jobs
+    val w = adaptivePlanes(knownCount.getOrElse(df.count()), targetBucket, bands)
     log.info(s"knnGraphAuto: planesPerBand=$w (bands=$bands, " +
       s"target=$targetBucket, probes=$probes)")
     knnGraph(df, idCol, vecCol, k, planesPerBand = w, bands = bands,

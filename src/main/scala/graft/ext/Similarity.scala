@@ -115,7 +115,8 @@ object Similarity {
   val s02AnnLsh: Q = (s, dir) => {
     import s.implicits._
     val e0 = vecs(s, dir)
-    val e = e0.withColumn("bucket", bucketOf($"v", bucketPlanes(e0.count())))
+    val e = e0.withColumn("bucket",
+      bucketOf($"v", bucketPlanes(Tables.cachedCount(s, dir, "embeddings"))))
     val q = e.filter($"vec_id" < 20)
       .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"), $"bucket")
     val w = Window.partitionBy($"qid").orderBy($"cos6".desc, $"vec_id")
@@ -1482,7 +1483,8 @@ object Similarity {
   val s24DensityClusters: Q = (s, dir) => {
     import s.implicits._
     val e0 = vecs(s, dir)
-    val e = e0.withColumn("bucket", bucketOf($"v", bucketPlanes(e0.count())))
+    val e = e0.withColumn("bucket",
+      bucketOf($"v", bucketPlanes(Tables.cachedCount(s, dir, "embeddings"))))
     val pairs = DedupOps.cosinePairs(e, "vec_id", "v", "bucket", 0.12)
     DedupOps.dbscan(e, "vec_id", pairs, "id_a", "id_b", minPts = 2)
       .select($"id".as("vec_id"), $"degree", $"cluster", $"role")
@@ -1589,7 +1591,8 @@ object Similarity {
   val s26KnnGraph: Q = (s, dir) => {
     import s.implicits._
     DedupOps.knnGraphAuto(Tables.loadSpread(s, dir, "embeddings"),
-        "vec_id", "embedding", k = 3)
+        "vec_id", "embedding", k = 3,
+        knownCount = Some(Tables.cachedCount(s, dir, "embeddings")))
       // +1e-9 before the display round: a round-6 cosine can land EXACTLY on
       // a 4-digit halfway (0.25175 here at sf0.001) where the engines'
       // rounding rules disagree — the d04/s25 nudge; +0.0 folds -0.0
@@ -1652,7 +1655,8 @@ object Similarity {
   val s29KnnGraphRecall: Q = (s, dir) => {
     import s.implicits._
     val full = Tables.loadSpread(s, dir, "embeddings")
-    val pw = DedupOps.adaptivePlanes(full.count(), 128L, 4)
+    val pw = DedupOps.adaptivePlanes(
+      Tables.cachedCount(s, dir, "embeddings"), 128L, 4)
     val e = vecs(s, dir).filter($"vec_id" < 500)
     val w = Window.partitionBy($"qid").orderBy($"cos6".desc, $"vec_id")
     val truth = broadcast(
@@ -1830,7 +1834,8 @@ object Similarity {
       .withColumn("cos6", round(dot($"qv", $"v") / ($"qn" * $"nrm"), 6))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter($"rk" <= 5).select($"qid", $"vec_id")
-    val eb = e.withColumn("bucket", bucketOf($"v", bucketPlanes(e.count())))
+    val eb = e.withColumn("bucket",
+      bucketOf($"v", bucketPlanes(Tables.cachedCount(s, dir, "embeddings"))))
     val qb = eb.filter($"vec_id" < 20)
       .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"), $"bucket")
     val approx = broadcast(qb).join(eb, Seq("bucket"))

@@ -465,4 +465,34 @@ class PlanSpec extends SparkSpec {
     assert(rows(builtin) == rows(hist),
       "both percentile plans must return identical rows")
   }
+
+  test("adaptive-banding corpus count is memoized: repeat query builds run zero count jobs") {
+    // round-15 verdict #3: s02/s12/s26/s29's width probes each paid one
+    // exact count() job per invocation on the same unchanged dir. After one
+    // warm call, BUILDING each query again must trigger no count action —
+    // the memo key is the stat+footer fingerprint, so only a regenerated
+    // dir recounts. (s24 is excluded: its dbscan/connected-components
+    // driver-size switch legitimately counts the PAIR GRAPH per run.)
+    assert(Tables.cachedCount(spark, dir, "embeddings") == 500L)
+    val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        if (funcName == "count") { seen.incrementAndGet(); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      for (q <- Seq("s02_ann_lsh", "s12_ann_recall", "s26_knn_graph",
+          "s29_knn_graph_recall"))
+        SparkEntry.queries(q)(spark, dir)
+      // the listener bus is async — give any stray count event time to land
+      Thread.sleep(2000)
+      assert(seen.get() == 0,
+        s"repeat builds must run zero count jobs, saw ${seen.get()}")
+    } finally spark.listenerManager.unregister(l)
+  }
 }
