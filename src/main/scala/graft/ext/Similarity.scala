@@ -1794,6 +1794,39 @@ object Similarity {
       .orderBy($"vec_id")
   }
 
+  // ---------------------------------------------------------------- s32
+  /** s32: the s01 brute-force cosine top-5 ranking over
+    * [[removeTopComponent]]-TRANSFORMED vectors — ABTT composed into
+    * retrieval, the published point of the transform (Mu & Viswanath
+    * 2018: removing the dominant common direction measurably improves
+    * cosine similarity on anisotropic embedding spaces; the spec proves
+    * the improvement on a planted-common-direction corpus, this row pins
+    * the exact production ranking). Same fit as s30/s31 (vec_id < 256,
+    * 8 power-iteration rounds); the transform is plan-literal, so the
+    * DuckDB twin is the s30 staged fit + the s31 transform tail + the s01
+    * ranking CTE — the whole chain replays bit-exactly. Scale shape: the
+    * fit is one bounded collect; transform + ranking is the s01 broadcast
+    * scan over shuffle-free codegen'd projections. */
+  val s32AbttKnn: Q = (s, dir) => {
+    import s.implicits._
+    val e0 = vecs(s, dir)
+    val (mu, v) = topComponentFit(e0.filter($"vec_id" < 256), "vec_id", "v")
+    val t = removeTopComponent(e0.select($"vec_id", $"v"), "vec_id", "v", mu, v)
+      .withColumn("nrm", graft.functions.VectorExprs.l2($"v"))
+    val q = t.filter($"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))
+    val w = Window.partitionBy($"qid").orderBy($"cos6".desc, $"vec_id")
+    broadcast(q).join(t, $"qid" =!= $"vec_id")
+      .withColumn("cos6", round(dot($"qv", $"v") / ($"qn" * $"nrm"), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 5)
+      // +1e-9 before the display round (a round-6 cosine can land exactly
+      // on a 4-digit halfway), +0.0 folds -0.0 — the s26 nudge
+      .select($"qid", $"rk", $"vec_id",
+        (round($"cos6" + lit(1e-9), 4) + lit(0.0)).as("cos"))
+      .orderBy($"qid", $"rk")
+  }
+
   // ----------------------------------------------------------- recall / s12
   /** Per-query recall@k of an approximate result against ground truth: both
     * frames are (queryCol, idCol) rankings; recall = |approx ∩ truth| / k.
@@ -2356,7 +2389,8 @@ object Similarity {
     "s28_cluster_quality" -> s28ClusterQuality,
     "s29_knn_graph_recall" -> s29KnnGraphRecall,
     "s30_top_component" -> s30TopComponent,
-    "s31_abtt_residual" -> s31AbttResidual)
+    "s31_abtt_residual" -> s31AbttResidual,
+    "s32_abtt_knn" -> s32AbttKnn)
 
   /** Generated DuckDB twin of [[s21IvfPqRecall]]: stages the entire
     * deterministic IVF-PQ pipeline — coarse Lloyd with re-normalized
@@ -2975,6 +3009,30 @@ object Similarity {
           |   i -> (b.v[i] - mu.m[i]) - b.p * fin.v[i]) AS o
           | FROM b, mu, fin) q
           |ORDER BY vec_id""".stripMargin),
+    // the s30 staged fit + the s31 transform tail + the s01 ranking CTE:
+    // projection p staged first (plain column — the lambda-CSE rule), the
+    // transformed vectors and their norms staged, then the brute top-5
+    "s32_abtt_knn" -> topComponentSql(iters = 8, dim = 64,
+      customTail =
+        """, b AS (
+          |  SELECT e.vec_id, e.v,
+          |   list_dot_product(e.v, fin.v) - list_dot_product(mu.m, fin.v) AS p
+          |  FROM e, fin, mu),
+          | tv AS MATERIALIZED (
+          |  SELECT b.vec_id,
+          |   list_transform(range(1, 65),
+          |    i -> (b.v[i] - mu.m[i]) - b.p * fin.v[i]) AS t
+          |  FROM b, mu, fin),
+          | tn AS MATERIALIZED (
+          |  SELECT vec_id, t, sqrt(list_dot_product(t, t)) AS nrm FROM tv)
+          |SELECT qid, rk, vec_id, round(cos6 + 1e-9, 4) + 0.0 AS cos FROM (
+          | SELECT q.vec_id AS qid, c.vec_id,
+          |  round(list_dot_product(q.t, c.t) / (q.nrm * c.nrm), 6) AS cos6,
+          |  CAST(row_number() OVER (PARTITION BY q.vec_id
+          |    ORDER BY round(list_dot_product(q.t, c.t) / (q.nrm * c.nrm), 6) DESC,
+          |             c.vec_id) AS BIGINT) AS rk
+          | FROM tn q JOIN tn c ON q.vec_id < 20 AND q.vec_id <> c.vec_id) z
+          |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin),
     "s15_kmeans" -> kmeansSql(k = 4, iters = 2, dim = 64),
     "s27_kmeans_spherical" -> kmeansSql(k = 4, iters = 2, dim = 64,
       spherical = true),

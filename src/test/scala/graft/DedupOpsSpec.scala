@@ -1560,6 +1560,60 @@ class DedupOpsSpec extends SparkSpec {
     assert(out.keySet == (0L to 5L).toSet)
   }
 
+  test("ABTT retrieval: planted-common-direction corpus ranks signal neighbors better after the transform") {
+    import org.apache.spark.sql.expressions.Window
+    // Mu & Viswanath 2018's setting, synthesized deterministically: every
+    // vector = alpha_i * e0 + signal_i, where the common-direction
+    // coefficient alpha_i varies over [1, 19] (the top-variance axis the
+    // power iteration must find) UNCORRELATED with the signal, and
+    // signal_i lives on dims 1..7 (hash-mixed pseudo-random in [-1, 1]).
+    // Ground truth is the brute cosine top-3 in the SIGNAL subspace. Raw
+    // cosine is dominated by the alpha products/norms, so its ranking
+    // disagrees with the signal truth; removeTopComponent strips e0 and
+    // recovers it — the published retrieval improvement, pinned.
+    def h(i: Int, d: Int): Double = {
+      var x = i * 2654435761L ^ d * 0x9E3779B97F4A7C15L
+      x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 33
+      (x & 0xffffL).toDouble / 0xffffL.toDouble * 2.0 - 1.0
+    }
+    val dim = 8
+    val data = (0 until 40).map { i =>
+      val v = Array.fill(dim)(0.0)
+      v(0) = 10.0 + 9.0 * h(i, 99)
+      for (d <- 1 until dim) v(d) = h(i, d)
+      (i.toLong, v.toSeq.map(_.toFloat))
+    }
+    val pts = data.toDF("vec_id", "v")
+    val sig = data.map { case (i, v) => (i, v.drop(1)) }.toDF("vec_id", "v")
+    def top3(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] = {
+      val e = df.select($"vec_id",
+          transform($"v", x => x.cast("double")).as("vv"))
+        .withColumn("nrm", graft.functions.VectorExprs.l2($"vv"))
+      val w = Window.partitionBy($"qid").orderBy($"cos6".desc, $"vec_id")
+      e.select($"vec_id".as("qid"), $"vv".as("qv"), $"nrm".as("qn"))
+        .join(e, $"qid" =!= $"vec_id")
+        .withColumn("cos6", round(
+          graft.functions.VectorExprs.dot($"qv", $"vv") / ($"qn" * $"nrm"), 6))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= 3).select($"qid", $"vec_id")
+        .as[(Long, Long)].collect().groupBy(_._1)
+        .map { case (k, a) => k -> a.map(_._2).toSet }
+    }
+    val truth = top3(sig)
+    def recall(m: Map[Long, Set[Long]]): Double =
+      truth.map { case (q, t) =>
+        (t intersect m.getOrElse(q, Set())).size / 3.0 }.sum / truth.size
+    val raw = recall(top3(pts))
+    val (mu, v) = Similarity.topComponentFit(pts, "vec_id", "v")
+    assert(math.abs(v(0)) > 0.99,
+      s"fit must find the planted common direction: ${v.toSeq}")
+    val abtt = recall(top3(
+      Similarity.removeTopComponent(pts, "vec_id", "v", mu, v)))
+    assert(raw < 0.7, s"raw cosine must be confounded by the common direction: $raw")
+    assert(abtt > 0.85, s"ABTT must recover the signal ranking: $abtt")
+    assert(abtt > raw + 0.25, s"transform must improve retrieval: $raw -> $abtt")
+  }
+
   test("clusterQuality: tight well-separated clusters score near-1 silhouette; counts and inertia check out") {
     val pts = Seq(
       (0L, Seq(0.0f, 0.0f)), (2L, Seq(0.2f, 0.0f)), (4L, Seq(0.0f, 0.2f)),
