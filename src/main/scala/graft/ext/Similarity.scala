@@ -43,6 +43,49 @@ object Similarity {
       when(dot(v, plane) > 0.0d, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** QUERY-SIDE multi-probe for the single-band `bucketOf` signature
+    * (Lv et al., "Multi-Probe LSH", VLDB 2007, applied at serve time):
+    * probe the exact bucket, every 1-bit flip, the 2-bit flips of the
+    * `pairBits` weakest-margin bits, and the 3-bit flips of the
+    * `tripleBits` weakest (margin rank on round(|proj|, 6) with bit-index
+    * tie-break — the round-6 cross-engine contract). The CORPUS index is
+    * untouched (each vector sits in exactly its one bucket), so probing
+    * multiplies only the query side: 1 + w + C(pairBits,2) +
+    * C(tripleBits,3) bucket lookups per query, each an equi-join hit on
+    * the static index — the standard way to buy recall on a deployed
+    * single-band index without re-bucketing the corpus. Probed buckets are
+    * pairwise distinct, so no candidate dedup is needed. Two pieces:
+    * [[sortedMarginsOf]] stages the margin-sorted (m, bit, mask) array as
+    * a real column, then [[probeMasksFromSorted]] turns the attribute into
+    * the XOR-mask list the caller explodes. */
+  private def sortedMarginsOf(v: Column, w: Int): Column = {
+    val projs = (0 until w).map(j => dot(v, array(hyperplane(j).map(lit): _*)))
+    array_sort(array(projs.zipWithIndex.map { case (p, j) =>
+      struct(round(abs(p), 6).as("m"), lit(j).as("i"), lit(1L << j).as("k"))
+    }: _*))
+  }
+
+  /** XOR-mask list over a STAGED [[sortedMarginsOf]] column — the two-step
+    * split keeps the plan tree small: the 64-literal hyperplane dots appear
+    * exactly once (inside the staged sort column); this helper only does
+    * element_at lookups on the attribute, so the 57-element mask array —
+    * and the Generate the caller explodes it through — stays a few KB
+    * instead of inlining the dot forest per element (measured: the fused
+    * form cost ~3.5 s of driver-side optimizer/codegen work per run). */
+  private def probeMasksFromSorted(sm: Column, w: Int, pairBits: Int,
+      tripleBits: Int): Column = {
+    val nMask = math.max(pairBits, tripleBits)
+    val masks = (0 until nMask).map(r => element_at(sm, r + 1).getField("k"))
+    val singles = (0 until w).map(j => lit(1L << j))
+    val pairs = for { a <- 0 until pairBits; b <- a + 1 until pairBits }
+      yield masks(a).bitwiseOR(masks(b))
+    val triples = for {
+      a <- 0 until tripleBits; b <- a + 1 until tripleBits
+      c <- b + 1 until tripleBits
+    } yield masks(a).bitwiseOR(masks(b)).bitwiseOR(masks(c))
+    array((lit(0L) +: singles) ++ pairs ++ triples: _*)
+  }
+
   /** Signature width for the single-band bucket operators (s02/s12/s24) —
     * the [[DedupOps.adaptivePlanes]] discipline: smallest `w` with
     * `2^w ≥ n/256`, floored at the historical 8 planes (so the sf ≤ 0.1
@@ -112,13 +155,35 @@ object Similarity {
     * the s01 note). The bucket join is an equi-join on the signature —
     * hash-partitioned, no all-pairs. The DuckDB twin derives the same
     * width from count(*). */
+  /** s02's query-side multi-probe design (round-16): the exact bucket,
+    * every 1-bit flip, the 2-bit flips of the [[S02PairBits]] = 8
+    * weakest-margin bits, and the 3-bit flips of the [[S02TripleBits]] = 6
+    * weakest — 1 + w + 28 + 20 probes per query against the UNCHANGED
+    * corpus index. Lifts the s12-measured mean recall@5 from 0.02
+    * (exact-bucket only — the floor-8 signature leaves E[bucket] ≈ 2 at
+    * the witness corpus) to 0.46 at a fixed per-query probe budget whose
+    * corpus FRACTION (probes / 2^w) vanishes as the adaptive width grows.
+    * s33 pins the exact-vs-probed comparison per query. */
+  private[graft] val S02PairBits = 8
+  private[graft] val S02TripleBits = 6
+
   val s02AnnLsh: Q = (s, dir) => {
     import s.implicits._
     val e0 = vecs(s, dir)
-    val e = e0.withColumn("bucket",
-      bucketOf($"v", bucketPlanes(Tables.cachedCount(s, dir, "embeddings"))))
-    val q = e.filter($"vec_id" < 20)
-      .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"), $"bucket")
+    val pw = bucketPlanes(Tables.cachedCount(s, dir, "embeddings"))
+    val e = e0.withColumn("bucket", bucketOf($"v", pw))
+    // the query probes its multi-probe bucket list; each corpus vector
+    // sits in exactly one bucket, so probed buckets being pairwise
+    // distinct means no candidate dedup is needed. Margins staged as a
+    // column FIRST so the hyperplane-literal dots appear once in the plan.
+    val q = e0.filter($"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"),
+        bucketOf($"v", pw).as("b0"), sortedMarginsOf($"v", pw).as("sm"))
+      .select($"qid", $"qv", $"qn", $"b0",
+        explode(probeMasksFromSorted($"sm", pw, S02PairBits, S02TripleBits))
+          .as("mask"))
+      .select($"qid", $"qv", $"qn",
+        $"b0".bitwiseXOR($"mask").as("bucket"))
     val w = Window.partitionBy($"qid").orderBy($"cos6".desc, $"vec_id")
     broadcast(q).join(e, Seq("bucket"))
       .filter($"qid" =!= $"vec_id")
@@ -1857,27 +1922,63 @@ object Similarity {
     * contract), so DuckDB replays the whole evaluation. Queries whose
     * bucket holds fewer than 5 non-self members return fewer approx rows
     * and can never reach recall 1 — that truncation is the measurement. */
-  val s12AnnRecall: Q = (s, dir) => {
+  val s12AnnRecall: Q = (s, dir) =>
+    // the config s02 actually serves (round-16: query-side multi-probe at
+    // the production design) — the s29/s26 relationship applied here
+    s02ProbeRecall(s, dir, S02PairBits, S02TripleBits)
+
+  // ---------------------------------------------------------------- s33
+  /** s33: per-query recall@5 of the single-band bucket search, exact-bucket
+    * lookup vs the [[probeBucketsOf]] multi-probe s02 serves — the
+    * measurement that documents what query-side probing buys on the SAME
+    * corpus index (mean 0.02 → 0.46 on the witness queries; the exact side
+    * is the floor-8 signature's honest baseline: E[bucket] ≈ 2, so most
+    * exact lookups find none of the true top-5). Both sides replay in the
+    * DuckDB twin from the shared banding CTEs. */
+  val s33AnnProbeGain: Q = (s, dir) => {
+    import s.implicits._
+    s02ProbeRecall(s, dir, -1)
+      .select($"query_id", $"recall".as("recall_exact"))
+      .join(s02ProbeRecall(s, dir, S02PairBits, S02TripleBits)
+        .select($"query_id", $"recall".as("recall_probed")), Seq("query_id"))
+      .orderBy($"query_id")
+  }
+
+  /** Parameterized s12-style recall@5 of the single-band bucket search —
+    * `pairBits < 0` = exact-bucket lookup only (the pre-probe s02),
+    * otherwise query-side [[probeBucketsOf]] multi-probe with that many
+    * weakest-bit pair flips. Exposed for the probe-design sweep/specs. */
+  private[graft] def s02ProbeRecall(s: SparkSession, dir: String,
+      pairBits: Int, tripleBits: Int = 0): DataFrame = {
     import s.implicits._
     val e = vecs(s, dir)
-    val q = e.filter($"vec_id" < 20)
-      .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))
-    val w = Window.partitionBy($"qid").orderBy($"cos6".desc, $"vec_id")
-    val truth = broadcast(q).join(e, $"qid" =!= $"vec_id")
+    val w0 = Window.partitionBy($"qid").orderBy($"cos6".desc, $"vec_id")
+    val truth = broadcast(
+        e.filter($"vec_id" < 20)
+          .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn")))
+      .join(e, $"qid" =!= $"vec_id")
       .withColumn("cos6", round(dot($"qv", $"v") / ($"qn" * $"nrm"), 6))
-      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("rk", row_number().over(w0).cast("long"))
       .filter($"rk" <= 5).select($"qid", $"vec_id")
-    val eb = e.withColumn("bucket",
-      bucketOf($"v", bucketPlanes(Tables.cachedCount(s, dir, "embeddings"))))
-    val qb = eb.filter($"vec_id" < 20)
-      .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"), $"bucket")
+    val w = bucketPlanes(Tables.cachedCount(s, dir, "embeddings"))
+    val eb = e.withColumn("bucket", bucketOf($"v", w))
+    val qb =
+      if (pairBits < 0) eb.filter($"vec_id" < 20)
+        .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"), $"bucket")
+      else e.filter($"vec_id" < 20)
+        .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"),
+          bucketOf($"v", w).as("b0"), sortedMarginsOf($"v", w).as("sm"))
+        .select($"qid", $"qv", $"qn", $"b0",
+          explode(probeMasksFromSorted($"sm", w, pairBits, tripleBits))
+            .as("mask"))
+        .select($"qid", $"qv", $"qn",
+          $"b0".bitwiseXOR($"mask").as("bucket"))
     val approx = broadcast(qb).join(eb, Seq("bucket"))
       .filter($"qid" =!= $"vec_id")
       .withColumn("cos6", round(dot($"qv", $"v") / ($"qn" * $"nrm"), 6))
-      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("rk", row_number().over(w0).cast("long"))
       .filter($"rk" <= 5).select($"qid", $"vec_id")
-    recallAtK(truth, approx, "qid", "vec_id", k = 5)
-      .orderBy($"query_id")
+    recallAtK(truth, approx, "qid", "vec_id", k = 5).orderBy($"query_id")
   }
 
   // ---------------------------------------------------------------- s15
@@ -2390,7 +2491,8 @@ object Similarity {
     "s29_knn_graph_recall" -> s29KnnGraphRecall,
     "s30_top_component" -> s30TopComponent,
     "s31_abtt_residual" -> s31AbttResidual,
-    "s32_abtt_knn" -> s32AbttKnn)
+    "s32_abtt_knn" -> s32AbttKnn,
+    "s33_ann_probe_gain" -> s33AnnProbeGain)
 
   /** Generated DuckDB twin of [[s21IvfPqRecall]]: stages the entire
     * deterministic IVF-PQ pipeline — coarse Lloyd with re-normalized
@@ -2533,6 +2635,84 @@ object Similarity {
       |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
       |   sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nrm
       |  FROM embeddings)""".stripMargin
+
+  /** Shared single-band banding CTEs for the s02/s12/s33 twins: adaptive
+    * width `nb`, hyperplane table, per-vector projections `dots`, buckets
+    * `buck`, bucketed corpus `eb`. Expects `e` from [[vecsCte]]; ends
+    * without a trailing comma — compose with ",\n". */
+  private val s02BucketCtes =
+    """ nb AS (
+      |  SELECT LEAST(20, GREATEST(8,
+      |   CAST(ceil(log2(count(*) / 256.0)) AS INT))) AS w FROM e),
+      | hp AS (
+      |  SELECT j, d,
+      |   (CAST(CAST(('0x' || substr(md5('hp:' || j || ':' || d),1,15)) AS UBIGINT)
+      |     % 2001 AS BIGINT) - 1000) / 1000.0 AS r
+      |  FROM (SELECT unnest(range(0,20)) AS j), (SELECT unnest(range(0,64)) AS d)
+      |  WHERE j < (SELECT w FROM nb)),
+      | ev AS (
+      |  SELECT vec_id, generate_subscripts(v,1)-1 AS d, unnest(v) AS x FROM e),
+      | dots AS (
+      |  SELECT ev.vec_id, hp.j, sum(ev.x * hp.r) AS s
+      |  FROM ev JOIN hp USING (d) GROUP BY ev.vec_id, hp.j),
+      | buck AS (
+      |  SELECT vec_id,
+      |   CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM dots GROUP BY vec_id),
+      | eb AS (SELECT e.*, buck.bucket FROM e JOIN buck USING (vec_id))""".stripMargin
+
+  /** Query-side multi-probe list `qp` for the 20 witness queries (the
+    * [[probeBucketsOf]] design replayed: exact bucket, every 1-bit flip,
+    * pair flips of the 8 weakest-margin bits, triple flips of the 6
+    * weakest; margin rank = round(|proj|, 6) with bit-index ties). Needs
+    * [[s02BucketCtes]]; ends without a trailing comma. */
+  private val s02ProbeCtesSql =
+    """ qm AS (
+      |  SELECT vec_id, j AS bit,
+      |   row_number() OVER (PARTITION BY vec_id ORDER BY round(abs(s), 6), j) AS fr
+      |  FROM dots WHERE vec_id < 20),
+      | qp AS (
+      |  SELECT vec_id, bucket FROM buck WHERE vec_id < 20
+      |  UNION ALL
+      |  SELECT m.vec_id, xor(b.bucket, CAST(1 AS BIGINT) << m.bit)
+      |  FROM qm m JOIN buck b ON b.vec_id = m.vec_id
+      |  UNION ALL
+      |  SELECT a.vec_id,
+      |   xor(xor(b.bucket, CAST(1 AS BIGINT) << a.bit), CAST(1 AS BIGINT) << c.bit)
+      |  FROM qm a JOIN qm c ON a.vec_id = c.vec_id AND a.fr < c.fr AND c.fr <= 8
+      |   JOIN buck b ON b.vec_id = a.vec_id
+      |  UNION ALL
+      |  SELECT a.vec_id,
+      |   xor(xor(xor(b.bucket, CAST(1 AS BIGINT) << a.bit),
+      |    CAST(1 AS BIGINT) << c.bit), CAST(1 AS BIGINT) << d.bit)
+      |  FROM qm a JOIN qm c ON a.vec_id = c.vec_id AND a.fr < c.fr
+      |   JOIN qm d ON c.vec_id = d.vec_id AND c.fr < d.fr AND d.fr <= 6
+      |   JOIN buck b ON b.vec_id = a.vec_id)""".stripMargin
+
+  /** Brute top-5 truth CTE `tr` for the recall twins (s12/s33). Expects
+    * `e`; ends without a trailing comma. */
+  private val s02TruthCte =
+    """ tr AS (
+      |  SELECT qid, vec_id FROM (
+      |   SELECT q.vec_id AS qid, e2.vec_id,
+      |    CAST(row_number() OVER (PARTITION BY q.vec_id
+      |      ORDER BY round(list_dot_product(q.v, e2.v) / (q.nrm * e2.nrm), 6) DESC,
+      |               e2.vec_id) AS BIGINT) AS rk
+      |   FROM e q JOIN e e2 ON q.vec_id < 20 AND q.vec_id <> e2.vec_id) t
+      |  WHERE rk <= 5)""".stripMargin
+
+  /** Probed approximate top-5 CTE `ap` (the s02 serving config). Needs
+    * [[s02ProbeCtesSql]]; ends without a trailing comma. */
+  private val s02ProbeTop5Cte =
+    """ ap AS (
+      |  SELECT qid, vec_id FROM (
+      |   SELECT qp.vec_id AS qid, e2.vec_id,
+      |    CAST(row_number() OVER (PARTITION BY qp.vec_id
+      |      ORDER BY round(list_dot_product(q.v, e2.v) / (q.nrm * e2.nrm), 6) DESC,
+      |               e2.vec_id) AS BIGINT) AS rk
+      |   FROM qp JOIN eb e2 ON qp.bucket = e2.bucket AND qp.vec_id <> e2.vec_id
+      |    JOIN e q ON q.vec_id = qp.vec_id) t
+      |  WHERE rk <= 5)""".stripMargin
 
   /** Brute-force cosine top-5 over the fixed 500-vector corpus slice — the
     * shared covering-configuration witness of s05 and s08. */
@@ -3183,34 +3363,15 @@ object Similarity {
           |LEFT JOIN borderlab bl ON n.id = bl.id
           |ORDER BY vec_id""".stripMargin),
     "s02_ann_lsh" ->
-      (vecsCte +
-        """, nb AS (
-          |  SELECT LEAST(20, GREATEST(8,
-          |   CAST(ceil(log2(count(*) / 256.0)) AS INT))) AS w FROM e),
-          | hp AS (
-          |  SELECT j, d,
-          |   (CAST(CAST(('0x' || substr(md5('hp:' || j || ':' || d),1,15)) AS UBIGINT)
-          |     % 2001 AS BIGINT) - 1000) / 1000.0 AS r
-          |  FROM (SELECT unnest(range(0,20)) AS j), (SELECT unnest(range(0,64)) AS d)
-          |  WHERE j < (SELECT w FROM nb)),
-          | ev AS (
-          |  SELECT vec_id, generate_subscripts(v,1)-1 AS d, unnest(v) AS x FROM e),
-          | dots AS (
-          |  SELECT ev.vec_id, hp.j, sum(ev.x * hp.r) AS s
-          |  FROM ev JOIN hp USING (d) GROUP BY ev.vec_id, hp.j),
-          | buck AS (
-          |  SELECT vec_id,
-          |   CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS bucket
-          |  FROM dots GROUP BY vec_id),
-          | eb AS (SELECT e.*, buck.bucket FROM e JOIN buck USING (vec_id))
-          |SELECT qid, rk, vec_id, round(cos6, 4) + 0.0 AS cos, bucket FROM (
-          | SELECT q.vec_id AS qid, e2.vec_id, e2.bucket,
+      (vecsCte + ",\n" + s02BucketCtes + ",\n" + s02ProbeCtesSql + "\n" +
+        """SELECT qid, rk, vec_id, round(cos6, 4) + 0.0 AS cos, bucket FROM (
+          | SELECT qp.vec_id AS qid, e2.vec_id, e2.bucket,
           |  round(list_dot_product(q.v, e2.v) / (q.nrm * e2.nrm), 6) AS cos6,
-          |  CAST(row_number() OVER (PARTITION BY q.vec_id
+          |  CAST(row_number() OVER (PARTITION BY qp.vec_id
           |    ORDER BY round(list_dot_product(q.v, e2.v) / (q.nrm * e2.nrm), 6) DESC,
           |             e2.vec_id) AS BIGINT) AS rk
-          | FROM eb q JOIN eb e2 ON q.bucket = e2.bucket
-          |   AND q.vec_id < 20 AND q.vec_id <> e2.vec_id) t
+          | FROM qp JOIN eb e2 ON qp.bucket = e2.bucket AND qp.vec_id <> e2.vec_id
+          |  JOIN e q ON q.vec_id = qp.vec_id) t
           |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin),
     "s03_ivf_fullprobe" ->
       """WITH u AS (
@@ -3297,36 +3458,23 @@ object Similarity {
         |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
     // both rankings are the proven s01/s02 forms (round-6 cosine, lower-id
     // tie-break); recall joins the two top-5 sets on (query, id)
+    // the config s02 serves: shared banding CTEs + the multi-probe list +
+    // the probed top-5, recall-joined against brute truth
     "s12_ann_recall" ->
-      (vecsCte +
-        """, tr AS (
-          |  SELECT qid, vec_id FROM (
-          |   SELECT q.vec_id AS qid, e2.vec_id,
-          |    CAST(row_number() OVER (PARTITION BY q.vec_id
-          |      ORDER BY round(list_dot_product(q.v, e2.v) / (q.nrm * e2.nrm), 6) DESC,
-          |               e2.vec_id) AS BIGINT) AS rk
-          |   FROM e q JOIN e e2 ON q.vec_id < 20 AND q.vec_id <> e2.vec_id) t
-          |  WHERE rk <= 5),
-          | nb AS (
-          |  SELECT LEAST(20, GREATEST(8,
-          |   CAST(ceil(log2(count(*) / 256.0)) AS INT))) AS w FROM e),
-          | hp AS (
-          |  SELECT j, d,
-          |   (CAST(CAST(('0x' || substr(md5('hp:' || j || ':' || d),1,15)) AS UBIGINT)
-          |     % 2001 AS BIGINT) - 1000) / 1000.0 AS r
-          |  FROM (SELECT unnest(range(0,20)) AS j), (SELECT unnest(range(0,64)) AS d)
-          |  WHERE j < (SELECT w FROM nb)),
-          | ev AS (
-          |  SELECT vec_id, generate_subscripts(v,1)-1 AS d, unnest(v) AS x FROM e),
-          | dots AS (
-          |  SELECT ev.vec_id, hp.j, sum(ev.x * hp.r) AS s
-          |  FROM ev JOIN hp USING (d) GROUP BY ev.vec_id, hp.j),
-          | buck AS (
-          |  SELECT vec_id,
-          |   CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS bucket
-          |  FROM dots GROUP BY vec_id),
-          | eb AS (SELECT e.*, buck.bucket FROM e JOIN buck USING (vec_id)),
-          | ap AS (
+      (vecsCte + ",\n" + s02TruthCte + ",\n" + s02BucketCtes + ",\n" +
+        s02ProbeCtesSql + ",\n" + s02ProbeTop5Cte + "\n" +
+        """SELECT tr.qid AS query_id,
+          | CAST(sum(CASE WHEN ap.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hits,
+          | round(CAST(sum(CASE WHEN ap.vec_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+          |   / 5 + 1e-9, 4) AS recall
+          |FROM tr LEFT JOIN ap ON tr.qid = ap.qid AND tr.vec_id = ap.vec_id
+          |GROUP BY tr.qid ORDER BY query_id""".stripMargin),
+    // exact-bucket vs probed recall on the same banding — the probe-gain
+    // documentation row
+    "s33_ann_probe_gain" ->
+      (vecsCte + ",\n" + s02TruthCte + ",\n" + s02BucketCtes + ",\n" +
+        s02ProbeCtesSql + ",\n" + s02ProbeTop5Cte + ",\n" +
+        """ apx AS (
           |  SELECT qid, vec_id FROM (
           |   SELECT q.vec_id AS qid, e2.vec_id,
           |    CAST(row_number() OVER (PARTITION BY q.vec_id
@@ -3334,13 +3482,21 @@ object Similarity {
           |               e2.vec_id) AS BIGINT) AS rk
           |   FROM eb q JOIN eb e2 ON q.bucket = e2.bucket
           |     AND q.vec_id < 20 AND q.vec_id <> e2.vec_id) t
-          |  WHERE rk <= 5)
-          |SELECT tr.qid AS query_id,
-          | CAST(sum(CASE WHEN ap.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hits,
-          | round(CAST(sum(CASE WHEN ap.vec_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
-          |   / 5 + 1e-9, 4) AS recall
-          |FROM tr LEFT JOIN ap ON tr.qid = ap.qid AND tr.vec_id = ap.vec_id
-          |GROUP BY tr.qid ORDER BY query_id""".stripMargin),
+          |  WHERE rk <= 5),
+          | re AS (
+          |  SELECT tr.qid AS query_id,
+          |   round(CAST(sum(CASE WHEN apx.vec_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+          |     / 5 + 1e-9, 4) AS recall_exact
+          |  FROM tr LEFT JOIN apx ON tr.qid = apx.qid AND tr.vec_id = apx.vec_id
+          |  GROUP BY tr.qid),
+          | rp AS (
+          |  SELECT tr.qid AS query_id,
+          |   round(CAST(sum(CASE WHEN ap.vec_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+          |     / 5 + 1e-9, 4) AS recall_probed
+          |  FROM tr LEFT JOIN ap ON tr.qid = ap.qid AND tr.vec_id = ap.vec_id
+          |  GROUP BY tr.qid)
+          |SELECT re.query_id, re.recall_exact, rp.recall_probed
+          |FROM re JOIN rp USING (query_id) ORDER BY query_id""".stripMargin),
     // sign-bit signature packing + XOR/popcount replayed exactly — the
     // all-integer oracle (hamming asc, lower-id tie-break)
     "s10_binary_knn" ->

@@ -1614,6 +1614,20 @@ class DedupOpsSpec extends SparkSpec {
     assert(abtt > raw + 0.25, s"transform must improve retrieval: $raw -> $abtt")
   }
 
+  test("s02 multi-probe: probed recall dominates exact-bucket recall per query and lifts the mean") {
+    // the probe list contains the exact bucket (mask 0), so the probed
+    // candidate set is a superset per query — recall can only improve
+    val rows = SparkEntry.queries("s33_ann_probe_gain")(spark, dir)
+      .as[(Long, Double, Double)].collect()
+    assert(rows.length == 20)
+    rows.foreach { case (q, ex, pr) =>
+      assert(pr >= ex, s"query $q: probed recall $pr < exact $ex")
+    }
+    val (meanEx, meanPr) = (rows.map(_._2).sum / 20, rows.map(_._3).sum / 20)
+    assert(meanPr > meanEx + 0.2,
+      s"probing must lift mean recall@5 substantially: $meanEx -> $meanPr")
+  }
+
   test("clusterQuality: tight well-separated clusters score near-1 silhouette; counts and inertia check out") {
     val pts = Seq(
       (0L, Seq(0.0f, 0.0f)), (2L, Seq(0.2f, 0.0f)), (4L, Seq(0.0f, 0.2f)),
