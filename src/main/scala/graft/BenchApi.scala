@@ -206,6 +206,14 @@ object BenchApi {
           drainDf(graft.streaming.CurationStream.klDriftReport(spark, cd, "source"))
         }
       },
+      "dbscan_tuned" -> { dir =>
+        // the closed parameter loop (eps/minPts/budget in, tuneCosine picks
+        // the banding) over the real embeddings at a near-dup eps — the
+        // production shape of s24's hand-bucketed density clustering
+        val e = Tables.loadSpread(spark, dir, "embeddings")
+        drainDf(graft.ext.DedupOps.dbscanTuned(
+          e, "vec_id", "embedding", eps = 0.9, minPts = 2))
+      },
       "neardup_batch" -> { dir =>
         // four sequential micro-batches into a fresh signature index — the
         // timed unit includes the in-batch dedup, the cross-batch probe
