@@ -680,6 +680,55 @@ object CurationStream {
     graft.ext.CurationOps.klFromCounts(merged, byCol)
   }
 
+  // ------------------------------------------ embedding top-component drift
+  /** Streaming twin of the s30 top-principal-component fit — the
+    * corpus-drift monitor for EMBEDDING spaces (round-15 NEXT #6), the
+    * [[tokenCountsBatch]] discipline applied to the ABTT primitives: each
+    * micro-batch appends its training-eligible vectors (`idCol` <
+    * `sampleMax` — the s30/s15 bounded-sample rule, so state is
+    * sample-sized, never stream-sized) as a `sampleDir/batch=<id>`
+    * partition. A replayed batch overwrites its own partition (idempotent
+    * replay); an empty batch deletes it. */
+  def topComponentBatch(sampleDir: String, idCol: String, vecCol: String,
+      sampleMax: Long = 256L)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val sample = batch.filter(col(idCol) < sampleMax)
+      .select(col(idCol), col(vecCol)).persist()
+    try lockFor(sampleDir).synchronized {
+      val root = new org.apache.hadoop.fs.Path(sampleDir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(root)
+      val target = new org.apache.hadoop.fs.Path(s"$sampleDir/batch=$batchId")
+      if (sample.isEmpty) fs.delete(target, true)
+      else sample.write.mode("overwrite").parquet(target.toString)
+    } finally sample.unpersist(false)
+  }
+
+  /** Fit the top component over everything [[topComponentBatch]] has
+    * accumulated: read the union of batch partitions and run the EXACT
+    * batch [[graft.ext.Similarity.topComponentFit]] — whose driver fold is
+    * id-sorted and therefore independent of how rows arrived — so the
+    * streamed fit is BIT-identical to fitting the union of all
+    * micro-batches in one batch job (spec-pinned). Returns None when no
+    * batch has written yet (the fit has no empty-sample meaning).
+    * Monitoring shape: re-fit per report and compare the component across
+    * reports (cosine between fits) to watch the common direction drift as
+    * the corpus grows. */
+  def topComponentReport(spark: org.apache.spark.sql.SparkSession,
+      sampleDir: String, idCol: String, vecCol: String, iters: Int = 8)
+      : Option[(Array[Double], Array[Double])] = {
+    val root = new org.apache.hadoop.fs.Path(sampleDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts =
+      if (!fs.exists(root)) Array.empty[org.apache.hadoop.fs.Path]
+      else fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.startsWith("batch="))
+    if (parts.isEmpty) None
+    else Some(graft.ext.Similarity.topComponentFit(
+      spark.read.parquet(parts.map(_.toString).toIndexedSeq: _*),
+      idCol, vecCol, iters))
+  }
+
   // --------------------------------------------- incremental corpus report
   /** Incremental doc-stat state for the c15 corpus report over a stream —
     * the [[tokenCountsBatch]] discipline applied to the dataset-card

@@ -974,6 +974,43 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(none.count() == 0)
   }
 
+  test("streaming top-component fit: batch partitions reproduce the batch s30 fit bit-exactly") {
+    import graft.streaming.CurationStream
+    import graft.ext.Similarity
+    val dir = Files.createTempDirectory("tc_sample").toString
+    def vec(i: Int): Seq[Float] =
+      (0 until 8).map(d => ((i * 31 + d * 7) % 11 - 5).toFloat / 3f)
+    val b0 = (0 until 12).map(i => (i.toLong, vec(i))).toDF("vec_id", "v")
+    // batch 1 includes rows ABOVE sampleMax that must not enter the state
+    val b1 = ((12 until 24) ++ Seq(900, 901)).map(i => (i.toLong, vec(i)))
+      .toDF("vec_id", "v")
+    CurationStream.topComponentBatch(dir, "vec_id", "v", sampleMax = 256L)(b0, 0L)
+    CurationStream.topComponentBatch(dir, "vec_id", "v", sampleMax = 256L)(b1, 1L)
+    def bits(fit: (Array[Double], Array[Double])): (Seq[Long], Seq[Long]) =
+      (fit._1.toSeq.map(java.lang.Double.doubleToRawLongBits),
+        fit._2.toSeq.map(java.lang.Double.doubleToRawLongBits))
+    val streamed = bits(CurationStream.topComponentReport(
+      spark, dir, "vec_id", "v").get)
+    val batch = bits(Similarity.topComponentFit(
+      b0.union(b1).filter(col("vec_id") < 256L), "vec_id", "v"))
+    assert(streamed == batch,
+      "streamed fit must equal the batch fit over the micro-batch union, " +
+        "raw IEEE bits included")
+    // replay idempotency: re-running batch 1 overwrites its own partition
+    CurationStream.topComponentBatch(dir, "vec_id", "v")(b1, 1L)
+    assert(bits(CurationStream.topComponentReport(
+      spark, dir, "vec_id", "v").get) == batch)
+    // an empty replayed batch deletes its partition
+    CurationStream.topComponentBatch(dir, "vec_id", "v")(
+      b1.filter(lit(false)), 1L)
+    assert(bits(CurationStream.topComponentReport(
+      spark, dir, "vec_id", "v").get) ==
+      bits(Similarity.topComponentFit(b0, "vec_id", "v")))
+    // no state at all -> None, not a crash
+    assert(CurationStream.topComponentReport(spark,
+      Files.createTempDirectory("tc_empty").toString, "vec_id", "v").isEmpty)
+  }
+
   test("compactCounts sum-merges committed count partitions; report unchanged") {
     import graft.streaming.CurationStream
     import graft.ext.CurationOps
