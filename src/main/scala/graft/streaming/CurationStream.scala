@@ -596,6 +596,52 @@ object CurationStream {
     else Some(spark.read.parquet(dirs.map(_.toString).toIndexedSeq: _*))
   }
 
+  /** The [[nearDedupBatch]] signature index read back as a posting relation
+    * in the [[graft.ext.DedupOps.bandPostings]] shape `(__id, band, bsig)`
+    * — the adapter that lets the BATCH serving path
+    * ([[graft.ext.DedupOps.dropNearDuplicatesMinhashFromPostings]], d09's
+    * cross-corpus probe) read the stream's store directly (round-15 NEXT
+    * #4). Heals interrupted compactions first and distincts (a post-crash
+    * index may transiently hold duplicated postings — see
+    * [[compactIndex]]); returns None when the index is empty.
+    *
+    * ONE STORE, BOTH PATHS — and its limit: the index and the batch
+    * [[graft.ext.Dedup]] minhashPostTable share the bandPostings schema,
+    * the d02 configuration, and the (band, bsig) sort. Spec-pinned: for a
+    * corpus ingested in a single micro-batch the index is bit-identical to
+    * the batch table semi-joined to d02's kept set, and the batch
+    * CROSS-CORPUS operator
+    * ([[graft.ext.DedupOps.dropNearDuplicatesAgainstFromPostings]], the
+    * d09 serving shape) probing this index as its reference postings
+    * computes exactly the cross-batch drop the stream applies to its next
+    * micro-batch. The stores cannot unify further, by semantics rather
+    * than layout: the batch table must hold EVERY doc's postings — the
+    * within-corpus greedy keep reads the full relation (a doc is dropped
+    * because some bucket holds a smaller id, KEPT OR NOT, so the
+    * survivors-only index cannot recompute that decision), and d09 probes
+    * its reference un-deduped — while the streaming index must hold
+    * SURVIVORS ONLY (first-seen-wins: retaining dropped docs' postings
+    * would drop future docs against content that was itself removed, and
+    * a replayed batch would match its own prior attempt). On transitive
+    * bucket chains (1~2, 2~3, 1≁3) the two rules genuinely diverge:
+    * batch d02 drops 3 (its bucket's min is 2), the stream keeps 3 (2
+    * never entered the index). */
+  def indexPostings(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return None
+    lockFor(indexDir).synchronized { healCompaction(fs, root) }
+    val dirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("batch="))
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs.map(_.toString).toIndexedSeq: _*)
+      .select(org.apache.spark.sql.functions.col("__id"),
+        org.apache.spark.sql.functions.col("band"),
+        org.apache.spark.sql.functions.col("bsig"))
+      .distinct())
+  }
+
   /** Driver-side benchmark hash set from a static benchmark table — the
     * exact form only; callers that cannot bound the eval suite should use
     * [[benchmarkGrams]], which switches to the Bloom form past

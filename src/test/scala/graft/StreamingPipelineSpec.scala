@@ -627,6 +627,55 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(idxRows == 4L, s"batch 1's index partition must hold ONE doc's 4 band rows: $idxRows")
   }
 
+  test("one store, both paths: the streaming index serves the batch drop operator bit-exactly") {
+    import graft.streaming.CurationStream
+    import graft.ext.{Dedup, DedupOps}
+    // round-15 NEXT #4: ingest the documents slice in ONE micro-batch; the
+    // index must then be a valid posting table for the batch serving path
+    val dir = Files.createTempDirectory("neardup_onestore").toString
+    val all = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val docsA = all.filter(col("doc_id") < 300)
+    val docsB = all.filter(col("doc_id") >= 300)
+    val streamedKeptA = CurationStream.nearDedupBatch(dir, "doc_id", "text")(docsA, 0L)
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    val posts = CurationStream.indexPostings(spark, dir).get
+    // (1) relation equality: the index IS the batch posting table restricted
+    // to the streamed survivors — bit-exact (postings are integers/strings
+    // of integers); single batch, so stream ≡ batch d02 keep exactly
+    val batchKeptA = DedupOps.dropNearDuplicatesMinhash(docsA, "doc_id", "text")
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    assert(streamedKeptA == batchKeptA,
+      "single-batch streamed survivors must equal the batch greedy keep")
+    val idxRows = posts.as[(Long, Int, String)].collect().toSet
+    val batchSurvivorPosts = DedupOps.bandPostings(docsA, "doc_id", "text",
+        bands = 4, rowsPerBand = 4, shingleLen = 3)
+      .join(streamedKeptA.toDF("__k"), col("__id") === col("__k"), "left_semi")
+      .as[(Long, Int, String)].collect().toSet
+    assert(idxRows == batchSurvivorPosts,
+      s"index relation must equal batch survivor postings " +
+        s"(${idxRows.size} vs ${batchSurvivorPosts.size} rows)")
+    // (2) one store, both paths: the BATCH cross-corpus operator (the d09
+    // serving shape) probing the stream's index as its reference postings
+    // must compute exactly the cross-batch drop the STREAM applies to the
+    // next micro-batch (composed after the same in-batch dedup)
+    val streamedKeptB = CurationStream.nearDedupBatch(dir, "doc_id", "text")(docsB, 1L)
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    val inBatchB = DedupOps.dropNearDuplicatesMinhash(docsB, "doc_id", "text")
+    val servedKeptB = DedupOps.dropNearDuplicatesAgainstFromPostings(
+        inBatchB,
+        DedupOps.bandPostings(inBatchB, "doc_id", "text", 4, 4, 3),
+        posts, "doc_id")
+      .select(col("doc_id")).as[Long].collect().sorted.toSeq
+    assert(servedKeptB == streamedKeptB,
+      "the batch cross-corpus drop served from the streaming index must " +
+        s"return the streamed batch-1 survivors (served ${servedKeptB.size}, " +
+        s"streamed ${streamedKeptB.size})")
+    // non-vacuous: batch 1 really lost docs to the index probe
+    assert(servedKeptB.size < inBatchB.count(),
+      "witness must exercise the cross-batch drop")
+  }
+
   test("near-dup index compaction merges partitions and preserves drop behavior") {
     import graft.streaming.CurationStream
     val dir = Files.createTempDirectory("neardup_cpt").toString
