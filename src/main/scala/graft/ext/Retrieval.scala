@@ -129,6 +129,41 @@ object Retrieval {
     bm25Search(bm25Index(docs, idCol, textCol), queries, k, k1, b,
       materializeProbe = true)
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) —
+    * combine any number of per-query rankings into one:
+    * `score(q,d) = Σ_r 1/(k0 + rank_r(q,d))` over the rankings that
+    * returned `d` for `q` (absent ranks contribute nothing — partial
+    * rankings are the normal case: a dense index may not cover every
+    * document the lexical index does). The standard hybrid-retrieval
+    * combiner: rank-based, so it needs NO score normalization across
+    * heterogeneous rankers (BM25 scores vs cosines vs Hamming distances),
+    * and `k0` (default 60, the paper's value) damps the head so one
+    * ranker's top hit cannot dominate unilaterally.
+    *
+    * Determinism: each contribution is 1/(k0 + rank) — an exact-integer
+    * denominator — and double addition is commutative, so the fused score
+    * is bit-identical in any accumulation order; ranking is on
+    * round(score, 6) with id tie-break (the s01 contract). Scale: inputs
+    * are k·|queries|-row rankings — the fusion never touches a corpus. */
+  def rrfFuse(rankings: Seq[DataFrame], queryCol: String, idCol: String,
+      rankCol: String, k: Int, k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: need at least one ranking")
+    require(k >= 1 && k0 >= 0, s"rrfFuse: need k >= 1 and k0 >= 0, got $k, $k0")
+    val contrib = rankings.map(r =>
+      r.select(col(queryCol).as("query_id"), col(idCol).as("id"),
+        (lit(1.0) / (lit(k0.toDouble) + col(rankCol).cast("double"))).as("__c")))
+      .reduce(_ unionAll _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("__s6").desc, col("id"))
+    contrib.groupBy(col("query_id"), col("id"))
+      .agg(sum(col("__c")).as("__score"))
+      .withColumn("__s6", round(col("__score") + 1e-9, 6))
+      .withColumn("rrf_rank", row_number().over(w).cast("long"))
+      .filter(col("rrf_rank") <= k)
+      .select(col("query_id"), col("rrf_rank"), col("id"),
+        round(col("__score") + 1e-9, 4).as("rrf_score"))
+  }
+
   /** The s04 query set — three fixed multi-term topics over the testdata's
     * fixed vocabulary (non-vacuous at every SF). */
   private val s04Queries = Seq(

@@ -1892,6 +1892,42 @@ object Similarity {
       .orderBy($"qid", $"rk")
   }
 
+  // ---------------------------------------------------------------- s34
+  /** s34: [[Retrieval.rrfFuse]] — reciprocal-rank fusion of two
+    * heterogeneous rankings over the same query set (the hybrid-retrieval
+    * combiner, Cormack et al. 2009): the s01 brute exact-cosine top-10 and
+    * the s10 binary-signature Hamming top-10, fused at k0 = 60 to a top-5.
+    * RRF is rank-based, so the two rankers' incomparable scores (cosine in
+    * [−1, 1] vs integer Hamming distance) need no normalization — exactly
+    * why a production hybrid stack (lexical + dense, or cheap-signature +
+    * exact) reaches for it. The DuckDB twin chains the s01 and s10 ranking
+    * CTEs (both oracle-proven shapes) into the fusion sum; contributions
+    * are 1/(60 + rank) with exact-integer denominators and double addition
+    * is commutative, so the fused score replays bit-exactly. */
+  val s34RrfHybrid: Q = (s, dir) => {
+    import s.implicits._
+    val e = vecs(s, dir)
+    val w = Window.partitionBy($"query_id").orderBy($"cos6".desc, $"vec_id")
+    val cosR = broadcast(
+        e.filter($"vec_id" < 20)
+          .select($"vec_id".as("query_id"), $"v".as("qv"), $"nrm".as("qn")))
+      .join(e, $"query_id" =!= $"vec_id")
+      .withColumn("cos6", round(dot($"qv", $"v") / ($"qn" * $"nrm"), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 10).select($"query_id", $"vec_id".as("id"), $"rank")
+    val eb = withBinarySig(e, "v").select($"vec_id", $"sig0", $"sig1")
+    val wh = Window.partitionBy($"query_id").orderBy($"hamming", $"vec_id")
+    val hamR = broadcast(
+        eb.filter($"vec_id" < 20)
+          .select($"vec_id".as("query_id"), $"sig0".as("qs0"), $"sig1".as("qs1")))
+      .join(eb, $"query_id" =!= $"vec_id")
+      .withColumn("hamming", hamming64($"qs0", $"qs1", $"sig0", $"sig1"))
+      .withColumn("rank", row_number().over(wh).cast("long"))
+      .filter($"rank" <= 10).select($"query_id", $"vec_id".as("id"), $"rank")
+    Retrieval.rrfFuse(Seq(cosR, hamR), "query_id", "id", "rank", k = 5)
+      .orderBy($"query_id", $"rrf_rank")
+  }
+
   // ----------------------------------------------------------- recall / s12
   /** Per-query recall@k of an approximate result against ground truth: both
     * frames are (queryCol, idCol) rankings; recall = |approx ∩ truth| / k.
@@ -2492,7 +2528,8 @@ object Similarity {
     "s30_top_component" -> s30TopComponent,
     "s31_abtt_residual" -> s31AbttResidual,
     "s32_abtt_knn" -> s32AbttKnn,
-    "s33_ann_probe_gain" -> s33AnnProbeGain)
+    "s33_ann_probe_gain" -> s33AnnProbeGain,
+    "s34_rrf_hybrid" -> s34RrfHybrid)
 
   /** Generated DuckDB twin of [[s21IvfPqRecall]]: stages the entire
     * deterministic IVF-PQ pipeline — coarse Lloyd with re-normalized
@@ -3213,6 +3250,44 @@ object Similarity {
           |             c.vec_id) AS BIGINT) AS rk
           | FROM tn q JOIN tn c ON q.vec_id < 20 AND q.vec_id <> c.vec_id) z
           |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin),
+    // the s01 cosine-top-10 and s10 hamming-top-10 CTEs chained into the
+    // RRF sum: 1/(60+rank) contributions (exact-integer denominators,
+    // commutative double addition), round-6 rank with id ties
+    "s34_rrf_hybrid" ->
+      (vecsCte +
+        """, sig AS (
+          |  SELECT vec_id,
+          |   CAST(list_sum(list_transform(range(0,32), d ->
+          |     CASE WHEN v[d+1] > 0 THEN (CAST(1 AS BIGINT) << d) ELSE 0 END)) AS BIGINT) AS s0,
+          |   CAST(list_sum(list_transform(range(32,64), d ->
+          |     CASE WHEN v[d+1] > 0 THEN (CAST(1 AS BIGINT) << (d-32)) ELSE 0 END)) AS BIGINT) AS s1
+          |  FROM e),
+          | cr AS (
+          |  SELECT query_id, id, r FROM (
+          |   SELECT q.vec_id AS query_id, e2.vec_id AS id,
+          |    CAST(row_number() OVER (PARTITION BY q.vec_id
+          |      ORDER BY round(list_dot_product(q.v, e2.v) / (q.nrm * e2.nrm), 6) DESC,
+          |               e2.vec_id) AS BIGINT) AS r
+          |   FROM e q JOIN e e2 ON q.vec_id < 20 AND q.vec_id <> e2.vec_id) t
+          |  WHERE r <= 10),
+          | hr AS (
+          |  SELECT query_id, id, r FROM (
+          |   SELECT q.vec_id AS query_id, c.vec_id AS id,
+          |    CAST(row_number() OVER (PARTITION BY q.vec_id
+          |      ORDER BY bit_count(xor(q.s0, c.s0)) + bit_count(xor(q.s1, c.s1)),
+          |               c.vec_id) AS BIGINT) AS r
+          |   FROM sig q JOIN sig c ON q.vec_id < 20 AND q.vec_id <> c.vec_id) t
+          |  WHERE r <= 10),
+          | fused AS (
+          |  SELECT query_id, id, sum(1.0 / (60 + r)) AS score
+          |  FROM (SELECT * FROM cr UNION ALL SELECT * FROM hr) u
+          |  GROUP BY query_id, id)
+          |SELECT query_id, rrf_rank, id, round(score + 1e-9, 4) AS rrf_score FROM (
+          | SELECT query_id, id, score,
+          |  CAST(row_number() OVER (PARTITION BY query_id
+          |    ORDER BY round(score + 1e-9, 6) DESC, id) AS BIGINT) AS rrf_rank
+          | FROM fused) t
+          |WHERE rrf_rank <= 5 ORDER BY query_id, rrf_rank""".stripMargin),
     "s15_kmeans" -> kmeansSql(k = 4, iters = 2, dim = 64),
     "s27_kmeans_spherical" -> kmeansSql(k = 4, iters = 2, dim = 64,
       spherical = true),

@@ -74,6 +74,30 @@ class RetrievalSpec extends SparkSpec {
       s"postings scan must carry the pushed query-vocabulary filter:\n$scan")
   }
 
+  test("rrfFuse: hand-computed fusion, partial rankings, consensus beats a single head") {
+    // two rankers over one query; doc 30 is mid-ranked by BOTH, doc 10/20
+    // each top ONE ranker only. At k0=60: doc30 = 1/62+1/62 ≈ 0.0323 beats
+    // doc10 = 1/61 ≈ 0.0164 and doc20 = 1/61 — the consensus property RRF
+    // exists for. doc40 appears in ranking A only (partial coverage).
+    val ra = Seq((1L, 10L, 1L), (1L, 30L, 2L), (1L, 40L, 3L))
+      .toDF("qid", "doc", "rk")
+    val rb = Seq((1L, 20L, 1L), (1L, 30L, 2L))
+      .toDF("qid", "doc", "rk")
+    val got = Retrieval.rrfFuse(Seq(ra, rb), "qid", "doc", "rk", k = 4)
+      .select($"rrf_rank", $"id", $"rrf_score")
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    def s(ranks: Seq[Long]) =
+      BigDecimal(ranks.map(r => 1.0 / (60.0 + r)).sum + 1e-9)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.map(t => (t._1, t._2)) ==
+      Seq((1L, 30L), (2L, 10L), (3L, 20L), (4L, 40L)),
+      s"consensus doc must fuse on top, ties by id: $got")
+    assert(got.map(_._3) == Seq(s(Seq(2, 2)), s(Seq(1)), s(Seq(1)), s(Seq(3))),
+      s"scores must be the exact reciprocal-rank sums: $got")
+    // doc 10 vs doc 20: identical score 1/61 — the id tie-break ordered them
+    assert(got(1)._3 == got(2)._3)
+  }
+
   test("bm25 plan: query side broadcasts, no all-pairs join") {
     val df = Retrieval.s04Bm25(spark, dir)
     val p = df.queryExecution.executedPlan.toString
