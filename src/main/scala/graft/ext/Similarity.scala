@@ -2160,6 +2160,60 @@ object Similarity {
     } finally e.unpersist(false)
   }
 
+  /** Greedy k-center picks — farthest-point traversal (Gonzalez, "Clustering
+    * to minimize the maximum intercluster distance", TCS 1985): start from
+    * the lowest-id vector, then repeatedly pick the point MAXIMIZING its
+    * min squared distance to the already-picked set (raw-double argmax
+    * with id tie-break — the [[kmeansFitPp]] staging minus the sampling
+    * randomization, so the same cross-engine determinism argument holds).
+    * The 2-approximation to the k-center objective and the
+    * coverage-maximizing diversity sampler a curation pipeline uses where
+    * [[graft.ext.CurationOps.coresetSample]] picks DENSITY representatives:
+    * k-center picks spread to the corpus EXTREMES, bounding every point's
+    * distance to its nearest representative.
+    *
+    * Scale shape: k−1 argmax jobs over a persisted narrow frame, each a
+    * shuffle-free scan + TakeOrdered(1) against plan-literal picks;
+    * driver state is k vectors (the kmeans k×dim discipline). Returns the
+    * picks in selection order. */
+  def kCenterPicks(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): Seq[(Long, Array[Double])] = {
+    require(k >= 1, s"k >= 1, got $k")
+    val sp = df.sparkSession
+    import sp.implicits._
+    val e = df.select(col(idCol).cast("long").as("__id"),
+      asDouble(col(vecCol)).as("__v")).persist()
+    try {
+      val first = e.orderBy(col("__id")).limit(1)
+        .select(col("__id"), col("__v")).as[(Long, Seq[Double])].head()
+      var picks = Seq((first._1, first._2.toArray))
+      for (_ <- 1 until k) {
+        val dmin = kmeansPick(picks.map(_._2), col("__v")).getField("d")
+        val next = e.withColumn("__score", dmin)
+          .orderBy(col("__score").desc, col("__id").asc)
+          .select(col("__id"), col("__v")).as[(Long, Seq[Double])].head()
+        picks = picks :+ ((next._1, next._2.toArray))
+      }
+      picks
+    } finally { e.unpersist(false); () }
+  }
+
+  // ---------------------------------------------------------------- s35
+  /** s35: [[kCenterPicks]] at k = 8 over the whole corpus, then every
+    * vector assigned to its nearest pick ([[kmeansAssign]] against the
+    * plan-literal picks) — (vec_id, center = pick index, dist2). The
+    * DuckDB twin stages the k−1 greedy argmaxes exactly like the s16
+    * kmeans++ init CTEs (min-d2 fold per staged pick set, ORDER BY dmin
+    * DESC with vec_id ties) and replays the struct-min assignment. */
+  val s35KCenter: Q = (s, dir) => {
+    import s.implicits._
+    val e = vecs(s, dir)
+    val picks = kCenterPicks(e, "vec_id", "v", k = 8)
+    kmeansAssign(e, "vec_id", "v", picks.map(_._2))
+      .select($"vec_id", $"cluster".as("center"), $"dist2")
+      .orderBy($"vec_id")
+  }
+
   /** (d2, cluster) argmin against plan-literal centroids: lexicographic
     * `array_min` over (distance, index) structs — equal distances resolve
     * to the lower index in both engines. d2 is the fixed-shape expansion
@@ -2529,7 +2583,8 @@ object Similarity {
     "s31_abtt_residual" -> s31AbttResidual,
     "s32_abtt_knn" -> s32AbttKnn,
     "s33_ann_probe_gain" -> s33AnnProbeGain,
-    "s34_rrf_hybrid" -> s34RrfHybrid)
+    "s34_rrf_hybrid" -> s34RrfHybrid,
+    "s35_kcenter" -> s35KCenter)
 
   /** Generated DuckDB twin of [[s21IvfPqRecall]]: stages the entire
     * deterministic IVF-PQ pipeline — coarse Lloyd with re-normalized
@@ -2821,6 +2876,35 @@ object Similarity {
            | round(list_dot_product(e.v, fin.v) - list_dot_product(mu.m, fin.v)
            |   + 1e-9, 4) + 0.0 AS proj
            |FROM e, fin, mu ORDER BY e.vec_id""".stripMargin)
+  }
+
+  /** Generated DuckDB twin of [[s35KCenter]]: the greedy farthest-point
+    * picks staged like kmeansSql's ++-init (one min-d2 fold + argmax CTE
+    * pair per pick), then the struct-min assignment against the final
+    * pick set. */
+  private def kCenterSql(k: Int): String = {
+    def d2(v: String, cv: String) =
+      s"(list_dot_product($v, $v) - 2 * list_dot_product($v, $cv)) + list_dot_product($cv, $cv)"
+    val picks = (1 until k).map { j =>
+      s""" p$j AS MATERIALIZED (
+         |  SELECT t.vec_id, t.v, min(${d2("t.v", "c.v")}) AS dmin
+         |  FROM e t, i${j - 1} c GROUP BY t.vec_id, t.v),
+         | n$j AS MATERIALIZED (
+         |  SELECT CAST($j AS INTEGER) AS cl, v FROM p$j
+         |  ORDER BY dmin DESC, vec_id LIMIT 1),
+         | i$j AS MATERIALIZED (
+         |  SELECT cl, v FROM i${j - 1} UNION ALL SELECT cl, v FROM n$j),""".stripMargin
+    }.mkString("\n")
+    vecsCte +
+      s""", i0 AS MATERIALIZED (
+         |  SELECT CAST(0 AS INTEGER) AS cl, v FROM e ORDER BY vec_id LIMIT 1),
+         |$picks
+         | fin AS (
+         |  SELECT e.vec_id, min({'d': ${d2("e.v", "c.v")}, 'c': c.cl}) AS p
+         |  FROM e, i${k - 1} c GROUP BY e.vec_id)
+         |SELECT vec_id, CAST((p).c AS BIGINT) AS center,
+         | round((p).d + 1e-9, 4) + 0.0 AS dist2
+         |FROM fin ORDER BY vec_id""".stripMargin
   }
 
   private[ext] def kmeansSql(k: Int, iters: Int, dim: Int,
@@ -3288,6 +3372,10 @@ object Similarity {
           |    ORDER BY round(score + 1e-9, 6) DESC, id) AS BIGINT) AS rrf_rank
           | FROM fused) t
           |WHERE rrf_rank <= 5 ORDER BY query_id, rrf_rank""".stripMargin),
+    // the s16 kmeans++ staging minus the sampling randomization: k−1
+    // greedy argmax picks (min-d2 fold per staged pick set, dmin DESC with
+    // vec_id ties), then the struct-min assignment over the final picks
+    "s35_kcenter" -> kCenterSql(k = 8),
     "s15_kmeans" -> kmeansSql(k = 4, iters = 2, dim = 64),
     "s27_kmeans_spherical" -> kmeansSql(k = 4, iters = 2, dim = 64,
       spherical = true),

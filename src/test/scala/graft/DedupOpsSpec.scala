@@ -1628,6 +1628,32 @@ class DedupOpsSpec extends SparkSpec {
       s"probing must lift mean recall@5 substantially: $meanEx -> $meanPr")
   }
 
+  test("kCenterPicks: farthest-point traversal covers the extremes before densifying") {
+    // a tight blob at the origin (ids 0..9) plus three distant outposts:
+    // k-center must pick the start (lowest id) then ALL THREE outposts —
+    // by decreasing distance — before any second blob member (the
+    // coverage-vs-density contrast with coresetSample, which picks
+    // nearest-to-centroid representatives)
+    val blob = (0L to 9L).map(i =>
+      (i, Seq((i % 3).toFloat * 0.01f, (i % 2).toFloat * 0.01f)))
+    val outposts = Seq(
+      (100L, Seq(10.0f, 0.0f)), (101L, Seq(0.0f, 20.0f)),
+      (102L, Seq(-30.0f, -30.0f)))
+    val pts = (blob ++ outposts).toDF("vec_id", "v")
+    val picks = Similarity.kCenterPicks(pts, "vec_id", "v", k = 4)
+    assert(picks.map(_._1) == Seq(0L, 102L, 101L, 100L),
+      s"start at the lowest id, then outposts by decreasing distance: " +
+        s"${picks.map(_._1)}")
+    // assignment: every blob point lands on center 0, outposts on themselves
+    val asg = Similarity.kmeansAssign(pts, "vec_id", "v", picks.map(_._2))
+      .select($"vec_id", $"cluster").as[(Long, Long)].collect().toMap
+    (0L to 9L).foreach(i => assert(asg(i) == 0L, s"blob $i -> ${asg(i)}"))
+    assert(asg(102L) == 1L && asg(101L) == 2L && asg(100L) == 3L)
+    // determinism across partitionings (the argmax is a global TakeOrdered)
+    val picks3 = Similarity.kCenterPicks(pts.repartition(3), "vec_id", "v", k = 4)
+    assert(picks3.map(_._1) == picks.map(_._1))
+  }
+
   test("clusterQuality: tight well-separated clusters score near-1 silhouette; counts and inertia check out") {
     val pts = Seq(
       (0L, Seq(0.0f, 0.0f)), (2L, Seq(0.2f, 0.0f)), (4L, Seq(0.0f, 0.2f)),
