@@ -297,6 +297,25 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- c19
+  /** c19: [[CurationOps.sampleWeighted]] fed by [[CurationOps
+    * .softDedupWeights]] — the composition c17's scaladoc promises: a
+    * 100-doc mass-proportional sample (Efraimidis–Spirakis order
+    * statistic, deterministic md5-derived uniforms) over the 1/|near-dup
+    * cluster| weights, so each duplicated content unit contributes ~one
+    * document in expectation while every variant stays eligible. The
+    * DuckDB twin rides the whole c17 chain (simhash pairs → recursive
+    * components → group sizes → weights) and replays the key:
+    * round(pow(u, 1/w) + 1e-9, 6), wkey DESC with doc-id ties, LIMIT 100. */
+  val c19WeightedSample: Q = (s, dir) => {
+    import s.implicits._
+    val weighted = CurationOps.softDedupWeights(docs(s, dir), "doc_id",
+      Dedup.sigPairs(s, dir), "id_a", "id_b")
+    CurationOps.sampleWeighted(weighted, "doc_id", "weight", n = 100)
+      .select($"sample_rank", $"doc_id", $"dup_group", $"weight", $"wkey")
+      .orderBy($"sample_rank")
+  }
+
   // ---------------------------------------------------------------- c18
   /** Cluster-balanced coreset over the s15 k-means structure — the oracle
     * row for [[CurationOps.coresetSample]]: fit the pinned deterministic
@@ -386,6 +405,7 @@ object Curation {
     "c12_perplexity_buckets" -> c12PerplexityBuckets,
     "c11_leakage_split" -> c11LeakageSplit,
     "c17_soft_dedup_weights" -> c17SoftDedupWeights,
+    "c19_weighted_sample" -> c19WeightedSample,
     "c18_coreset_sample" -> c18CoresetSample,
     "c06_decontaminate_bloom" -> c06DecontaminateBloom,
     "c07_temperature_sample" -> c07TemperatureSample,
@@ -402,6 +422,56 @@ object Curation {
       |  SELECT doc_id, lang, source,
       |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS toks
       |  FROM documents)""".stripMargin
+
+  /** The c17 soft-dedup chain (simhash pairs → recursive components →
+    * group sizes → labeled corpus `lab`) — shared by the c17 and c19
+    * twins; ends after the `lab` CTE, no trailing comma. */
+  private val softDedupCte =
+    """WITH RECURSIVE l AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        | t AS (SELECT doc_id, unnest(toks) AS tok FROM l),
+        | h AS (
+        |  SELECT doc_id,
+        |   CAST(CAST(('0x' || substr(md5(tok),1,15)) AS UBIGINT) % 2147483647 AS BIGINT) AS hm
+        |  FROM t),
+        | g AS (SELECT doc_id, hm, count(*) AS cnt FROM h GROUP BY doc_id, hm),
+        | b AS (
+        |  SELECT doc_id, j,
+        |   sum(CASE WHEN (hm >> j) & 1 = 1 THEN cnt ELSE -cnt END) AS sgn
+        |  FROM g, (SELECT unnest(range(0,30)) AS j) GROUP BY doc_id, j),
+        | sig AS (
+        |  SELECT doc_id,
+        |   CAST(sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM b GROUP BY doc_id),
+        | bands AS (
+        |  SELECT doc_id, simhash, bd, (simhash >> (15*bd)) & 32767 AS bv
+        |  FROM sig, (SELECT unnest(range(0,2)) AS bd)),
+        | cand AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |   any_value(a.simhash) AS sa, any_value(b.simhash) AS sb
+        |  FROM bands a JOIN bands b ON a.bd = b.bd AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        | pairs AS (
+        |  SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sa, sb)) <= 1),
+        | e AS (
+        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        | n AS (SELECT DISTINCT src AS id FROM e),
+        | reach(id, r) AS (
+        |  SELECT id, id FROM n
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+        | comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        | sz AS (SELECT component, count(*) AS gsz FROM comp GROUP BY component),
+        | lab AS (
+        |  SELECT d.doc_id,
+        |   CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS dup_group,
+        |   CAST(coalesce(s.gsz, 1) AS BIGINT) AS group_size
+        |  FROM documents d
+        |  LEFT JOIN comp c ON d.doc_id = c.id
+        |  LEFT JOIN sz s ON c.component = s.component)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // integer token counts, a VALUES weight table, floor/DIV/mod plan math
@@ -518,54 +588,31 @@ object Curation {
     // the c11 simhash-pair + recursive-component machinery, then the
     // group-size count and the exact-integer IEEE division
     "c17_soft_dedup_weights" ->
-      """WITH RECURSIVE l AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS toks
-        |  FROM documents),
-        | t AS (SELECT doc_id, unnest(toks) AS tok FROM l),
-        | h AS (
-        |  SELECT doc_id,
-        |   CAST(CAST(('0x' || substr(md5(tok),1,15)) AS UBIGINT) % 2147483647 AS BIGINT) AS hm
-        |  FROM t),
-        | g AS (SELECT doc_id, hm, count(*) AS cnt FROM h GROUP BY doc_id, hm),
-        | b AS (
-        |  SELECT doc_id, j,
-        |   sum(CASE WHEN (hm >> j) & 1 = 1 THEN cnt ELSE -cnt END) AS sgn
-        |  FROM g, (SELECT unnest(range(0,30)) AS j) GROUP BY doc_id, j),
-        | sig AS (
-        |  SELECT doc_id,
-        |   CAST(sum(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
-        |  FROM b GROUP BY doc_id),
-        | bands AS (
-        |  SELECT doc_id, simhash, bd, (simhash >> (15*bd)) & 32767 AS bv
-        |  FROM sig, (SELECT unnest(range(0,2)) AS bd)),
-        | cand AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |   any_value(a.simhash) AS sa, any_value(b.simhash) AS sb
-        |  FROM bands a JOIN bands b ON a.bd = b.bd AND a.bv = b.bv AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id),
-        | pairs AS (
-        |  SELECT doc_a, doc_b FROM cand WHERE bit_count(xor(sa, sb)) <= 1),
-        | e AS (
-        |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |  UNION SELECT doc_b, doc_a FROM pairs),
-        | n AS (SELECT DISTINCT src AS id FROM e),
-        | reach(id, r) AS (
-        |  SELECT id, id FROM n
-        |  UNION
-        |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
-        | comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
-        | sz AS (SELECT component, count(*) AS gsz FROM comp GROUP BY component),
-        | lab AS (
-        |  SELECT d.doc_id,
-        |   CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS dup_group,
-        |   CAST(coalesce(s.gsz, 1) AS BIGINT) AS group_size
-        |  FROM documents d
-        |  LEFT JOIN comp c ON d.doc_id = c.id
-        |  LEFT JOIN sz s ON c.component = s.component)
-        |SELECT doc_id, dup_group, group_size,
-        | CAST(1 AS DOUBLE) / group_size AS weight
-        |FROM lab ORDER BY doc_id""".stripMargin,
+      (softDedupCte +
+        """
+          |SELECT doc_id, dup_group, group_size,
+          | CAST(1 AS DOUBLE) / group_size AS weight
+          |FROM lab ORDER BY doc_id""".stripMargin),
+    // the whole c17 chain + the Efraimidis-Spirakis order-statistic key
+    "c19_weighted_sample" ->
+      (softDedupCte +
+        """,
+          | wt AS (
+          |  SELECT doc_id, dup_group,
+          |   CAST(1 AS DOUBLE) / group_size AS weight
+          |  FROM lab),
+          | keyed AS (
+          |  SELECT doc_id, dup_group, weight,
+          |   round(pow(
+          |     (CAST(CAST(('0x' || substr(md5('ws:' || doc_id),1,15)) AS UBIGINT)
+          |       % 1048576 + 1 AS DOUBLE)) / 1048576.0,
+          |     1.0 / weight) + 1e-9, 6) AS wkey
+          |  FROM wt),
+          | top AS (
+          |  SELECT * FROM keyed ORDER BY wkey DESC, doc_id LIMIT 100)
+          |SELECT CAST(row_number() OVER (ORDER BY wkey DESC, doc_id) AS BIGINT)
+          |  AS sample_rank, doc_id, dup_group, weight, wkey
+          |FROM top ORDER BY sample_rank""".stripMargin),
     "c01_decontaminate" ->
       (toksCte +
         """, g AS (

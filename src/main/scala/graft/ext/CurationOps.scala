@@ -580,6 +580,41 @@ object CurationOps {
       .filter(col("coreset_rank") <= perCluster)
   }
 
+  /** Weighted sample WITHOUT replacement (Efraimidis & Spirakis, "Weighted
+    * random sampling with a reservoir", IPL 2006): keep the `n` rows with
+    * the largest order-statistic key `u^(1/w)`, where `u` is a
+    * DETERMINISTIC per-id uniform in (0, 1] derived from the md5-based
+    * [[TextOps.h60]] over `"<salt>:<id>"` (the kmeans++ sampling recipe) —
+    * each row's inclusion probability is mass-proportional to its weight,
+    * replayable in any engine, and the whole draw is one ranking, no
+    * sequential reservoir. THE consumer [[softDedupWeights]]'s scaladoc
+    * promises: feeding its 1/|cluster| weights here yields a sample where
+    * each duplicated content unit contributes ~one document in
+    * expectation while every variant stays eligible.
+    *
+    * Determinism contract: the key is round(pow(u, 1/w) + 1e-9, 6) with
+    * id tie-break — the round-6 guard absorbs the last-ulp `pow`
+    * differences between engines. Weights must be > 0 (a zero weight has
+    * no order statistic: pow(u, ∞) is 0 or NaN).
+    *
+    * Scale shape: one shuffle-free key projection, then
+    * TakeOrderedAndProject(n) — k rows cross the wire; the rank column is
+    * a window over the already-bounded n-row result. */
+  def sampleWeighted(df: DataFrame, idCol: String, weightCol: String,
+      n: Int, salt: String = "ws"): DataFrame = {
+    require(n >= 1, s"n >= 1, got $n")
+    val u = ((h60(concat(lit(s"$salt:"), col(idCol).cast("string")))
+      % 1048576L + 1L).cast("double")) / lit(1048576.0)
+    val top = df
+      .withColumn("__wkey",
+        round(pow(u, lit(1.0) / col(weightCol).cast("double")) + 1e-9, 6))
+      .orderBy(col("__wkey").desc, col(idCol).asc)
+      .limit(n)
+    top.withColumn("sample_rank", row_number().over(
+        Window.orderBy(col("__wkey").desc, col(idCol).asc)).cast("long"))
+      .withColumnRenamed("__wkey", "wkey")
+  }
+
   /** Soft deduplication — down-WEIGHT duplicates instead of dropping them:
     * every document gets `weight = 1 / |its near-dup cluster|`, so each
     * duplicated content unit contributes one document's worth of training

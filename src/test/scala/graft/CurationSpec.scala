@@ -547,4 +547,30 @@ class CurationSpec extends SparkSpec {
       ("b", 20L, 25L, 1L, 0.25),
       ("c", 10L, 0L, 0L, 0.0)), s"got $got")
   }
+
+  test("sampleWeighted: Efraimidis-Spirakis order statistic, hand-replayed; mass follows weight") {
+    import graft.ext.{CurationOps, TextOps}
+    // ids 0..19 with weight 1.0 (unique docs), ids 100..119 with weight
+    // 0.05 (a 20-member near-dup cluster under softDedupWeights' 1/|c|)
+    val rows = (0L until 20L).map(i => (i, 1.0)) ++
+      (100L until 120L).map(i => (i, 0.05))
+    val df = rows.toDF("id", "w")
+    def key(id: Long, w: Double): Double = {
+      val u = ((TextOps.h60Local(s"ws:$id") % 1048576L) + 1L).toDouble / 1048576.0
+      BigDecimal(math.pow(u, 1.0 / w) + 1e-9)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = rows.sortBy { case (id, w) => (-key(id, w), id) }
+      .take(12).map(_._1)
+    val got = CurationOps.sampleWeighted(df, "id", "w", n = 12)
+      .orderBy($"sample_rank").select($"id").as[Long].collect().toSeq
+    assert(got == expected, s"selection must replay the E-S key exactly:\n$got\nvs\n$expected")
+    // mass-proportionality: the 20x-downweighted cluster contributes ~1
+    // doc in expectation to a 12-of-40 draw — far fewer than its 6-member
+    // uniform share. Deterministic given the fixed hash, and robust: a
+    // w=0.05 key is u^20, astronomically unlikely to crack a top-12 of
+    // u^1 keys.
+    val heavy = got.count(_ >= 100L)
+    assert(heavy <= 2, s"downweighted cluster must be rare in the sample: $got")
+  }
 }
