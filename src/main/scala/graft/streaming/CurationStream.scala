@@ -642,6 +642,23 @@ object CurationStream {
       .distinct())
   }
 
+  /** |cos| between two fitted components — the drift gauge between two
+    * [[topComponentReport]] points (sign-invariant: a power iteration may
+    * converge to ±v, which is the same direction). 1.0 = the common
+    * direction is unchanged; a falling value is the corpus-drift alarm the
+    * monitor exists for (re-fit per report, compare against the previous
+    * report's component, alert under a threshold). */
+  def componentDrift(a: Array[Double], b: Array[Double]): Double = {
+    require(a.length == b.length && a.nonEmpty,
+      s"componentDrift: incompatible components (${a.length} vs ${b.length})")
+    def dot(x: Array[Double], y: Array[Double]): Double = {
+      var acc = 0.0; var d = 0
+      while (d < x.length) { acc += x(d) * y(d); d += 1 }
+      acc
+    }
+    math.abs(dot(a, b) / math.sqrt(dot(a, a) * dot(b, b)))
+  }
+
   /** Driver-side benchmark hash set from a static benchmark table — the
     * exact form only; callers that cannot bound the eval suite should use
     * [[benchmarkGrams]], which switches to the Bloom form past

@@ -466,6 +466,25 @@ class PlanSpec extends SparkSpec {
       "both percentile plans must return identical rows")
   }
 
+  test("s34/s35/c19: fusion and sampling plans keep their scale shapes") {
+    // s34: both ranking sides broadcast their query slice; no all-pairs
+    val p34 = plan("s34_rrf_hybrid")
+    assert("BroadcastHashJoin|BroadcastNestedLoopJoin".r.findAllIn(p34).size >= 2,
+      s"both rankers' query sides must broadcast:\n$p34")
+    assert(!p34.contains("CartesianProduct"), "fusion must not cross-product")
+    // s35: the returned assignment is a shuffle-free projection against
+    // plan-literal picks — no joins, no aggregates (the k−1 argmax jobs ran
+    // eagerly at build time via TakeOrdered, outside this plan)
+    val p35 = plan("s35_kcenter")
+    assert(!p35.contains("Join") && !p35.contains("HashAggregate"),
+      s"k-center assignment must be a pure projection:\n$p35")
+    // c19: the draw is TakeOrderedAndProject — n rows cross the wire, not
+    // a global sort of the corpus
+    val p19 = plan("c19_weighted_sample")
+    assert(p19.contains("TakeOrderedAndProject"),
+      s"the weighted draw must plan as top-n:\n$p19")
+  }
+
   test("adaptive-banding corpus count is memoized: repeat query builds run zero count jobs") {
     // round-15 verdict #3: s02/s12/s26/s29's width probes each paid one
     // exact count() job per invocation on the same unchanged dir. After one

@@ -1060,6 +1060,31 @@ class StreamingPipelineSpec extends SparkSpec {
       Files.createTempDirectory("tc_empty").toString, "vec_id", "v").isEmpty)
   }
 
+  test("component drift monitor: a rotated dominant direction moves the gauge off 1.0") {
+    import graft.streaming.CurationStream
+    val dir = Files.createTempDirectory("tc_drift").toString
+    // batch 0: variance dominated by dim 0; batch 1 floods in points whose
+    // variance lives on dim 1 — the refreshed fit must rotate
+    val b0 = (0 until 20).map(i =>
+      (i.toLong, Seq((i - 10).toFloat, 0.1f * (i % 3), 0f, 0f)))
+      .toDF("vec_id", "v")
+    val b1 = (20 until 80).map(i =>
+      (i.toLong, Seq(0.1f * (i % 3), (i - 50).toFloat * 2f, 0f, 0f)))
+      .toDF("vec_id", "v")
+    CurationStream.topComponentBatch(dir, "vec_id", "v", sampleMax = 256L)(b0, 0L)
+    val fit0 = CurationStream.topComponentReport(spark, dir, "vec_id", "v").get._2
+    assert(CurationStream.componentDrift(fit0, fit0) == 1.0,
+      "identical fits must gauge exactly 1.0 (sign-invariant |cos|)")
+    CurationStream.topComponentBatch(dir, "vec_id", "v", sampleMax = 256L)(b1, 1L)
+    val fit1 = CurationStream.topComponentReport(spark, dir, "vec_id", "v").get._2
+    val drift = CurationStream.componentDrift(fit0, fit1)
+    assert(drift < 0.5,
+      s"the dominant direction rotated ~90 degrees; the gauge must fall: $drift")
+    // sign-invariance: the gauge must not alarm on a power iteration that
+    // converged to -v
+    assert(CurationStream.componentDrift(fit1, fit1.map(-_)) == 1.0)
+  }
+
   test("compactCounts sum-merges committed count partitions; report unchanged") {
     import graft.streaming.CurationStream
     import graft.ext.CurationOps
