@@ -45,29 +45,29 @@ STOP = ["the", "a", "of", "and", "to", "in", "is",
 SHIFT = {
     "region": None,   # dims: copied, not replicated
     "nation": None,
-    "customer": "c_custkey + {i}*%d AS c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment" % OFF,
-    "supplier": "s_suppkey + {i}*%d AS s_suppkey, s_name, s_nationkey, s_acctbal" % OFF,
-    "part": "p_partkey + {i}*%d AS p_partkey, p_name, p_brand, p_type, p_size, p_retailprice" % OFF,
+    "customer": "c_custkey + {i}::BIGINT*%d AS c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment" % OFF,
+    "supplier": "s_suppkey + {i}::BIGINT*%d AS s_suppkey, s_name, s_nationkey, s_acctbal" % OFF,
+    "part": "p_partkey + {i}::BIGINT*%d AS p_partkey, p_name, p_brand, p_type, p_size, p_retailprice" % OFF,
     # timestamps: ::TIMESTAMPTZ so parquet records isAdjustedToUTC like the
     # driver's generator — DuckDB's plain TIMESTAMP lands as TIMESTAMP_NTZ in
     # Spark, where unix_micros()/window() then fail to resolve
-    "orders": ("o_orderkey + {i}*%d AS o_orderkey, o_custkey + {i}*%d AS o_custkey, "
+    "orders": ("o_orderkey + {i}::BIGINT*%d AS o_orderkey, o_custkey + {i}::BIGINT*%d AS o_custkey, "
                "o_orderstatus, o_totalprice, o_orderdate::TIMESTAMPTZ AS o_orderdate, "
                "o_orderpriority") % (OFF, OFF),
-    "lineitem": ("l_orderkey + {i}*%d AS l_orderkey, l_partkey + {i}*%d AS l_partkey, "
-                 "l_suppkey + {i}*%d AS l_suppkey, l_linenumber, l_quantity, l_extendedprice, "
+    "lineitem": ("l_orderkey + {i}::BIGINT*%d AS l_orderkey, l_partkey + {i}::BIGINT*%d AS l_partkey, "
+                 "l_suppkey + {i}::BIGINT*%d AS l_suppkey, l_linenumber, l_quantity, l_extendedprice, "
                  "l_discount, l_tax, l_returnflag, l_linestatus, "
                  "l_shipdate::TIMESTAMPTZ AS l_shipdate") % (OFF, OFF, OFF),
-    "events": ("event_id + {i}*%d AS event_id, ts::TIMESTAMPTZ AS ts, "
-               "user_id + {i}*%d AS user_id, "
+    "events": ("event_id + {i}::BIGINT*%d AS event_id, ts::TIMESTAMPTZ AS ts, "
+               "user_id + {i}::BIGINT*%d AS user_id, "
                "event_type, value, props") % (OFF, OFF),
-    "documents": ("doc_id + {i}*%d AS doc_id, "
+    "documents": ("doc_id + {i}::BIGINT*%d AS doc_id, "
                   "CASE WHEN {i} = 0 THEN text ELSE array_to_string("
                   " list_transform(string_split_regex(text, '\\s+'),"
                   "  t -> CASE WHEN length(t) = 0 OR list_contains($stop, t) THEN t"
                   "       ELSE 'r{i}' || t END), ' ') END AS text, "
                   "lang, source, n_chars") % OFF,
-    "embeddings": ("vec_id + {i}*%d AS vec_id, "
+    "embeddings": ("vec_id + {i}::BIGINT*%d AS vec_id, "
                    "CASE WHEN {i} = 0 THEN embedding ELSE "
                    " (embedding[({i} %% len(embedding)) + 1:] || "
                    "  embedding[1:({i} %% len(embedding))])::FLOAT[] END AS embedding, "
