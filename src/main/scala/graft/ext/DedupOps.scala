@@ -1027,13 +1027,13 @@ object DedupOps {
     * (measured: s26 at fixed 4×4 banding ran 2.3 s on sf0.1 and 49.9 s on
     * the 10× scale-up — a 21.7× ratio). Widening the signature by
     * ceil(log2(n / targetBucket)) bits holds E[bucket] ≈ targetBucket, so
-    * candidates grow ≈ n · targetBucket — linear. One exact count() job
-    * decides the width (metadata-fast on parquet); the tradeoff is the
+    * candidates grow ≈ n · targetBucket — linear. The count is served by
+    * [[graft.Tables.cachedCount]] when the caller passes `knownCount`; the tradeoff is the
     * S-curve shifting right as bands widen (per-pair collision probability
     * p^w), i.e. the graph finds only CLOSER neighbors at bigger n — the
     * standard LSH contract, measured per-banding by the s29 recall row. */
   def knnGraphAuto(df: DataFrame, idCol: String, vecCol: String, k: Int,
-      bands: Int = 4, targetBucket: Long = 128L, dim: Int = 64,
+      bands: Int = 4, targetBucket: Long = 32L, dim: Int = 64,
       probes: Int = KnnGraphProbes, knownCount: Option[Long] = None): DataFrame = {
     // `knownCount` lets callers reading a stable table pass the memoized
     // [[graft.Tables.cachedCount]] so repeat invocations run zero count jobs
@@ -1051,11 +1051,15 @@ object DedupOps {
     * same recall with more/narrower bands multiplies candidates by the band
     * count and shifts the S-curve with n. Measured by the s29 recall row at
     * the production banding (the config s26 actually serves): mean recall@3
-    * 0.44 → 0.90 at the driver gate scales. The `targetBucket = 128`
-    * default pairs with it so TOTAL candidate volume (1+probes)·E[bucket]
-    * ≈ 384 stays at-or-below the old exact-only 512 — measured at the 10×
-    * scale-up: probes=2 at target 512 ran 85 s where target 128 runs
-    * 14 s, matching the exact-only plan's time with 2× the recall. */
+    * 0.44 → 0.90 at the driver gate scales. The `targetBucket = 32`
+    * default pairs with it so TOTAL per-vector candidate volume
+    * bands·(1+probes)·2·E[bucket] ≈ 768 stays well below the old
+    * exact-only design (~4096/vector at target 512): measured at the 10×
+    * scale-up probes=2 at target 512 ran 85 s where the shrunken bucket
+    * runs at the exact-only plan's time with 2× the recall; at the 100×
+    * scale-up (200k vectors) the target-128 constant still spilled local
+    * shuffle disk, where target 32 — the same linear-in-n volume at a
+    * quarter the constant — survives. */
   val KnnGraphProbes: Int = 2
 
   /** Quality-aware near-dup resolution: keep the BEST-scoring member of

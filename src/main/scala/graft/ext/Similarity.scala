@@ -1638,14 +1638,15 @@ object Similarity {
   // ---------------------------------------------------------------- s26
   /** s26: [[DedupOps.knnGraphAuto]] over the whole corpus — every vector's
     * top-3 exact-cosine neighbors among its banded-LSH candidates (4 bands
-    * of SIZE-ADAPTIVE width: ceil(log2(n/512)) hyperplane bits, floor 4 —
+    * of SIZE-ADAPTIVE width: ceil(log2(n/32)) hyperplane bits, floor 4 —
     * the [[DedupOps.lshParts]] blocking symmetrized). Unlike s01/s02 the
     * corpus ranks against ITSELF — the primitive under NN-descent,
     * graph-ANN serving, and neighborhood diversity audits. The width must
     * scale with the corpus: frozen 4-bit bands measured 2.3 s at sf0.1 but
     * 49.9 s on the 10× scale-up (bucket sizes grow linearly, candidates
-    * quadratically); the adaptive width holds E[bucket] ≈ 512 and
-    * candidate volume ≈ n·512 — linear. Served MULTI-PROBE (round-16: the
+    * quadratically); the adaptive width holds E[bucket] ≈ 32 and
+    * candidate volume linear in n at a constant the 100× scale-up fits
+    * in local shuffle disk. Served MULTI-PROBE (round-16: the
     * [[DedupOps.KnnGraphProbes]] = 2 weakest-margin bit flips per band
     * also probe the exact index — mean recall@3 0.44 → ≈0.9 on the s29
     * gauge at a constant 3× candidate factor). The DuckDB twin derives
@@ -1721,7 +1722,7 @@ object Similarity {
     import s.implicits._
     val full = Tables.loadSpread(s, dir, "embeddings")
     val pw = DedupOps.adaptivePlanes(
-      Tables.cachedCount(s, dir, "embeddings"), 128L, 4)
+      Tables.cachedCount(s, dir, "embeddings"), 32L, 4)
     val e = vecs(s, dir).filter($"vec_id" < 500)
     val w = Window.partitionBy($"qid").orderBy($"cos6".desc, $"vec_id")
     val truth = broadcast(
@@ -3172,7 +3173,7 @@ object Similarity {
       (vecsCte +
         """, nw AS (
           |  SELECT LEAST(15, GREATEST(4,
-          |   CAST(ceil(log2(count(*) / 128.0)) AS INT))) AS w FROM e),
+          |   CAST(ceil(log2(count(*) / 32.0)) AS INT))) AS w FROM e),
           | hp AS (
           |  SELECT j, d,
           |   (CAST(CAST(('0x' || substr(md5('hp:' || j || ':' || d),1,15)) AS UBIGINT)
@@ -3228,7 +3229,7 @@ object Similarity {
       (vecsCte +
         """, nw AS (
           |  SELECT LEAST(15, GREATEST(4,
-          |   CAST(ceil(log2(count(*) / 128.0)) AS INT))) AS w FROM e),
+          |   CAST(ceil(log2(count(*) / 32.0)) AS INT))) AS w FROM e),
           | es AS (SELECT * FROM e WHERE vec_id < 500),
           | hp AS (
           |  SELECT j, d,
