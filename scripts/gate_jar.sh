@@ -20,7 +20,7 @@ sbt -batch package
 # App artifact only — `ls -t *.jar | head -1` could pick a stale -sources
 # or -javadoc jar from a prior task and quietly validate the wrong build.
 JAR=$(ls -t target/scala-2.13/*_2.13-*.jar 2>/dev/null \
-  | grep -v -e '-sources\.jar$' -e '-javadoc\.jar$' | head -1)
+  | grep -v -e '-sources\.jar$' -e '-javadoc\.jar$' -e '-tests\.jar$' | head -1)
 [ -n "$JAR" ] || { echo "gate_jar: no app jar under target/scala-2.13" >&2; exit 1; }
 SPARK_JARS_DIR=${SPARK_JARS_DIR:-/opt/spark/jars}
 ADD_OPENS=""
