@@ -108,9 +108,14 @@ object Tables {
     val canonical =
       try new java.io.File(dir).getCanonicalPath
       catch { case _: java.io.IOException => dir }
+    // 16 hex chars (64 bits): at 8 (32 bits) a birthday collision between
+    // two data dirs silently reintroduces the cross-dir mutual-eviction /
+    // stale-read bug this hash exists to prevent (round-16 ADVICE #2); the
+    // name-length cost is negligible and the legacy-entry regexes
+    // disambiguate by segment count, not segment length
     java.security.MessageDigest.getInstance("MD5")
       .digest(canonical.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map("%02x".format(_)).mkString.take(8)
+      .map("%02x".format(_)).mkString.take(16)
   }
 
   /** Content-addressed persisted DERIVED table under
@@ -141,10 +146,11 @@ object Tables {
         deleteRecursively(path); tmp.renameTo(path): Unit
       }
       if (tmp.isDirectory) deleteRecursively(tmp)
-      // legacy pre-dirHash entries (`<name>-<32-hex fp>`) are unreachable
-      // under the new naming — clean them up too (first segment length
-      // disambiguates: 8-hex dir hash vs 32-hex fingerprint)
-      val legacy = s"\\Q$name\\E-[0-9a-f]{32}".r
+      // legacy entries are unreachable under the current naming — clean
+      // them up too (segment lengths disambiguate: pre-dirHash rounds wrote
+      // `<name>-<32-hex fp>`, the round-16 8-hex dir hash wrote
+      // `<name>-<8-hex dh>-<32-hex fp>`; current is 16-hex dh + 32-hex fp)
+      val legacy = s"\\Q$name\\E-(?:[0-9a-f]{8}-)?[0-9a-f]{32}".r
       Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
         val n = f.getName
         if ((n.startsWith(s"$name-$dh-") && n != s"$name-$dh-$fp") ||

@@ -605,9 +605,18 @@ object CurationOps {
     require(n >= 1, s"n >= 1, got $n")
     val u = ((h60(concat(lit(s"$salt:"), col(idCol).cast("string")))
       % 1048576L + 1L).cast("double")) / lit(1048576.0)
+    // enforce the documented weight contract at runtime: a zero/negative/
+    // null weight would silently corrupt the draw (a negative exponent
+    // inverts the order statistic; pow(u, 1/0) degenerates to 0/NaN)
+    // instead of failing fast (round-16 ADVICE #1)
+    val wchk = when(col(weightCol).isNull || col(weightCol).cast("double") <= 0.0,
+        raise_error(concat(lit("sampleWeighted: weight must be > 0, got "),
+          coalesce(col(weightCol).cast("string"), lit("null")),
+          lit(" at id "), col(idCol).cast("string"))).cast("double"))
+      .otherwise(col(weightCol).cast("double"))
     val top = df
       .withColumn("__wkey",
-        round(pow(u, lit(1.0) / col(weightCol).cast("double")) + 1e-9, 6))
+        round(pow(u, lit(1.0) / wchk) + 1e-9, 6))
       .orderBy(col("__wkey").desc, col(idCol).asc)
       .limit(n)
     top.withColumn("sample_rank", row_number().over(

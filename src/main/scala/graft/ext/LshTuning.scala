@@ -84,6 +84,84 @@ object LshTuning {
     1.0 - math.acos(c) / math.Pi
   }
 
+  /** Analytic recall model of BUDGETED multi-probe on a single `w`-bit
+    * random-hyperplane signature (the s02 serving shape): for a true
+    * neighbor at cosine `c`, each signature bit disagrees independently
+    * with probability `pFlip = arccos(c)/π` (the complement of
+    * [[hyperplaneAgreement]]). The query probes its exact bucket plus a
+    * family of perturbation subsets of `mBits` candidate bits; the
+    * neighbor is found iff its disagreement set is exactly one of the
+    * probed subsets. Under the a-priori model (no margin information) all
+    * size-`i` subsets are equally likely, each with probability
+    * `pFlip^i · (1 − pFlip)^(w − i)`, so the optimal budget-`t` family is
+    * the first `t` subsets in SIZE order and
+    * `P(found) = (1−p)^w + Σ_{first t subsets} p^|S| (1−p)^(w−|S|)`.
+    * The SERVED family ([[Similarity]]'s margin-ordered probes) is the
+    * data-conditioned refinement — the observed weakest-margin bits are
+    * the MOST likely to disagree (Lv et al., VLDB 2007) — so this model is
+    * a calibrated floor, not an upper bound (measured on the witness
+    * corpus: model 0.45 at the round-16 57-probe config vs measured 0.46).
+    * Exact driver-side math, no data. */
+  def probeModelRecall(t: Int, pFlip: Double, w: Int, mBits: Int): Double = {
+    require(pFlip > 0.0 && pFlip < 1.0, s"pFlip in (0,1): $pFlip")
+    require(w >= 1 && mBits >= 1 && mBits <= w && mBits <= 24,
+      s"need 1 <= mBits <= min(w,24), got w=$w mBits=$mBits")
+    require(t >= 0, s"t >= 0, got $t")
+    var found = math.pow(1.0 - pFlip, w) // the exact bucket
+    var remaining = t.toLong
+    var i = 1
+    while (i <= mBits && remaining > 0) {
+      val classSize = choose(mBits, i)
+      val take = math.min(classSize, remaining)
+      found += take * math.pow(pFlip, i) * math.pow(1.0 - pFlip, w - i)
+      remaining -= take
+      i += 1
+    }
+    found
+  }
+
+  /** Smallest probe budget `t` (non-empty perturbation subsets of the
+    * `mBits` weakest bits) whose [[probeModelRecall]] reaches
+    * `targetRecall` for neighbors at `neighborCos` on a `w`-bit signature
+    * — the closed loop from a STATED recall target to the probe depth the
+    * served config runs (round-16 verdict #1), the way [[tune]] derives
+    * banding from a dedup threshold. Returns the full family size
+    * `2^mBits − 1` when the target is unreachable at this width (the
+    * (1−p)^(w−mBits) mass outside the candidate bits is never probed —
+    * callers should log the achieved [[probeModelRecall]] and route
+    * recall-sensitive use to a multi-band index). Deterministic integer
+    * walk over exact driver-side floats — both engines consume the
+    * resulting budget as a plan constant, never recompute it. */
+  def probeBudget(targetRecall: Double, neighborCos: Double, w: Int,
+      mBits: Int): Int = {
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall in (0,1): $targetRecall")
+    val p = 1.0 - hyperplaneAgreement(neighborCos)
+    require(p > 0.0 && p < 1.0,
+      s"neighborCos $neighborCos maps to degenerate flip probability $p")
+    val full = (1L << mBits) - 1
+    var cum = math.pow(1.0 - p, w)
+    var t = 0L
+    var i = 1
+    while (i <= mBits && cum < targetRecall) {
+      val wgt = math.pow(p, i) * math.pow(1.0 - p, w - i)
+      val classSize = choose(mBits, i)
+      // whole class if it still falls short, else just the needed count
+      val need = math.ceil((targetRecall - cum) / wgt).toLong
+      val take = math.min(classSize, need)
+      cum += take * wgt
+      t += take
+      i += 1
+    }
+    math.min(t, full).toInt
+  }
+
+  private def choose(n: Int, k: Int): Long = {
+    var r = 1L
+    for (i <- 1 to k) r = r * (n - k + i) / i
+    r
+  }
+
   /** [[tune]] for COSINE thresholds on banded random-hyperplane signatures
     * — the seam that closes the clustering/tuning loop (round-13 NEXT #5):
     * banded hyperplane sketches follow the identical OR-of-ANDs S-curve

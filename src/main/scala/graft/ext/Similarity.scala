@@ -19,6 +19,8 @@ import TextOps._
 object Similarity {
   type Q = (SparkSession, String) => DataFrame
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Random-hyperplane count and signature width (8 bits → 256 buckets). */
   private val NPlanes = 8
   private val Dim = 64
@@ -43,21 +45,27 @@ object Similarity {
       when(dot(v, plane) > 0.0d, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  /** QUERY-SIDE multi-probe for the single-band `bucketOf` signature
-    * (Lv et al., "Multi-Probe LSH", VLDB 2007, applied at serve time):
-    * probe the exact bucket, every 1-bit flip, the 2-bit flips of the
-    * `pairBits` weakest-margin bits, and the 3-bit flips of the
-    * `tripleBits` weakest (margin rank on round(|proj|, 6) with bit-index
-    * tie-break — the round-6 cross-engine contract). The CORPUS index is
-    * untouched (each vector sits in exactly its one bucket), so probing
-    * multiplies only the query side: 1 + w + C(pairBits,2) +
-    * C(tripleBits,3) bucket lookups per query, each an equi-join hit on
-    * the static index — the standard way to buy recall on a deployed
-    * single-band index without re-bucketing the corpus. Probed buckets are
-    * pairwise distinct, so no candidate dedup is needed. Two pieces:
-    * [[sortedMarginsOf]] stages the margin-sorted (m, bit, mask) array as
-    * a real column, then [[probeMasksFromSorted]] turns the attribute into
-    * the XOR-mask list the caller explodes. */
+  /** QUERY-SIDE multi-probe for the single-band `bucketOf` signature —
+    * the EXACT budgeted perturbation ranking of Lv et al., "Multi-Probe
+    * LSH", VLDB 2007 (round-17; the round-16 subset heuristic — all
+    * singles + pairs-of-8-weakest + triples-of-6 — approximated it):
+    * enumerate EVERY non-empty perturbation subset of the
+    * [[S02ProbeBits]] weakest-margin bits, score each subset by the
+    * exact-integer sum of its member micro-margins
+    * `round(round(|proj|, 6) · 1e6)` (integer addition is order-free, so
+    * no cross-engine float-accumulation risk), order by (score asc, mask
+    * asc), and probe the first [[s02Budget]] subsets on top of the exact
+    * bucket. The budget comes from [[LshTuning.probeBudget]] — the
+    * smallest family whose analytic recall model reaches
+    * [[S02TargetRecall]] for neighbors at [[S02NeighborCos]] — so probe
+    * depth derives from a STATED recall target and the corpus-adaptive
+    * width, not a hand-picked probe count. The CORPUS index is untouched
+    * (each vector sits in exactly its one bucket), so probing multiplies
+    * only the query side; probed masks are pairwise-distinct subsets, so
+    * no candidate dedup is needed. Two pieces: [[sortedMarginsOf]] stages
+    * the margin-sorted (m, bit, mask) array as a real column, then
+    * [[probeMasksBudgeted]] turns the attribute into the XOR-mask list
+    * the caller explodes. */
   private def sortedMarginsOf(v: Column, w: Int): Column = {
     val projs = (0 until w).map(j => dot(v, array(hyperplane(j).map(lit): _*)))
     array_sort(array(projs.zipWithIndex.map { case (p, j) =>
@@ -67,23 +75,32 @@ object Similarity {
 
   /** XOR-mask list over a STAGED [[sortedMarginsOf]] column — the two-step
     * split keeps the plan tree small: the 64-literal hyperplane dots appear
-    * exactly once (inside the staged sort column); this helper only does
-    * element_at lookups on the attribute, so the 57-element mask array —
-    * and the Generate the caller explodes it through — stays a few KB
-    * instead of inlining the dot forest per element (measured: the fused
-    * form cost ~3.5 s of driver-side optimizer/codegen work per run). */
-  private def probeMasksFromSorted(sm: Column, w: Int, pairBits: Int,
-      tripleBits: Int): Column = {
-    val nMask = math.max(pairBits, tripleBits)
-    val masks = (0 until nMask).map(r => element_at(sm, r + 1).getField("k"))
-    val singles = (0 until w).map(j => lit(1L << j))
-    val pairs = for { a <- 0 until pairBits; b <- a + 1 until pairBits }
-      yield masks(a).bitwiseOR(masks(b))
-    val triples = for {
-      a <- 0 until tripleBits; b <- a + 1 until tripleBits
-      c <- b + 1 until tripleBits
-    } yield masks(a).bitwiseOR(masks(b)).bitwiseOR(masks(c))
-    array((lit(0L) +: singles) ++ pairs ++ triples: _*)
+    * exactly once (inside the staged sort column; measured round-16: the
+    * fused form cost ~3.5 s/run of driver-side optimizer/codegen work).
+    * The subset enumeration itself is DATA-DRIVEN (a `sequence` over
+    * subset ids folded through the staged micro-margin array with
+    * higher-order functions), so the plan stays a fixed ~50-node tree for
+    * any `mBits` instead of inlining 2^mBits − 1 struct literals; the
+    * 2^mBits-element scoring runs per QUERY row — a 20-row frame.
+    * Subset `sid`'s bit `r` selects the (r+1)-th weakest-margin bit;
+    * score = Σ integer micro-margins, mask = Σ member masks (distinct
+    * powers of two, so + ≡ OR). Ordering is (score asc, mask asc) —
+    * deterministic, and replayed by the DuckDB twins with the identical
+    * integer sums. */
+  private def probeMasksBudgeted(sm: Column, mBits: Int,
+      budget: Int): Column = {
+    val micro = transform(slice(sm, 1, mBits), (f, r) =>
+      struct(round(f.getField("m") * 1e6, 0).cast("long").as("s"),
+        f.getField("k").as("k"), r.as("r")))
+    val zero = struct(lit(0L).as("s"), lit(0L).as("k"))
+    val subs = transform(sequence(lit(1L), lit((1L << mBits) - 1)), sid =>
+      aggregate(micro, zero, (acc, el) =>
+        when(call_function("getbit", sid, el.getField("r")) === 1,
+          struct((acc.getField("s") + el.getField("s")).as("s"),
+            (acc.getField("k") + el.getField("k")).as("k")))
+          .otherwise(acc)))
+    concat(array(lit(0L)),
+      transform(slice(array_sort(subs), 1, budget), f => f.getField("k")))
   }
 
   /** Signature width for the single-band bucket operators (s02/s12/s24) —
@@ -155,22 +172,43 @@ object Similarity {
     * the s01 note). The bucket join is an equi-join on the signature —
     * hash-partitioned, no all-pairs. The DuckDB twin derives the same
     * width from count(*). */
-  /** s02's query-side multi-probe design (round-16): the exact bucket,
-    * every 1-bit flip, the 2-bit flips of the [[S02PairBits]] = 8
-    * weakest-margin bits, and the 3-bit flips of the [[S02TripleBits]] = 6
-    * weakest — 1 + w + 28 + 20 probes per query against the UNCHANGED
-    * corpus index. Lifts the s12-measured mean recall@5 from 0.02
-    * (exact-bucket only — the floor-8 signature leaves E[bucket] ≈ 2 at
-    * the witness corpus) to 0.46 at a fixed per-query probe budget whose
-    * corpus FRACTION (probes / 2^w) vanishes as the adaptive width grows.
-    * s33 pins the exact-vs-probed comparison per query. */
-  private[graft] val S02PairBits = 8
-  private[graft] val S02TripleBits = 6
+  /** s02's query-side multi-probe serving config (round-17, the closed
+    * probe-budget loop): probe the exact bucket plus the
+    * [[s02Budget]]-deepest margin-ordered perturbation subsets of the
+    * [[S02ProbeBits]] = 8 weakest bits ([[probeMasksBudgeted]]). The
+    * budget derives from [[LshTuning.probeBudget]] at
+    * [[S02TargetRecall]] = 0.8 for neighbors at [[S02NeighborCos]] = 0.35
+    * — the witness corpus' OBSERVED top-5 neighbor cosine (back-solved
+    * from the round-16 exact-bucket recall: (1−p)^8 = 0.02 ⇒ p ≈ 0.39 ⇒
+    * cos ≈ 0.35; the model then predicted 0.45 at the old 57-probe
+    * config vs 0.46 measured — calibrated). At the floor-8 width the
+    * probe FRACTION is large (budget/256 — tiny corpora are cheap and
+    * E[bucket] ≈ 2 keeps candidates per query in the hundreds); the
+    * fraction vanishes as the adaptive width grows, and past w ≈ 9 the
+    * target is unreachable within the 8 candidate bits (the budget caps
+    * at the full 255-subset family — [[LshTuning.probeBudget]] scaladoc)
+    * so recall-SENSITIVE use at scale belongs on the multi-band graph
+    * (s26, recall 0.90). s12 measures the served config; s33 pins the
+    * exact-vs-probed gain per query. */
+  private[graft] val S02ProbeBits = 8
+  private[graft] val S02TargetRecall = 0.8
+  private[graft] val S02NeighborCos = 0.35
+
+  /** Serving probe budget at signature width `w` — the single source of
+    * truth for both engines: Scala calls it at plan time; the DuckDB twins
+    * consume the same values as a generated width-keyed CASE table
+    * ([[s02BudgetCaseSql]]). */
+  private[graft] def s02Budget(w: Int): Int =
+    LshTuning.probeBudget(S02TargetRecall, S02NeighborCos, w, S02ProbeBits)
 
   val s02AnnLsh: Q = (s, dir) => {
     import s.implicits._
     val e0 = vecs(s, dir)
     val pw = bucketPlanes(Tables.cachedCount(s, dir, "embeddings"))
+    val t = s02Budget(pw)
+    log.info(s"s02AnnLsh: width=$pw budget=$t probeFraction=" +
+      f"${(t + 1).toDouble / (1L << pw)}%.4f modelRecall=" +
+      f"${LshTuning.probeModelRecall(t, 1.0 - LshTuning.hyperplaneAgreement(S02NeighborCos), pw, S02ProbeBits)}%.3f")
     val e = e0.withColumn("bucket", bucketOf($"v", pw))
     // the query probes its multi-probe bucket list; each corpus vector
     // sits in exactly one bucket, so probed buckets being pairwise
@@ -180,8 +218,7 @@ object Similarity {
       .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"),
         bucketOf($"v", pw).as("b0"), sortedMarginsOf($"v", pw).as("sm"))
       .select($"qid", $"qv", $"qn", $"b0",
-        explode(probeMasksFromSorted($"sm", pw, S02PairBits, S02TripleBits))
-          .as("mask"))
+        explode(probeMasksBudgeted($"sm", S02ProbeBits, t)).as("mask"))
       .select($"qid", $"qv", $"qn",
         $"b0".bitwiseXOR($"mask").as("bucket"))
     val w = Window.partitionBy($"qid").orderBy($"cos6".desc, $"vec_id")
@@ -998,9 +1035,10 @@ object Similarity {
       if (tmp.isDirectory) deleteRecursively(tmp)
       // evict superseded generations of this tag FOR THIS DIR (stale data
       // OR stale model fingerprints) — mirror of the modelCache removeIf.
-      // Legacy pre-dirHash entries (`<tag>-<32hex>-<32hex>`) are
-      // unreachable under the new naming — clean them up too.
-      val legacy = s"\\Q$tag\\E-[0-9a-f]{32}-[0-9a-f]{32}".r
+      // Legacy entries (`<tag>-<32hex>-<32hex>` pre-dirHash, or the
+      // round-16 8-hex dir segment) are unreachable under the current
+      // 16-hex naming — clean them up too.
+      val legacy = s"\\Q$tag\\E-(?:[0-9a-f]{8}-)?[0-9a-f]{32}-[0-9a-f]{32}".r
       Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
         val n = f.getName
         if ((n.startsWith(s"$tag-$dh-") && n != s"$tag-$dh-$fp") ||
@@ -1960,33 +1998,35 @@ object Similarity {
     * bucket holds fewer than 5 non-self members return fewer approx rows
     * and can never reach recall 1 — that truncation is the measurement. */
   val s12AnnRecall: Q = (s, dir) =>
-    // the config s02 actually serves (round-16: query-side multi-probe at
-    // the production design) — the s29/s26 relationship applied here
-    s02ProbeRecall(s, dir, S02PairBits, S02TripleBits)
+    // the config s02 actually serves (round-17: budgeted margin-ordered
+    // multi-probe) — the s29/s26 relationship applied here
+    s02ProbeRecall(s, dir, probed = true)
 
   // ---------------------------------------------------------------- s33
   /** s33: per-query recall@5 of the single-band bucket search, exact-bucket
-    * lookup vs the [[probeBucketsOf]] multi-probe s02 serves — the
+    * lookup vs the [[probeMasksBudgeted]] multi-probe s02 serves — the
     * measurement that documents what query-side probing buys on the SAME
-    * corpus index (mean 0.02 → 0.46 on the witness queries; the exact side
-    * is the floor-8 signature's honest baseline: E[bucket] ≈ 2, so most
-    * exact lookups find none of the true top-5). Both sides replay in the
-    * DuckDB twin from the shared banding CTEs. */
+    * corpus index (round-16 heuristic: mean 0.02 → 0.46; round-17 budgeted
+    * margin-ordered family at the [[S02TargetRecall]] = 0.8 target: see
+    * NEXT.md for the measured value — the exact side is the floor-8
+    * signature's honest baseline: E[bucket] ≈ 2, so most exact lookups
+    * find none of the true top-5). Both sides replay in the DuckDB twin
+    * from the shared banding CTEs. */
   val s33AnnProbeGain: Q = (s, dir) => {
     import s.implicits._
-    s02ProbeRecall(s, dir, -1)
+    s02ProbeRecall(s, dir, probed = false)
       .select($"query_id", $"recall".as("recall_exact"))
-      .join(s02ProbeRecall(s, dir, S02PairBits, S02TripleBits)
+      .join(s02ProbeRecall(s, dir, probed = true)
         .select($"query_id", $"recall".as("recall_probed")), Seq("query_id"))
       .orderBy($"query_id")
   }
 
-  /** Parameterized s12-style recall@5 of the single-band bucket search —
-    * `pairBits < 0` = exact-bucket lookup only (the pre-probe s02),
-    * otherwise query-side [[probeBucketsOf]] multi-probe with that many
-    * weakest-bit pair flips. Exposed for the probe-design sweep/specs. */
+  /** s12-style recall@5 of the single-band bucket search — `probed =
+    * false` is the exact-bucket lookup only (the pre-probe s02), `true`
+    * the served [[probeMasksBudgeted]] budgeted multi-probe. Exposed for
+    * the probe-design sweep/specs. */
   private[graft] def s02ProbeRecall(s: SparkSession, dir: String,
-      pairBits: Int, tripleBits: Int = 0): DataFrame = {
+      probed: Boolean): DataFrame = {
     import s.implicits._
     val e = vecs(s, dir)
     val w0 = Window.partitionBy($"qid").orderBy($"cos6".desc, $"vec_id")
@@ -2000,13 +2040,13 @@ object Similarity {
     val w = bucketPlanes(Tables.cachedCount(s, dir, "embeddings"))
     val eb = e.withColumn("bucket", bucketOf($"v", w))
     val qb =
-      if (pairBits < 0) eb.filter($"vec_id" < 20)
+      if (!probed) eb.filter($"vec_id" < 20)
         .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"), $"bucket")
       else e.filter($"vec_id" < 20)
         .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"),
           bucketOf($"v", w).as("b0"), sortedMarginsOf($"v", w).as("sm"))
         .select($"qid", $"qv", $"qn", $"b0",
-          explode(probeMasksFromSorted($"sm", w, pairBits, tripleBits))
+          explode(probeMasksBudgeted($"sm", S02ProbeBits, s02Budget(w)))
             .as("mask"))
         .select($"qid", $"qv", $"qn",
           $"b0".bitwiseXOR($"mask").as("bucket"))
@@ -2176,7 +2216,10 @@ object Similarity {
     * Scale shape: k−1 argmax jobs over a persisted narrow frame, each a
     * shuffle-free scan + TakeOrdered(1) against plan-literal picks;
     * driver state is k vectors (the kmeans k×dim discipline). Returns the
-    * picks in selection order. */
+    * picks in selection order — FEWER than `k` when the corpus runs out of
+    * distinct points first (the argmax score hitting 0 means every point
+    * coincides with a pick, so continuing would only return duplicate
+    * picks with score 0; round-16 ADVICE #4). Requires a non-empty input. */
   def kCenterPicks(df: DataFrame, idCol: String, vecCol: String,
       k: Int): Seq[(Long, Array[Double])] = {
     require(k >= 1, s"k >= 1, got $k")
@@ -2185,15 +2228,20 @@ object Similarity {
     val e = df.select(col(idCol).cast("long").as("__id"),
       asDouble(col(vecCol)).as("__v")).persist()
     try {
-      val first = e.orderBy(col("__id")).limit(1)
-        .select(col("__id"), col("__v")).as[(Long, Seq[Double])].head()
+      val seed = e.orderBy(col("__id")).limit(1)
+        .select(col("__id"), col("__v")).as[(Long, Seq[Double])].collect()
+      require(seed.nonEmpty, "kCenterPicks: input frame is empty - nothing to pick")
+      val first = seed.head
       var picks = Seq((first._1, first._2.toArray))
-      for (_ <- 1 until k) {
+      var exhausted = false
+      for (_ <- 1 until k if !exhausted) {
         val dmin = kmeansPick(picks.map(_._2), col("__v")).getField("d")
         val next = e.withColumn("__score", dmin)
           .orderBy(col("__score").desc, col("__id").asc)
-          .select(col("__id"), col("__v")).as[(Long, Seq[Double])].head()
-        picks = picks :+ ((next._1, next._2.toArray))
+          .select(col("__id"), col("__v"), col("__score"))
+          .as[(Long, Seq[Double], Double)].head()
+        if (next._3 <= 0.0) exhausted = true
+        else picks = picks :+ ((next._1, next._2.toArray))
       }
       picks
     } finally { e.unpersist(false); () }
@@ -2754,33 +2802,51 @@ object Similarity {
       |  FROM dots GROUP BY vec_id),
       | eb AS (SELECT e.*, buck.bucket FROM e JOIN buck USING (vec_id))""".stripMargin
 
+  /** Width-keyed probe-budget CASE table — the DuckDB half of the
+    * [[s02Budget]] single source of truth: generated at twin-construction
+    * time from the SAME [[LshTuning.probeBudget]] walk the Scala serving
+    * path runs, so both engines consume identical budgets as plan
+    * constants at every adaptive width and neither replays the float
+    * cumulative-mass walk (no cross-engine threshold-boundary risk). */
+  private def s02BudgetCaseSql: String =
+    "CASE (SELECT w FROM nb) " +
+      (8 to 20).map(w => s"WHEN $w THEN ${s02Budget(w)}").mkString(" ") +
+      " END"
+
   /** Query-side multi-probe list `qp` for the 20 witness queries (the
-    * [[probeBucketsOf]] design replayed: exact bucket, every 1-bit flip,
-    * pair flips of the 8 weakest-margin bits, triple flips of the 6
-    * weakest; margin rank = round(|proj|, 6) with bit-index ties). Needs
-    * [[s02BucketCtes]]; ends without a trailing comma. */
-  private val s02ProbeCtesSql =
-    """ qm AS (
-      |  SELECT vec_id, j AS bit,
-      |   row_number() OVER (PARTITION BY vec_id ORDER BY round(abs(s), 6), j) AS fr
-      |  FROM dots WHERE vec_id < 20),
-      | qp AS (
-      |  SELECT vec_id, bucket FROM buck WHERE vec_id < 20
-      |  UNION ALL
-      |  SELECT m.vec_id, xor(b.bucket, CAST(1 AS BIGINT) << m.bit)
-      |  FROM qm m JOIN buck b ON b.vec_id = m.vec_id
-      |  UNION ALL
-      |  SELECT a.vec_id,
-      |   xor(xor(b.bucket, CAST(1 AS BIGINT) << a.bit), CAST(1 AS BIGINT) << c.bit)
-      |  FROM qm a JOIN qm c ON a.vec_id = c.vec_id AND a.fr < c.fr AND c.fr <= 8
-      |   JOIN buck b ON b.vec_id = a.vec_id
-      |  UNION ALL
-      |  SELECT a.vec_id,
-      |   xor(xor(xor(b.bucket, CAST(1 AS BIGINT) << a.bit),
-      |    CAST(1 AS BIGINT) << c.bit), CAST(1 AS BIGINT) << d.bit)
-      |  FROM qm a JOIN qm c ON a.vec_id = c.vec_id AND a.fr < c.fr
-      |   JOIN qm d ON c.vec_id = d.vec_id AND c.fr < d.fr AND d.fr <= 6
-      |   JOIN buck b ON b.vec_id = a.vec_id)""".stripMargin
+    * [[probeMasksBudgeted]] budgeted margin-ordered design replayed:
+    * every non-empty perturbation subset of the 8 weakest-margin bits is
+    * scored by the exact-integer sum of its micro-margins
+    * `CAST(round(round(|proj|,6)·1e6) AS BIGINT)`, ranked (score asc,
+    * mask asc), and the first [[s02BudgetCaseSql]] subsets probe on top
+    * of the exact bucket; margin rank = round(|proj|, 6) with bit-index
+    * ties). Needs [[s02BucketCtes]]; ends without a trailing comma. */
+  private def s02ProbeCtesSql: String =
+    s""" qm AS (
+       |  SELECT vec_id, j AS bit, round(abs(s), 6) AS m,
+       |   row_number() OVER (PARTITION BY vec_id ORDER BY round(abs(s), 6), j) AS fr
+       |  FROM dots WHERE vec_id < 20),
+       | qmm AS (
+       |  SELECT vec_id, fr - 1 AS r, CAST(round(m * 1e6) AS BIGINT) AS mi,
+       |   CAST(1 AS BIGINT) << bit AS k
+       |  FROM qm WHERE fr <= ${S02ProbeBits}),
+       | tb AS (SELECT ${s02BudgetCaseSql} AS t),
+       | sco AS (
+       |  SELECT q.vec_id, s.sid,
+       |   CAST(sum(CASE WHEN (s.sid >> q.r) & 1 = 1 THEN q.mi ELSE 0 END) AS BIGINT) AS score,
+       |   CAST(sum(CASE WHEN (s.sid >> q.r) & 1 = 1 THEN q.k ELSE 0 END) AS BIGINT) AS mask
+       |  FROM qmm q, (SELECT unnest(range(1, ${1 << S02ProbeBits})) AS sid) s
+       |  GROUP BY q.vec_id, s.sid),
+       | qpm AS (
+       |  SELECT vec_id, mask FROM (
+       |   SELECT vec_id, mask,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY score, mask) AS pr
+       |   FROM sco) z WHERE pr <= (SELECT t FROM tb)),
+       | qp AS (
+       |  SELECT vec_id, bucket FROM buck WHERE vec_id < 20
+       |  UNION ALL
+       |  SELECT m.vec_id, xor(b.bucket, m.mask)
+       |  FROM qpm m JOIN buck b ON b.vec_id = m.vec_id)""".stripMargin
 
   /** Brute top-5 truth CTE `tr` for the recall twins (s12/s33). Expects
     * `e`; ends without a trailing comma. */

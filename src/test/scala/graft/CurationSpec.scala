@@ -573,4 +573,26 @@ class CurationSpec extends SparkSpec {
     val heavy = got.count(_ >= 100L)
     assert(heavy <= 2, s"downweighted cluster must be rare in the sample: $got")
   }
+
+  test("sampleWeighted enforces the weight > 0 contract at runtime (ADVICE r16 #1)") {
+    import graft.ext.CurationOps
+    for (bad <- Seq(0.0, -1.5)) {
+      val df = Seq((1L, 1.0), (2L, bad)).toDF("id", "w")
+      val ex = intercept[Exception] {
+        CurationOps.sampleWeighted(df, "id", "w", n = 1).collect()
+      }
+      // raise_error surfaces wrapped in Spark's execution exception chain
+      val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+      assert(msgs.contains("weight must be > 0"), msgs)
+    }
+    // null weight fails too
+    val dfn = Seq((1L, Some(1.0)), (2L, None)).toDF("id", "w")
+    val exn = intercept[Exception] {
+      CurationOps.sampleWeighted(dfn, "id", "w", n = 1).collect()
+    }
+    val msgsN = Iterator.iterate(exn: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(_.getMessage).mkString(" | ")
+    assert(msgsN.contains("weight must be > 0"), msgsN)
+  }
 }

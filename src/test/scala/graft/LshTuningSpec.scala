@@ -52,6 +52,57 @@ class LshTuningSpec extends AnyFunSuite {
     assert(fnRec <= fnBal, "recall-weighted tuning must not lose more near-dups")
   }
 
+  test("probeModelRecall: exact bucket only = (1-p)^w; full family covers all candidate-bit mass") {
+    val p = 1.0 - LshTuning.hyperplaneAgreement(0.35)
+    val w = 8
+    assert(math.abs(LshTuning.probeModelRecall(0, p, w, 8) - math.pow(1 - p, w)) < 1e-12)
+    // m = w and the full 2^m - 1 family: every disagreement set is probed
+    assert(math.abs(LshTuning.probeModelRecall(255, p, w, 8) - 1.0) < 1e-12)
+    // monotone in t
+    val rs = (0 to 255).map(t => LshTuning.probeModelRecall(t, p, w, 8))
+    assert(rs.zip(rs.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("probeBudget: smallest budget reaching the target; caps at the full family when unreachable") {
+    val p = 1.0 - LshTuning.hyperplaneAgreement(0.35)
+    // the s02 serving config: target 0.8 at the floor-8 width = 148 probes
+    val t8 = LshTuning.probeBudget(0.8, 0.35, 8, 8)
+    assert(t8 == 148, s"expected the documented 148, got $t8")
+    assert(LshTuning.probeModelRecall(t8, p, 8, 8) >= 0.8)
+    assert(LshTuning.probeModelRecall(t8 - 1, p, 8, 8) < 0.8, "must be minimal")
+    // monotone in target
+    val budgets = Seq(0.1, 0.3, 0.5, 0.7, 0.9)
+      .map(tg => LshTuning.probeBudget(tg, 0.35, 8, 8))
+    assert(budgets.zip(budgets.tail).forall { case (a, b) => a <= b })
+    // past w ≈ 9 the (1-p)^(w-m) mass outside the 8 candidate bits makes
+    // 0.8 unreachable: budget caps at the full 255-subset family
+    for (w <- 9 to 20)
+      assert(LshTuning.probeBudget(0.8, 0.35, w, 8) == 255, s"w=$w")
+  }
+
+  test("margin-ordered probe family: a singleton always precedes its supersets, so budget-2 = the two weakest singles") {
+    // the s26 equivalence argument: score(S ∪ {b}) = score(S) + m_b ≥
+    // score({b}) with tie only when score(S) = 0, where the mask
+    // tie-break (mask({b}) < mask(S ∪ {b}) since masks are positive)
+    // still puts the singleton first. Hence at budget 2 over ANY margins
+    // the exact Lv et al. ranking serves exactly the two weakest singles
+    // — the family knnGraph's probes=2 heuristic already probes.
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val m = Vector.fill(4)(rnd.nextInt(1000).toLong) // micro-margins, ties likely
+      val sorted = m.zipWithIndex.sortBy { case (mm, i) => (mm, i) }
+      val subsets = (1 until 16).map { sid =>
+        val bits = (0 until 4).filter(b => ((sid >> b) & 1) == 1)
+        val score = bits.map(b => sorted(b)._1).sum
+        val mask = bits.map(b => 1L << sorted(b)._2).sum
+        (score, mask)
+      }.sorted
+      val first2 = subsets.take(2).map(_._2).toSet
+      val weakest2 = Set(1L << sorted(0)._2, 1L << sorted(1)._2)
+      assert(first2 == weakest2, s"margins $m: $first2 != $weakest2")
+    }
+  }
+
   test("tuned layout drives the banded index end-to-end") {
     val spark = SparkSpec.spark
     import spark.implicits._
