@@ -14,7 +14,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        // SPARK_GRAFT_SHUFFLE sizes the shuffle for scale-up probes: at
+        // the 100x dataset the candidate transients of the banded
+        // operators want more, smaller sort spills than cores (the
+        // round-16 s26 spill diagnosis); default stays the core count
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
@@ -67,13 +72,14 @@ object Bench {
       catch { case _: Throwable => n -> -1.0 }
     }
     // Persisted signature/posting tables (simhash: d06/d07/d11/d16/c11;
-    // minhash postings: d02/d09; minhash shingle hashes: d12 — each built
-    // at most once per dir — the layout_s precedent): time the first
-    // consumer of each table separately as sigs_s so the sweeps measure
-    // the band-join/component plans a deployment re-runs against the
-    // stored tables. (First build includes one query execution.)
+    // minhash postings: d02/d09; minhash shingle hashes: d12; component
+    // labels: d07/c17/c19 — each built at most once per dir — the
+    // layout_s precedent): time the first consumer of each table
+    // separately as sigs_s so the sweeps measure the band-join/component
+    // plans a deployment re-runs against the stored tables. (First build
+    // includes one query execution.)
     val sigNames = Seq("d06_simhash_hamming", "d02_minhash_lsh",
-      "d12_minhash_accuracy").filter(names.contains)
+      "d12_minhash_accuracy", "c17_soft_dedup_weights").filter(names.contains)
     val sigs = sigNames.map { n =>
       val t0 = System.nanoTime()
       try { drain(n, sfDir); n -> (System.nanoTime() - t0) / 1e9 }

@@ -17,7 +17,12 @@ object BenchApi {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        // SPARK_GRAFT_SHUFFLE sizes the shuffle for scale-up probes: at
+        // the 100x dataset the candidate transients of the banded
+        // operators want more, smaller sort spills than cores (the
+        // round-16 s26 spill diagnosis); default stays the core count
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
@@ -205,6 +210,13 @@ object BenchApi {
           }
           drainDf(graft.streaming.CurationStream.klDriftReport(spark, cd, "source"))
         }
+      },
+      "rrf_served" -> { dir =>
+        // the production hybrid composition (round-17): RRF over two
+        // INDEX-SERVED rankings (s02 budgeted multi-probe + s13 binary
+        // rerank) — SF-near-independent where s34's brute fusion scans the
+        // corpus twice; s36 measures its recall against the brute fusion
+        drainDf(graft.ext.Similarity.rrfServedTop5(spark, dir))
       },
       "dbscan_tuned" -> { dir =>
         // the closed parameter loop (eps/minPts/budget in, tuneCosine picks

@@ -17,7 +17,12 @@ object BenchOne {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        // SPARK_GRAFT_SHUFFLE sizes the shuffle for scale-up probes: at
+        // the 100x dataset the candidate transients of the banded
+        // operators want more, smaller sort spills than cores (the
+        // round-16 s26 spill diagnosis); default stays the core count
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")

@@ -291,8 +291,11 @@ object Curation {
     * divisions of exact integers. */
   val c17SoftDedupWeights: Q = (s, dir) => {
     import s.implicits._
-    CurationOps.softDedupWeights(docs(s, dir), "doc_id",
-      Dedup.sigPairs(s, dir), "id_a", "id_b")
+    // serves the persisted component-label table (round-17): the weight
+    // projection is the per-invocation work; pair join + component fold
+    // ran once at table build (values bit-identical — exact integers)
+    CurationOps.softDedupWeightsFromComponents(docs(s, dir), "doc_id",
+      Dedup.sigComponentsTable(s, dir))
       .select($"doc_id", $"dup_group", $"group_size", $"weight")
       .orderBy($"doc_id")
   }
@@ -309,8 +312,11 @@ object Curation {
     * round(pow(u, 1/w) + 1e-9, 6), wkey DESC with doc-id ties, LIMIT 100. */
   val c19WeightedSample: Q = (s, dir) => {
     import s.implicits._
-    val weighted = CurationOps.softDedupWeights(docs(s, dir), "doc_id",
-      Dedup.sigPairs(s, dir), "id_a", "id_b")
+    // the served-component composition (round-17): repeated weighted draws
+    // against an unchanged corpus pay one scan of the stored label
+    // relation + the shuffle-free key projection — never the pair stage
+    val weighted = CurationOps.softDedupWeightsFromComponents(docs(s, dir),
+      "doc_id", Dedup.sigComponentsTable(s, dir))
     CurationOps.sampleWeighted(weighted, "doc_id", "weight", n = 100)
       .select($"sample_rank", $"doc_id", $"dup_group", $"weight", $"wkey")
       .orderBy($"sample_rank")

@@ -81,6 +81,33 @@ object Dedup {
     DedupOps.simhashPairsFromSigs(simhashSigTable(s, dir), "doc_id", "simhash",
       bands = 2, bitsPerBand = 15, maxHamming = 1)
 
+  /** Content-addressed per-dir COMPONENT-LABEL table over [[sigPairs]] —
+    * the (id, component, group_size) relation of the d06 near-dup graph,
+    * persisted with the [[simhashSigTable]] discipline (round-16 verdict
+    * #3): the c17/c19/d07 consumers each re-ran the pair join + the
+    * union-find/min-label component fold PER INVOCATION (at the 100×
+    * scale-up c19 spent 31 s rebuilding this chain every call), while the
+    * labels are a pure function of the signature table the store already
+    * content-addresses. Keyed on the documents.parquet stat+footer
+    * fingerprint (through [[graft.Tables.cachedDerived]]), so a
+    * regenerated corpus rebuilds and repeat invocations in one JVM — or a
+    * later JVM on the same dir — run ZERO pair-stage jobs: the steady
+    * state is one parquet scan of a pair-graph-sized relation.
+    * Labels/sizes are exact integers, bit-identical to the inline
+    * computation (PlanSpec pins the zero-job serving; the oracle rows stay
+    * exact because the values are unchanged). Only ids that appear in the
+    * pair graph have rows — unpaired docs are size-1 by construction and
+    * never enter the table (the [[CurationOps.softDedupWeights]] left-join
+    * contract). */
+  private[ext] def sigComponentsTable(s: SparkSession, dir: String): DataFrame =
+    Tables.cachedDerived(s, dir, "documents", "simhash_comp_2x15h1") {
+      val comp = DedupOps.connectedComponents(sigPairs(s, dir), "id_a", "id_b")
+      val sizes = comp.groupBy(col("component"))
+        .agg(count(lit(1)).as("group_size"))
+      comp.join(sizes, Seq("component"))
+        .select(col("id"), col("component"), col("group_size"))
+    }
+
   // ---------------------------------------------------------------- d01
   /** Exact dedup: group by md5(text) — grouping on the 128-bit digest instead
     * of the full text keeps shuffle rows tiny at 100 TB (32 bytes vs ~kB). */
@@ -212,7 +239,10 @@ object Dedup {
     * propagation ([[DedupOps.connectedComponents]]) labels identically. */
   val d07NearDupComponents: Q = (s, dir) => {
     import s.implicits._
-    DedupOps.connectedComponents(sigPairs(s, dir), "id_a", "id_b")
+    // serves the persisted [[sigComponentsTable]] (round-17): the steady
+    // state a deployment re-runs is one scan of the stored label relation,
+    // not the pair join + component fold — values are identical integers
+    sigComponentsTable(s, dir)
       .select($"id".as("doc_id"), $"component")
       .orderBy($"doc_id")
   }

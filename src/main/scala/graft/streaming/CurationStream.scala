@@ -659,6 +659,54 @@ object CurationStream {
     math.abs(dot(a, b) / math.sqrt(dot(a, a) * dot(b, b)))
   }
 
+  /** Record one [[topComponentReport]] fit as a MONITOR POINT — the
+    * time-series composition of [[componentDrift]] (round-16 verdict #7):
+    * each report's fitted component persists as `monitorDir/report=<id>`
+    * (the [[tokenCountsBatch]] partition discipline applied to dim-sized
+    * driver state: replay overwrites exactly its own point, per-report IO
+    * is one tiny row). Feed successive report ids from the batch ids the
+    * reports cover; [[componentDriftAlarms]] reads the series back. */
+  def componentFitPoint(spark: org.apache.spark.sql.SparkSession,
+      monitorDir: String, reportId: Long, fit: Array[Double]): Unit = {
+    import spark.implicits._
+    lockFor(monitorDir).synchronized {
+      Seq((reportId, fit.toSeq)).toDF("report_id", "component")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$monitorDir/report=$reportId")
+    }
+  }
+
+  /** The DRIFT ALARM over every recorded [[componentFitPoint]], in
+    * report-id order: one row per consecutive report pair —
+    * `(report_id, drift = |cos(v_t, v_prev)|, alarm = drift < threshold)`.
+    * The closed monitoring loop the per-pair [[componentDrift]] gauge
+    * lacks: ≥3 points make a SERIES, and the alarm fires at the first
+    * report whose refreshed common direction moved past the threshold —
+    * not before (a stable corpus gauges ≈1.0 at every step; spec-pinned on
+    * a planted rotation schedule). State is |reports| × dim driver-side
+    * doubles — KBs at any corpus size; the expensive half (the fit) was
+    * already bounded by [[topComponentBatch]]'s sample rule. Returns an
+    * empty series when fewer than two points exist. */
+  def componentDriftAlarms(spark: org.apache.spark.sql.SparkSession,
+      monitorDir: String, threshold: Double): Seq[(Long, Double, Boolean)] = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold in (0,1]: $threshold")
+    val root = new org.apache.hadoop.fs.Path(monitorDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val parts = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("report="))
+    if (parts.length < 2) return Seq.empty
+    import spark.implicits._
+    val points = spark.read.parquet(parts.map(_.toString).toIndexedSeq: _*)
+      .select(col("report_id"), col("component"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    points.sliding(2).collect { case Array((_, prev), (id, cur)) =>
+      val d = componentDrift(prev.toArray, cur.toArray)
+      (id, d, d < threshold)
+    }.toSeq
+  }
+
   /** Driver-side benchmark hash set from a static benchmark table — the
     * exact form only; callers that cannot bound the eval suite should use
     * [[benchmarkGrams]], which switches to the Bloom form past

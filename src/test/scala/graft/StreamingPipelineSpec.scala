@@ -1085,6 +1085,47 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(CurationStream.componentDrift(fit1, fit1.map(-_)) == 1.0)
   }
 
+  test("component drift ALARM series: a planted rotation schedule alarms at the rotated report and not before") {
+    import graft.streaming.CurationStream
+    val sampleDir = Files.createTempDirectory("tcm_sample").toString
+    val monDir = Files.createTempDirectory("tcm_points").toString
+    // planted schedule over 4 micro-batches: batches 0-2 keep the corpus
+    // variance on dim 0 (stable common direction); batch 3 floods in
+    // points whose variance lives on dim 1 and outweighs the history —
+    // the refreshed fit must rotate THERE and nowhere earlier
+    def stable(ids: Range) = ids.map(i =>
+      (i.toLong, Seq((i % 21 - 10).toFloat * 3f, 0.1f * (i % 3), 0f, 0f)))
+    def rotated(ids: Range) = ids.map(i =>
+      (i.toLong, Seq(0.1f * (i % 3), (i % 41 - 20).toFloat * 30f, 0f, 0f)))
+    val batches = Seq(
+      stable(0 until 20), stable(20 until 40), stable(40 until 60),
+      rotated(60 until 200))
+    batches.zipWithIndex.foreach { case (rows, id) =>
+      CurationStream.topComponentBatch(sampleDir, "vec_id", "v",
+        sampleMax = 1024L)(rows.toDF("vec_id", "v"), id.toLong)
+      val fit = CurationStream.topComponentReport(
+        spark, sampleDir, "vec_id", "v").get._2
+      CurationStream.componentFitPoint(spark, monDir, id.toLong, fit)
+    }
+    val series = CurationStream.componentDriftAlarms(spark, monDir,
+      threshold = 0.9)
+    assert(series.map(_._1) == Seq(1L, 2L, 3L), s"got $series")
+    // stable reports gauge ~1.0 (no alarm); the rotated report alarms
+    assert(series.take(2).forall { case (_, d, alarm) => d > 0.99 && !alarm },
+      s"no alarm before the planted rotation: $series")
+    val (_, dRot, alarmRot) = series.last
+    assert(alarmRot && dRot < 0.5,
+      s"the rotated report must alarm (drift $dRot): $series")
+    // a replayed report point overwrites itself — the series is unchanged
+    val fit3 = CurationStream.topComponentReport(
+      spark, sampleDir, "vec_id", "v").get._2
+    CurationStream.componentFitPoint(spark, monDir, 3L, fit3)
+    assert(CurationStream.componentDriftAlarms(spark, monDir, 0.9) == series)
+    // fewer than two points -> empty series, not a crash
+    assert(CurationStream.componentDriftAlarms(spark,
+      Files.createTempDirectory("tcm_empty").toString, 0.9).isEmpty)
+  }
+
   test("compactCounts sum-merges committed count partitions; report unchanged") {
     import graft.streaming.CurationStream
     import graft.ext.CurationOps
