@@ -239,9 +239,16 @@ object BenchApi {
         }
       })
 
+    // SPARK_GRAFT_API_ONLY=op1,op2 restricts the sweep — the scale-up
+    // probes (100x) time one serving seam alone without paying the whole
+    // suite at that volume
+    val only = sys.env.get("SPARK_GRAFT_API_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val opsRun = only.fold(ops)(sel => ops.filter(o => sel(o._1)))
+
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
-      ops.foreach { case (_, f) => try f(warmDir) catch { case _: Throwable => () } }
+      opsRun.foreach { case (_, f) => try f(warmDir) catch { case _: Throwable => () } }
 
     def once(f: String => Unit): Double = {
       val t0 = System.nanoTime()
@@ -253,8 +260,8 @@ object BenchApi {
         Double.NaN
       }
     }
-    val sweeps = (1 to 3).map(_ => ops.map { case (n, f) => n -> once(f) }.toMap)
-    val results = ops.map { case (n, _) =>
+    val sweeps = (1 to 3).map(_ => opsRun.map { case (n, f) => n -> once(f) }.toMap)
+    val results = opsRun.map { case (n, _) =>
       val ok = sweeps.map(_(n)).filterNot(_.isNaN)
       n -> (if (ok.isEmpty) -1.0 else ok.min)
     }

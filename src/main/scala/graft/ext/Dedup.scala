@@ -257,8 +257,10 @@ object Dedup {
     * the c11 recursive-reachability machinery, then the same histogram. */
   val d11DupStats: Q = (s, dir) => {
     import s.implicits._
-    val d = docs(s, dir)
-    DedupOps.componentStats(d, "doc_id", sigPairs(s, dir), "id_a", "id_b")
+    // serves the persisted [[sigComponentsTable]] (round-17) — the
+    // histogram re-runs two keyed aggs, never the pair stage
+    DedupOps.componentStatsFromLabels(docs(s, dir), "doc_id",
+      sigComponentsTable(s, dir))
       .orderBy($"cluster_size")
   }
 
@@ -402,8 +404,10 @@ object Dedup {
     import s.implicits._
     val d = docs(s, dir)
     val scored = d.withColumn("n_tok", size(toks($"text")).cast("long"))
-    DedupOps.keepBestPerGroup(scored, "doc_id", "n_tok",
-      sigPairs(s, dir), "id_a", "id_b")
+    // serves the persisted [[sigComponentsTable]] (round-17) — only the
+    // keep-best window and the label join run per invocation
+    DedupOps.keepBestPerGroupFromLabels(scored, "doc_id", "n_tok",
+      sigComponentsTable(s, dir))
       .select($"doc_id", $"dup_group", $"n_tok")
       .orderBy($"doc_id")
   }

@@ -471,9 +471,18 @@ object DedupOps {
     * small-side join AQE broadcasts; the two histogram aggregations are
     * component-count- then size-count-sized. All-integer outputs. */
   def componentStats(df: DataFrame, idCol: String, pairs: DataFrame,
-      aCol: String, bCol: String): DataFrame = {
-    val comp = connectedComponents(pairs, aCol, bCol)
-      .select(col("id").as("__cid"), col("component"))
+      aCol: String, bCol: String): DataFrame =
+    componentStatsFromLabels(df, idCol,
+      connectedComponents(pairs, aCol, bCol))
+
+  /** [[componentStats]] fed by a PRECOMPUTED (id, component) label
+    * relation — the [[graft.ext.Dedup.sigComponentsTable]] serving seam
+    * (round-17): the histogram is two keyed aggregations off the corpus
+    * scan + one small-side label join; the pair stage ran once at table
+    * build. Output identical — exact integers either way. */
+  def componentStatsFromLabels(df: DataFrame, idCol: String,
+      components: DataFrame): DataFrame = {
+    val comp = components.select(col("id").as("__cid"), col("component"))
     val sizes = df.select(col(idCol).cast("long").as("__id"))
       .join(comp, col("__id") === col("__cid"), "left")
       .select(coalesce(col("component"), col("__id")).as("__comp"))
@@ -1108,9 +1117,18 @@ object DedupOps {
     * anywhere (the [[graft.ext.CurationOps.splitLeakageSafe]] shape with an
     * argmax instead of a hash split). */
   def keepBestPerGroup(df: DataFrame, idCol: String, scoreCol: String,
-      pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val comp = connectedComponents(pairs, aCol, bCol)
-      .select(col("id").as("__cid"), col("component"))
+      pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    keepBestPerGroupFromLabels(df, idCol, scoreCol,
+      connectedComponents(pairs, aCol, bCol))
+
+  /** [[keepBestPerGroup]] fed by a PRECOMPUTED (id, component) label
+    * relation — the [[graft.ext.Dedup.sigComponentsTable]] serving seam
+    * (round-17): only the keep-best window (paired rows only) and the
+    * label join run per invocation. Output identical to the inline form
+    * over the pairs the table was built from. */
+  def keepBestPerGroupFromLabels(df: DataFrame, idCol: String,
+      scoreCol: String, components: DataFrame): DataFrame = {
+    val comp = components.select(col("id").as("__cid"), col("component"))
     val grouped = df
       .join(comp, col(idCol).cast("long") === col("__cid"), "left")
       .withColumn("dup_group",

@@ -566,7 +566,8 @@ class PlanSpec extends SparkSpec {
     spark.listenerManager.register(l)
     try {
       for (q <- Seq("c17_soft_dedup_weights", "c19_weighted_sample",
-          "d07_neardup_components")) drain(q)
+          "d07_neardup_components", "d11_dup_stats", "d16_keepbest_dedup"))
+        drain(q)
       Thread.sleep(2000)
       assert(seen.get() == 0,
         s"served invocations must run zero pair-stage count/collect jobs, saw ${seen.get()}")
