@@ -213,9 +213,11 @@ object BenchApi {
       },
       "rrf_served" -> { dir =>
         // the production hybrid composition (round-17): RRF over two
-        // INDEX-SERVED rankings (s02 budgeted multi-probe + s13 binary
-        // rerank) — SF-near-independent where s34's brute fusion scans the
-        // corpus twice; s36 measures its recall against the brute fusion
+        // INDEX-SERVED rankings (s02 budgeted multi-probe + the Hamming
+        // scan of the persisted 16-byte signature table) — the float
+        // corpus is never re-read where s34's brute fusion scans it
+        // twice; s36 measures its agreement against the brute fusion
+        // (0.91/0.90 at the gate scales)
         drainDf(graft.ext.Similarity.rrfServedTop5(spark, dir))
       },
       "dbscan_tuned" -> { dir =>

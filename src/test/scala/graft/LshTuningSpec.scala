@@ -80,6 +80,35 @@ class LshTuningSpec extends AnyFunSuite {
       assert(LshTuning.probeBudget(0.8, 0.35, w, 8) == 255, s"w=$w")
   }
 
+  test("s02ProbeBits widens with the signature: the 0.8 target stays deliverable through w = 12") {
+    val p = 1.0 - LshTuning.hyperplaneAgreement(
+      graft.ext.Similarity.S02NeighborCos)
+    // at the floor width nothing changes: min(8, 12) = 8, budget 148
+    assert(graft.ext.Similarity.s02ProbeBits(8) == 8)
+    assert(graft.ext.Similarity.s02Budget(8) == 148)
+    // w = 9..12: the widened candidate window keeps the stated target
+    // reachable where the fixed-8 window capped at 255 subsets and
+    // delivered 0.61/0.38/0.23/0.14
+    for (w <- 9 to 12) {
+      val m = graft.ext.Similarity.s02ProbeBits(w)
+      assert(m == w, s"w=$w")
+      val t = graft.ext.Similarity.s02Budget(w)
+      assert(t < (1 << m) - 1, s"w=$w: budget $t must not hit the family cap")
+      assert(LshTuning.probeModelRecall(t, p, w, m) >= 0.8, s"w=$w")
+      assert(LshTuning.probeModelRecall(t - 1, p, w, m) < 0.8,
+        s"w=$w: must be minimal")
+    }
+    // past the 12-bit cap the budget pins at the 4095-subset family and
+    // delivered recall decays ~6x slower than the fixed-8 window's
+    for (w <- 13 to 20) {
+      assert(graft.ext.Similarity.s02ProbeBits(w) == 12, s"w=$w")
+      assert(graft.ext.Similarity.s02Budget(w) == 4095, s"w=$w")
+      val wide = LshTuning.probeModelRecall(4095, p, w, 12)
+      val old = LshTuning.probeModelRecall(255, p, w, 8)
+      assert(wide > old * 5, s"w=$w: widened $wide vs fixed-8 $old")
+    }
+  }
+
   test("margin-ordered probe family: a singleton always precedes its supersets, so budget-2 = the two weakest singles") {
     // the s26 equivalence argument: score(S ∪ {b}) = score(S) + m_b ≥
     // score({b}) with tie only when score(S) = 0, where the mask
