@@ -1028,18 +1028,39 @@ object DedupOps {
     * rank filter cuts to k·n rows. */
   def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int,
       planesPerBand: Int = 4, bands: Int = 4, dim: Int = 64,
-      probes: Int = 0): DataFrame = {
+      probes: Int = 0, rankPlan: String = "window"): DataFrame = {
+    require(rankPlan == "window" || rankPlan == "heap",
+      s"rankPlan must be 'window' or 'heap', got '$rankPlan'")
     val (candidates, _) =
       lshParts(df, idCol, vecCol, None, planesPerBand, bands, dim, probes)
     val cand6 = candidates.select(col("id_a"), col("id_b"),
       round(col("cosine"), 6).as("cos6"))
     val sym = cand6.select(col("id_a").as("src"), col("id_b").as("dst"), col("cos6"))
       .unionAll(cand6.select(col("id_b").as("src"), col("id_a").as("dst"), col("cos6")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("src")).orderBy(col("cos6").desc, col("dst"))
-    sym.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .select(col("src"), col("rk"), col("dst"), col("cos6"))
+    if (rankPlan == "window") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(col("cos6").desc, col("dst"))
+      sym.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= k)
+        .select(col("src"), col("rk"), col("dst"), col("cos6"))
+    } else {
+      // bounded-heap ranking (the s01/knn tradeoff, size-adaptive here via
+      // [[knnGraphAuto]]): the window form SORT-shuffles EVERY symmetrized
+      // candidate edge to its src partition — the dominant shuffle once the
+      // dedup'd candidate volume outgrows local shuffle capacity — where
+      // the typed aggregator gets map-side combine, so each map partition
+      // contributes at most k rows per src to the exchange. Same ordering
+      // contract (cos6 DESC, dst ASC — TopKAgg's tie rule), same rows.
+      val heap = udaf(new graft.functions.Aggregators.TopKAgg(k),
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaDouble,
+          org.apache.spark.sql.Encoders.scalaLong))
+      sym.groupBy(col("src"))
+        .agg(heap(col("cos6"), col("dst")).as("__top"))
+        .select(col("src"), posexplode(col("__top")).as(Seq("__p", "__t")))
+        .select(col("src"), (col("__p") + 1).cast("long").as("rk"),
+          col("__t._1").as("dst"), col("__t._2").as("cos6"))
+    }
   }
 
   /** Band-signature width for [[knnGraphAuto]]: the smallest `w` with
@@ -1070,15 +1091,47 @@ object DedupOps {
     * standard LSH contract, measured per-banding by the s29 recall row. */
   def knnGraphAuto(df: DataFrame, idCol: String, vecCol: String, k: Int,
       bands: Int = 4, targetBucket: Long = 32L, dim: Int = 64,
-      probes: Int = KnnGraphProbes, knownCount: Option[Long] = None): DataFrame = {
+      probes: Int = KnnGraphProbes, knownCount: Option[Long] = None,
+      rankPlan: String = "auto",
+      heapRankRows: Long = KnnGraphHeapRows): DataFrame = {
     // `knownCount` lets callers reading a stable table pass the memoized
     // [[graft.Tables.cachedCount]] so repeat invocations run zero count jobs
-    val w = adaptivePlanes(knownCount.getOrElse(df.count()), targetBucket, bands)
+    val n = knownCount.getOrElse(df.count())
+    val w = adaptivePlanes(n, targetBucket, bands)
+    // expected symmetrized candidate-edge volume: 2 directions × n postings
+    // per band × (1 + probes) probe variants × E[bucket] = n/2^w partners.
+    // An over-estimate of the post-distinct rows the ranking shuffles (band
+    // collisions dedup), which is the conservative side for the switch.
+    val estEdges = 2.0 * n * bands * (1 + probes) * (n.toDouble / (1L << w))
+    val plan = rankPlan match {
+      case "auto" => if (estEdges > heapRankRows) "heap" else "window"
+      case p => p
+    }
     log.info(s"knnGraphAuto: planesPerBand=$w (bands=$bands, " +
-      s"target=$targetBucket, probes=$probes)")
-    knnGraph(df, idCol, vecCol, k, planesPerBand = w, bands = bands,
-      dim = dim, probes = probes)
+      s"target=$targetBucket, probes=$probes) rankPlan=$plan " +
+      f"(estEdges=$estEdges%.3g, switch at $heapRankRows)")
+    tagPlanPick(
+      knnGraph(df, idCol, vecCol, k, planesPerBand = w, bands = bands,
+        dim = dim, probes = probes, rankPlan = plan),
+      "knnGraphAuto", "graft.knngraph.rank", plan,
+      f"estimated symmetrized edges $estEdges%.3g, switch at $heapRankRows")
   }
+
+  /** [[knnGraphAuto]]'s window→heap ranking switch, in estimated
+    * symmetrized candidate-edge rows. Below it the window rank (codegen'd
+    * tungsten sort) wins single-node (the s01 note: the aggregator's
+    * per-row buffer encoding dominates while the shuffle it caps is not
+    * the bottleneck); above it the edge sort-shuffle is the thing that
+    * dies first (the round-17 100× probe: after the lshParts spill fix,
+    * the last decade of s26 was the (src)-keyed ranking sort over ~10⁸
+    * narrow edges), and the bounded heap's map-side combine caps the
+    * exchange at k rows per map partition per src. Measured (one JVM per
+    * run, count() protocol): at the 10× scale-up (~9.4M est edges) the
+    * plans tie — 17.8 s window vs 18.0 s heap; at the 100× scale-up
+    * (~117M est edges) the heap wins 1.35× — 100.3 s vs 74.5 s. 2²⁵ ≈
+    * 33.5M edges ≈ 0.8 GB of narrow rows sits between the two measured
+    * regimes. */
+  val KnnGraphHeapRows: Long = 1L << 25
 
   /** The tuned multi-probe default for [[knnGraphAuto]] — probe the two
     * weakest-margin bit flips per band on top of the exact bucket. Chosen

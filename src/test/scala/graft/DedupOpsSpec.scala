@@ -401,6 +401,32 @@ class DedupOpsSpec extends SparkSpec {
     assert(auto.nonEmpty)
   }
 
+  test("knnGraph ranking plans: bounded heap ≡ window bit-exact; auto switches on edge volume") {
+    // one contract, two plans (the exactPercentilesAuto discipline): the
+    // heap route must return the identical rows, ranks, and cos6 doubles
+    val win = DedupOps.knnGraph(embs, "vec_id", "embedding", k = 3,
+        probes = DedupOps.KnnGraphProbes)
+      .as[(Long, Long, Long, Double)].collect().sortBy(t => (t._1, t._2)).toSeq
+    val heap = DedupOps.knnGraph(embs, "vec_id", "embedding", k = 3,
+        probes = DedupOps.KnnGraphProbes, rankPlan = "heap")
+      .as[(Long, Long, Long, Double)].collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(heap == win, "heap and window rankings must be bit-identical")
+    // auto on the 500-vector corpus (estEdges ~ 375k) stays on the window
+    val autoDf = DedupOps.knnGraphAuto(embs, "vec_id", "embedding", k = 3)
+    autoDf.collect()
+    assert(autoDf.queryExecution.executedPlan.toString.contains("Window"),
+      "small corpus must keep the window rank")
+    // forcing the threshold to 1 row flips the pick to the bounded heap:
+    // no Window node, same rows
+    val forcedDf = DedupOps.knnGraphAuto(embs, "vec_id", "embedding", k = 3,
+      heapRankRows = 1L)
+    val forced = forcedDf
+      .as[(Long, Long, Long, Double)].collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(forced == win, "the switch must not change results")
+    assert(!forcedDf.queryExecution.executedPlan.toString.contains("Window"),
+      "past the threshold the rank must be the bounded-heap aggregate")
+  }
+
   test("bucketPlanes (s02/s12/s24 single-band width) agrees with the twins' ceil-log2 formula") {
     def sqlW(n: Long) = math.min(20, math.max(8,
       math.ceil(math.log(n / 256.0) / math.log(2.0)).toInt))

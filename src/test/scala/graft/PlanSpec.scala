@@ -580,4 +580,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("__bsig"),
       s"no band-signature join may remain in the served plan:\n${p.take(2000)}")
   }
+
+  test("binary signature table: persisted sigs equal the inline projection; the served fusion scans the store") {
+    // the round-17 served-fusion Hamming leg: a content-addressed
+    // (vec_id, sig0, sig1) table — parity with the inline sign projection
+    // must be exact (pure integer bit-math, so bit-identical by
+    // construction; this pins the plumbing)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = Tables.loadSpread(spark, dir, "embeddings")
+    val inline = graft.ext.Similarity.withBinarySig(
+        e.select($"vec_id",
+          transform($"embedding", x => x.cast("double")).as("__v")), "__v")
+      .select($"vec_id", $"sig0", $"sig1")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val stored = graft.ext.Similarity.binarySigTable(spark, dir)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(stored == inline, "persisted signatures must equal the inline projection")
+    // the served fusion's Hamming leg reads the store (a graft_derived
+    // parquet scan), not the float embedding column
+    val plan = graft.ext.Similarity.rrfServedTop5(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("binsig_64"),
+      s"the served fusion must scan the persisted signature table:\n${plan.take(2000)}")
+  }
 }
