@@ -2107,6 +2107,54 @@ object Similarity {
     recallAtK(truth, served, "query_id", "id", k = 5).orderBy($"query_id")
   }
 
+  /** The s26 multi-band graph ranking restricted to the witness queries,
+    * as a (query_id, id, rank) fusion leg at depth `k` — the PREMIUM
+    * cosine leg for hybrid fusion: the banded multi-probe graph measures
+    * recall@3 0.90 (s29) where the single-band budgeted probe measures
+    * 0.8, at graph-build cost (the graph ranks the whole corpus against
+    * itself — worth it exactly when the deployment already maintains the
+    * knn graph for dedup/diversity and the fusion can read it for free).
+    * Per-src ranking depends only on that src's candidate edges, so
+    * filtering to the query slice before or after ranking is equivalent —
+    * both engines filter first. */
+  private[graft] def graphRankingTop(s: SparkSession, dir: String,
+      k: Int): DataFrame = {
+    import s.implicits._
+    DedupOps.knnGraphAuto(Tables.loadSpread(s, dir, "embeddings"),
+        "vec_id", "embedding", k = k,
+        knownCount = Some(Tables.cachedCount(s, dir, "embeddings")))
+      .filter($"src" < 20)
+      .select($"src".as("query_id"), $"dst".as("id"), $"rk".as("rank"))
+  }
+
+  /** The GRAPH-LEG hybrid fusion: [[graphRankingTop]] top-10 ∪ the
+    * [[hammingRankingFromSigs]] signature-table Hamming top-10, RRF-fused
+    * to a top-5 — the highest-agreement served composition from the
+    * round-17 leg decomposition (0.96/0.95 vs [[rrfServedTop5]]'s
+    * 0.91/0.90 at the gate scales), priced at the graph build where the
+    * probed composition is SF-near-independent. s37 keeps it measured. */
+  private[graft] def rrfGraphFusedTop5(s: SparkSession, dir: String): DataFrame = {
+    val graphLeg = graphRankingTop(s, dir, k = 10)
+    val ham = hammingRankingFromSigs(binarySigTable(s, dir), k = 10)
+    Retrieval.rrfFuse(Seq(graphLeg, ham), "query_id", "id", "rank", k = 5)
+  }
+
+  // ---------------------------------------------------------------- s37
+  /** s37: per-query agreement@5 of the GRAPH-LEG fusion
+    * ([[rrfGraphFusedTop5]]) against the s34 brute fusion — the premium
+    * end of the served-fusion quality/cost curve that s36 measures the
+    * cheap end of: graph leg (recall 0.90) + identical Hamming leg =
+    * agreement ≈ 0.96/0.95, vs the probed leg's 0.91/0.90, vs the
+    * exact-legs ceiling 1.000. Both engines replay the banded-graph
+    * candidate generation (the s26 CTEs), the ranking, the fusion sums,
+    * and the agreement join. */
+  val s37RrfGraphRecall: Q = (s, dir) => {
+    import s.implicits._
+    val truth = s34RrfHybrid(s, dir).select($"query_id", $"id")
+    val fused = rrfGraphFusedTop5(s, dir).select($"query_id", $"id")
+    recallAtK(truth, fused, "query_id", "id", k = 5).orderBy($"query_id")
+  }
+
   // ----------------------------------------------------------- recall / s12
   /** Per-query recall@k of an approximate result against ground truth: both
     * frames are (queryCol, idCol) rankings; recall = |approx ∩ truth| / k.
@@ -2773,6 +2821,7 @@ object Similarity {
     "s32_abtt_knn" -> s32AbttKnn,
     "s33_ann_probe_gain" -> s33AnnProbeGain,
     "s36_rrf_served_recall" -> s36RrfServedRecall,
+    "s37_rrf_graph_recall" -> s37RrfGraphRecall,
     "s34_rrf_hybrid" -> s34RrfHybrid,
     "s35_kcenter" -> s35KCenter)
 
@@ -2992,6 +3041,116 @@ object Similarity {
        |  UNION ALL
        |  SELECT m.vec_id, xor(b.bucket, m.mask)
        |  FROM qpm m JOIN buck b ON b.vec_id = m.vec_id)""".stripMargin
+
+  /** The fusion + brute-truth + agreement tail shared by the served-fusion
+    * recall twins (s36/s37): the 64-bit sign-signature CTE, the Hamming
+    * top-10 leg `hr` (the IDENTICAL ranking in both fusions — the
+    * round-17 leg fix that lifted agreement from ~0.5), the served fusion
+    * of `leg` ∪ hr, the s34 brute fusion of the exact cosine top-10 ∪ hr,
+    * and the per-query agreement join. Expects the `e` vectors CTE and a
+    * `leg` CTE of (query_id, id, r) rows; returns the closing CTEs + final
+    * SELECT (no leading comma). */
+  private def rrfServedRecallTailSql(leg: String): String =
+    s""" sig AS (
+       |  SELECT vec_id,
+       |   CAST(list_sum(list_transform(range(0,32), d ->
+       |     CASE WHEN v[d+1] > 0 THEN (CAST(1 AS BIGINT) << d) ELSE 0 END)) AS BIGINT) AS s0,
+       |   CAST(list_sum(list_transform(range(32,64), d ->
+       |     CASE WHEN v[d+1] > 0 THEN (CAST(1 AS BIGINT) << (d-32)) ELSE 0 END)) AS BIGINT) AS s1
+       |  FROM e),
+       | hr AS (
+       |  SELECT query_id, id, r FROM (
+       |   SELECT q.vec_id AS query_id, c.vec_id AS id,
+       |    CAST(row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY bit_count(xor(q.s0, c.s0)) + bit_count(xor(q.s1, c.s1)),
+       |               c.vec_id) AS BIGINT) AS r
+       |   FROM sig q JOIN sig c ON q.vec_id < 20 AND q.vec_id <> c.vec_id) t
+       |  WHERE r <= 10),
+       | sfu AS (
+       |  SELECT query_id, id, sum(1.0 / (60 + r)) AS score
+       |  FROM (SELECT * FROM $leg UNION ALL SELECT * FROM hr) u
+       |  GROUP BY query_id, id),
+       | sv5 AS (
+       |  SELECT query_id, id FROM (
+       |   SELECT query_id, id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY round(score + 1e-9, 6) DESC, id) AS BIGINT) AS rrf_rank
+       |   FROM sfu) t WHERE rrf_rank <= 5),
+       | cr AS (
+       |  SELECT query_id, id, r FROM (
+       |   SELECT q.vec_id AS query_id, e2.vec_id AS id,
+       |    CAST(row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY round(list_dot_product(q.v, e2.v) / (q.nrm * e2.nrm), 6) DESC,
+       |               e2.vec_id) AS BIGINT) AS r
+       |   FROM e q JOIN e e2 ON q.vec_id < 20 AND q.vec_id <> e2.vec_id) t
+       |  WHERE r <= 10),
+       | bfu AS (
+       |  SELECT query_id, id, sum(1.0 / (60 + r)) AS score
+       |  FROM (SELECT * FROM cr UNION ALL SELECT * FROM hr) u
+       |  GROUP BY query_id, id),
+       | tr5 AS (
+       |  SELECT query_id, id FROM (
+       |   SELECT query_id, id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY round(score + 1e-9, 6) DESC, id) AS BIGINT) AS rrf_rank
+       |   FROM bfu) t WHERE rrf_rank <= 5)
+       |SELECT tr5.query_id AS query_id,
+       | CAST(sum(CASE WHEN sv5.id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hits,
+       | round(CAST(sum(CASE WHEN sv5.id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+       |   / 5 + 1e-9, 4) AS recall
+       |FROM tr5 LEFT JOIN sv5
+       | ON tr5.query_id = sv5.query_id AND tr5.id = sv5.id
+       |GROUP BY tr5.query_id ORDER BY tr5.query_id""".stripMargin
+
+  /** The [[graft.ext.DedupOps.knnGraphAuto]] candidate CTEs shared by the
+    * s26/s37 twins: adaptive band width from the FULL corpus count,
+    * banded random-hyperplane signatures over 60 planes, the 2-probe
+    * weakest-margin bit flips against the exact-signature index, and the
+    * symmetrized distinct candidate pairs. Expects `e`; ends with `sym`
+    * (no trailing comma). */
+  private val knnGraphCandCtes =
+    """ nw AS (
+      |  SELECT LEAST(15, GREATEST(4,
+      |   CAST(ceil(log2(count(*) / 32.0)) AS INT))) AS w FROM e),
+      | hp AS (
+      |  SELECT j, d,
+      |   (CAST(CAST(('0x' || substr(md5('hp:' || j || ':' || d),1,15)) AS UBIGINT)
+      |     % 2001 AS BIGINT) - 1000) / 1000.0 AS r
+      |  FROM (SELECT unnest(range(0,60)) AS j), (SELECT unnest(range(0,64)) AS d)
+      |  WHERE j < 4 * (SELECT w FROM nw)),
+      | ev AS (
+      |  SELECT vec_id, generate_subscripts(v,1)-1 AS d, unnest(v) AS x FROM e),
+      | dots AS (
+      |  SELECT ev.vec_id, hp.j, sum(ev.x * hp.r) AS s
+      |  FROM ev JOIN hp USING (d) GROUP BY ev.vec_id, hp.j),
+      | sigj AS (
+      |  SELECT vec_id, j // (SELECT w FROM nw) AS band,
+      |   j % (SELECT w FROM nw) AS bit, s FROM dots),
+      | bsig AS (
+      |  SELECT vec_id, band,
+      |   CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
+      |     AS BIGINT) AS bsig
+      |  FROM sigj GROUP BY vec_id, band),
+      | flip AS (
+      |  SELECT vec_id, band, bit,
+      |   row_number() OVER (PARTITION BY vec_id, band
+      |     ORDER BY round(abs(s), 6), bit) AS fr
+      |  FROM sigj),
+      | probe AS (
+      |  SELECT vec_id, band, bsig FROM bsig
+      |  UNION ALL
+      |  SELECT s.vec_id, s.band,
+      |   xor(s.bsig, CAST(1 AS BIGINT) << f.bit) AS bsig
+      |  FROM bsig s JOIN flip f
+      |   ON s.vec_id = f.vec_id AND s.band = f.band AND f.fr <= 2),
+      | cand AS (
+      |  SELECT DISTINCT least(p.vec_id, i.vec_id) AS id_a,
+      |   greatest(p.vec_id, i.vec_id) AS id_b
+      |  FROM probe p JOIN bsig i
+      |   ON p.band = i.band AND p.bsig = i.bsig AND p.vec_id <> i.vec_id),
+      | sym AS (
+      |  SELECT id_a AS src, id_b AS dst FROM cand
+      |  UNION ALL SELECT id_b, id_a FROM cand)""".stripMargin
 
   /** Brute top-5 truth CTE `tr` for the recall twins (s12/s33). Expects
     * `e`; ends without a trailing comma. */
@@ -3382,49 +3541,8 @@ object Similarity {
     // probe the exact-signature index), OR-of-ANDs candidates symmetrized,
     // then the s01 ranking contract
     "s26_knn_graph" ->
-      (vecsCte +
-        """, nw AS (
-          |  SELECT LEAST(15, GREATEST(4,
-          |   CAST(ceil(log2(count(*) / 32.0)) AS INT))) AS w FROM e),
-          | hp AS (
-          |  SELECT j, d,
-          |   (CAST(CAST(('0x' || substr(md5('hp:' || j || ':' || d),1,15)) AS UBIGINT)
-          |     % 2001 AS BIGINT) - 1000) / 1000.0 AS r
-          |  FROM (SELECT unnest(range(0,60)) AS j), (SELECT unnest(range(0,64)) AS d)
-          |  WHERE j < 4 * (SELECT w FROM nw)),
-          | ev AS (
-          |  SELECT vec_id, generate_subscripts(v,1)-1 AS d, unnest(v) AS x FROM e),
-          | dots AS (
-          |  SELECT ev.vec_id, hp.j, sum(ev.x * hp.r) AS s
-          |  FROM ev JOIN hp USING (d) GROUP BY ev.vec_id, hp.j),
-          | sigj AS (
-          |  SELECT vec_id, j // (SELECT w FROM nw) AS band,
-          |   j % (SELECT w FROM nw) AS bit, s FROM dots),
-          | sig AS (
-          |  SELECT vec_id, band,
-          |   CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)
-          |     AS BIGINT) AS bsig
-          |  FROM sigj GROUP BY vec_id, band),
-          | flip AS (
-          |  SELECT vec_id, band, bit,
-          |   row_number() OVER (PARTITION BY vec_id, band
-          |     ORDER BY round(abs(s), 6), bit) AS fr
-          |  FROM sigj),
-          | probe AS (
-          |  SELECT vec_id, band, bsig FROM sig
-          |  UNION ALL
-          |  SELECT s.vec_id, s.band,
-          |   xor(s.bsig, CAST(1 AS BIGINT) << f.bit) AS bsig
-          |  FROM sig s JOIN flip f
-          |   ON s.vec_id = f.vec_id AND s.band = f.band AND f.fr <= 2),
-          | cand AS (
-          |  SELECT DISTINCT least(p.vec_id, i.vec_id) AS id_a,
-          |   greatest(p.vec_id, i.vec_id) AS id_b
-          |  FROM probe p JOIN sig i
-          |   ON p.band = i.band AND p.bsig = i.bsig AND p.vec_id <> i.vec_id),
-          | sym AS (
-          |  SELECT id_a AS src, id_b AS dst FROM cand
-          |  UNION ALL SELECT id_b, id_a FROM cand)
+      (vecsCte + ",\n" + knnGraphCandCtes +
+        """
           |SELECT src, rk, dst, round(cos6 + 1e-9, 4) + 0.0 AS cos FROM (
           | SELECT sym.src, sym.dst,
           |  round(list_dot_product(sa.v, sb.v) / (sa.nrm * sb.nrm), 6) AS cos6,
@@ -3601,56 +3719,23 @@ object Similarity {
           |   FROM qp JOIN eb e2 ON qp.bucket = e2.bucket AND qp.vec_id <> e2.vec_id
           |    JOIN e q ON q.vec_id = qp.vec_id) t
           |  WHERE rk <= 10),
-          | sig AS (
-          |  SELECT vec_id,
-          |   CAST(list_sum(list_transform(range(0,32), d ->
-          |     CASE WHEN v[d+1] > 0 THEN (CAST(1 AS BIGINT) << d) ELSE 0 END)) AS BIGINT) AS s0,
-          |   CAST(list_sum(list_transform(range(32,64), d ->
-          |     CASE WHEN v[d+1] > 0 THEN (CAST(1 AS BIGINT) << (d-32)) ELSE 0 END)) AS BIGINT) AS s1
-          |  FROM e),
-          | hr AS (
-          |  SELECT query_id, id, r FROM (
-          |   SELECT q.vec_id AS query_id, c.vec_id AS id,
-          |    CAST(row_number() OVER (PARTITION BY q.vec_id
-          |      ORDER BY bit_count(xor(q.s0, c.s0)) + bit_count(xor(q.s1, c.s1)),
-          |               c.vec_id) AS BIGINT) AS r
-          |   FROM sig q JOIN sig c ON q.vec_id < 20 AND q.vec_id <> c.vec_id) t
-          |  WHERE r <= 10),
-          | sfu AS (
-          |  SELECT query_id, id, sum(1.0 / (60 + r)) AS score
-          |  FROM (SELECT * FROM pr10 UNION ALL SELECT * FROM hr) u
-          |  GROUP BY query_id, id),
-          | sv5 AS (
-          |  SELECT query_id, id FROM (
-          |   SELECT query_id, id,
-          |    CAST(row_number() OVER (PARTITION BY query_id
-          |      ORDER BY round(score + 1e-9, 6) DESC, id) AS BIGINT) AS rrf_rank
-          |   FROM sfu) t WHERE rrf_rank <= 5),
-          | cr AS (
-          |  SELECT query_id, id, r FROM (
-          |   SELECT q.vec_id AS query_id, e2.vec_id AS id,
-          |    CAST(row_number() OVER (PARTITION BY q.vec_id
-          |      ORDER BY round(list_dot_product(q.v, e2.v) / (q.nrm * e2.nrm), 6) DESC,
-          |               e2.vec_id) AS BIGINT) AS r
-          |   FROM e q JOIN e e2 ON q.vec_id < 20 AND q.vec_id <> e2.vec_id) t
-          |  WHERE r <= 10),
-          | bfu AS (
-          |  SELECT query_id, id, sum(1.0 / (60 + r)) AS score
-          |  FROM (SELECT * FROM cr UNION ALL SELECT * FROM hr) u
-          |  GROUP BY query_id, id),
-          | tr5 AS (
-          |  SELECT query_id, id FROM (
-          |   SELECT query_id, id,
-          |    CAST(row_number() OVER (PARTITION BY query_id
-          |      ORDER BY round(score + 1e-9, 6) DESC, id) AS BIGINT) AS rrf_rank
-          |   FROM bfu) t WHERE rrf_rank <= 5)
-          |SELECT tr5.query_id AS query_id,
-          | CAST(sum(CASE WHEN sv5.id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hits,
-          | round(CAST(sum(CASE WHEN sv5.id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
-          |   / 5 + 1e-9, 4) AS recall
-          |FROM tr5 LEFT JOIN sv5
-          | ON tr5.query_id = sv5.query_id AND tr5.id = sv5.id
-          |GROUP BY tr5.query_id ORDER BY tr5.query_id""".stripMargin),
+          |""".stripMargin + rrfServedRecallTailSql("pr10")),
+    // the s26 banded-graph candidate CTEs (adaptive width from the FULL
+    // corpus count, 2-probe weakest-bit flips), graph top-10 restricted to
+    // the witness queries, then the shared fusion + recall tail — the
+    // premium served composition (graph-build cost, highest agreement)
+    "s37_rrf_graph_recall" ->
+      (vecsCte + ",\n" + knnGraphCandCtes + ",\n" +
+        """ gr10 AS (
+          |  SELECT src AS query_id, dst AS id, rk AS r FROM (
+          |   SELECT sym.src, sym.dst,
+          |    CAST(row_number() OVER (PARTITION BY sym.src
+          |      ORDER BY round(list_dot_product(sa.v, sb.v) / (sa.nrm * sb.nrm), 6) DESC,
+          |               sym.dst) AS BIGINT) AS rk
+          |   FROM sym JOIN e sa ON sym.src = sa.vec_id JOIN e sb ON sym.dst = sb.vec_id
+          |   WHERE sym.src < 20) t
+          |  WHERE rk <= 10),
+          |""".stripMargin + rrfServedRecallTailSql("gr10")),
     // the s16 kmeans++ staging minus the sampling randomization: k−1
     // greedy argmax picks (min-d2 fold per staged pick set, dmin DESC with
     // vec_id ties), then the struct-min assignment over the final picks
