@@ -1088,7 +1088,12 @@ object DedupOps {
     * [[graft.Tables.cachedCount]] when the caller passes `knownCount`; the tradeoff is the
     * S-curve shifting right as bands widen (per-pair collision probability
     * p^w), i.e. the graph finds only CLOSER neighbors at bigger n — the
-    * standard LSH contract, measured per-banding by the s29 recall row. */
+    * standard LSH contract, measured per-banding by the s29 recall row and
+    * QUANTIFIED by [[LshTuning.graphCosineHorizon]] (logged per
+    * invocation): the smallest neighbor cosine served at ≥ 0.9 model
+    * recall is ≈ 0.40 at the gate-scale width 4, ≈ 0.94 at the 10× width
+    * 10, ≈ 0.97 at the 100× width 13 — at scale this is a near-dup /
+    * closest-neighbor structure by construction. */
   def knnGraphAuto(df: DataFrame, idCol: String, vecCol: String, k: Int,
       bands: Int = 4, targetBucket: Long = 32L, dim: Int = 64,
       probes: Int = KnnGraphProbes, knownCount: Option[Long] = None,
@@ -1109,7 +1114,8 @@ object DedupOps {
     }
     log.info(s"knnGraphAuto: planesPerBand=$w (bands=$bands, " +
       s"target=$targetBucket, probes=$probes) rankPlan=$plan " +
-      f"(estEdges=$estEdges%.3g, switch at $heapRankRows)")
+      f"(estEdges=$estEdges%.3g, switch at $heapRankRows) " +
+      f"cosineHorizon@0.9=${LshTuning.graphCosineHorizon(0.9, w, bands, probes)}%.3f")
     tagPlanPick(
       knnGraph(df, idCol, vecCol, k, planesPerBand = w, bands = bands,
         dim = dim, probes = probes, rankPlan = plan),

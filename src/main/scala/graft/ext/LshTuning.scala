@@ -162,6 +162,89 @@ object LshTuning {
     r
   }
 
+  /** Per-band catch probability of the [[DedupOps.knnGraph]] multi-probe
+    * banding for a pair whose per-plane agreement is `p`: the band catches
+    * the pair when its `w` bits all agree, or exactly one disagrees AND
+    * that bit is among EITHER endpoint's `probes` weakest margins (the
+    * knnGraph probe side joins the exact index, so both endpoints' probes
+    * help). A-priori (no margin information) a specific bit is among one
+    * endpoint's probed set with probability `probes/w`, so the union over
+    * both endpoints covers the flipped bit with `1 − (1 − probes/w)²` —
+    * the margin-blind floor: observed flips concentrate on weak-margin
+    * bits (Lv et al.), so the served config does better, exactly like
+    * [[probeModelRecall]]'s floor. */
+  def graphBandCatch(p: Double, w: Int, probes: Int): Double = {
+    require(p > 0.0 && p < 1.0, s"p in (0,1): $p")
+    require(w >= 1 && probes >= 0, s"need w >= 1, probes >= 0, got $w, $probes")
+    val cover = 1.0 - math.pow(1.0 - math.min(probes, w).toDouble / w, 2)
+    math.pow(p, w) + w * math.pow(p, w - 1) * (1 - p) * cover
+  }
+
+  /** Analytic recall model of the banded multi-probe knn-graph for
+    * neighbors at cosine `c`: OR over `bands` independent
+    * [[graphBandCatch]] bands. CALIBRATED against the measured s29 row:
+    * at the gate-scale served config (bands 4, width 4, probes 2,
+    * neighborCos 0.35) the model gives 0.879 vs 0.90 measured — a floor
+    * within 0.03, the [[probeModelRecall]] pattern. */
+  def graphModelRecall(c: Double, w: Int, bands: Int, probes: Int): Double = {
+    require(bands >= 1, s"bands >= 1, got $bands")
+    val p = hyperplaneAgreement(c)
+    require(p > 0.0 && p < 1.0, s"cosine $c maps to degenerate agreement $p")
+    1.0 - math.pow(1.0 - graphBandCatch(p, w, probes), bands)
+  }
+
+  /** The COSINE HORIZON of a knn-graph banding: the smallest neighbor
+    * cosine the config still finds with probability ≥ `targetRecall`
+    * under [[graphModelRecall]] — the number that makes the adaptive-width
+    * contract concrete. [[DedupOps.knnGraphAuto]] widens the band
+    * signature with the corpus (E[bucket] stays ≈ targetBucket), which
+    * shifts the S-curve right: the graph keeps finding NEAR-duplicates at
+    * every scale but silently stops finding far neighbors. This gauge
+    * quantifies "how far": at the gate-scale width 4 the horizon at 0.9
+    * is ≈ 0.40, at the 10× width 10 it is ≈ 0.94, at the 100× width 13
+    * it is ≈ 0.97 — i.e. at scale the graph is a NEAR-DUP/closest-neighbor
+    * structure, and recall targets for mid-cosine neighbors belong on a
+    * coarser secondary index. 60-iteration bisection over the monotone
+    * model — deterministic, exact driver math. Returns 1.0 when even
+    * cos → 1 misses the target (degenerate — cannot happen for
+    * probes ≥ 0, w ≥ 1 since recall → 1 as c → 1). */
+  def graphCosineHorizon(targetRecall: Double, w: Int, bands: Int,
+      probes: Int): Double = {
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall in (0,1): $targetRecall")
+    var lo = -0.999
+    var hi = 0.999
+    if (graphModelRecall(hi, w, bands, probes) < targetRecall) return 1.0
+    if (graphModelRecall(lo, w, bands, probes) >= targetRecall) return lo
+    var i = 0
+    while (i < 60) {
+      val mid = (lo + hi) / 2
+      if (graphModelRecall(mid, w, bands, probes) >= targetRecall) hi = mid
+      else lo = mid
+      i += 1
+    }
+    hi
+  }
+
+  /** Smallest probe count whose [[graphModelRecall]] reaches
+    * `targetRecall` for neighbors at `neighborCos` under the FIXED
+    * (w, bands) banding, or `maxProbes` when unreachable (callers log the
+    * achieved model value and consult [[graphCosineHorizon]]) — the
+    * [[probeBudget]] discipline for the graph's probe knob. The knob is
+    * bounded by the per-band width (probing more than w−1 flips per band
+    * re-probes the same buckets) and by candidate cost: each probe
+    * multiplies candidate volume by ~(1 + probes)/(1 + probes − 1). */
+  def tuneGraphProbes(targetRecall: Double, neighborCos: Double, w: Int,
+      bands: Int, maxProbes: Int = 3): Int = {
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall in (0,1): $targetRecall")
+    val cap = math.min(maxProbes, math.max(0, w - 1))
+    var q = 0
+    while (q < cap &&
+        graphModelRecall(neighborCos, w, bands, q) < targetRecall) q += 1
+    q
+  }
+
   /** [[tune]] for COSINE thresholds on banded random-hyperplane signatures
     * — the seam that closes the clustering/tuning loop (round-13 NEXT #5):
     * banded hyperplane sketches follow the identical OR-of-ANDs S-curve

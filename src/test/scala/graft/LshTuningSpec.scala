@@ -132,6 +132,40 @@ class LshTuningSpec extends AnyFunSuite {
     }
   }
 
+  test("graph recall model: calibrated floor at the served config; horizon quantifies the width contract") {
+    // calibration against the MEASURED s29 row: served gate config is
+    // bands 4, width 4, probes 2; mean recall@3 measured 0.90 — the
+    // a-priori model must be a floor within 0.03 of it
+    val m = LshTuning.graphModelRecall(0.35, w = 4, bands = 4, probes = 2)
+    assert(m >= 0.87 && m <= 0.90, s"model $m vs measured 0.90")
+    // probes help, monotonically, and cap at w-1 distinct flips
+    val rs = (0 to 3).map(q => LshTuning.graphModelRecall(0.35, 4, 4, q))
+    assert(rs.zip(rs.tail).forall { case (a, b) => a < b })
+    // the adaptive-width contract, quantified: at a FIXED neighbor cosine
+    // the model collapses as the signature widens...
+    assert(LshTuning.graphModelRecall(0.35, 10, 4, 2) < 0.15)
+    // ...equivalently the cosine horizon (smallest servable neighbor
+    // cosine at target 0.9) marches toward 1 with the width: ≈0.40 at the
+    // gate scales, ≈0.94 at the 10× width, ≈0.97 at the 100× width
+    val h = Seq(4, 8, 10, 13).map(w =>
+      LshTuning.graphCosineHorizon(0.9, w, bands = 4, probes = 2))
+    assert(h.zip(h.tail).forall { case (a, b) => a < b }, s"horizons $h")
+    assert(math.abs(h(0) - 0.402) < 0.005 && math.abs(h(2) - 0.937) < 0.005 &&
+      math.abs(h(3) - 0.967) < 0.005, s"horizons $h")
+    // horizon is the model's inverse: recall AT the horizon meets the
+    // target, just below it misses
+    for (w <- Seq(4, 10)) {
+      val c = LshTuning.graphCosineHorizon(0.9, w, 4, 2)
+      assert(LshTuning.graphModelRecall(c, w, 4, 2) >= 0.9)
+      assert(LshTuning.graphModelRecall(c - 1e-3, w, 4, 2) < 0.9)
+    }
+    // probe tuner: the served probes=2 default is exactly the minimal
+    // probe count reaching the calibrated floor target at the gate config
+    assert(LshTuning.tuneGraphProbes(0.87, 0.35, w = 4, bands = 4) == 2)
+    assert(LshTuning.tuneGraphProbes(0.99, 0.35, w = 4, bands = 4) == 3,
+      "unreachable targets return the cap")
+  }
+
   test("tuned layout drives the banded index end-to-end") {
     val spark = SparkSpec.spark
     import spark.implicits._
