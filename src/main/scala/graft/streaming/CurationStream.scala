@@ -556,6 +556,89 @@ object CurationStream {
     compactPartitions(spark, indexDir, uptoBatchId, onStep)(
       _.dropDuplicates(idCol).sort(col("__cid"), col(idCol)))
 
+  // ------------------------------------------- streaming binary signatures
+  /** Append ONE micro-batch's 64-bit sign signatures to a partitioned
+    * on-disk signature index — the streaming maintenance path of the
+    * [[graft.ext.Similarity]] `binarySigTable` relation (the round-17
+    * served hybrid fusion's Hamming leg): a deployment ingesting
+    * embeddings keeps the 16-byte/vector code table current per batch
+    * instead of re-projecting the whole corpus, and every Hamming
+    * ranking ([[graft.ext.Similarity.knnBinary]]-shaped scans, the
+    * `rrf_served` fusion leg) reads the index. Signatures are pure
+    * integer projections of the vector signs, so the union of batch
+    * partitions is bit-identical to the one-shot table
+    * (StreamingPipelineSpec pins it, including the served-fusion-leg
+    * parity). Same [[ivfPqIndexBatch]] machinery: each batch rewrites
+    * exactly its own `batch=<id>` partition (replay idempotent, empty
+    * replay deletes), vec_id-sorted within the partition so signature
+    * row groups prune on id probes; [[Fence]] + [[healCompaction]]
+    * guard cross-process compaction. */
+  def binarySigBatch(indexDir: String, idCol: String, vecCol: String,
+      onWrite: () => Unit = () => ())
+      (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val sigs = graft.ext.Similarity.withBinarySig(
+        batch.select(col(idCol).as("vec_id"),
+          transform(col(vecCol), x => x.cast("double")).as("__v")), "__v")
+      .select(col("vec_id"), col("sig0"), col("sig1")).persist()
+    try lockFor(indexDir).synchronized {
+      val root = new org.apache.hadoop.fs.Path(indexDir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(root)
+      Fence.acquire(fs, root)
+      healCompaction(fs, root)
+      val target = new org.apache.hadoop.fs.Path(s"$indexDir/batch=$batchId")
+      val hasRows = !sigs.isEmpty
+      var attempts = 0
+      var settled = false
+      while (!settled) {
+        attempts += 1
+        require(attempts <= 5,
+          s"binarySigBatch: batch=$batchId partition kept disappearing " +
+            "under concurrent compaction — external coordination is broken")
+        if (hasRows)
+          sigs.repartitionByRange(col("vec_id"))
+            .sortWithinPartitions(col("vec_id"))
+            .write.mode("overwrite").parquet(target.toString)
+        else fs.delete(target, true)
+        onWrite()
+        settled =
+          if (hasRows)
+            fs.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS"))
+          else !fs.exists(target)
+      }
+    } finally sigs.unpersist(false)
+  }
+
+  /** Read the [[binarySigBatch]]-maintained index as one
+    * (vec_id, sig0, sig1) table — the [[loadIvfPqIndex]] contract:
+    * heals interrupted compactions, explicit-subdir read (schema matches
+    * the batch `binarySigTable` exactly), and `dedupIds` folds away the
+    * one documented post-compaction-crash duplicate window (signature
+    * rows of a duplicate id are bit-identical, so the distinct is
+    * exact). */
+  def loadBinarySigIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, dedupIds: Boolean = true): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"no index at $indexDir")
+    lockFor(indexDir).synchronized(healCompaction(fs, root))
+    val dirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("batch=")).map(_.toString).sorted
+    require(dirs.nonEmpty, s"no batch partitions under $indexDir")
+    val sigs = spark.read.parquet(dirs.toIndexedSeq: _*)
+    if (dedupIds) sigs.dropDuplicates("vec_id") else sigs
+  }
+
+  /** Compact the [[binarySigBatch]] index — [[compactIvfPqIndex]]'s
+    * rename-aside merge with a vec_id-sorted, id-distinct fold. Same
+    * committed-horizon PRECONDITION. */
+  def compactBinarySigIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, uptoBatchId: Long,
+      onStep: String => Unit = _ => ()): Boolean =
+    compactPartitions(spark, indexDir, uptoBatchId, onStep)(
+      _.dropDuplicates("vec_id").sort(col("vec_id")))
+
   /** Recover an interrupted [[compactIndex]] run. For each `.old-<id>` aside
     * copy: if `batch=<id>` exists the commit rename happened — the aside is
     * redundant (its content is inside the merged partition), delete it; if

@@ -1430,6 +1430,47 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(searchRows(CurationStream.loadIvfPqIndex(spark, dir)) == batchRows)
   }
 
+  test("streaming binary-signature index: streamed-built equals the batch table; fusion leg parity; compaction exact") {
+    import graft.streaming.CurationStream
+    import graft.ext.Similarity
+    val sfDir = "/root/testdata/sf0.001"
+    val e = Tables.loadSpread(spark, sfDir, "embeddings").localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("sig0"), col("sig1"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val batchTable = rows(Similarity.binarySigTable(spark, sfDir))
+    val dir = Files.createTempDirectory("binsig_stream").toString
+    val slices = (0 until 3).map(i => e.filter(col("vec_id") % 3 === i))
+    slices.zipWithIndex.foreach { case (b, i) =>
+      CurationStream.binarySigBatch(dir, "vec_id", "embedding")(b, i.toLong)
+    }
+    assert(rows(CurationStream.loadBinarySigIndex(spark, dir)) == batchTable,
+      "streamed-built signatures must equal the one-shot table bit-exactly")
+    // replay idempotency: rewrite, not duplicate; empty replay deletes
+    CurationStream.binarySigBatch(dir, "vec_id", "embedding")(slices(1), 1L)
+    assert(CurationStream.loadBinarySigIndex(spark, dir, dedupIds = false)
+      .count() == batchTable.size.toLong)
+    CurationStream.binarySigBatch(dir, "vec_id", "embedding")(
+      slices(1).filter(lit(false)), 1L)
+    assert(!new java.io.File(dir, "batch=1").exists(),
+      "an empty replay must delete the stale partition")
+    CurationStream.binarySigBatch(dir, "vec_id", "embedding")(slices(1), 1L)
+    // the served fusion's Hamming leg reads the streamed index and must
+    // rank identically to the leg over the content-addressed batch table
+    def leg(sigs: org.apache.spark.sql.DataFrame) =
+      Similarity.hammingRankingFromSigs(sigs, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._3)).toSeq
+    assert(leg(CurationStream.loadBinarySigIndex(spark, dir)) ==
+      leg(Similarity.binarySigTable(spark, sfDir)),
+      "the fusion's Hamming leg must serve identically from the streamed index")
+    // compaction merges to one partition, rows unchanged
+    assert(CurationStream.compactBinarySigIndex(spark, dir, uptoBatchId = 3L))
+    assert(rows(CurationStream.loadBinarySigIndex(spark, dir)) == batchTable,
+      "compaction must preserve the signature rows exactly")
+  }
+
   test("IVF-PQ index compaction is crash-safe in every window; search stays exact") {
     import graft.streaming.CurationStream
     import graft.ext.Similarity
