@@ -125,6 +125,32 @@ object Similarity {
       .withColumn("nrm", graft.functions.VectorExprs.l2($"v"))
   }
 
+  /** Content-addressed per-dir single-band BUCKET table
+    * (vec_id, v, nrm, bucket) at the corpus-adaptive [[bucketPlanes]]
+    * width — the [[binarySigTable]] discipline for the s02 index side:
+    * the 64-literal hyperplane projection over the whole corpus is the
+    * expensive half of every single-band lookup, and a deployment
+    * materializes it ONCE per corpus instead of re-bucketing per query
+    * batch. Stored SORTED on (bucket, vec_id), so the probed-bucket
+    * equi-join's scan prunes row groups to the probed lists — per-search
+    * IO scales with the probed buckets, not the corpus (the
+    * [[Retrieval.bm25Index]] IO contract for dense search). The width
+    * rides in the store name (a regenerated corpus that crosses a
+    * width boundary gets a fresh store; the fingerprint key already
+    * rebuilds on any data change). Doubles round-trip parquet exactly
+    * and the bucket is an integer projection, so serving from the store
+    * is bit-identical to the inline computation — every s02-family
+    * oracle row is unchanged. */
+  private[graft] def bucketTable(s: SparkSession, dir: String): DataFrame = {
+    val w = bucketPlanes(Tables.cachedCount(s, dir, "embeddings"))
+    Tables.cachedDerived(s, dir, "embeddings", s"s02bucket_w$w")(
+      vecs(s, dir)
+        .withColumn("bucket", bucketOf(col("v"), w))
+        .select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
+        .repartitionByRange(col("bucket"), col("vec_id"))
+        .sortWithinPartitions(col("bucket"), col("vec_id")))
+  }
+
   /** Bounded-heap top-k udaf over (score, id) — see
     * [[graft.functions.Aggregators.TopKAgg]]: map-side combine caps the
     * ranking shuffle at k rows per map partition per query, where the
@@ -227,11 +253,15 @@ object Similarity {
     log.info(s"s02AnnLsh: width=$pw probeBits=${s02ProbeBits(pw)} budget=$t " +
       f"probeFraction=${(t + 1).toDouble / (1L << pw)}%.4f modelRecall=" +
       f"${LshTuning.probeModelRecall(t, 1.0 - LshTuning.hyperplaneAgreement(S02NeighborCos), pw, s02ProbeBits(pw))}%.3f")
-    val e = e0.withColumn("bucket", bucketOf($"v", pw))
-    // the query probes its multi-probe bucket list; each corpus vector
-    // sits in exactly one bucket, so probed buckets being pairwise
-    // distinct means no candidate dedup is needed. Margins staged as a
-    // column FIRST so the hyperplane-literal dots appear once in the plan.
+    // corpus side served from the persisted bucket table (round-17:
+    // the store is (bucket, vec_id)-sorted, so this join's scan prunes
+    // row groups to the probed lists); query side computed inline — 20
+    // pushed-filter rows. The query probes its multi-probe bucket list;
+    // each corpus vector sits in exactly one bucket, so probed buckets
+    // being pairwise distinct means no candidate dedup is needed.
+    // Margins staged as a column FIRST so the hyperplane-literal dots
+    // appear once in the plan.
+    val e = bucketTable(s, dir)
     val q = e0.filter($"vec_id" < 20)
       .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"),
         bucketOf($"v", pw).as("b0"), sortedMarginsOf($"v", pw).as("sm"))
@@ -1996,7 +2026,7 @@ object Similarity {
     import s.implicits._
     val e0 = vecs(s, dir)
     val pw = bucketPlanes(Tables.cachedCount(s, dir, "embeddings"))
-    val e = e0.withColumn("bucket", bucketOf($"v", pw))
+    val e = bucketTable(s, dir)
     val q = e0.filter($"vec_id" < 20)
       .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"),
         bucketOf($"v", pw).as("b0"), sortedMarginsOf($"v", pw).as("sm"))
@@ -2226,7 +2256,7 @@ object Similarity {
       .withColumn("rk", row_number().over(w0).cast("long"))
       .filter($"rk" <= 5).select($"qid", $"vec_id")
     val w = bucketPlanes(Tables.cachedCount(s, dir, "embeddings"))
-    val eb = e.withColumn("bucket", bucketOf($"v", w))
+    val eb = bucketTable(s, dir)
     val qb =
       if (!probed) eb.filter($"vec_id" < 20)
         .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"), $"bucket")

@@ -581,6 +581,49 @@ class PlanSpec extends SparkSpec {
       s"no band-signature join may remain in the served plan:\n${p.take(2000)}")
   }
 
+  test("s02 bucket table is content-addressed: serving plans scan the store; repeat invocations run zero build jobs") {
+    // round-17 (late): the corpus-side hyperplane projection is persisted
+    // once per corpus; s02/s12/s33/s36 then join the stored
+    // (bucket, vec_id)-sorted relation. First touch builds (or finds) it.
+    import org.apache.spark.sql.functions.col
+    graft.ext.Similarity.bucketTable(spark, dir).head()
+    // serving plans read the store, not a re-bucketed corpus projection
+    for (q <- Seq("s02_ann_lsh", "s12_ann_recall"))
+      assert(plan(q).contains("s02bucket_w8"),
+        s"$q must scan the persisted bucket table")
+    // repeat invocations run zero writes (the store build is a `save`
+    // action; serving must never re-run it) — the cachedCount/
+    // sigComponentsTable listener pattern
+    val saves = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        if (funcName == "save") { saves.incrementAndGet(); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      for (q <- Seq("s02_ann_lsh", "s12_ann_recall", "s33_ann_probe_gain"))
+        SparkEntry.queries(q)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+      Thread.sleep(2000)
+      // noop drains don't report `save`; the store build (write.parquet)
+      // does — so ANY save here would be a rebuild
+      assert(saves.get() == 0,
+        s"serving must not rebuild the bucket store, saw ${saves.get()} saves")
+    } finally spark.listenerManager.unregister(l)
+    // sanity on the stored relation (value-level parity with the inline
+    // projection is the strict oracle gate's job — s02/s12/s33 rows)
+    val stored = graft.ext.Similarity.bucketTable(spark, dir)
+      .select(col("vec_id"), col("bucket"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(stored.nonEmpty && stored.map(_._2).distinct.size > 1,
+      "store must hold real bucket assignments")
+  }
+
   test("binary signature table: persisted sigs equal the inline projection; the served fusion scans the store") {
     // the round-17 served-fusion Hamming leg: a content-addressed
     // (vec_id, sig0, sig1) table — parity with the inline sign projection
