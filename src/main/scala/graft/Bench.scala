@@ -20,6 +20,11 @@ object Bench {
         // operators want more, smaller sort spills than cores (the
         // round-16 s26 spill diagnosis); default stays the core count
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
+      // SPARK_GRAFT_KNN_RANK={window|heap} forces the knn-graph ranking
+      // plan for the partitions x plan sweep (round-17 verdict #2);
+      // unset = knnGraphAuto's estimate-driven switch
+      .config("spark.graft.knngraph.rankPlan",
+        sys.env.getOrElse("SPARK_GRAFT_KNN_RANK", "auto"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")

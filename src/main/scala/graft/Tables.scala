@@ -131,13 +131,27 @@ object Tables {
     * publish ([[dirHash]] scoping — different dirs coexist). Every
     * parameter that changes the produced rows must be folded into `name`;
     * trained-model addressing is [[graft.ext.Similarity]]'s cachedCodes
-    * (model-fingerprint half). */
+    * (model-fingerprint half).
+    *
+    * `family`: when a PARAMETER rides in the name (the bucket table's
+    * adaptive width — `s02bucket_w8` vs `s02bucket_w9`), same-name
+    * eviction alone leaks the sibling: a regenerated corpus that crosses
+    * the width boundary publishes a fresh `_w9` store but the stale `_w8`
+    * entry (a full copy of the float corpus) never matches the new name
+    * and lives forever in tmpdir (round-17 ADVICE #1). Passing the
+    * parameter-free prefix as `family` widens eviction to EVERY
+    * `<family>*-<dirHash>-*` sibling of the same source dir except the
+    * entry just published — safe because one dir has exactly one live
+    * parameterization (the parameter is a function of the data). */
   def cachedDerived(s: SparkSession, dir: String, table: String,
-      name: String)(build: => DataFrame): DataFrame = {
+      name: String, family: Option[String] = None)(build: => DataFrame)
+      : DataFrame = {
     val dh = dirHash(dir)
     val fp = tableFingerprint(dir, table)
     val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_derived")
     val path = new java.io.File(root, s"$name-$dh-$fp")
+    require(family.forall(name.startsWith),
+      s"family must prefix the store name, got family=$family name=$name")
     if (!new java.io.File(path, "_SUCCESS").isFile) {
       val tmp = new java.io.File(root,
         s".tmp-$name-$dh-$fp-${java.util.UUID.randomUUID}")
@@ -151,9 +165,14 @@ object Tables {
       // `<name>-<32-hex fp>`, the round-16 8-hex dir hash wrote
       // `<name>-<8-hex dh>-<32-hex fp>`; current is 16-hex dh + 32-hex fp)
       val legacy = s"\\Q$name\\E-(?:[0-9a-f]{8}-)?[0-9a-f]{32}".r
+      // sibling parameterizations of the same family for the SAME dir:
+      // `<family><param>-<16-hex dh>-<32-hex fp>` with any param segment
+      val sibling = family.map(f =>
+        s"\\Q$f\\E[^-]*-\\Q$dh\\E-[0-9a-f]{32}".r)
       Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
         val n = f.getName
-        if ((n.startsWith(s"$name-$dh-") && n != s"$name-$dh-$fp") ||
+        if (((n.startsWith(s"$name-$dh-") ||
+              sibling.exists(_.matches(n))) && n != s"$name-$dh-$fp") ||
             legacy.matches(n))
           deleteRecursively(f)
       }

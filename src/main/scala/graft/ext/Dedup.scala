@@ -452,7 +452,41 @@ object Dedup {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- d18
+  /** The PRODUCTION cluster-sizing rule under oracle (round-17 verdict
+    * #6): d15 pins the deterministic SemDeDup pipeline at the FIXED
+    * witness k = 8, but [[DedupOps.semanticDedup]]'s production default
+    * derives `nlist` from the corpus via
+    * [[DedupOps.semanticDedupNlist]] — `max(16, min(4096,
+    * ceil(n / 4096)))` — the rule that keeps in-cluster pair work linear
+    * at 100 TB. This row runs the SAME deterministic pipeline with k
+    * computed by that exact integer rule from count(*), and the DuckDB
+    * twin recomputes k from its own count(*) with the identical integer
+    * arithmetic — so the corpus-PROPORTIONAL path has a green row at
+    * every scale (k = 16 at both gate scales, 49 at the 100× probe)
+    * instead of only spec coverage. The training slice widens with k
+    * (`vec_id < max(256, k)` — Lloyd needs at least k seed rows) and
+    * both engines derive the same bound. */
+  val d18SemanticDedupAuto: Q = (s, dir) => {
+    import s.implicits._
+    val e = Tables.loadSpread(s, dir, "embeddings")
+    val k = DedupOps.semanticDedupNlist(
+      Tables.cachedCount(s, dir, "embeddings"))
+    val uv = Similarity.unitVecs(e, "vec_id", "embedding", "vec_id")
+    val cents = Similarity.kmeansFit(
+      uv.filter($"vec_id" < math.max(256, k)), "vec_id", "__u",
+      k = k, iters = 2)
+    val asg = Similarity.kmeansAssign(uv, "vec_id", "__u", cents)
+      .select($"vec_id", $"cluster")
+    val withCid = e.join(asg, Seq("vec_id"))
+    val drop = DedupOps.cosinePairs(withCid, "vec_id", "embedding", "cluster", 0.35)
+      .select($"id_b".as("vec_id")).distinct()
+    withCid.join(drop, Seq("vec_id"), "left_anti")
+      .select($"vec_id", $"cluster").orderBy($"vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "d18_semantic_dedup_auto" -> d18SemanticDedupAuto,
     "d17_url_dedup" -> d17UrlDedup,
     "d16_keepbest_dedup" -> d16KeepBestDedup,
     "d15_semantic_dedup" -> d15SemanticDedup,
@@ -498,7 +532,18 @@ object Dedup {
     * assignment, within-cluster raw-cosine pairs (the d05 expression on
     * the ORIGINAL vectors), and the higher-id drop — every float the same
     * expression shape the s15/s01/d05 oracles already prove exact. */
-  private def d15Sql(k: Int, iters: Int, dim: Int, threshold: Double): String = {
+  private def d15Sql(k: Int, iters: Int, dim: Int, threshold: Double): String =
+    semanticDedupSql(k.toString, iters, dim, threshold)
+
+  /** [[d15Sql]] with the cluster count as a SQL EXPRESSION over the
+    * corpus row count `n` (the `kk` CTE evaluates it against
+    * `SELECT count(*) AS n FROM er`), so the d18 twin can replay
+    * [[DedupOps.semanticDedupNlist]]'s integer rule from its own
+    * count(*). The Lloyd staging is k-independent (the argmin folds GROUP
+    * BY over whatever c_r holds), so only the seed CTE and the training
+    * slice consume k. */
+  private def semanticDedupSql(kSql: String, iters: Int, dim: Int,
+      threshold: Double): String = {
     def d2(v: String, cv: String) =
       s"(list_dot_product($v, $v) - 2 * list_dot_product($v, $cv)) + list_dot_product($cv, $cv)"
     val zeros = s"list_transform(range(1, ${dim + 1}), i -> CAST(0 AS DOUBLE))"
@@ -521,11 +566,15 @@ object Dedup {
        |  SELECT vec_id, embedding::DOUBLE[] AS v,
        |   sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nrm
        |  FROM embeddings),
+       | kk AS (SELECT $kSql AS k FROM (SELECT count(*) AS n FROM er)),
        | u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS v FROM er),
-       | tr AS (SELECT vec_id, v FROM u WHERE vec_id < 256),
+       | tr AS (SELECT vec_id, v FROM u
+       |  WHERE vec_id < (SELECT GREATEST(256, k) FROM kk)),
        | c0 AS MATERIALIZED (
-       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl, v
-       |  FROM tr ORDER BY vec_id LIMIT $k),
+       |  SELECT cl, v FROM (
+       |   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl, v
+       |   FROM tr) z
+       |  WHERE cl < (SELECT k FROM kk)),
        |$rounds
        | asg AS MATERIALIZED (
        |  SELECT t.vec_id, (min({'d': ${d2("t.v", "c.v")}, 'c': c.cl})).c AS cid
@@ -636,6 +685,12 @@ object Dedup {
         |SELECT doc_id, dup_group, n_tok FROM best WHERE rk = 1
         |ORDER BY doc_id""".stripMargin,
     "d15_semantic_dedup" -> d15Sql(k = 8, iters = 2, dim = 64, threshold = 0.35),
+    // the same deterministic pipeline with k derived from count(*) by the
+    // EXACT semanticDedupNlist integer rule — `//` is DuckDB integer
+    // division, matching Scala's Long `(n + 4095) / 4096`
+    "d18_semantic_dedup_auto" -> semanticDedupSql(
+      kSql = "CAST(GREATEST(16, LEAST(4096, (n + 4095) // 4096)) AS INTEGER)",
+      iters = 2, dim = 64, threshold = 0.35),
     // the c11 recursive-reachability machinery (same simhash pairs, same
     // component fixpoint), then the all-integer cluster-size histogram
     "d11_dup_stats" ->

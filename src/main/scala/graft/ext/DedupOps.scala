@@ -1098,29 +1098,128 @@ object DedupOps {
       bands: Int = 4, targetBucket: Long = 32L, dim: Int = 64,
       probes: Int = KnnGraphProbes, knownCount: Option[Long] = None,
       rankPlan: String = "auto",
-      heapRankRows: Long = KnnGraphHeapRows): DataFrame = {
+      heapRankRows: Long = KnnGraphHeapRows,
+      targetHorizon: Option[Double] = None,
+      horizonRecall: Double = 0.9): DataFrame = {
     // `knownCount` lets callers reading a stable table pass the memoized
     // [[graft.Tables.cachedCount]] so repeat invocations run zero count jobs
     val n = knownCount.getOrElse(df.count())
-    val w = adaptivePlanes(n, targetBucket, bands)
+    // `targetHorizon = Some(c)` closes the round-17 gauge loop (verdict
+    // #3): instead of accepting the default banding's horizon, the caller
+    // STATES the smallest neighbor cosine the graph must serve at
+    // `horizonRecall`, and (bands, probes) are derived from the
+    // [[LshTuning.graphModelRecall]] model via [[tuneGraphConfig]] — the
+    // probeBudget discipline for the banded graph.
+    val (useBands, useProbes) = targetHorizon match {
+      case Some(c) =>
+        val (b2, q2, modelR) =
+          tuneGraphConfig(n, c, horizonRecall, targetBucket, minBands = 1)
+        if (modelR < horizonRecall)
+          log.warn(f"knnGraphAuto: horizon target (cos=$c%.3f at recall " +
+            f"$horizonRecall%.2f) UNREACHABLE within the config space at " +
+            f"n=$n - best model recall $modelR%.3f at bands=$b2 probes=$q2; " +
+            "route recall-sensitive mid-cosine search to a coarser index " +
+            "(ivfKnn) instead")
+        else
+          log.info(f"knnGraphAuto: horizon target (cos=$c%.3f at recall " +
+            f"$horizonRecall%.2f) -> bands=$b2 probes=$q2 " +
+            f"(model recall $modelR%.3f)")
+        (b2, q2)
+      case None => (bands, probes)
+    }
+    val w = adaptivePlanes(n, targetBucket, useBands)
+    // width saturation: past n = targetBucket·2^(60/bands) the 60-bit
+    // signature budget caps w, E[bucket] grows past targetBucket, and the
+    // candidate volume genuinely goes quadratic — the estimate below stays
+    // honest, but the caller should know the linear-growth contract ended
+    val saturated = (targetBucket << w) < n
+    if (saturated)
+      log.warn(s"knnGraphAuto: band width saturated at w=$w " +
+        s"(60-bit signature budget / $useBands bands) with n=$n - " +
+        f"E[bucket]=${n.toDouble / (1L << w)}%.0f > targetBucket=" +
+        s"$targetBucket; candidate volume grows quadratically from here " +
+        "(fewer, wider bands or an IVF route recover linear growth)")
     // expected symmetrized candidate-edge volume: 2 directions × n postings
-    // per band × (1 + probes) probe variants × E[bucket] = n/2^w partners.
-    // An over-estimate of the post-distinct rows the ranking shuffles (band
-    // collisions dedup), which is the conservative side for the switch.
-    val estEdges = 2.0 * n * bands * (1 + probes) * (n.toDouble / (1L << w))
+    // per band × (1 + probes) probe variants × E[bucket] = n/2^w partners,
+    // times the MEASURED union-bound calibration (band/probe collisions
+    // dedup in the distinct — round-17 ADVICE #3): at the 100× probe the
+    // formula gave 1.17e8 vs ~1e8 actual post-distinct edges (ratio 0.85);
+    // at the 10× probe the plans tie, so residual miscalibration near the
+    // switch boundary costs ~nothing by measurement.
+    val estEdges = KnnGraphEstCalibration *
+      2.0 * n * useBands * (1 + useProbes) * (n.toDouble / (1L << w))
+    // session-conf override for measurement sweeps (bench mains wire
+    // SPARK_GRAFT_KNN_RANK through): only consulted in "auto" mode, so an
+    // explicit caller pick always wins
+    val confPlan = df.sparkSession.conf
+      .getOption("spark.graft.knngraph.rankPlan")
+      .filter(p => p == "window" || p == "heap")
     val plan = rankPlan match {
-      case "auto" => if (estEdges > heapRankRows) "heap" else "window"
+      case "auto" => confPlan.getOrElse(
+        if (estEdges > heapRankRows) "heap" else "window")
       case p => p
     }
-    log.info(s"knnGraphAuto: planesPerBand=$w (bands=$bands, " +
-      s"target=$targetBucket, probes=$probes) rankPlan=$plan " +
+    log.info(s"knnGraphAuto: planesPerBand=$w (bands=$useBands, " +
+      s"target=$targetBucket, probes=$useProbes) rankPlan=$plan " +
       f"(estEdges=$estEdges%.3g, switch at $heapRankRows) " +
-      f"cosineHorizon@0.9=${LshTuning.graphCosineHorizon(0.9, w, bands, probes)}%.3f")
+      f"cosineHorizon@0.9=${LshTuning.graphCosineHorizon(0.9, w, useBands, useProbes)}%.3f")
     tagPlanPick(
-      knnGraph(df, idCol, vecCol, k, planesPerBand = w, bands = bands,
-        dim = dim, probes = probes, rankPlan = plan),
+      knnGraph(df, idCol, vecCol, k, planesPerBand = w, bands = useBands,
+        dim = dim, probes = useProbes, rankPlan = plan),
       "knnGraphAuto", "graft.knngraph.rank", plan,
       f"estimated symmetrized edges $estEdges%.3g, switch at $heapRankRows")
+  }
+
+  /** Calibration of [[knnGraphAuto]]'s union-bound edge estimate to the
+    * post-distinct rows the ranking actually shuffles, measured at the
+    * 100× probe (est 1.17e8 vs ~1e8 distinct candidate edges): band and
+    * probe collisions of the same pair dedup in the candidate
+    * `.distinct()`, so the raw product over-counts by the expected
+    * collision multiplicity. Near-duplicate pairs collide in many bands,
+    * but they are few; the measured corpus-level ratio is what the
+    * switch should consume. */
+  val KnnGraphEstCalibration: Double = 0.85
+
+  /** Derive the CHEAPEST (bands, probes) whose [[LshTuning
+    * .graphModelRecall]] meets `horizonRecall` for neighbors at
+    * `targetHorizon` cosine, given the corpus size (the band width at
+    * each candidate band count is [[adaptivePlanes]]' — wider corpora get
+    * wider signatures until the 60-bit budget caps them). Cost is the
+    * expected candidate volume 2·n·bands·(1+probes)·E[bucket] — the REAL
+    * shuffle cost, which a 60-bit-capped narrow width inflates through
+    * E[bucket] = n/2^w (so the sweep prices saturation honestly instead
+    * of assuming E[bucket] = targetBucket). Returns the best-recall
+    * config when the target is unreachable everywhere — callers compare
+    * the returned model recall against the target and log/route
+    * ([[knnGraphAuto]] does). Deterministic driver-side math. */
+  private[graft] def tuneGraphConfig(n: Long, targetHorizon: Double,
+      horizonRecall: Double, targetBucket: Long, minBands: Int = 1,
+      maxBands: Int = 12, maxProbes: Int = 3): (Int, Int, Double) = {
+    require(targetHorizon > -1.0 && targetHorizon < 1.0,
+      s"targetHorizon in (-1,1): $targetHorizon")
+    require(horizonRecall > 0.0 && horizonRecall < 1.0,
+      s"horizonRecall in (0,1): $horizonRecall")
+    require(minBands >= 1 && maxBands >= minBands,
+      s"need 1 <= minBands <= maxBands, got $minBands..$maxBands")
+    val configs = for {
+      b <- minBands to maxBands
+      w = adaptivePlanes(n, targetBucket, b)
+      q <- 0 to math.min(maxProbes, math.max(0, w - 1))
+    } yield {
+      val r = LshTuning.graphModelRecall(targetHorizon, w, b, q)
+      val cost = 2.0 * n * b * (1 + q) * (n.toDouble / (1L << w))
+      (b, q, r, cost)
+    }
+    val ok = configs.filter(_._3 >= horizonRecall)
+    if (ok.nonEmpty) {
+      val (b, q, r, _) = ok.minBy { case (b, q, _, cost) => (cost, b, q) }
+      (b, q, r)
+    } else {
+      val (b, q, r, _) = configs.maxBy { case (b, q, r, cost) =>
+        (r, -cost, -b, -q)
+      }
+      (b, q, r)
+    }
   }
 
   /** [[knnGraphAuto]]'s window→heap ranking switch, in estimated

@@ -137,19 +137,35 @@ object Similarity {
     * [[Retrieval.bm25Index]] IO contract for dense search). The width
     * rides in the store name (a regenerated corpus that crosses a
     * width boundary gets a fresh store; the fingerprint key already
-    * rebuilds on any data change). Doubles round-trip parquet exactly
+    * rebuilds on any data change, and the width-free `family` prefix
+    * makes the crossing EVICT the old width's store instead of leaking
+    * a full float-corpus copy in tmpdir — round-17 ADVICE #1). Doubles
+    * round-trip parquet exactly
     * and the bucket is an integer projection, so serving from the store
     * is bit-identical to the inline computation — every s02-family
     * oracle row is unchanged. */
   private[graft] def bucketTable(s: SparkSession, dir: String): DataFrame = {
     val w = bucketPlanes(Tables.cachedCount(s, dir, "embeddings"))
-    Tables.cachedDerived(s, dir, "embeddings", s"s02bucket_w$w")(
-      vecs(s, dir)
-        .withColumn("bucket", bucketOf(col("v"), w))
-        .select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
+    Tables.cachedDerived(s, dir, "embeddings", s"s02bucket_w$w",
+        family = Some("s02bucket_w"))(
+      bucketProjection(Tables.loadSpread(s, dir, "embeddings"),
+          "vec_id", "embedding", w)
         .repartitionByRange(col("bucket"), col("vec_id"))
         .sortWithinPartitions(col("bucket"), col("vec_id")))
   }
+
+  /** The [[bucketTable]] row shape (vec_id, v, nrm, bucket) at an EXPLICIT
+    * width `w` from any (id, vector) frame — the projection the batch
+    * store and the streamed index
+    * ([[graft.streaming.CurationStream.bucketBatch]]) both build, so the
+    * two serving paths are bit-identical by construction (double cast,
+    * one l2, integer sign projection — no order sensitivity). */
+  private[graft] def bucketProjection(df: DataFrame, idCol: String,
+      vecCol: String, w: Int): DataFrame =
+    df.select(col(idCol).as("vec_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", graft.functions.VectorExprs.l2(col("v")))
+      .withColumn("bucket", bucketOf(col("v"), w))
+      .select(col("vec_id"), col("v"), col("nrm"), col("bucket"))
 
   /** Bounded-heap top-k udaf over (score, id) — see
     * [[graft.functions.Aggregators.TopKAgg]]: map-side combine caps the
@@ -244,6 +260,30 @@ object Similarity {
     * ([[s02BudgetCaseSql]]). */
   private[graft] def s02Budget(w: Int): Int =
     LshTuning.probeBudget(S02TargetRecall, S02NeighborCos, w, s02ProbeBits(w))
+
+  /** The FUSION leg's deeper probe target (round-17 verdict #3): the
+    * served hybrid fusion compounds the probed leg's recall with RRF's
+    * rank sensitivity near the top-5 cutoff, so at the standalone 0.8
+    * target the fused agreement@5 capped at 0.91/0.90. The MEASURED
+    * target curve at the gate scales (sf0.001/sf0.01, k=10 legs):
+    * 0.85 → 0.93/0.91, 0.9 → 0.96/0.95, 0.95 → 0.99/0.98,
+    * 0.975 → 0.99/0.99 — 0.95 clears the ≥0.95 done-gate with margin at
+    * a priced-in candidate-fraction cost: budget 214/255 subsets at the
+    * floor-8 width vs 148 standalone (fraction 0.84 vs 0.58 of the
+    * bucket space — the honest price of single-band probing near the
+    * exact-legs ceiling; recall-sensitive fusion at scale belongs on the
+    * graph leg, s37). Deepening the LEG instead (k=20 at any target)
+    * measured 0.78–0.80: rank-11+ contributions the brute composition
+    * never sees poison the fusion — depth must match the truth's legs.
+    * Standalone s02/s12/s33 keep the 0.8 target — their contract is the
+    * stated-recall serving config, not fusion input. */
+  private[graft] val S02FusionTargetRecall = 0.95
+
+  /** [[s02Budget]] at the deeper [[S02FusionTargetRecall]] — the budget
+    * [[rrfServedTop5]]'s probed leg serves; same single-source contract
+    * (the s36 twin consumes it as its own width-keyed CASE table). */
+  private[graft] def s02FusionBudget(w: Int): Int =
+    LshTuning.probeBudget(S02FusionTargetRecall, S02NeighborCos, w, s02ProbeBits(w))
 
   val s02AnnLsh: Q = (s, dir) => {
     import s.implicits._
@@ -1845,13 +1885,24 @@ object Similarity {
     * projection is a single codegen'd dot against plan literals — a
     * shuffle-free scan at any size. Returns (mean, component). */
   def topComponentFit(train: DataFrame, idCol: String, vecCol: String,
-      iters: Int = 8): (Array[Double], Array[Double]) = {
+      iters: Int = 8, maxSample: Int = 65536): (Array[Double], Array[Double]) = {
     val sp = train.sparkSession
     import sp.implicits._
+    require(maxSample >= 1, s"maxSample >= 1, got $maxSample")
+    // the fit is a DRIVER-side fold, so the sample bound must live in the
+    // API, not in caller discipline (round-17 verdict #4 — the kCenterPicks
+    // rule): collect at most maxSample+1 id-sorted rows (TakeOrdered — no
+    // full-sample shuffle) and FAIL on overflow rather than silently
+    // truncate, which would change the fitted component under a contract
+    // that promises the exact sample the caller named.
     val sample = train
       .select(col(idCol).cast("long").as("__id"), asDouble(col(vecCol)).as("__v"))
-      .orderBy(col("__id"))
+      .orderBy(col("__id")).limit(maxSample + 1)
       .as[(Long, Seq[Double])].collect().map(_._2.toArray)
+    require(sample.length <= maxSample,
+      s"topComponentFit: training sample exceeds maxSample=$maxSample rows " +
+        "- the fit collects to the driver; pass a bounded sample (the s30 " +
+        "vec_id<256 rule) or raise maxSample deliberately")
     require(sample.nonEmpty, "topComponentFit: empty training sample")
     val dim = sample.head.length
     val n = sample.length.toDouble
@@ -2022,16 +2073,19 @@ object Similarity {
     * legs are index-served, so the composition stays SF-near-independent
     * where s34's two brute scans grow with the corpus. */
   private[graft] def s02ProbedRanking(s: SparkSession, dir: String,
-      k: Int): DataFrame = {
+      k: Int, budget: Int => Int = s02Budget): DataFrame = {
     import s.implicits._
     val e0 = vecs(s, dir)
     val pw = bucketPlanes(Tables.cachedCount(s, dir, "embeddings"))
+    val t = budget(pw)
+    log.info(s"s02ProbedRanking: width=$pw k=$k budget=$t " +
+      f"probeFraction=${(t + 1).toDouble / (1L << pw)}%.4f")
     val e = bucketTable(s, dir)
     val q = e0.filter($"vec_id" < 20)
       .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"),
         bucketOf($"v", pw).as("b0"), sortedMarginsOf($"v", pw).as("sm"))
       .select($"qid", $"qv", $"qn", $"b0",
-        explode(probeMasksBudgeted($"sm", s02ProbeBits(pw), s02Budget(pw))).as("mask"))
+        explode(probeMasksBudgeted($"sm", s02ProbeBits(pw), t)).as("mask"))
       .select($"qid", $"qv", $"qn", $"b0".bitwiseXOR($"mask").as("bucket"))
     val w = Window.partitionBy($"qid").orderBy($"cos6".desc, $"vec_id")
     broadcast(q).join(e, Seq("bucket"))
@@ -2108,7 +2162,12 @@ object Similarity {
     * SF-near-independent here); the exact-legs ceiling is 1.000. s36
     * pins the served agreement per query. */
   private[graft] def rrfServedTop5(s: SparkSession, dir: String): DataFrame = {
-    val probed = s02ProbedRanking(s, dir, k = 10)
+    // the probed leg runs the DEEPER fusion budget (S02FusionTargetRecall
+    // — see its scaladoc for the measured agreement/cost curve); leg depth
+    // stays k=10, matching the brute fusion's legs (deepening the served
+    // leg past the truth's depth injects rank-11+ contributions the brute
+    // composition never sees — measured to HURT agreement, not help)
+    val probed = s02ProbedRanking(s, dir, k = 10, budget = s02FusionBudget)
     val ham = hammingRankingFromSigs(binarySigTable(s, dir), k = 10)
     Retrieval.rrfFuse(Seq(probed, ham), "query_id", "id", "rank", k = 5)
   }
@@ -2118,18 +2177,20 @@ object Similarity {
     * ([[rrfServedTop5]]) against the s34 brute-fusion top-5 — the
     * measurement that closes the round-16 verdict #4 loop: what does
     * serving the fusion legs from materialized indexes cost against the
-    * brute composition? Measured at the gate scales with the round-17
-    * legs (probed cosine + signature-table Hamming): mean agreement@5 ≈
-    * 0.91 (sf0.001) / 0.90 (sf0.01) — up from 0.53/0.49 with the
-    * round-16 rerank leg, whose cosine re-ranking was a DIFFERENT
-    * ranking function from s34's raw-Hamming leg and capped agreement
-    * structurally (the full decomposition is on [[rrfServedTop5]]'s
-    * scaladoc). The remaining gap is exactly the probed cosine leg's
-    * ~0.8 recall compounding with RRF's rank sensitivity near the top-5
-    * cutoff. Both engines replay every stage: the budgeted probe list,
-    * the all-integer signature ranking, the 1/(60+rank) fusion sums
-    * (exact-integer denominators, commutative addition), and the recall
-    * join. */
+    * brute composition? History: the round-16 rerank-leg composition
+    * measured 0.53/0.49 (its cosine re-ranking was a DIFFERENT ranking
+    * function from s34's raw-Hamming leg — the decomposition is on
+    * [[rrfServedTop5]]'s scaladoc); the round-17 leg re-pick (probed
+    * cosine at the 0.8 budget + signature-table Hamming) lifted it to
+    * 0.91/0.90; round 18 deepens the probed LEG's budget to the
+    * [[S02FusionTargetRecall]] = 0.95 target and measures **0.99
+    * (sf0.001) / 0.98 (sf0.01)** — the residual 0.01–0.02 is RRF rank
+    * sensitivity exactly at the top-5 cutoff under the leg's remaining
+    * ~0.05 recall gap (the measured target curve is on the constant's
+    * scaladoc). Both engines replay every stage: the budgeted probe
+    * list, the all-integer signature ranking, the 1/(60+rank) fusion
+    * sums (exact-integer denominators, commutative addition), and the
+    * recall join. */
   val s36RrfServedRecall: Q = (s, dir) => {
     import s.implicits._
     val truth = s34RrfHybrid(s, dir).select($"query_id", $"id")
@@ -2159,10 +2220,13 @@ object Similarity {
 
   /** The GRAPH-LEG hybrid fusion: [[graphRankingTop]] top-10 ∪ the
     * [[hammingRankingFromSigs]] signature-table Hamming top-10, RRF-fused
-    * to a top-5 — the highest-agreement served composition from the
-    * round-17 leg decomposition (0.96/0.95 vs [[rrfServedTop5]]'s
-    * 0.91/0.90 at the gate scales), priced at the graph build where the
-    * probed composition is SF-near-independent. s37 keeps it measured. */
+    * to a top-5. In round 17 this was the highest-agreement served
+    * composition (0.96/0.95 vs the then-0.8-budget probed fusion's
+    * 0.91/0.90); the round-18 fusion-budget deepening moved the probed
+    * composition PAST it (0.99/0.98 at SF-near-independent cost), so the
+    * graph leg's remaining case is a deployment that already maintains
+    * the knn graph and fuses it for free — s37 keeps that point on the
+    * quality/cost curve measured rather than asserted. */
   private[graft] def rrfGraphFusedTop5(s: SparkSession, dir: String): DataFrame = {
     val graphLeg = graphRankingTop(s, dir, k = 10)
     val ham = hammingRankingFromSigs(binarySigTable(s, dir), k = 10)
@@ -2171,10 +2235,10 @@ object Similarity {
 
   // ---------------------------------------------------------------- s37
   /** s37: per-query agreement@5 of the GRAPH-LEG fusion
-    * ([[rrfGraphFusedTop5]]) against the s34 brute fusion — the premium
-    * end of the served-fusion quality/cost curve that s36 measures the
-    * cheap end of: graph leg (recall 0.90) + identical Hamming leg =
-    * agreement ≈ 0.96/0.95, vs the probed leg's 0.91/0.90, vs the
+    * ([[rrfGraphFusedTop5]]) against the s34 brute fusion — the
+    * graph-built point on the served-fusion quality/cost curve: graph
+    * leg (recall 0.90) + identical Hamming leg = agreement ≈ 0.96/0.95,
+    * vs the round-18 deepened probed fusion's 0.99/0.98 (s36) and the
     * exact-legs ceiling 1.000. Both engines replay the banded-graph
     * candidate generation (the s26 CTEs), the ranking, the fusion sums,
     * and the agreement join. */
@@ -3028,9 +3092,9 @@ object Similarity {
     * path runs, so both engines consume identical budgets as plan
     * constants at every adaptive width and neither replays the float
     * cumulative-mass walk (no cross-engine threshold-boundary risk). */
-  private def s02BudgetCaseSql: String =
+  private def s02BudgetCaseSql(budget: Int => Int = s02Budget): String =
     "CASE (SELECT w FROM nb) " +
-      (8 to 20).map(w => s"WHEN $w THEN ${s02Budget(w)}").mkString(" ") +
+      (8 to 20).map(w => s"WHEN $w THEN ${budget(w)}").mkString(" ") +
       " END"
 
   /** Query-side multi-probe list `qp` for the 20 witness queries (the
@@ -3042,8 +3106,10 @@ object Similarity {
     * ranked (score asc, mask asc), and the first [[s02BudgetCaseSql]]
     * subsets probe on top of the exact bucket; margin rank =
     * round(|proj|, 6) with bit-index ties). Needs [[s02BucketCtes]];
-    * ends without a trailing comma. */
-  private def s02ProbeCtesSql: String =
+    * ends without a trailing comma. `budget` picks which width-keyed
+    * CASE table the `tb` CTE consumes — [[s02Budget]] for the standalone
+    * s02/s12/s33 rows, [[s02FusionBudget]] for the s36 fusion leg. */
+  private def s02ProbeCtesSql(budget: Int => Int = s02Budget): String =
     s""" mb AS (SELECT least(w, ${S02ProbeBitsCap}) AS m FROM nb),
        | qm AS (
        |  SELECT vec_id, j AS bit, round(abs(s), 6) AS m,
@@ -3053,7 +3119,7 @@ object Similarity {
        |  SELECT vec_id, fr - 1 AS r, CAST(round(m * 1e6) AS BIGINT) AS mi,
        |   CAST(1 AS BIGINT) << bit AS k
        |  FROM qm WHERE fr <= (SELECT m FROM mb)),
-       | tb AS (SELECT ${s02BudgetCaseSql} AS t),
+       | tb AS (SELECT ${s02BudgetCaseSql(budget)} AS t),
        | sco AS (
        |  SELECT q.vec_id, s.sid,
        |   CAST(sum(CASE WHEN (s.sid >> q.r) & 1 = 1 THEN q.mi ELSE 0 END) AS BIGINT) AS score,
@@ -3739,7 +3805,8 @@ object Similarity {
     // leg, which is exactly the round-17 leg fix), RRF-fused, recall@5
     // against the brute-fused top-5
     "s36_rrf_served_recall" ->
-      (vecsCte + ",\n" + s02BucketCtes + ",\n" + s02ProbeCtesSql + ",\n" +
+      (vecsCte + ",\n" + s02BucketCtes + ",\n" +
+        s02ProbeCtesSql(s02FusionBudget) + ",\n" +
         """ pr10 AS (
           |  SELECT qid AS query_id, vec_id AS id, rk AS r FROM (
           |   SELECT qp.vec_id AS qid, e2.vec_id,
@@ -3920,7 +3987,7 @@ object Similarity {
           |LEFT JOIN borderlab bl ON n.id = bl.id
           |ORDER BY vec_id""".stripMargin),
     "s02_ann_lsh" ->
-      (vecsCte + ",\n" + s02BucketCtes + ",\n" + s02ProbeCtesSql + "\n" +
+      (vecsCte + ",\n" + s02BucketCtes + ",\n" + s02ProbeCtesSql() + "\n" +
         """SELECT qid, rk, vec_id, round(cos6, 4) + 0.0 AS cos, bucket FROM (
           | SELECT qp.vec_id AS qid, e2.vec_id, e2.bucket,
           |  round(list_dot_product(q.v, e2.v) / (q.nrm * e2.nrm), 6) AS cos6,
@@ -4019,7 +4086,7 @@ object Similarity {
     // the probed top-5, recall-joined against brute truth
     "s12_ann_recall" ->
       (vecsCte + ",\n" + s02TruthCte + ",\n" + s02BucketCtes + ",\n" +
-        s02ProbeCtesSql + ",\n" + s02ProbeTop5Cte + "\n" +
+        s02ProbeCtesSql() + ",\n" + s02ProbeTop5Cte + "\n" +
         """SELECT tr.qid AS query_id,
           | CAST(sum(CASE WHEN ap.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_hits,
           | round(CAST(sum(CASE WHEN ap.vec_id IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
@@ -4030,7 +4097,7 @@ object Similarity {
     // documentation row
     "s33_ann_probe_gain" ->
       (vecsCte + ",\n" + s02TruthCte + ",\n" + s02BucketCtes + ",\n" +
-        s02ProbeCtesSql + ",\n" + s02ProbeTop5Cte + ",\n" +
+        s02ProbeCtesSql() + ",\n" + s02ProbeTop5Cte + ",\n" +
         """ apx AS (
           |  SELECT qid, vec_id FROM (
           |   SELECT q.vec_id AS qid, e2.vec_id,

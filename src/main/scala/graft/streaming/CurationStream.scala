@@ -639,6 +639,94 @@ object CurationStream {
     compactPartitions(spark, indexDir, uptoBatchId, onStep)(
       _.dropDuplicates("vec_id").sort(col("vec_id")))
 
+  /** Append ONE micro-batch's single-band bucket rows to a partitioned
+    * on-disk DENSE index — the streaming maintenance path of
+    * [[graft.ext.Similarity]]'s content-addressed `bucketTable` (the s02
+    * serving store), completing the round-17 follow-up: the
+    * binary-signature index got this treatment first
+    * ([[binarySigBatch]]); a deployment whose embeddings arrive as a
+    * stream keeps the probed-cosine leg's index current per batch too,
+    * instead of re-projecting the whole corpus on every refresh. The
+    * signature width `w` is FIXED at index creation (a stream cannot
+    * re-bucket retroactively — pick it from the expected corpus size via
+    * the `bucketPlanes` rule; a width change is a new index): the same
+    * [[graft.ext.Similarity.bucketProjection]] the batch store builds,
+    * so for any ingested set the union of batch partitions is
+    * bit-identical to the one-shot store at that width
+    * (StreamingPipelineSpec pins it, including the probed-ranking
+    * parity). Partition discipline is [[binarySigBatch]]'s: each batch
+    * rewrites exactly its own `batch=<id>` partition (replay idempotent,
+    * empty replay deletes), (bucket, vec_id)-sorted within the partition
+    * so per-search IO prunes row groups to the probed lists; [[Fence]] +
+    * [[healCompaction]] guard cross-process compaction. */
+  def bucketBatch(indexDir: String, idCol: String, vecCol: String, w: Int,
+      onWrite: () => Unit = () => ())
+      (batch: DataFrame, batchId: Long): Unit = {
+    require(w >= 1 && w <= 20, s"bucket width in [1,20], got $w")
+    val spark = batch.sparkSession
+    val rows = graft.ext.Similarity
+      .bucketProjection(batch, idCol, vecCol, w).persist()
+    try lockFor(indexDir).synchronized {
+      val root = new org.apache.hadoop.fs.Path(indexDir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(root)
+      Fence.acquire(fs, root)
+      healCompaction(fs, root)
+      val target = new org.apache.hadoop.fs.Path(s"$indexDir/batch=$batchId")
+      val hasRows = !rows.isEmpty
+      var attempts = 0
+      var settled = false
+      while (!settled) {
+        attempts += 1
+        require(attempts <= 5,
+          s"bucketBatch: batch=$batchId partition kept disappearing " +
+            "under concurrent compaction — external coordination is broken")
+        if (hasRows)
+          rows.repartitionByRange(col("bucket"), col("vec_id"))
+            .sortWithinPartitions(col("bucket"), col("vec_id"))
+            .write.mode("overwrite").parquet(target.toString)
+        else fs.delete(target, true)
+        onWrite()
+        settled =
+          if (hasRows)
+            fs.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS"))
+          else !fs.exists(target)
+      }
+    } finally rows.unpersist(false)
+  }
+
+  /** Read the [[bucketBatch]]-maintained dense index as one
+    * (vec_id, v, nrm, bucket) table — the [[loadBinarySigIndex]]
+    * contract: heals interrupted compactions, explicit-subdir read
+    * (schema matches the batch `bucketTable` exactly), and `dedupIds`
+    * folds away the one documented post-compaction-crash duplicate
+    * window (bucket rows of a duplicate id are bit-identical — the
+    * projection is deterministic in the vector — so the distinct is
+    * exact). */
+  def loadBucketIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, dedupIds: Boolean = true): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"no index at $indexDir")
+    lockFor(indexDir).synchronized(healCompaction(fs, root))
+    val dirs = fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("batch=")).map(_.toString).sorted
+    require(dirs.nonEmpty, s"no batch partitions under $indexDir")
+    val rows = spark.read.parquet(dirs.toIndexedSeq: _*)
+    if (dedupIds) rows.dropDuplicates("vec_id") else rows
+  }
+
+  /** Compact the [[bucketBatch]] index — the rename-aside merge with a
+    * (bucket, vec_id)-sorted, id-distinct fold, so the compacted
+    * partition keeps the probed-list row-group pruning the per-batch
+    * sort bought. Same committed-horizon PRECONDITION as
+    * [[compactIndex]]. */
+  def compactBucketIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, uptoBatchId: Long,
+      onStep: String => Unit = _ => ()): Boolean =
+    compactPartitions(spark, indexDir, uptoBatchId, onStep)(
+      _.dropDuplicates("vec_id").sort(col("bucket"), col("vec_id")))
+
   /** Recover an interrupted [[compactIndex]] run. For each `.old-<id>` aside
     * copy: if `batch=<id>` exists the commit rename happened — the aside is
     * redundant (its content is inside the merged partition), delete it; if
@@ -788,6 +876,68 @@ object CurationStream {
       val d = componentDrift(prev.toArray, cur.toArray)
       (id, d, d < threshold)
     }.toSeq
+  }
+
+  /** Record one [[klDriftReport]]'s per-source KL points as a MONITOR
+    * POINT — the [[componentFitPoint]] discipline applied to the token
+    * distribution gauge (round-17 verdict #8: the component-drift series
+    * got its alarm composition in round 17; this is the KL stream's
+    * twin): each report's (source, kl_corpus) rows persist as
+    * `monitorDir/report=<id>` with the report id folded into the rows,
+    * so a replayed report overwrites exactly its own point. Per-report
+    * IO is |sources| rows — KBs at any corpus size. */
+  def klDriftPoint(monitorDir: String, reportId: Long, report: DataFrame,
+      byCol: String): Unit =
+    lockFor(monitorDir).synchronized {
+      report.select(lit(reportId).as("report_id"), col(byCol),
+          col("kl_corpus").as("kl"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$monitorDir/report=$reportId")
+    }
+
+  /** The DRIFT ALARM over every recorded [[klDriftPoint]], per source in
+    * report-id order: one row per consecutive report pair per source —
+    * `(report_id, <byCol>, kl, drift = |kl_t − kl_prev|, alarm = drift >
+    * threshold)`. A stable source's KL-vs-corpus gauge moves ~nothing
+    * between reports; a source whose token distribution SHIFTS jumps at
+    * the report that first covers the shifted batches — the alarm fires
+    * there and not before (spec-pinned on a planted drifting source).
+    * A source absent from some report pairs its surviving points
+    * (consecutive PRESENT points — absence means no tokens, not
+    * drift). Returns an empty series (correct schema) when fewer than
+    * two reports exist. State is |sources| × |reports| rows — driver-
+    * negligible; the expensive half (the counts) was already
+    * batch-partitioned by [[tokenCountsBatch]]. */
+  def klDriftAlarms(spark: org.apache.spark.sql.SparkSession,
+      monitorDir: String, byCol: String, threshold: Double,
+      byType: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType): DataFrame = {
+    require(threshold > 0.0, s"threshold > 0: $threshold")
+    val root = new org.apache.hadoop.fs.Path(monitorDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts =
+      if (!fs.exists(root)) Array.empty[org.apache.hadoop.fs.Path]
+      else fs.listStatus(root).filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.startsWith("report="))
+    val source =
+      if (parts.length < 2)
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("report_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField(byCol, byType),
+            org.apache.spark.sql.types.StructField("kl",
+              org.apache.spark.sql.types.DoubleType))))
+      else spark.read.parquet(parts.map(_.toString).toIndexedSeq: _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(byCol)).orderBy(col("report_id"))
+    source
+      .withColumn("__prev", lag(col("kl"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .withColumn("drift", abs(col("kl") - col("__prev")))
+      .select(col("report_id"), col(byCol), col("kl"), col("drift"),
+        (col("drift") > threshold).as("alarm"))
   }
 
   /** Driver-side benchmark hash set from a static benchmark table — the

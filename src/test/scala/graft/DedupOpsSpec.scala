@@ -427,6 +427,53 @@ class DedupOpsSpec extends SparkSpec {
       "past the threshold the rank must be the bounded-heap aggregate")
   }
 
+  test("knnGraphAuto: a stated cosine horizon derives (bands, probes) from the model; rows stay a valid knn graph") {
+    // round-17 verdict #3: the caller states the horizon instead of
+    // accepting the default banding's. At the 500-vector corpus the
+    // default (4 bands, 2 probes, w=4) models 0.879 at cos 0.35 — asking
+    // for that exact contract must reproduce a config meeting it, and the
+    // result must BE knnGraph at the derived config (bit-identical).
+    val (b, q, r) = DedupOps.tuneGraphConfig(500L, 0.35, 0.85, 32L)
+    assert(r >= 0.85)
+    val viaTarget = DedupOps.knnGraphAuto(embs, "vec_id", "embedding", k = 3,
+        targetHorizon = Some(0.35), horizonRecall = 0.85)
+      .as[(Long, Long, Long, Double)].collect().sortBy(t => (t._1, t._2)).toSeq
+    val w = DedupOps.adaptivePlanes(500L, 32L, b)
+    val direct = DedupOps.knnGraph(embs, "vec_id", "embedding", k = 3,
+        planesPerBand = w, bands = b, probes = q)
+      .as[(Long, Long, Long, Double)].collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(viaTarget == direct,
+      "the horizon-derived graph must equal knnGraph at the tuned config")
+    assert(viaTarget.nonEmpty)
+    // an unreachable horizon still returns a graph (best-effort config,
+    // warning logged) rather than failing the pipeline
+    assert(DedupOps.knnGraphAuto(embs, "vec_id", "embedding", k = 3,
+      targetHorizon = Some(0.05), horizonRecall = 0.99).count() > 0)
+  }
+
+  test("knnGraphAuto: session conf overrides the rank-plan switch in auto mode only") {
+    // the sweep knob (SPARK_GRAFT_KNN_RANK -> spark.graft.knngraph.rankPlan):
+    // identical rows, forced physical rank
+    val win = DedupOps.knnGraph(embs, "vec_id", "embedding", k = 3,
+        probes = DedupOps.KnnGraphProbes)
+      .as[(Long, Long, Long, Double)].collect().sortBy(t => (t._1, t._2)).toSeq
+    try {
+      spark.conf.set("spark.graft.knngraph.rankPlan", "heap")
+      val df = DedupOps.knnGraphAuto(embs, "vec_id", "embedding", k = 3)
+      val got = df.as[(Long, Long, Long, Double)].collect()
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(got == win, "the forced heap plan must not change results")
+      assert(!df.queryExecution.executedPlan.toString.contains("Window"),
+        "conf=heap must route the ranking off the window plan")
+      // an explicit caller pick always beats the conf
+      val explicit = DedupOps.knnGraphAuto(embs, "vec_id", "embedding",
+        k = 3, rankPlan = "window")
+      explicit.collect()
+      assert(explicit.queryExecution.executedPlan.toString.contains("Window"),
+        "an explicit rankPlan must override the session conf")
+    } finally spark.conf.unset("spark.graft.knngraph.rankPlan")
+  }
+
   test("bucketPlanes (s02/s12/s24 single-band width) agrees with the twins' ceil-log2 formula") {
     def sqlW(n: Long) = math.min(20, math.max(8,
       math.ceil(math.log(n / 256.0) / math.log(2.0)).toInt))
@@ -978,6 +1025,46 @@ class DedupOpsSpec extends SparkSpec {
     val entries = Option(root.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.startsWith("spec_xdir-")).map(_.getName).toSeq
     assert(entries.size == 2, s"both dirs' tables must coexist: $entries")
+  }
+
+  test("cachedDerived: a family publish evicts SIBLING parameterizations of the same dir, keeps other dirs") {
+    // round-17 ADVICE #1: the bucket table folds its adaptive width into
+    // the store NAME (s02bucket_w8 vs _w9), so same-name eviction leaked
+    // the old width's store (a full float-corpus copy) when a regenerated
+    // corpus crossed the width boundary. Publishing with `family` must
+    // evict every sibling parameterization FOR THE SAME DIR and leave a
+    // different dir's entries alone.
+    val dirA = "/root/testdata/sf0.001"
+    val dirB = "/root/testdata/sf0.01"
+    val store = new java.io.File(sys.props("java.io.tmpdir"), "graft_derived")
+    def rm(x: java.io.File): Unit = {
+      if (x.isDirectory)
+        Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+      x.delete(): Unit
+    }
+    Option(store.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("spec_fam_w")).foreach(rm)
+    def serve(d: String, w: Int) =
+      Tables.cachedDerived(spark, d, "documents", s"spec_fam_w$w",
+        family = Some("spec_fam_w"))(spark.range(w.toLong).toDF("v")).count()
+    def names() = Option(store.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.startsWith("spec_fam_w")).toSeq.sorted
+    serve(dirA, 8); serve(dirB, 8)
+    assert(names().size == 2, s"two dirs coexist: ${names()}")
+    // dirA crosses a "width boundary": publishing w9 must evict dirA's w8
+    // sibling and keep dirB's w8 untouched
+    serve(dirA, 9)
+    val after = names()
+    assert(after.size == 2 && after.exists(_.startsWith("spec_fam_w9-")),
+      s"sibling eviction must drop dirA's stale width only: $after")
+    // dirB's entry survived and still serves without a rebuild
+    assert(serve(dirB, 8) == 8L)
+    assert(names().size == 2, s"dirB's store must survive: ${names()}")
+    // a non-prefix family is a contract violation, not a silent no-op
+    intercept[IllegalArgumentException] {
+      Tables.cachedDerived(spark, dirA, "documents", "spec_fam_w9",
+        family = Some("other_prefix"))(spark.range(1).toDF("v"))
+    }
   }
 
   test("materialized ANN model path equals inline bit-for-bit, incl. relational round-trip") {
@@ -1560,6 +1647,25 @@ class DedupOpsSpec extends SparkSpec {
         (r.getSeq[Float](1)(1) - mu(1)) * v(1)))).sortBy(_._2).map(_._1).toSeq
     assert(proj == Seq(0L, 1L, 2L, 3L, 4L, 5L),
       s"projection order must follow the planted axis: $proj")
+  }
+
+  test("topComponentFit: the driver-collect bound is self-enforcing (round-17 verdict #4)") {
+    val pts = (0 until 10).map(i =>
+      (i.toLong, Seq(i.toFloat, 0.1f * i))).toDF("vec_id", "v")
+    // over the cap -> FAIL, never silently truncate (truncation would
+    // change the fitted component under the caller's named sample)
+    val boom = intercept[IllegalArgumentException] {
+      Similarity.topComponentFit(pts, "vec_id", "v", maxSample = 9)
+    }
+    assert(boom.getMessage.contains("maxSample"))
+    // at the cap exactly: fits, bit-identical to the unbounded default
+    val (mu, v) = Similarity.topComponentFit(pts, "vec_id", "v", maxSample = 10)
+    val (mu2, v2) = Similarity.topComponentFit(pts, "vec_id", "v")
+    assert(mu.toSeq.map(java.lang.Double.doubleToRawLongBits) ==
+      mu2.toSeq.map(java.lang.Double.doubleToRawLongBits) &&
+      v.toSeq.map(java.lang.Double.doubleToRawLongBits) ==
+        v2.toSeq.map(java.lang.Double.doubleToRawLongBits),
+      "the bound must not perturb an in-bound fit")
   }
 
   test("removeTopComponent kills the dominant direction; off-axis signal survives") {

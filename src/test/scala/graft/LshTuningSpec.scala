@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{DedupOps, LshTuning}
+import graft.ext.{DedupOps, LshTuning, Similarity}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** S-curve parameter selection: closed-form properties plus an end-to-end
@@ -164,6 +164,58 @@ class LshTuningSpec extends AnyFunSuite {
     assert(LshTuning.tuneGraphProbes(0.87, 0.35, w = 4, bands = 4) == 2)
     assert(LshTuning.tuneGraphProbes(0.99, 0.35, w = 4, bands = 4) == 3,
       "unreachable targets return the cap")
+  }
+
+  test("tuneGraphConfig: cheapest (bands, probes) meeting a stated horizon; honest fallback when unreachable") {
+    // the round-17 verdict #3 wiring: a caller states "serve cosine >= c
+    // neighbors at recall r" and the config derives from the model
+    val n = 500L
+    // the gate-scale default (bands 4, probes 2, w 4) models ~0.879 at
+    // cos 0.35 — ask for exactly that contract and the tuner must find a
+    // config meeting it...
+    val (b1, q1, r1) = DedupOps.tuneGraphConfig(n, targetHorizon = 0.35,
+      horizonRecall = 0.85, targetBucket = 32L, minBands = 1)
+    assert(r1 >= 0.85, s"model recall $r1 must meet the target")
+    assert(LshTuning.graphModelRecall(0.35,
+      DedupOps.adaptivePlanes(n, 32L, b1), b1, q1) == r1)
+    // ...and MINIMALITY: no config with strictly smaller candidate volume
+    // meets the target (cost = 2n*b*(1+q)*n/2^w, the tuner's own metric)
+    def cost(b: Int, q: Int): Double = {
+      val w = DedupOps.adaptivePlanes(n, 32L, b)
+      2.0 * n * b * (1 + q) * (n.toDouble / (1L << w))
+    }
+    for (b <- 1 to 12; w = DedupOps.adaptivePlanes(n, 32L, b);
+         q <- 0 to math.min(3, w - 1)
+         if cost(b, q) < cost(b1, q1))
+      assert(LshTuning.graphModelRecall(0.35, w, b, q) < 0.85,
+        s"cheaper config ($b, $q) also meets the target - not minimal")
+    // a stricter recall at the same horizon never gets CHEAPER
+    val (b2, q2, _) = DedupOps.tuneGraphConfig(n, 0.35, 0.95, 32L)
+    assert(cost(b2, q2) >= cost(b1, q1), "stricter target must not cost less")
+    // unreachable: a FAR-cosine (0.1) near-perfect-recall target at a huge
+    // corpus — no config in the space reaches it — returns the best-recall
+    // config and reports a model value BELOW the target: the caller's
+    // routing signal, never a silent lie
+    val (_, _, r3) = DedupOps.tuneGraphConfig(100000000L, 0.1, 0.99, 32L)
+    assert(r3 < 0.99, s"unreachable target must report the honest $r3")
+  }
+
+  test("fusion probe budget: deeper than the standalone budget at every width; the measured-curve constants hold") {
+    // the s36 leg budget (target S02FusionTargetRecall) strictly dominates
+    // the standalone 0.8-target budget wherever 0.8 was reachable below
+    // the family cap, and stays within the full-family cap
+    for (w <- 8 to 12) {
+      val std = Similarity.s02Budget(w)
+      val fus = Similarity.s02FusionBudget(w)
+      val cap = (1L << math.min(w, 12)) - 1
+      assert(fus >= std, s"w=$w: fusion $fus < standalone $std")
+      assert(fus <= cap, s"w=$w: fusion budget $fus above the family cap")
+      if (std < cap) assert(fus > std, s"w=$w: deeper target must buy probes")
+    }
+    // the gate-scale constants the s36 scaladoc states (floor-8 width)
+    assert(Similarity.s02Budget(8) == 148)
+    assert(Similarity.s02FusionBudget(8) == 214,
+      s"fusion budget at w=8: ${Similarity.s02FusionBudget(8)}")
   }
 
   test("tuned layout drives the banded index end-to-end") {

@@ -14,6 +14,27 @@ class PlanSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  /** Deterministically drain the shared listener bus so every
+    * QueryExecutionListener event from actions already run has been
+    * DELIVERED before the assertion reads the counter (round-17 ADVICE
+    * #2: a fixed Thread.sleep races the async bus and can go flaky or
+    * silently vacuous). `listenerBus` is `private[spark]` — public at
+    * the bytecode level, so reflection reaches it without a shim class;
+    * falls back to the old fixed wait if a Spark upgrade renames it. */
+  private def drainListenerBus(): Unit =
+    try {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethods.find(_.getName == "listenerBus")
+        .get.invoke(sc)
+      val wait = bus.getClass.getMethods
+        .filter(_.getName == "waitUntilEmpty").minBy(_.getParameterCount)
+      if (wait.getParameterCount == 0) wait.invoke(bus)
+      else wait.invoke(bus, java.lang.Long.valueOf(30000L))
+      ()
+    } catch { case _: ReflectiveOperationException | _: NoSuchElementException =>
+      Thread.sleep(2000)
+    }
+
   test("q01: ship-date filter reaches the parquet scan (PushedFilters)") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"), p)
@@ -532,8 +553,8 @@ class PlanSpec extends SparkSpec {
       for (q <- Seq("s02_ann_lsh", "s12_ann_recall", "s26_knn_graph",
           "s29_knn_graph_recall"))
         SparkEntry.queries(q)(spark, dir)
-      // the listener bus is async — give any stray count event time to land
-      Thread.sleep(2000)
+      // the listener bus is async — wait until every event has delivered
+      drainListenerBus()
       assert(seen.get() == 0,
         s"repeat builds must run zero count jobs, saw ${seen.get()}")
     } finally spark.listenerManager.unregister(l)
@@ -568,7 +589,7 @@ class PlanSpec extends SparkSpec {
       for (q <- Seq("c17_soft_dedup_weights", "c19_weighted_sample",
           "d07_neardup_components", "d11_dup_stats", "d16_keepbest_dedup"))
         drain(q)
-      Thread.sleep(2000)
+      drainListenerBus()
       assert(seen.get() == 0,
         s"served invocations must run zero pair-stage count/collect jobs, saw ${seen.get()}")
     } finally spark.listenerManager.unregister(l)
@@ -587,6 +608,19 @@ class PlanSpec extends SparkSpec {
     // (bucket, vec_id)-sorted relation. First touch builds (or finds) it.
     import org.apache.spark.sql.functions.col
     graft.ext.Similarity.bucketTable(spark, dir).head()
+    // snapshot the store directory itself (name, size, mtime of every
+    // file) — the disk-level ground truth the listener assertion below is
+    // a proxy for (round-17 ADVICE #2)
+    def storeListing(): Seq[(String, Long, Long)] = {
+      val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_derived")
+      Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("s02bucket_w"))
+        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty).map(f =>
+          (d.getName + "/" + f.getName, f.length, f.lastModified)))
+        .sortBy(_._1).toSeq
+    }
+    val listingBefore = storeListing()
+    assert(listingBefore.nonEmpty, "the bucket store must exist on disk")
     // serving plans read the store, not a re-bucketed corpus projection
     for (q <- Seq("s02_ann_lsh", "s12_ann_recall"))
       assert(plan(q).contains("s02bucket_w8"),
@@ -609,12 +643,17 @@ class PlanSpec extends SparkSpec {
       for (q <- Seq("s02_ann_lsh", "s12_ann_recall", "s33_ann_probe_gain"))
         SparkEntry.queries(q)(spark, dir)
           .write.format("noop").mode("overwrite").save()
-      Thread.sleep(2000)
+      drainListenerBus()
       // noop drains don't report `save`; the store build (write.parquet)
       // does — so ANY save here would be a rebuild
       assert(saves.get() == 0,
         s"serving must not rebuild the bucket store, saw ${saves.get()} saves")
     } finally spark.listenerManager.unregister(l)
+    // belt-and-braces against listener API drift (ADVICE #2): the store
+    // DIRECTORY itself must be untouched by serving — same file set, same
+    // mtimes, no new _SUCCESS — regardless of how V2 writes report
+    assert(storeListing() == listingBefore,
+      "serving changed the bucket store directory on disk")
     // sanity on the stored relation (value-level parity with the inline
     // projection is the strict oracle gate's job — s02/s12/s33 rows)
     val stored = graft.ext.Similarity.bucketTable(spark, dir)

@@ -1126,6 +1126,65 @@ class StreamingPipelineSpec extends SparkSpec {
       Files.createTempDirectory("tcm_empty").toString, 0.9).isEmpty)
   }
 
+  test("KL drift ALARM series: a planted distribution shift alarms at its first covering report and not before") {
+    import graft.streaming.CurationStream
+    val countsDir = Files.createTempDirectory("klm_counts").toString
+    val monDir = Files.createTempDirectory("klm_points").toString
+    // planted schedule over 4 micro-batches: source A stays on one token
+    // distribution throughout; source B rides the same shape for batches
+    // 0-2 and flips to a DISJOINT vocabulary at batch 3 — B's KL-vs-corpus
+    // point must jump at report 3 and nowhere earlier, and A (the corpus
+    // bulk) must stay under any threshold that catches B.
+    def aDocs(ids: Range) = ids.map(i => (i.toLong, "x x x y y z", "A"))
+    def bStable(ids: Range) = ids.map(i => (i.toLong, "x x y z", "B"))
+    def bShift(ids: Range) = ids.map(i => (i.toLong, "q q q r r s", "B"))
+    val batches = Seq(
+      aDocs(0 until 8) ++ bStable(100 until 102),
+      aDocs(8 until 16) ++ bStable(102 until 104),
+      aDocs(16 until 24) ++ bStable(104 until 106),
+      aDocs(24 until 32) ++ bShift(106 until 112))
+    batches.zipWithIndex.foreach { case (rows, id) =>
+      CurationStream.tokenCountsBatch(countsDir, "text", "source")(
+        rows.toDF("doc_id", "text", "source"), id.toLong)
+      CurationStream.klDriftPoint(monDir, id.toLong,
+        CurationStream.klDriftReport(spark, countsDir, "source"), "source")
+    }
+    def series(threshold: Double) =
+      CurationStream.klDriftAlarms(spark, monDir, "source", threshold)
+        .select(col("report_id"), col("source"), col("drift"), col("alarm"))
+        .as[(Long, String, Double, Boolean)].collect()
+        .sortBy(t => (t._1, t._2)).toSeq
+    val pts = series(threshold = 1e9) // no alarms; read the drifts
+    assert(pts.map(p => (p._1, p._2)) ==
+      Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"), (3L, "A"), (3L, "B")),
+      s"one row per consecutive report pair per source: $pts")
+    val bShiftDrift = pts.collectFirst { case (3L, "B", d, _) => d }.get
+    // "stable" includes A's report-3 point, which legitimately moves a
+    // little (B's shift moved the CORPUS distribution under A) — the
+    // planted shift must still dominate every non-shift point clearly
+    val stableMax = pts.collect {
+      case (r, src, d, _) if !(r == 3L && src == "B") => d
+    }.max
+    assert(bShiftDrift > stableMax * 3,
+      s"the planted shift must dominate ambient drift: $bShiftDrift vs $stableMax")
+    // threshold between the regimes: exactly ONE alarm, at (3, B)
+    val thr = (stableMax + bShiftDrift) / 2
+    val alarms = series(thr).filter(_._4)
+    assert(alarms.map(a => (a._1, a._2)) == Seq((3L, "B")),
+      s"alarm exactly at the planted shift: ${series(thr)}")
+    // a replayed report point overwrites itself — the series is unchanged
+    val before = series(thr)
+    CurationStream.klDriftPoint(monDir, 3L,
+      CurationStream.klDriftReport(spark, countsDir, "source"), "source")
+    assert(series(thr) == before,
+      "a replayed point must overwrite its own report, not fork the series")
+    // fewer than two reports -> empty series with the contract schema
+    val none = CurationStream.klDriftAlarms(spark,
+      Files.createTempDirectory("klm_empty").toString, "source", 0.5)
+    assert(none.count() == 0 &&
+      none.columns.toSeq == Seq("report_id", "source", "kl", "drift", "alarm"))
+  }
+
   test("compactCounts sum-merges committed count partitions; report unchanged") {
     import graft.streaming.CurationStream
     import graft.ext.CurationOps
@@ -1469,6 +1528,65 @@ class StreamingPipelineSpec extends SparkSpec {
     assert(CurationStream.compactBinarySigIndex(spark, dir, uptoBatchId = 3L))
     assert(rows(CurationStream.loadBinarySigIndex(spark, dir)) == batchTable,
       "compaction must preserve the signature rows exactly")
+  }
+
+  test("streaming dense bucket index: streamed-built equals the batch bucket table; compaction crash-safe") {
+    import graft.streaming.CurationStream
+    import graft.ext.Similarity
+    val sfDir = "/root/testdata/sf0.001"
+    val e = Tables.loadSpread(spark, sfDir, "embeddings").localCheckpoint(true)
+    // width fixed at index creation = the batch table's adaptive width at
+    // this corpus (bucketPlanes floor) so the two stores are comparable
+    val w = 8
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("bucket"), col("nrm"), col("v"))
+        .as[(Long, Long, Double, Seq[Double])].collect()
+        .map { case (id, b, n, v) =>
+          (id, b, java.lang.Double.doubleToRawLongBits(n),
+            v.map(java.lang.Double.doubleToRawLongBits))
+        }.sortBy(_._1).toSeq
+    val batchTable = rows(Similarity.bucketTable(spark, sfDir))
+    val dir = Files.createTempDirectory("bucket_stream").toString
+    val slices = (0 until 3).map(i => e.filter(col("vec_id") % 3 === i))
+    slices.zipWithIndex.foreach { case (b, i) =>
+      CurationStream.bucketBatch(dir, "vec_id", "embedding", w)(b, i.toLong)
+    }
+    assert(rows(CurationStream.loadBucketIndex(spark, dir)) == batchTable,
+      "streamed-built bucket rows must equal the one-shot store bit-exactly")
+    // replay idempotency: rewrite, not duplicate; empty replay deletes
+    CurationStream.bucketBatch(dir, "vec_id", "embedding", w)(slices(1), 1L)
+    assert(CurationStream.loadBucketIndex(spark, dir, dedupIds = false)
+      .count() == batchTable.size.toLong,
+      "a replayed batch must rewrite, not duplicate, its partition")
+    CurationStream.bucketBatch(dir, "vec_id", "embedding", w)(
+      slices(1).filter(lit(false)), 1L)
+    assert(!new java.io.File(dir, "batch=1").exists(),
+      "an empty replay must delete the stale partition")
+    CurationStream.bucketBatch(dir, "vec_id", "embedding", w)(slices(1), 1L)
+    // crash-safe compaction in every window (the ivfPq battery)
+    for (step <- Seq("merged", "aside", "committed")) {
+      val boom = intercept[RuntimeException] {
+        CurationStream.compactBucketIndex(spark, dir, uptoBatchId = 3L,
+          onStep = s => if (s == step) throw new RuntimeException(s"crash at $s"))
+      }
+      assert(boom.getMessage == s"crash at $step")
+      // the next reader heals in-line and the id-dedup load stays exact
+      assert(rows(CurationStream.loadBucketIndex(spark, dir)) == batchTable,
+        s"crash window '$step' broke the streamed bucket table")
+      // a follow-up compaction completes and leaves no recovery residue
+      assert(CurationStream.compactBucketIndex(spark, dir, uptoBatchId = 3L))
+      val residue = new java.io.File(dir).listFiles().map(_.getName)
+        .filter(n => n.startsWith(".old-") || n.startsWith(".compact-")).toSeq
+      assert(residue.isEmpty, s"crash window '$step' left $residue")
+      assert(rows(CurationStream.loadBucketIndex(spark, dir)) == batchTable,
+        s"post-compaction rows after '$step' must be unchanged")
+      // re-seed batch partitions for the next crash window (compaction
+      // merged them into batch=0): rewrite the original slices
+      if (step != "committed")
+        slices.zipWithIndex.foreach { case (b, i) =>
+          CurationStream.bucketBatch(dir, "vec_id", "embedding", w)(b, i.toLong)
+        }
+    }
   }
 
   test("IVF-PQ index compaction is crash-safe in every window; search stays exact") {
