@@ -27,6 +27,7 @@ QUERIES = [
     "s12_ann_recall",          # recall of the served ANN config
     "d02_minhash_lsh",         # posting-table-served dedup
     "d07_neardup_components",  # served component labels (round-17)
+    "d18_semantic_dedup_auto", # corpus-proportional auto-k SemDeDup (round-18)
     "c17_soft_dedup_weights",  # served component weights (round-17)
     "c19_weighted_sample",     # weighted sample over served components
     "s26_knn_graph",           # the round-16 spill find, round-17 fix

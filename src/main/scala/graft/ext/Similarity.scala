@@ -2161,6 +2161,38 @@ object Similarity {
     * at graph-build cost (s26: 109 s at the 100× probe vs
     * SF-near-independent here); the exact-legs ceiling is 1.000. s36
     * pins the served agreement per query. */
+  /** The served fusion's cosine-LEG ROUTER: picks the leg family from the
+    * probe model at the corpus' adaptive width — "probed" while the
+    * budgeted single-band family can still DELIVER
+    * [[S02FusionTargetRecall]] (the family caps at 2^[[s02ProbeBits]]−1
+    * subsets, and past w = [[S02ProbeBitsCap]] the mass outside the
+    * candidate bits makes the target unreachable: model recall at the
+    * capped budget collapses to (1−p)^(w−12) ≈ 0.61 at w = 13), else
+    * "graph" (the s26 multi-band leg, recall 0.90 at every width by
+    * construction of its own adaptive banding). Pure driver-side math
+    * over the corpus count — the [[LshTuning.probeBudget]] discipline
+    * applied to LEG CHOICE, automating the routing the round-17/18
+    * scaladocs documented. */
+  private[graft] def fusionLegPlan(n: Long): String = {
+    val w = bucketPlanes(n)
+    val p = 1.0 - LshTuning.hyperplaneAgreement(S02NeighborCos)
+    val deliverable = LshTuning.probeModelRecall(
+      s02FusionBudget(w), p, w, s02ProbeBits(w)) >= S02FusionTargetRecall
+    if (deliverable) "probed" else "graph"
+  }
+
+  /** [[rrfServedTop5]] with the cosine leg picked by [[fusionLegPlan]] —
+    * the deployment entry point: probed single-band fusion while the
+    * budget delivers the stated target (agreement 0.99/0.98 measured at
+    * the gate scales), the graph-leg fusion past the width cap (0.96/0.95
+    * measured, at graph-build cost). Logged per invocation. */
+  def rrfServedTop5Auto(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.cachedCount(s, dir, "embeddings")
+    val leg = fusionLegPlan(n)
+    log.info(s"rrfServedTop5Auto: n=$n width=${bucketPlanes(n)} leg=$leg")
+    if (leg == "probed") rrfServedTop5(s, dir) else rrfGraphFusedTop5(s, dir)
+  }
+
   private[graft] def rrfServedTop5(s: SparkSession, dir: String): DataFrame = {
     // the probed leg runs the DEEPER fusion budget (S02FusionTargetRecall
     // — see its scaladoc for the measured agreement/cost curve); leg depth

@@ -218,6 +218,18 @@ class LshTuningSpec extends AnyFunSuite {
       s"fusion budget at w=8: ${Similarity.s02FusionBudget(8)}")
   }
 
+  test("fusionLegPlan: probed while the budget delivers the target, graph past the width cap") {
+    // gate scales (w = 8) and every width through the 12-bit probe cap:
+    // the fusion budget stays under the family cap, so the single-band
+    // probed leg delivers the stated 0.95 target
+    for (n <- Seq(500L, 5000L, 65536L, 256L << 12))
+      assert(Similarity.fusionLegPlan(n) == "probed", s"n=$n")
+    // one width past the cap the un-probed mass (1-p)^(w-12) caps model
+    // recall near 0.61 - the router must hand the leg to the graph
+    for (n <- Seq((256L << 12) + 1, 256L << 13, 100000000L))
+      assert(Similarity.fusionLegPlan(n) == "graph", s"n=$n")
+  }
+
   test("tuned layout drives the banded index end-to-end") {
     val spark = SparkSpec.spark
     import spark.implicits._
