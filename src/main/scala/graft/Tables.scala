@@ -165,10 +165,22 @@ object Tables {
       // `<name>-<32-hex fp>`, the round-16 8-hex dir hash wrote
       // `<name>-<8-hex dh>-<32-hex fp>`; current is 16-hex dh + 32-hex fp)
       val legacy = s"\\Q$name\\E-(?:[0-9a-f]{8}-)?[0-9a-f]{32}".r
-      // sibling parameterizations of the same family for the SAME dir:
-      // `<family><param>-<16-hex dh>-<32-hex fp>` with any param segment
+      // sibling parameterizations of the same family for the SAME dir
+      // (`<family><param>-<16-hex dh>-<32-hex fp>`), plus legacy-format
+      // siblings of ANY width (pre-dirHash / 8-hex-dh names are unreachable
+      // under current naming, so deleting them regardless of dir is safe —
+      // same rationale as `legacy` above). The param segment is constrained
+      // to digits — every family caller parameterizes by an integer width —
+      // so a future store that merely SHARES the family prefix with a
+      // non-numeric suffix is never mistaken for a sibling (round-18 ADVICE
+      // #1); the require below enforces the contract at publish time.
+      require(family.forall(f =>
+          name.substring(f.length).forall(_.isDigit) &&
+            name.length > f.length),
+        s"family stores must be '<family><digits>', got family=$family name=$name")
       val sibling = family.map(f =>
-        s"\\Q$f\\E[^-]*-\\Q$dh\\E-[0-9a-f]{32}".r)
+        (s"\\Q$f\\E\\d+-\\Q$dh\\E-[0-9a-f]{32}" +
+          s"|\\Q$f\\E\\d+-(?:[0-9a-f]{8}-)?[0-9a-f]{32}").r)
       Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
         val n = f.getName
         if (((n.startsWith(s"$name-$dh-") ||

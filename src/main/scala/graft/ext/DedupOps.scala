@@ -1073,7 +1073,11 @@ object DedupOps {
   private[graft] def adaptivePlanes(n: Long, targetBucket: Long,
       bands: Int, minPlanes: Int = 4): Int = {
     var w = 0
-    while (w < 60 / bands && (targetBucket << w) < n) w += 1
+    // double-space compare: the shifted product is exact in a double while
+    // targetBucket < 2^53 (a power-of-two multiply only moves the exponent),
+    // and `targetBucket << w` can overflow Long at bands = 1 (w up to 59)
+    while (w < 60 / bands && targetBucket.toDouble * math.pow(2, w) < n.toDouble)
+      w += 1
     math.max(minPlanes, w)
   }
 
@@ -1132,7 +1136,10 @@ object DedupOps {
     // signature budget caps w, E[bucket] grows past targetBucket, and the
     // candidate volume genuinely goes quadratic — the estimate below stays
     // honest, but the caller should know the linear-growth contract ended
-    val saturated = (targetBucket << w) < n
+    // double-space compare (round-18 ADVICE #4): `targetBucket << w`
+    // overflows Long when targetBucket·2^w ≥ 2^63 (bands = 1 allows w up
+    // to 60 via the minPlanes floor), flipping the flag at extreme configs
+    val saturated = targetBucket.toDouble * math.pow(2, w) < n.toDouble
     if (saturated)
       log.warn(s"knnGraphAuto: band width saturated at w=$w " +
         s"(60-bit signature budget / $useBands bands) with n=$n - " +
@@ -1177,7 +1184,20 @@ object DedupOps {
     * `.distinct()`, so the raw product over-counts by the expected
     * collision multiplicity. Near-duplicate pairs collide in many bands,
     * but they are few; the measured corpus-level ratio is what the
-    * switch should consume. */
+    * switch should consume.
+    *
+    * Measurement config (for future re-calibration — round-18 ADVICE #5):
+    * the 100× embeddings scale-up (`scripts/gen_sf.py` ×100 of sf0.1) at
+    * the DEFAULT banding — bands = 4, targetBucket = 32,
+    * probes = [[KnnGraphProbes]] = 2, adaptive width from
+    * [[adaptivePlanes]] at that n — comparing the union-bound formula
+    * (1.17e8) against the post-`.distinct()` candidate-edge count the
+    * ranking stage actually shuffled (~1e8, read off the s26 SQL plan
+    * metrics; `scripts/sweep_s26.py` re-runs the probe). A single-point
+    * multiplicative calibration applied at every n: collision multiplicity
+    * rises with E[bucket] overlap, so small corpora over-discount
+    * slightly — harmless by measurement, because near the window→heap
+    * switch boundary the two plans tie (10× probe: 17.8 s vs 18.0 s). */
   val KnnGraphEstCalibration: Double = 0.85
 
   /** Derive the CHEAPEST (bands, probes) whose [[LshTuning

@@ -649,7 +649,10 @@ object CurationStream {
     * instead of re-projecting the whole corpus on every refresh. The
     * signature width `w` is FIXED at index creation (a stream cannot
     * re-bucket retroactively — pick it from the expected corpus size via
-    * the `bucketPlanes` rule; a width change is a new index): the same
+    * the `bucketPlanes` rule; a width change is a new index), and the
+    * contract is MACHINE-enforced: the first batch records `w` in a
+    * `_meta.w` file and every later batch fails loudly on mismatch
+    * ([[requireMeta]]; [[bucketIndexWidth]] is the read side): the same
     * [[graft.ext.Similarity.bucketProjection]] the batch store builds,
     * so for any ingested set the union of batch partitions is
     * bit-identical to the one-shot store at that width
@@ -671,6 +674,7 @@ object CurationStream {
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.mkdirs(root)
       Fence.acquire(fs, root)
+      requireMeta(fs, root, "w", w.toLong)
       healCompaction(fs, root)
       val target = new org.apache.hadoop.fs.Path(s"$indexDir/batch=$batchId")
       val hasRows = !rows.isEmpty
@@ -726,6 +730,50 @@ object CurationStream {
       onStep: String => Unit = _ => ()): Boolean =
     compactPartitions(spark, indexDir, uptoBatchId, onStep)(
       _.dropDuplicates("vec_id").sort(col("bucket"), col("vec_id")))
+
+  /** Persist-or-check a single integer parameter under an index root — the
+    * bucket index's width contract made MACHINE-enforced (round-18 ADVICE
+    * #2): caller discipline alone let a later batch append at a different
+    * `w`, silently mixing incompatible bucket spaces in one index (probed
+    * reads then just miss rows). The FIRST batch records the value as a
+    * tiny `_meta.<key>` file; every later batch must match, failing loudly
+    * otherwise. The file is invisible to the partition machinery (readers
+    * and compaction enumerate only `batch=`-prefixed directories). Callers
+    * hold the index lock / fence, so first-write races stay in-process. */
+  private def requireMeta(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, key: String, value: Long): Unit = {
+    val meta = new org.apache.hadoop.fs.Path(root, s"_meta.$key")
+    if (fs.exists(meta)) {
+      val in = fs.open(meta)
+      val recorded =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      require(recorded == value.toString,
+        s"index at $root was created with $key=$recorded but this batch " +
+          s"offers $key=$value - a stream cannot re-bucket retroactively; " +
+          "a parameter change is a NEW index")
+    } else {
+      val out = fs.create(meta, false)
+      try out.write(value.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  /** The width recorded by [[bucketBatch]]'s first batch — lets serving
+    * code derive its probe configuration from the INDEX instead of caller
+    * knowledge (the `_meta` contract's read side). */
+  def bucketIndexWidth(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val meta = new org.apache.hadoop.fs.Path(root, "_meta.w")
+    require(fs.exists(meta), s"no _meta.w under $indexDir - not a " +
+      "bucketBatch-maintained index (or created before the width contract)")
+    val in = fs.open(meta)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+    finally in.close()
+  }
 
   /** Recover an interrupted [[compactIndex]] run. For each `.old-<id>` aside
     * copy: if `batch=<id>` exists the commit rename happened — the aside is
@@ -1057,7 +1105,18 @@ object CurationStream {
     * batch has written yet (the fit has no empty-sample meaning).
     * Monitoring shape: re-fit per report and compare the component across
     * reports (cosine between fits) to watch the common direction drift as
-    * the corpus grows. */
+    * the corpus grows.
+    *
+    * BOUND (behavior change in round 18 — release note): the forwarded
+    * [[graft.ext.Similarity.topComponentFit]] now FAILS (IllegalArgument)
+    * when the accumulated sample exceeds its `maxSample` default of 65536
+    * rows, instead of fitting an unbounded driver collect. The
+    * [[topComponentBatch]] writer's `sampleMax` id-cut keeps in-repo
+    * stores far below the bound; an external caller accumulating a larger
+    * sample must re-point `sampleMax`/`maxSample` deliberately — the
+    * fail-not-truncate contract is intentional (a silent cut would change
+    * the fitted component under a contract that promises the exact
+    * accumulated sample). */
   def topComponentReport(spark: org.apache.spark.sql.SparkSession,
       sampleDir: String, idCol: String, vecCol: String, iters: Int = 8)
       : Option[(Array[Double], Array[Double])] = {
