@@ -34,6 +34,7 @@ QUERIES = [
     "s34_rrf_hybrid",          # brute-fusion baseline (corpus-scanning)
     "s36_rrf_served_recall",   # served fusion vs brute fusion (round-17)
     "s37_rrf_graph_recall",    # premium graph-leg fusion (late round-17)
+    "s38_rrf_ivf_recall",      # past-cap IVF-leg fusion (round-19)
     "s35_kcenter",             # k-1 argmax scans
     "t19_char_entropy",        # the documented char-volume artifact
 ]

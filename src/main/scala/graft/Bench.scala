@@ -69,8 +69,12 @@ object Bench {
     // measure the steady-state search a deployment runs against a
     // persisted model (the layout_s precedent: first build includes one
     // query execution, steady-state is the sweeps' number).
+    // (s38: the IVF fusion leg's memoized coarse model + its one-time
+    // (cluster, vec_id)-sorted list-table build — the same first-drain
+    // one-time-cost shape.)
     val trainNames = Seq("s05_pq_rerank", "s08_ivfpq", "s09_ivfpq_residual",
-      "s21_ivfpq_recall", "s22_ivfpq_residual_recall").filter(names.contains)
+      "s21_ivfpq_recall", "s22_ivfpq_residual_recall", "s38_rrf_ivf_recall")
+      .filter(names.contains)
     val train = trainNames.map { n =>
       val t0 = System.nanoTime()
       try { drain(n, sfDir); n -> (System.nanoTime() - t0) / 1e9 }
