@@ -245,6 +245,72 @@ object LshTuning {
     q
   }
 
+  /** Calibrated recall model of IVF coarse-quantizer probing: the
+    * probability that a true neighbor's inverted list is among the
+    * query's `nprobe` nearest of `nlist` lists, modeled as
+    * `1 − (1 − nprobe/nlist)^β`. β = 1 would be a uniformly-random list
+    * assignment (recall = nprobe/nlist); real corpora concentrate a
+    * neighbor's centroid in the query's TOP-ranked lists, so β > 1 —
+    * measured β on the witness corpus (see [[IvfProbeBeta]]). Exactly
+    * 1.0 at `nprobe = nlist` regardless of β (full probe is exact — the
+    * s03 oracle property), monotone in `nprobe`: the properties the
+    * inversion below needs. Deterministic driver-side math, no data. */
+  def ivfModelRecall(nprobe: Int, nlist: Int,
+      beta: Double = IvfProbeBeta): Double = {
+    require(nlist >= 1 && nprobe >= 0, s"need nlist >= 1, nprobe >= 0, got $nlist, $nprobe")
+    require(beta > 0.0, s"beta > 0, got $beta")
+    if (nprobe >= nlist) 1.0
+    else 1.0 - math.pow(1.0 - nprobe.toDouble / nlist, beta)
+  }
+
+  /** CALIBRATION of [[ivfModelRecall]], measured on the witness corpus
+    * (scratch.IvfSweep; round 19): capture@10 of the d18-configuration
+    * coarse quantizer — [[graft.ext.Similarity.kmeansFit]] on the
+    * `vec_id < max(256, k)` slice, k = `semanticDedupNlist(n)` = 16 —
+    * against the brute cosine top-10, swept over nprobe = 1..16 at both
+    * gate scales (sf0.001 n=500, sf0.01 n=5000). The implied β per point
+    * (`ln(1−capture)/ln(1−nprobe/nlist)`) is monotone-decreasing in
+    * nprobe — 14.4 → 2.2 at sf0.001, 10.1 → 1.66 at sf0.01 — so the
+    * shipped FLOOR is 1.6, under every measured point (the
+    * probeModelRecall discipline: the model under-promises, measurement
+    * decides — IvfSweep re-measures each derived config: targets
+    * 0.8/0.9/0.95 → nprobe 11/13/14 of 16, measured capture
+    * 0.965/0.99/0.99 at sf0.001 and 0.91/0.96/0.975 at sf0.01, every one
+    * ≥ its target). The witness corpus' top-10 neighbors sit at
+    * mid-cosine (~0.35, nearly uniform directions), which separates
+    * WEAKLY into lists — hence the deep tail; the steep head (β ≈ 10–14
+    * at nprobe ≤ 2) is what a clustered production embedding space looks
+    * like at every depth, so re-running the sweep on such data and
+    * re-flooring buys much cheaper probes. */
+  val IvfProbeBeta: Double = 1.6
+
+  /** The probe FRACTION `nprobe/nlist` that [[ivfModelRecall]] needs for
+    * `targetRecall`, as an exact parts-per-million INTEGER (ceil, so the
+    * derived nprobe always meets the model target) — the cross-engine
+    * seam: nprobe then derives from nlist by pure integer arithmetic
+    * (`ceil(nlist · ppm / 10⁶)`), which a SQL twin replays exactly with
+    * no float-boundary risk (the d18 auto-k discipline applied to the
+    * probe knob). */
+  def ivfProbePpm(targetRecall: Double, beta: Double = IvfProbeBeta): Long = {
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall in (0,1): $targetRecall")
+    math.ceil((1.0 - math.pow(1.0 - targetRecall, 1.0 / beta)) * 1e6).toLong
+  }
+
+  /** Smallest nprobe whose [[ivfModelRecall]] reaches `targetRecall` at
+    * `nlist` lists — [[probeBudget]]'s discipline for the IVF family's
+    * probe knob (round-18 verdict #4: the knob was a caller constant;
+    * s33 measured probe GAIN but nothing inverted it). Computed by the
+    * integer ppm rule so both engines derive the identical value from
+    * nlist; always reachable (nprobe = nlist is exact), capped at nlist. */
+  def ivfNprobe(targetRecall: Double, nlist: Int,
+      beta: Double = IvfProbeBeta): Int = {
+    require(nlist >= 1, s"nlist >= 1, got $nlist")
+    val ppm = ivfProbePpm(targetRecall, beta)
+    math.min(nlist.toLong, math.max(1L, (nlist * ppm + 999999L) / 1000000L))
+      .toInt
+  }
+
   /** [[tune]] for COSINE thresholds on banded random-hyperplane signatures
     * — the seam that closes the clustering/tuning loop (round-13 NEXT #5):
     * banded hyperplane sketches follow the identical OR-of-ANDs S-curve

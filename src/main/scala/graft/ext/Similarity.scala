@@ -469,6 +469,36 @@ object Similarity {
         col("__t._1").as("id"), col("__t._2").as("cosine"))
   }
 
+  /** [[ivfKnn]] with the probe depth DERIVED from a stated recall target —
+    * the [[LshTuning.probeBudget]]/`tuneGraphConfig` discipline closing
+    * the IVF family's last caller-constant knob (round-18 verdict #4):
+    * callers state the recall they need and the corpus size picks the
+    * geometry. `nlist` defaults to [[DedupOps.semanticDedupNlist]]'s
+    * corpus-proportional rule (E[list] ≈ 4096 — the d18-oracled sizing),
+    * and `nprobe = LshTuning.ivfNprobe(targetRecall, nlist)` inverts the
+    * calibrated [[LshTuning.ivfModelRecall]] floor. Always reachable
+    * (full probe is exact — the s03 property), so unlike the width-capped
+    * LSH families there is no unreachable-target fallback; the log prints
+    * the achieved model value per invocation. Measured (scratch.IvfSweep,
+    * the s21 shape at a non-default target): the derived config's capture
+    * meets the stated target at both gate scales — the model stays a
+    * floor. Pass `knownCount` when reading a stable table (the
+    * [[graft.Tables.cachedCount]] seam) to skip the sizing count job. */
+  def ivfKnnAuto(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, targetRecall: Double = 0.9, nlist: Int = 0,
+      iters: Int = 2, trainSampleRows: Long = 262144L,
+      knownCount: Option[Long] = None): DataFrame = {
+    val nl =
+      if (nlist > 0) nlist
+      else DedupOps.semanticDedupNlist(knownCount.getOrElse(corpus.count()))
+    val np = LshTuning.ivfNprobe(targetRecall, nl)
+    log.info(f"ivfKnnAuto: nlist=$nl nprobe=$np (target $targetRecall%.2f, " +
+      f"model recall ${LshTuning.ivfModelRecall(np, nl)}%.3f, " +
+      f"candidate fraction ${np.toDouble / nl}%.3f)")
+    ivfKnn(corpus, queries, idCol, vecCol, k, nlist = nl, nprobe = np,
+      iters = iters, trainSampleRows = trainSampleRows)
+  }
+
   /** Joint Lloyd training of the m per-subspace PQ codebooks over a
     * (persisted) training sample `ct` of (id, __u) rows: ONE aggregation job
     * per iteration keyed by (subspace, centroid, position) — bit-identical
@@ -2167,30 +2197,48 @@ object Similarity {
     * [[S02FusionTargetRecall]] (the family caps at 2^[[s02ProbeBits]]−1
     * subsets, and past w = [[S02ProbeBitsCap]] the mass outside the
     * candidate bits makes the target unreachable: model recall at the
-    * capped budget collapses to (1−p)^(w−12) ≈ 0.61 at w = 13), else
-    * "graph" (the s26 multi-band leg, recall 0.90 at every width by
-    * construction of its own adaptive banding). Pure driver-side math
+    * capped budget collapses to (1−p)^(w−12) ≈ 0.61 at w = 13). Past the
+    * cap the choice splits on what the deployment already pays for
+    * (round-18 verdict #2 — the width-cap cost cliff): "graph" (the s26
+    * multi-band leg, recall 0.90 at every width by construction of its
+    * own adaptive banding) only when the caller states the knn graph is
+    * ALREADY maintained for dedup/diversity and the fusion reads it for
+    * free; otherwise "ivf" — the [[ivfRankingTop]] coarse-quantizer leg,
+    * whose nprobe derives from the SAME fusion target via the calibrated
+    * [[LshTuning.ivfModelRecall]] and whose cost is one assignment scan +
+    * a candidate-fraction ranking instead of the full graph build
+    * (measured at the 100× probe: the graph leg prices at ~109 s of
+    * build; the IVF leg at the s38 BenchOne time). Pure driver-side math
     * over the corpus count — the [[LshTuning.probeBudget]] discipline
-    * applied to LEG CHOICE, automating the routing the round-17/18
-    * scaladocs documented. */
-  private[graft] def fusionLegPlan(n: Long): String = {
+    * applied to LEG CHOICE. */
+  private[graft] def fusionLegPlan(n: Long,
+      graphMaintained: Boolean = false): String = {
     val w = bucketPlanes(n)
     val p = 1.0 - LshTuning.hyperplaneAgreement(S02NeighborCos)
     val deliverable = LshTuning.probeModelRecall(
       s02FusionBudget(w), p, w, s02ProbeBits(w)) >= S02FusionTargetRecall
-    if (deliverable) "probed" else "graph"
+    if (deliverable) "probed"
+    else if (graphMaintained) "graph"
+    else "ivf"
   }
 
   /** [[rrfServedTop5]] with the cosine leg picked by [[fusionLegPlan]] —
     * the deployment entry point: probed single-band fusion while the
     * budget delivers the stated target (agreement 0.99/0.98 measured at
-    * the gate scales), the graph-leg fusion past the width cap (0.96/0.95
-    * measured, at graph-build cost). Logged per invocation. */
-  def rrfServedTop5Auto(s: SparkSession, dir: String): DataFrame = {
+    * the gate scales); past the width cap, the graph-leg fusion when
+    * `graphMaintained` (0.96/0.95 measured, priced at the graph build the
+    * deployment already runs) and the IVF-leg fusion otherwise (s38 —
+    * assignment-scan cost). Logged per invocation. */
+  def rrfServedTop5Auto(s: SparkSession, dir: String,
+      graphMaintained: Boolean = false): DataFrame = {
     val n = Tables.cachedCount(s, dir, "embeddings")
-    val leg = fusionLegPlan(n)
+    val leg = fusionLegPlan(n, graphMaintained)
     log.info(s"rrfServedTop5Auto: n=$n width=${bucketPlanes(n)} leg=$leg")
-    if (leg == "probed") rrfServedTop5(s, dir) else rrfGraphFusedTop5(s, dir)
+    leg match {
+      case "probed" => rrfServedTop5(s, dir)
+      case "graph"  => rrfGraphFusedTop5(s, dir)
+      case _        => rrfIvfFusedTop5(s, dir)
+    }
   }
 
   private[graft] def rrfServedTop5(s: SparkSession, dir: String): DataFrame = {
@@ -2278,6 +2326,137 @@ object Similarity {
     import s.implicits._
     val truth = s34RrfHybrid(s, dir).select($"query_id", $"id")
     val fused = rrfGraphFusedTop5(s, dir).select($"query_id", $"id")
+    recallAtK(truth, fused, "query_id", "id", k = 5).orderBy($"query_id")
+  }
+
+  // --------------------------------------------------- IVF fusion leg / s38
+  /** The IVF fusion leg's coarse quantizer — the d18-oracled production
+    * sizing (`semanticDedupNlist`: nlist = max(16, min(4096, ceil(n/4096))),
+    * E[list] ≈ 4096) trained with the DETERMINISTIC [[kmeansFit]] (id-sorted
+    * fold means on the `vec_id < max(256, nlist)` slice), so every centroid
+    * double replays in the s38 DuckDB twin. Memoized per dir-content. */
+  private[graft] def ivfLegModel(s: SparkSession, dir: String,
+      nlist: Int): Seq[Array[Double]] =
+    cachedModel(s"s38:$dir:$nlist") {
+      val uv = unitVecs(Tables.loadSpread(s, dir, "embeddings"),
+        "vec_id", "embedding", "vec_id")
+      kmeansFit(uv.filter(col("vec_id") < math.max(256, nlist)),
+        "vec_id", "__u", k = nlist, iters = 2)
+    }
+
+  /** Content-addressed per-dir IVF LIST table (vec_id, v, nrm, cluster) —
+    * the [[bucketTable]] discipline for the IVF leg: the corpus-wide
+    * nearest-centroid assignment is the expensive half of every probed
+    * lookup, materialized ONCE per dir-content and stored SORTED on
+    * (cluster, vec_id) so a probe's equi-join prunes row groups to the
+    * probed lists. nlist rides in the name; the parameter-free family
+    * prefix evicts a superseded sizing's store (the s02bucket_w rule).
+    * Assignment is the deterministic [[kmeansAssign]] argmin against the
+    * [[ivfLegModel]] centroids — integers over replayable doubles, so
+    * serving from the store is bit-identical to inline computation. */
+  private[graft] def ivfLegTable(s: SparkSession, dir: String): DataFrame = {
+    val nlist = DedupOps.semanticDedupNlist(
+      Tables.cachedCount(s, dir, "embeddings"))
+    Tables.cachedDerived(s, dir, "embeddings", s"ivfleg_k$nlist",
+        family = Some("ivfleg_k")) {
+      val e = Tables.loadSpread(s, dir, "embeddings")
+      val uv = unitVecs(e, "vec_id", "embedding", "vec_id")
+      val asg = kmeansAssign(uv, "vec_id", "__u", ivfLegModel(s, dir, nlist))
+        .select(col("vec_id"), col("cluster"))
+      e.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", graft.functions.VectorExprs.l2(col("v")))
+        .join(asg, Seq("vec_id"))
+        .repartitionByRange(col("cluster"), col("vec_id"))
+        .sortWithinPartitions(col("cluster"), col("vec_id"))
+    }
+  }
+
+  /** The IVF cosine leg for hybrid fusion, as a (query_id, id, rank)
+    * ranking at depth `k` — the mid-cost point [[fusionLegPlan]] routes to
+    * past the single-band width cap when no knn graph is maintained
+    * (round-18 verdict #2: `tuneGraphConfig`'s own fallback points
+    * mid-cosine recall-sensitive search at the IVF family, but the fusion
+    * had no such leg, so a past-cap corpus paid the full graph build):
+    * each witness query probes its `nprobe` nearest coarse centroids
+    * (exact L2 rank over the [[ivfLegModel]] literals, lower-cluster
+    * ties — the kmeansPick contract) and ranks exact cosine within the
+    * probed lists served from the [[ivfLegTable]] store. nprobe derives
+    * from [[S02FusionTargetRecall]] via the calibrated integer-ppm rule
+    * ([[LshTuning.ivfNprobe]]), so both engines compute it from nlist
+    * with pure integer arithmetic.
+    *
+    * Scale shape: the store is built once (one assignment scan — nlist
+    * literal dots per row); a query batch ranks candidates ≈
+    * n · nprobe / nlist rows read via probed-list row-group pruning —
+    * no graph build, no all-pairs. Past nlist ≈ 4096 the probe matrix
+    * (nlist structs in one literal array) should move to a centroid
+    * join; at the d18 sizing that is n > 16.8M vectors per dir. */
+  private[graft] def ivfRankingTop(s: SparkSession, dir: String,
+      k: Int): DataFrame = {
+    import s.implicits._
+    val n = Tables.cachedCount(s, dir, "embeddings")
+    val nlist = DedupOps.semanticDedupNlist(n)
+    val np = LshTuning.ivfNprobe(S02FusionTargetRecall, nlist)
+    log.info(f"ivfRankingTop: n=$n nlist=$nlist nprobe=$np " +
+      f"(target $S02FusionTargetRecall%.2f, model recall " +
+      f"${LshTuning.ivfModelRecall(np, nlist)}%.3f)")
+    val cents = ivfLegModel(s, dir, nlist)
+    val store = ivfLegTable(s, dir)
+    val e0 = vecs(s, dir)
+    val qu = unitVecs(e0.filter($"vec_id" < 20).select($"vec_id", $"v"),
+      "vec_id", "v", "qid")
+    // top-nprobe centroids by the kmeansPick (d2 asc, cluster asc) rule —
+    // the same struct ordering the assignment uses, so probe sets replay
+    val opts = cents.zipWithIndex.map { case (c, i) =>
+      val cl = typedLit(c.toSeq)
+      struct(((dot($"__u", $"__u") - lit(2.0d) * dot($"__u", cl)) +
+        dot(cl, cl)).as("d"), lit(i).as("c"))
+    }
+    val probes = qu
+      .withColumn("__p",
+        explode_outer(slice(sort_array(array(opts: _*)), 1, np)))
+      .filter($"__p".isNotNull) // outer: no inferred-filter re-eval (see TextOps)
+      .select($"qid", $"__p.c".cast("long").as("cluster"))
+    val q = e0.filter($"vec_id" < 20)
+      .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))
+    val w = Window.partitionBy($"qid").orderBy($"cos6".desc, $"vec_id")
+    // inverted lists partition the corpus, so probed candidates are
+    // distinct ids; cosine ranks on the ORIGINAL vectors (the s01 contract)
+    broadcast(probes.join(q, Seq("qid"))).join(store, Seq("cluster"))
+      .filter($"qid" =!= $"vec_id")
+      .withColumn("cos6", round(dot($"qv", $"v") / ($"qn" * $"nrm"), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+      .select($"qid".as("query_id"), $"vec_id".as("id"), $"rank")
+  }
+
+  /** The IVF-LEG hybrid fusion: [[ivfRankingTop]] top-10 ∪ the
+    * [[hammingRankingFromSigs]] signature-table Hamming top-10, RRF-fused
+    * to a top-5 — the past-width-cap serving path for a deployment NOT
+    * already maintaining the knn graph ([[fusionLegPlan]]'s "ivf" route).
+    * s38 measures its agreement against the brute fusion. */
+  private[graft] def rrfIvfFusedTop5(s: SparkSession, dir: String): DataFrame = {
+    val ivfLeg = ivfRankingTop(s, dir, k = 10)
+    val ham = hammingRankingFromSigs(binarySigTable(s, dir), k = 10)
+    Retrieval.rrfFuse(Seq(ivfLeg, ham), "query_id", "id", "rank", k = 5)
+  }
+
+  // ---------------------------------------------------------------- s38
+  /** s38: per-query agreement@5 of the IVF-LEG fusion ([[rrfIvfFusedTop5]])
+    * against the s34 brute fusion — the third point on the served-fusion
+    * quality/cost curve (probed 0.99/0.98 at SF-near-independent cost up
+    * to the width cap; graph 0.96/0.95 at graph-build cost; ivf = this
+    * row at assignment-scan cost), closing the round-18 width-cap cliff:
+    * past w ≈ 12 a corpus without a maintained graph now fuses the IVF
+    * leg instead of paying the graph build. Both engines replay every
+    * stage: the d18 Lloyd staging (auto-nlist from count(*)), the
+    * integer-ppm nprobe rule, the L2 centroid probe ranking, the
+    * exact-cosine in-list ranking, the all-integer signature ranking,
+    * the 1/(60+rank) fusion sums, and the agreement join. */
+  val s38RrfIvfRecall: Q = (s, dir) => {
+    import s.implicits._
+    val truth = s34RrfHybrid(s, dir).select($"query_id", $"id")
+    val fused = rrfIvfFusedTop5(s, dir).select($"query_id", $"id")
     recallAtK(truth, fused, "query_id", "id", k = 5).orderBy($"query_id")
   }
 
@@ -2948,6 +3127,7 @@ object Similarity {
     "s33_ann_probe_gain" -> s33AnnProbeGain,
     "s36_rrf_served_recall" -> s36RrfServedRecall,
     "s37_rrf_graph_recall" -> s37RrfGraphRecall,
+    "s38_rrf_ivf_recall" -> s38RrfIvfRecall,
     "s34_rrf_hybrid" -> s34RrfHybrid,
     "s35_kcenter" -> s35KCenter)
 
@@ -3169,6 +3349,73 @@ object Similarity {
        |  UNION ALL
        |  SELECT m.vec_id, xor(b.bucket, m.mask)
        |  FROM qpm m JOIN buck b ON b.vec_id = m.vec_id)""".stripMargin
+
+  /** The s38 IVF-leg CTEs: the d18 Lloyd staging (auto-nlist from
+    * count(*) by the exact `semanticDedupNlist` integer rule, lowest-id
+    * seeds, argmin rounds, id-sorted fold means) on unit vectors, the
+    * corpus assignment `iasg`, the integer-ppm nprobe rule (`ik.np` —
+    * [[LshTuning.ivfProbePpm]] at [[S02FusionTargetRecall]], BIGINT
+    * multiply so nlist = 4096 cannot overflow), the per-query top-nprobe
+    * centroid probe `ipq` (d2 asc, cluster asc — the kmeansPick tie
+    * contract), and the exact-cosine in-list top-10 `ir10` on the
+    * ORIGINAL vectors (the s01 ranking contract). Expects `e` from
+    * [[vecsCte]]; ends without a trailing comma — compose with ",\n" and
+    * [[rrfServedRecallTailSql]]("ir10"). */
+  private def ivfLegCtes(iters: Int, dim: Int): String = {
+    val ppm = LshTuning.ivfProbePpm(S02FusionTargetRecall)
+    def d2(v: String, cv: String) =
+      s"(list_dot_product($v, $v) - 2 * list_dot_product($v, $cv)) + list_dot_product($cv, $cv)"
+    val zeros = s"list_transform(range(1, ${dim + 1}), i -> CAST(0 AS DOUBLE))"
+    val rounds = (1 to iters).map { r =>
+      val prev = s"ic${r - 1}"
+      s""" ia$r AS MATERIALIZED (
+         |  SELECT t.vec_id, (min({'d': ${d2("t.v", "c.v")}, 'c': c.cl})).c AS cl
+         |  FROM itr t, $prev c GROUP BY t.vec_id),
+         | im$r AS MATERIALIZED (
+         |  SELECT cl, list_transform(s, z -> z / n) AS v FROM (
+         |   SELECT a.cl, count(*) AS n,
+         |    list_reduce(list_prepend($zeros, list(t.v ORDER BY t.vec_id)),
+         |      (acc, x) -> list_transform(range(1, ${dim + 1}), i -> acc[i] + x[i])) AS s
+         |   FROM ia$r a JOIN itr t USING (vec_id) GROUP BY a.cl) q2),
+         | ic$r AS MATERIALIZED (
+         |  SELECT $prev.cl, coalesce(im$r.v, $prev.v) AS v
+         |  FROM $prev LEFT JOIN im$r USING (cl)),""".stripMargin
+    }.mkString("\n")
+    s""" iu AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS v FROM e),
+       | ik AS (
+       |  SELECT k, CAST(LEAST(k, GREATEST(1,
+       |   (CAST(k AS BIGINT) * $ppm + 999999) // 1000000)) AS INTEGER) AS np
+       |  FROM (SELECT CAST(GREATEST(16, LEAST(4096, (n + 4095) // 4096)) AS INTEGER) AS k
+       |        FROM (SELECT count(*) AS n FROM e))),
+       | itr AS (SELECT vec_id, v FROM iu
+       |  WHERE vec_id < (SELECT GREATEST(256, k) FROM ik)),
+       | ic0 AS MATERIALIZED (
+       |  SELECT cl, v FROM (
+       |   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl, v
+       |   FROM itr) z
+       |  WHERE cl < (SELECT k FROM ik)),
+       |$rounds
+       | iasg AS MATERIALIZED (
+       |  SELECT t.vec_id, (min({'d': ${d2("t.v", "c.v")}, 'c': c.cl})).c AS cid
+       |  FROM iu t, ic$iters c GROUP BY t.vec_id),
+       | ipq AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |   SELECT q.vec_id, c.cl AS cid,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${d2("q.v", "c.v")}, c.cl) AS pr
+       |   FROM (SELECT vec_id, v FROM iu WHERE vec_id < 20) q, ic$iters c) z
+       |  WHERE pr <= (SELECT np FROM ik)),
+       | ir10 AS (
+       |  SELECT query_id, id, r FROM (
+       |   SELECT p.query_id, a.vec_id AS id,
+       |    CAST(row_number() OVER (PARTITION BY p.query_id
+       |      ORDER BY round(list_dot_product(q.v, c2.v) / (q.nrm * c2.nrm), 6) DESC,
+       |               a.vec_id) AS BIGINT) AS r
+       |   FROM ipq p JOIN iasg a ON p.cid = a.cid AND p.query_id <> a.vec_id
+       |    JOIN e q ON q.vec_id = p.query_id
+       |    JOIN e c2 ON c2.vec_id = a.vec_id) t
+       |  WHERE r <= 10)""".stripMargin
+  }
 
   /** The fusion + brute-truth + agreement tail shared by the served-fusion
     * recall twins (s36/s37): the 64-bit sign-signature CTE, the Hamming
@@ -3865,6 +4112,13 @@ object Similarity {
           |   WHERE sym.src < 20) t
           |  WHERE rk <= 10),
           |""".stripMargin + rrfServedRecallTailSql("gr10")),
+    // the d18 Lloyd staging (auto-nlist from count(*)), the integer-ppm
+    // nprobe rule, the L2 centroid probe, the exact-cosine in-list top-10,
+    // then the shared fusion + agreement tail — the past-width-cap serving
+    // path for a corpus NOT maintaining the knn graph
+    "s38_rrf_ivf_recall" ->
+      (vecsCte + ",\n" + ivfLegCtes(iters = 2, dim = 64) + ",\n" +
+        rrfServedRecallTailSql("ir10")),
     // the s16 kmeans++ staging minus the sampling randomization: k−1
     // greedy argmax picks (min-d2 fold per staged pick set, dmin DESC with
     // vec_id ties), then the struct-min assignment over the final picks

@@ -218,16 +218,57 @@ class LshTuningSpec extends AnyFunSuite {
       s"fusion budget at w=8: ${Similarity.s02FusionBudget(8)}")
   }
 
-  test("fusionLegPlan: probed while the budget delivers the target, graph past the width cap") {
+  test("fusionLegPlan: probed while the budget delivers; past the cap, graph only when maintained, else ivf") {
     // gate scales (w = 8) and every width through the 12-bit probe cap:
     // the fusion budget stays under the family cap, so the single-band
-    // probed leg delivers the stated 0.95 target
-    for (n <- Seq(500L, 5000L, 65536L, 256L << 12))
+    // probed leg delivers the stated 0.95 target (graphMaintained is
+    // irrelevant while the cheap leg delivers)
+    for (n <- Seq(500L, 5000L, 65536L, 256L << 12)) {
       assert(Similarity.fusionLegPlan(n) == "probed", s"n=$n")
+      assert(Similarity.fusionLegPlan(n, graphMaintained = true) == "probed",
+        s"n=$n maintained")
+    }
     // one width past the cap the un-probed mass (1-p)^(w-12) caps model
-    // recall near 0.61 - the router must hand the leg to the graph
-    for (n <- Seq((256L << 12) + 1, 256L << 13, 100000000L))
-      assert(Similarity.fusionLegPlan(n) == "graph", s"n=$n")
+    // recall near 0.61 - the router hands the leg to the graph ONLY when
+    // the deployment already maintains it (round-18 verdict #2: the graph
+    // leg prices at graph build), and to the IVF leg otherwise
+    for (n <- Seq((256L << 12) + 1, 256L << 13, 100000000L)) {
+      assert(Similarity.fusionLegPlan(n) == "ivf", s"n=$n")
+      assert(Similarity.fusionLegPlan(n, graphMaintained = true) == "graph",
+        s"n=$n maintained")
+    }
+  }
+
+  test("ivf probe model: monotone, exact at full probe, and the integer nprobe rule meets the target") {
+    // monotone in nprobe; exactly 1.0 at nprobe = nlist (full probe is
+    // exact — the s03 oracle property), regardless of beta
+    for (nlist <- Seq(8, 16, 49, 4096)) {
+      var prev = 0.0
+      for (np <- 1 to math.min(nlist, 64)) {
+        val r = LshTuning.ivfModelRecall(np, nlist)
+        assert(r >= prev, s"model must be monotone at nlist=$nlist np=$np")
+        prev = r
+      }
+      assert(LshTuning.ivfModelRecall(nlist, nlist) == 1.0)
+      assert(LshTuning.ivfModelRecall(nlist + 7, nlist) == 1.0)
+    }
+    // the derived nprobe always meets the stated target under the model
+    // (the ppm rule rounds UP), is minimal-or-off-by-ceil, and caps at nlist
+    for (t <- Seq(0.5, 0.8, 0.9, 0.95, 0.99); nlist <- Seq(8, 16, 49, 4096)) {
+      val np = LshTuning.ivfNprobe(t, nlist)
+      assert(np >= 1 && np <= nlist, s"t=$t nlist=$nlist np=$np")
+      assert(LshTuning.ivfModelRecall(np, nlist) >= t,
+        s"t=$t nlist=$nlist np=$np model ${LshTuning.ivfModelRecall(np, nlist)}")
+    }
+    // cross-engine seam: nprobe derives from nlist by pure integer
+    // arithmetic over the ppm constant — replay the SQL rule here
+    for (t <- Seq(0.8, 0.95); nlist <- Seq(16, 49, 4096)) {
+      val ppm = LshTuning.ivfProbePpm(t)
+      val sqlRule = math.min(nlist.toLong,
+        math.max(1L, (nlist.toLong * ppm + 999999L) / 1000000L))
+      assert(LshTuning.ivfNprobe(t, nlist).toLong == sqlRule,
+        s"t=$t nlist=$nlist")
+    }
   }
 
   test("tuned layout drives the banded index end-to-end") {
