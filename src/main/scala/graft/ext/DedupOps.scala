@@ -234,6 +234,55 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** [[simhashPairsFromSigs]] with candidate generation RESTRICTED to pairs
+    * touching the `probe` side — the incremental-maintenance shape
+    * (round-18 verdict #3): a micro-batch's new fingerprints probe the
+    * accumulated signature index, generating exactly the pair-graph edges
+    * the batch adds (new–new and new–old); edges among `index`-only rows
+    * are never re-derived. For any ingestion split, the union over batches
+    * of `simhashPairsAcross(newSigs_B, sigs_≤B)` equals
+    * `simhashPairsFromSigs(allSigs)` — every pair is generated by its
+    * later endpoint's batch — with identical hamming values (spec-pinned
+    * through the streamed component store).
+    *
+    * Scale shape: one (band, bandValue) equi-join of batch-sized probe
+    * postings against the index postings — hash-partitioned, pruned to
+    * colliding buckets; the probe side is micro-batch-sized. Returns
+    * (id_a, id_b, hamming) with id_a < id_b, deduped across bands. */
+  def simhashPairsAcross(probe: DataFrame, index: DataFrame, idCol: String,
+      sigCol: String, bands: Int = 2, bitsPerBand: Int = 15,
+      maxHamming: Int = 1): DataFrame = {
+    require(maxHamming <= bands - 1,
+      s"maxHamming=$maxHamming needs bands >= ${maxHamming + 1} for exact candidates")
+    val mask = (1L << bitsPerBand) - 1
+    def bandRows(df: DataFrame): DataFrame = {
+      val sig = df.select(col(idCol).cast("long").as("__id"),
+        col(sigCol).cast("long").as("__sig"))
+      val bandCols = (0 until bands).map { b =>
+        struct(lit(b).as("bd"),
+          expr(s"shiftright(__sig, ${bitsPerBand * b}) & $mask").as("bv"))
+      }
+      sig.select(col("__id"), col("__sig"), explode(array(bandCols: _*)).as("__bb"))
+        .select(col("__id"), col("__sig"),
+          col("__bb.bd").as("__bd"), col("__bb.bv").as("__bv"))
+    }
+    bandRows(probe).as("a")
+      .join(bandRows(index).as("b"),
+        col("a.__bd") === col("b.__bd") && col("a.__bv") === col("b.__bv") &&
+          col("a.__id") =!= col("b.__id"))
+      .select(least(col("a.__id"), col("b.__id")).as("id_a"),
+        greatest(col("a.__id"), col("b.__id")).as("id_b"),
+        when(col("a.__id") < col("b.__id"), col("a.__sig"))
+          .otherwise(col("b.__sig")).as("__sa"),
+        when(col("a.__id") < col("b.__id"), col("b.__sig"))
+          .otherwise(col("a.__sig")).as("__sb"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("__sa")).as("__sa"), first(col("__sb")).as("__sb"))
+      .withColumn("hamming", expr("bit_count(__sa ^ __sb)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Connected components of a near-dup PAIR graph: every id that appears
     * in a pair is labeled with the MINIMUM id reachable from it (the
     * component representative) — the cluster-collapse step that turns the

@@ -731,6 +731,226 @@ object CurationStream {
     compactPartitions(spark, indexDir, uptoBatchId, onStep)(
       _.dropDuplicates("vec_id").sort(col("bucket"), col("vec_id")))
 
+  // --------------------------------------- streaming component labels
+  /** Append ONE micro-batch to the streamed COMPONENT-LABEL store — the
+    * incremental-maintenance path of [[graft.ext.Dedup]]'s
+    * `sigComponentsTable` (round-18 verdict #3: the last content-addressed
+    * store without a streaming twin — ingest silently served stale labels
+    * until the next batch rebuild). The store holds TWO sub-indexes under
+    * `indexDir`: `sigs/batch=<id>` — the batch's per-doc simhash
+    * fingerprints (a pure projection, the [[binarySigBatch]] discipline) —
+    * and `labels/batch=<id>` — the label DELTA: every member of every
+    * component this batch's documents touch, written as
+    * (id, component, group_size, __b = batchId).
+    *
+    * Incremental algorithm (exact, not approximate): the batch's new
+    * fingerprints probe the accumulated signature index for the pair
+    * edges they add ([[graft.ext.DedupOps.simhashPairsAcross]] — band
+    * equi-join, batch-sized probe side); edge endpoints CONTRACT to their
+    * current resolved labels (an unlabeled endpoint is its own label —
+    * previously-unpaired docs enter here); a bounded union-find over the
+    * contracted label-level edges ([[graft.ext.DedupOps
+    * .connectedComponents]], `maxDriverEdges`-guarded with the
+    * distributed fallback) yields the merge map; and the delta rewrites
+    * all members of affected components with the merged min-id label and
+    * the new size. Old labels are component MINIMA by induction, so the
+    * min over merged labels and new ids is the true component minimum —
+    * the resolved store replays the batch `connectedComponents` labeling
+    * EXACTLY for any ingestion split (spec-pinned bit-exact parity).
+    *
+    * Read side resolves LAST-WRITER-WINS per id on the in-row `__b`
+    * column ([[loadComponentIndex]]); a replayed batch recomputes its
+    * delta from state STRICTLY before it (the [[earlierIndex]] rule) and
+    * rewrites exactly its own partitions — replay idempotent, empty
+    * replay deletes. Banding parameters are FIXED at store creation and
+    * machine-enforced via `_meta` ([[requireMeta]]).
+    *
+    * Scale shape: per batch, one band equi-join of batch postings against
+    * the 8-byte/doc signature index, one keyed join of the (pair-graph-
+    * sized) resolved label table against the batch's affected labels, and
+    * a delta write sized by the affected components — never the corpus.
+    * Serving cost: the resolved read is one scan + one id-keyed window
+    * over the label relation; compaction ([[compactComponentIndex]])
+    * folds it to one row per id. */
+  def componentBatch(indexDir: String, idCol: String, textCol: String,
+      bands: Int = 2, bitsPerBand: Int = 15, maxHamming: Int = 1,
+      maxDriverEdges: Long = 5000000L, onWrite: () => Unit = () => ())
+      (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val sigsNew = graft.ext.DedupOps.withSimhash(
+        batch.select(col(idCol).cast("long").as("doc_id"),
+          col(textCol).as("__text")),
+        "__text", "simhash", bands * bitsPerBand)
+      .select(col("doc_id"), col("simhash")).persist()
+    var delta: Option[DataFrame] = None
+    try lockFor(indexDir).synchronized {
+      val root = new org.apache.hadoop.fs.Path(indexDir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(root)
+      requireMeta(fs, root, "bands", bands.toLong)
+      requireMeta(fs, root, "bitsPerBand", bitsPerBand.toLong)
+      requireMeta(fs, root, "maxHamming", maxHamming.toLong)
+      val sigsDir = s"$indexDir/sigs"
+      val labelsDir = s"$indexDir/labels"
+      val sigsRoot = new org.apache.hadoop.fs.Path(sigsDir)
+      val labelsRoot = new org.apache.hadoop.fs.Path(labelsDir)
+      fs.mkdirs(sigsRoot); fs.mkdirs(labelsRoot)
+      Fence.acquire(fs, sigsRoot); Fence.acquire(fs, labelsRoot)
+      healCompaction(fs, sigsRoot); healCompaction(fs, labelsRoot)
+      val hasRows = !sigsNew.isEmpty
+      // the label delta, computed from state STRICTLY before this batch
+      delta =
+        if (!hasRows) None
+        else {
+          val all = earlierIndex(batch, sigsDir, batchId)
+            .map(_.unionByName(sigsNew)).getOrElse(sigsNew)
+          val pairs = graft.ext.DedupOps.simhashPairsAcross(sigsNew, all,
+            "doc_id", "simhash", bands, bitsPerBand, maxHamming)
+          val res = earlierIndex(batch, labelsDir, batchId)
+            .map(df => resolveLatest(df).select(col("id"), col("component"))
+              .localCheckpoint(true))
+          val contracted = (res match {
+            case Some(r) =>
+              pairs
+                .join(r.select(col("id").as("id_a"), col("component").as("__ca")),
+                  Seq("id_a"), "left")
+                .join(r.select(col("id").as("id_b"), col("component").as("__cb")),
+                  Seq("id_b"), "left")
+                .select(coalesce(col("__ca"), col("id_a")).as("la"),
+                  coalesce(col("__cb"), col("id_b")).as("lb"))
+            case None =>
+              pairs.select(col("id_a").as("la"), col("id_b").as("lb"))
+          }).filter(col("la") =!= col("lb"))
+          val comp = graft.ext.DedupOps.connectedComponents(
+            contracted, "la", "lb", maxDriverEdges = maxDriverEdges)
+          if (comp.isEmpty) None
+          else {
+            // merge map is bounded by the batch's contracted edges — the
+            // affected labels, not the corpus
+            val nc = broadcast(comp.select(col("id").as("__lbl"),
+              col("component").as("__nc")))
+            val oldMembers = res.map(r =>
+              r.join(nc, r("component") === col("__lbl"))
+                .select(r("id").as("id"), col("__nc").as("component")))
+            // labels with NO rows in the resolved store are their own sole
+            // member: new docs and previously-unpaired old docs
+            val labeled = res.map(_.select(col("component").as("__lbl"))
+              .distinct())
+            val selfMembers = (labeled match {
+              case Some(l) => nc.join(l, Seq("__lbl"), "left_anti")
+              case None => nc
+            }).select(col("__lbl").as("id"), col("__nc").as("component"))
+            val members = oldMembers.map(_.unionByName(selfMembers))
+              .getOrElse(selfMembers)
+            val sizes = members.groupBy(col("component"))
+              .agg(count(lit(1)).as("group_size"))
+            Some(members.join(sizes, Seq("component"))
+              .select(col("id"), col("component"), col("group_size"),
+                lit(batchId).as("__b")).persist())
+          }
+        }
+      writeOwnPartition(fs, sigsDir, batchId,
+        if (hasRows) Some(sigsNew) else None, Seq("doc_id"),
+        "componentBatch/sigs", onWrite)
+      writeOwnPartition(fs, labelsDir, batchId, delta, Seq("id"),
+        "componentBatch/labels", onWrite)
+    } finally {
+      sigsNew.unpersist(false)
+      delta.foreach(_.unpersist(false)): Unit
+    }
+  }
+
+  /** Resolve the newest row per id on the in-row batch stamp — the
+    * component store's last-writer-wins read. Duplicate (id, __b) rows
+    * from the one documented post-compaction-crash window are
+    * bit-identical (the delta is deterministic), so the pick is exact. */
+  private def resolveLatest(df: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("__b").desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** The settled-write loop shared by the per-batch partition writers:
+    * rewrite exactly `batch=<id>` (or delete it when the batch contributes
+    * no rows) and re-check until the write survives a concurrent
+    * compaction window. */
+  private def writeOwnPartition(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, batchId: Long, rows: Option[DataFrame],
+      sortCols: Seq[String], what: String, onWrite: () => Unit): Unit = {
+    val target = new org.apache.hadoop.fs.Path(s"$dir/batch=$batchId")
+    var attempts = 0
+    var settled = false
+    while (!settled) {
+      attempts += 1
+      require(attempts <= 5,
+        s"$what: batch=$batchId partition kept disappearing under " +
+          "concurrent compaction — external coordination is broken")
+      rows match {
+        case Some(df) =>
+          df.repartitionByRange(sortCols.map(col): _*)
+            .sortWithinPartitions(sortCols.map(col): _*)
+            .write.mode("overwrite").parquet(target.toString)
+        case None => fs.delete(target, true): Unit
+      }
+      onWrite()
+      settled = rows match {
+        case Some(_) =>
+          fs.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS"))
+        case None => !fs.exists(target)
+      }
+    }
+  }
+
+  /** Read the [[componentBatch]]-maintained store as one
+    * (id, component, group_size) table — the `sigComponentsTable` shape,
+    * so every batch consumer (d07's label scan, c17/c19's
+    * `softDedupWeightsFromComponents`, d11's `componentStatsFromLabels`)
+    * serves from the streamed store unchanged. Heals interrupted
+    * compactions, resolves last-writer-wins per id, and never touches the
+    * pair stage (PlanSpec pins the zero-rebuild serving). Returns an
+    * empty table when no batch has produced a pair yet (every doc still a
+    * singleton — the batch table's contract). */
+  def loadComponentIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(root), s"no index at $indexDir")
+    val labelsRoot = new org.apache.hadoop.fs.Path(s"$indexDir/labels")
+    lockFor(indexDir).synchronized {
+      if (fs.exists(labelsRoot)) healCompaction(fs, labelsRoot)
+      val sigsRoot = new org.apache.hadoop.fs.Path(s"$indexDir/sigs")
+      if (fs.exists(sigsRoot)) healCompaction(fs, sigsRoot)
+    }
+    val dirs =
+      if (!fs.exists(labelsRoot)) Array.empty[String]
+      else fs.listStatus(labelsRoot).filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.startsWith("batch=")).map(_.toString).sorted
+    if (dirs.isEmpty)
+      spark.range(0).select(col("id"), col("id").as("component"),
+        col("id").as("group_size"))
+    else
+      resolveLatest(spark.read.parquet(dirs.toIndexedSeq: _*))
+        .select(col("id"), col("component"), col("group_size"))
+  }
+
+  /** Compact both component-store sub-indexes — the signature index with
+    * an id-distinct doc-sorted fold, the label index by folding every
+    * merged partition to the newest row per id (keeping the in-row `__b`
+    * stamp, so precedence against not-yet-compacted later batches is
+    * unchanged). Same committed-horizon PRECONDITION as [[compactIndex]];
+    * returns true only when both sub-compactions committed (or had
+    * nothing to merge). */
+  def compactComponentIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, uptoBatchId: Long,
+      onStep: String => Unit = _ => ()): Boolean = {
+    val sigsOk = compactPartitions(spark, s"$indexDir/sigs", uptoBatchId,
+      onStep)(_.dropDuplicates("doc_id").sort(col("doc_id")))
+    val labelsOk = compactPartitions(spark, s"$indexDir/labels", uptoBatchId,
+      onStep)(df => resolveLatest(df.dropDuplicates()).sort(col("id")))
+    sigsOk && labelsOk
+  }
+
   /** Persist-or-check a single integer parameter under an index root — the
     * bucket index's width contract made MACHINE-enforced (round-18 ADVICE
     * #2): caller discipline alone let a later batch append at a different

@@ -602,6 +602,58 @@ class PlanSpec extends SparkSpec {
       s"no band-signature join may remain in the served plan:\n${p.take(2000)}")
   }
 
+  test("streamed component store serves the d07/c17/d11 shapes with zero pair-stage jobs") {
+    // round-18 verdict #3: the component-label store was the last
+    // content-addressed relation without a streaming path. Serving from
+    // the streamed store must never touch the pair stage — detectable by
+    // its driver actions (connectedComponents runs count + collect); the
+    // streamed read is a scan + id-keyed window.
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.loadSpread(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+    val store = java.nio.file.Files.createTempDirectory("comp_serve").toString
+    // build (runs the pair stage once — before the listener registers)
+    graft.streaming.CurationStream.componentBatch(store, "doc_id", "text")(
+      docs, 0L)
+    val seen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        if (funcName == "count" || funcName == "collect") {
+          seen.incrementAndGet(); ()
+        }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      val streamed = graft.streaming.CurationStream
+        .loadComponentIndex(spark, store)
+      // d07 shape (label scan), c17 shape (soft-dedup weights), d11 shape
+      // (cluster histogram) — all served from the streamed relation
+      streamed.select(col("id").as("doc_id"), col("component"))
+        .orderBy(col("doc_id"))
+        .write.format("noop").mode("overwrite").save()
+      graft.ext.CurationOps.softDedupWeightsFromComponents(
+          docs, "doc_id", streamed)
+        .write.format("noop").mode("overwrite").save()
+      graft.ext.DedupOps.componentStatsFromLabels(docs, "doc_id", streamed)
+        .write.format("noop").mode("overwrite").save()
+      drainListenerBus()
+      assert(seen.get() == 0,
+        s"streamed-store serving must run zero pair-stage jobs, saw ${seen.get()}")
+    } finally spark.listenerManager.unregister(l)
+    // and the served plan reads the store — no band-signature join remains
+    val p = graft.ext.CurationOps.softDedupWeightsFromComponents(
+        docs, "doc_id",
+        graft.streaming.CurationStream.loadComponentIndex(spark, store))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("__bv") && !p.contains("__bd"),
+      s"no band join may remain in the streamed serving plan:\n${p.take(2000)}")
+  }
+
   test("s02 bucket table is content-addressed: serving plans scan the store; repeat invocations run zero build jobs") {
     // round-17 (late): the corpus-side hyperplane projection is persisted
     // once per corpus; s02/s12/s33/s36 then join the stored

@@ -1589,6 +1589,121 @@ class StreamingPipelineSpec extends SparkSpec {
     }
   }
 
+  test("streaming component-label store: streamed ≡ batch bit-exact; replay idempotent; serving shapes unchanged") {
+    import graft.streaming.CurationStream
+    import graft.ext.{CurationOps, DedupOps}
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = Tables.loadSpread(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("component"), col("group_size"))
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // the batch ground truth: the sigComponentsTable content recomputed
+    // through the public pair + component + size chain (same 2×15-band
+    // Hamming-1 configuration)
+    val pairs = DedupOps.simhashPairs(docs, "doc_id", "text")
+    val comp = DedupOps.connectedComponents(pairs, "id_a", "id_b")
+    val batchTable = rows(comp
+      .join(comp.groupBy(col("component")).agg(count(lit(1)).as("group_size")),
+        Seq("component"))
+      .select(col("id"), col("component"), col("group_size")))
+    assert(batchTable.nonEmpty, "witness corpus must have near-dup pairs")
+    val dir = Files.createTempDirectory("comp_stream").toString
+    val slices = (0 until 3).map(i => docs.filter(col("doc_id") % 3 === i))
+    slices.zipWithIndex.foreach { case (b, i) =>
+      CurationStream.componentBatch(dir, "doc_id", "text")(b, i.toLong)
+    }
+    assert(rows(CurationStream.loadComponentIndex(spark, dir)) == batchTable,
+      "streamed-built labels must equal the batch component table bit-exactly")
+    // replay idempotency: rewrite, not duplicate (raw label rows unchanged)
+    val rawBefore = new java.io.File(s"$dir/labels").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).sorted.toSeq
+    CurationStream.componentBatch(dir, "doc_id", "text")(slices(1), 1L)
+    val rawAfter = new java.io.File(s"$dir/labels").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).sorted.toSeq
+    assert(rawAfter == rawBefore, "a replay must rewrite its own partitions")
+    assert(rows(CurationStream.loadComponentIndex(spark, dir)) == batchTable,
+      "a replayed batch must not change the resolved labels")
+    // empty replay deletes both sub-partitions
+    CurationStream.componentBatch(dir, "doc_id", "text")(
+      slices(1).filter(lit(false)), 1L)
+    assert(!new java.io.File(s"$dir/sigs/batch=1").exists(),
+      "an empty replay must delete the stale sigs partition")
+    assert(!new java.io.File(s"$dir/labels/batch=1").exists(),
+      "an empty replay must delete the stale labels partition")
+    CurationStream.componentBatch(dir, "doc_id", "text")(slices(1), 1L)
+    assert(rows(CurationStream.loadComponentIndex(spark, dir)) == batchTable)
+    // banding parameters are machine-enforced at the store (_meta contract)
+    val boom = intercept[IllegalArgumentException] {
+      CurationStream.componentBatch(dir, "doc_id", "text", bands = 3,
+        bitsPerBand = 10, maxHamming = 1)(slices(0), 3L)
+    }
+    assert(boom.getMessage.contains("bands"),
+      s"parameter mismatch must fail loudly: ${boom.getMessage}")
+    // the batch serving shapes consume the streamed store unchanged:
+    // c17/c19 (soft-dedup weights) and d11 (cluster-size histogram)
+    val streamed = CurationStream.loadComponentIndex(spark, dir)
+    def weightRows(compDf: org.apache.spark.sql.DataFrame) =
+      CurationOps.softDedupWeightsFromComponents(docs, "doc_id", compDf)
+        .collect().map(r => r.toSeq.map(String.valueOf).mkString("|"))
+        .sorted.toSeq
+    val batchComp = comp
+      .join(comp.groupBy(col("component")).agg(count(lit(1)).as("group_size")),
+        Seq("component"))
+      .select(col("id"), col("component"), col("group_size"))
+    assert(weightRows(streamed) == weightRows(batchComp),
+      "c17's weights must serve identically from the streamed store")
+    def statRows(compDf: org.apache.spark.sql.DataFrame) =
+      DedupOps.componentStatsFromLabels(docs, "doc_id", compDf)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(statRows(streamed) == statRows(batchComp),
+      "d11's histogram must serve identically from the streamed store")
+  }
+
+  test("component-store compaction is crash-safe in every window; labels stay exact") {
+    import graft.streaming.CurationStream
+    import graft.ext.DedupOps
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = Tables.loadSpread(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("component"), col("group_size"))
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val pairs = DedupOps.simhashPairs(docs, "doc_id", "text")
+    val comp = DedupOps.connectedComponents(pairs, "id_a", "id_b")
+    val batchTable = rows(comp
+      .join(comp.groupBy(col("component")).agg(count(lit(1)).as("group_size")),
+        Seq("component"))
+      .select(col("id"), col("component"), col("group_size")))
+    val dir = Files.createTempDirectory("comp_crash").toString
+    val slices = (0 until 3).map(i => docs.filter(col("doc_id") % 3 === i))
+    def seed(): Unit = slices.zipWithIndex.foreach { case (b, i) =>
+      CurationStream.componentBatch(dir, "doc_id", "text")(b, i.toLong)
+    }
+    seed()
+    for (step <- Seq("merged", "aside", "committed")) {
+      val boom = intercept[RuntimeException] {
+        CurationStream.compactComponentIndex(spark, dir, uptoBatchId = 3L,
+          onStep = s => if (s == step) throw new RuntimeException(s"crash at $s"))
+      }
+      assert(boom.getMessage == s"crash at $step")
+      // the next reader heals in-line; resolved labels stay exact
+      assert(rows(CurationStream.loadComponentIndex(spark, dir)) == batchTable,
+        s"crash window '$step' broke the streamed component table")
+      // a follow-up compaction completes and leaves no recovery residue
+      assert(CurationStream.compactComponentIndex(spark, dir, uptoBatchId = 3L))
+      for (sub <- Seq("sigs", "labels")) {
+        val residue = new java.io.File(s"$dir/$sub").listFiles().map(_.getName)
+          .filter(n => n.startsWith(".old-") || n.startsWith(".compact-")).toSeq
+        assert(residue.isEmpty, s"crash window '$step' left $sub residue $residue")
+      }
+      assert(rows(CurationStream.loadComponentIndex(spark, dir)) == batchTable,
+        s"post-compaction labels after '$step' must be unchanged")
+      // re-seed batch partitions for the next crash window
+      if (step != "committed") seed()
+    }
+  }
+
   test("IVF-PQ index compaction is crash-safe in every window; search stays exact") {
     import graft.streaming.CurationStream
     import graft.ext.Similarity
