@@ -479,11 +479,21 @@ object Similarity {
     * calibrated [[LshTuning.ivfModelRecall]] floor. Always reachable
     * (full probe is exact — the s03 property), so unlike the width-capped
     * LSH families there is no unreachable-target fallback; the log prints
-    * the achieved model value per invocation. Measured (scratch.IvfSweep,
-    * the s21 shape at a non-default target): the derived config's capture
-    * meets the stated target at both gate scales — the model stays a
-    * floor. Pass `knownCount` when reading a stable table (the
-    * [[graft.Tables.cachedCount]] seam) to skip the sizing count job. */
+    * the achieved model value per invocation.
+    *
+    * The target speaks to the COARSE-CAPTURE stage (P(true neighbor's
+    * list probed)) — the stage this knob controls. Measured
+    * (scratch.IvfSweep): derived configs at targets 0.8/0.9 capture
+    * 0.965/0.99 (sf0.001) and 0.91/0.96 (sf0.01) — every one ≥ its
+    * target, the model a floor. The same sweep re-measured the s21
+    * IVF-PQ row at the derived nprobe = 7-of-8 (target 0.9, vs the
+    * row's caller-constant 2): END-TO-END recall@5 moved only
+    * 0.37 → 0.39/0.40, because at refine = 2 the ADC quantization +
+    * refine cut dominates that config's loss — an end-to-end recall
+    * target needs the refine knob raised alongside nprobe (s08's
+    * covering witness is the exact-mode limit). Pass `knownCount` when
+    * reading a stable table (the [[graft.Tables.cachedCount]] seam) to
+    * skip the sizing count job. */
   def ivfKnnAuto(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, targetRecall: Double = 0.9, nlist: Int = 0,
       iters: Int = 2, trainSampleRows: Long = 262144L,
@@ -2337,7 +2347,12 @@ object Similarity {
     * double replays in the s38 DuckDB twin. Memoized per dir-content. */
   private[graft] def ivfLegModel(s: SparkSession, dir: String,
       nlist: Int): Seq[Array[Double]] =
-    cachedModel(s"s38:$dir:$nlist") {
+    // key carries NO nlist segment: cachedModel parses the dir as
+    // everything after the first ':' (a third segment would break the
+    // content fingerprint), and nlist is itself a function of the dir's
+    // content — a regenerated corpus refingerprints and retrains at its
+    // own nlist, so one dir never has two live models
+    cachedModel(s"s38:$dir") {
       val uv = unitVecs(Tables.loadSpread(s, dir, "embeddings"),
         "vec_id", "embedding", "vec_id")
       kmeansFit(uv.filter(col("vec_id") < math.max(256, nlist)),
@@ -2380,17 +2395,28 @@ object Similarity {
     * each witness query probes its `nprobe` nearest coarse centroids
     * (exact L2 rank over the [[ivfLegModel]] literals, lower-cluster
     * ties — the kmeansPick contract) and ranks exact cosine within the
-    * probed lists served from the [[ivfLegTable]] store. nprobe derives
+    * probed lists served from the [[ivfLegTable]] store. This is the
+    * [[ivfKnn]] search shape (coarse probe + in-list exact ranking)
+    * re-expressed against a persisted list table, with the
+    * deterministic [[kmeansFit]] as the trainer so the s38 twin replays
+    * every centroid double — the s21 discipline: production search
+    * shape, replayable training swap. nprobe derives
     * from [[S02FusionTargetRecall]] via the calibrated integer-ppm rule
     * ([[LshTuning.ivfNprobe]]), so both engines compute it from nlist
     * with pure integer arithmetic.
     *
     * Scale shape: the store is built once (one assignment scan — nlist
-    * literal dots per row); a query batch ranks candidates ≈
-    * n · nprobe / nlist rows read via probed-list row-group pruning —
-    * no graph build, no all-pairs. Past nlist ≈ 4096 the probe matrix
-    * (nlist structs in one literal array) should move to a centroid
-    * join; at the d18 sizing that is n > 16.8M vectors per dir. */
+    * literal dots per row); a query batch broadcast-joins the probed
+    * (query, cluster) pairs against the store and ranks candidates ≈
+    * n · nprobe / nlist rows — no graph build, no all-pairs. At the
+    * witness corpus' calibrated fraction (~0.85) the store scan reads
+    * most lists either way; a clustered corpus with a small derived
+    * fraction should add the [[ivfPqSearch]] `pruneLists` discipline
+    * (bounded cid collect + chunked-In pushdown) so the (cluster,
+    * vec_id) sort buys real row-group pruning. Past nlist ≈ 4096 the
+    * probe matrix (nlist structs in one literal array) should move to a
+    * centroid join; at the d18 sizing that is n > 16.8M vectors per
+    * dir. */
   private[graft] def ivfRankingTop(s: SparkSession, dir: String,
       k: Int): DataFrame = {
     import s.implicits._

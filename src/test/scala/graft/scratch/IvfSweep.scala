@@ -90,6 +90,40 @@ object IvfSweep {
         f"(model ${LshTuning.ivfModelRecall(npT, nlist)}%.3f) " +
         f"measured capture@10=$capture%.4f")
     }
+    // the s21 row's own config (deterministic IVF-PQ, nlist = 8 on the
+    // 500-slice) re-measured with nprobe DERIVED from a non-default
+    // target instead of the caller constant 2 — recall@5 vs brute truth
+    {
+      val e500 = Tables.loadSpread(spark, dir, "embeddings")
+        .filter($"vec_id" < 500).localCheckpoint(true)
+      val q = e500.filter($"vec_id" < 20)
+      val model = Similarity.ivfPqTrainDet(e500, "vec_id", "embedding",
+        nlist = 8, m = 8, ksub = 16, iters = 2)
+      val u = e500
+        .select($"vec_id".as("id"), transform($"embedding", x => x.cast("double")).as("v"))
+        .withColumn("n2", graft.functions.VectorExprs.l2($"v"))
+      val qu = u.filter($"id" < 20)
+        .select($"id".as("query_id"), $"v".as("qv"), $"n2".as("qn"))
+      val wT = org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"cos".desc, $"id")
+      val tru = broadcast(qu).join(u, $"query_id" =!= $"id")
+        .withColumn("cos",
+          graft.functions.VectorExprs.dot($"qv", $"v") / ($"qn" * $"n2"))
+        .withColumn("rk", row_number().over(wT).cast("long"))
+        .filter($"rk" <= 5).select($"query_id", $"id")
+      for (t <- Seq(0.9)) {
+        val npT = LshTuning.ivfNprobe(t, 8)
+        val approx = Similarity.ivfPqSearch(model,
+            Similarity.ivfPqEncode(model, e500, "vec_id", "embedding"),
+            e500, q, "vec_id", "embedding", k = 5, nprobe = npT, refine = 2)
+          .select($"query_id", $"id")
+        val mean = Similarity.recallAtK(tru, approx, "query_id", "id", k = 5)
+          .agg(avg($"recall")).as[Double].head()
+        println(f"s21 config at derived target=$t%.2f -> nprobe=$npT of 8 " +
+          f"(coarse model ${LshTuning.ivfModelRecall(npT, 8)}%.3f, s21's " +
+          f"caller-constant was 2): recall@5=$mean%.4f")
+      }
+    }
     spark.stop()
   }
 }
