@@ -2064,4 +2064,46 @@ class DedupOpsSpec extends SparkSpec {
       .groupBy($"o_orderkey").agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("q"))
     assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
   }
+
+  test("simhashPairsAcross: the union over any ingestion split equals simhashPairsFromSigs") {
+    // the incremental-maintenance contract, tested DIRECTLY: every pair's
+    // later endpoint's batch generates it, with identical hamming values
+    val sigs = DedupOps.withSimhash(docs.select($"doc_id", $"text"),
+      "text", "simhash", 30).localCheckpoint(true)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id_a", $"id_b", $"hamming")
+        .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    val full = rows(DedupOps.simhashPairsFromSigs(sigs, "doc_id", "simhash"))
+    assert(full.nonEmpty, "witness corpus must have near-dup pairs")
+    for (k <- Seq(2, 3)) {
+      val slices = (0 until k).map(i => sigs.filter($"doc_id" % k === i))
+      val incremental = (0 until k).flatMap { b =>
+        val seen = slices.take(b + 1).reduce(_ unionByName _)
+        rows(DedupOps.simhashPairsAcross(slices(b), seen,
+          "doc_id", "simhash"))
+      }.sortBy(t => (t._1, t._2))
+      assert(incremental == full, s"$k-way split must reproduce the batch pairs")
+    }
+  }
+
+  test("ivfKnnAuto: a target forcing full probe equals brute force; defaults derive the documented config") {
+    val e = Tables.loadSpread(spark, dir, "embeddings")
+    val q = e.filter($"vec_id" < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"rank", $"id")
+        .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
+    // a target deep enough that the derived nprobe = nlist: the candidate
+    // set is the whole corpus, so the result must equal full-probe ivfKnn
+    // (itself oracle-proven ≡ brute by s03)
+    val auto = Similarity.ivfKnnAuto(e, q, "vec_id", "embedding", k = 5,
+      targetRecall = 0.9999, nlist = 8)
+    val full = Similarity.ivfKnn(e, q, "vec_id", "embedding", k = 5,
+      nlist = 8, nprobe = 8)
+    assert(rows(auto) == rows(full),
+      "a full-probe-deep target must reproduce the exact result")
+    // the default nlist rule is the d18 sizing; the derived nprobe meets
+    // the model target (LshTuningSpec pins the rule itself)
+    assert(graft.ext.DedupOps.semanticDedupNlist(500L) == 16)
+    assert(graft.ext.LshTuning.ivfNprobe(0.95, 16) == 14)
+  }
 }

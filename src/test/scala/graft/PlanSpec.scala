@@ -654,6 +654,34 @@ class PlanSpec extends SparkSpec {
       s"no band join may remain in the streamed serving plan:\n${p.take(2000)}")
   }
 
+  test("ivf fusion-leg list table is content-addressed: s38 serves the store; repeat invocations run zero build jobs") {
+    // round 19: the IVF leg's corpus assignment persists once per
+    // dir-content ((cluster, vec_id)-sorted); serving ranks against the
+    // stored relation instead of re-assigning the corpus per invocation
+    import org.apache.spark.sql.functions.col
+    graft.ext.Similarity.ivfLegTable(spark, dir).head()
+    assert(plan("s38_rrf_ivf_recall").contains("ivfleg_k16"),
+      "s38 must scan the persisted IVF list table")
+    val saves = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        if (funcName == "save") { saves.incrementAndGet(); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(l)
+    try {
+      graft.ext.Similarity.ivfLegTable(spark, dir).head()
+      graft.ext.Similarity.ivfLegTable(spark, dir).head()
+      drainListenerBus()
+      assert(saves.get() == 0,
+        s"repeat list-table reads must run zero store builds, saw ${saves.get()}")
+    } finally spark.listenerManager.unregister(l)
+  }
+
   test("s02 bucket table is content-addressed: serving plans scan the store; repeat invocations run zero build jobs") {
     // round-17 (late): the corpus-side hyperplane projection is persisted
     // once per corpus; s02/s12/s33/s36 then join the stored
