@@ -292,8 +292,10 @@ object LshTuning {
     * no float-boundary risk (the d18 auto-k discipline applied to the
     * probe knob). */
   def ivfProbePpm(targetRecall: Double, beta: Double = IvfProbeBeta): Long = {
-    require(targetRecall > 0.0 && targetRecall < 1.0,
-      s"targetRecall in (0,1): $targetRecall")
+    // 1.0 is a LEGAL target here, unlike the width-capped LSH budgets:
+    // full probe is exact, so the rule degrades cleanly to nprobe = nlist
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall in (0,1]: $targetRecall")
     math.ceil((1.0 - math.pow(1.0 - targetRecall, 1.0 / beta)) * 1e6).toLong
   }
 

@@ -2346,18 +2346,25 @@ object Similarity {
     * fold means on the `vec_id < max(256, nlist)` slice), so every centroid
     * double replays in the s38 DuckDB twin. Memoized per dir-content. */
   private[graft] def ivfLegModel(s: SparkSession, dir: String,
-      nlist: Int): Seq[Array[Double]] =
+      nlist: Int): Seq[Array[Double]] = {
     // key carries NO nlist segment: cachedModel parses the dir as
     // everything after the first ':' (a third segment would break the
     // content fingerprint), and nlist is itself a function of the dir's
     // content — a regenerated corpus refingerprints and retrains at its
-    // own nlist, so one dir never has two live models
+    // own nlist, so one dir never has two live models. The require makes
+    // that premise LOAD-BEARING: a caller-chosen nlist would silently
+    // receive a model memoized at a different k.
+    require(nlist == DedupOps.semanticDedupNlist(
+        Tables.cachedCount(s, dir, "embeddings")),
+      s"ivfLegModel: nlist=$nlist must be the derived semanticDedupNlist " +
+        "for this dir (the memo is keyed per dir-content, not per nlist)")
     cachedModel(s"s38:$dir") {
       val uv = unitVecs(Tables.loadSpread(s, dir, "embeddings"),
         "vec_id", "embedding", "vec_id")
       kmeansFit(uv.filter(col("vec_id") < math.max(256, nlist)),
         "vec_id", "__u", k = nlist, iters = 2)
     }
+  }
 
   /** Content-addressed per-dir IVF LIST table (vec_id, v, nrm, cluster) —
     * the [[bucketTable]] discipline for the IVF leg: the corpus-wide

@@ -491,26 +491,11 @@ object CurationStream {
       fs.mkdirs(root)
       Fence.acquire(fs, root) // fence any cross-process compactor FIRST
       healCompaction(fs, root)
-      val target = new org.apache.hadoop.fs.Path(s"$indexDir/batch=$batchId")
-      val hasRows = !codes.isEmpty
-      var attempts = 0
-      var settled = false
-      while (!settled) {
-        attempts += 1
-        require(attempts <= 5,
-          s"ivfPqIndexBatch: batch=$batchId partition kept disappearing " +
-            "under concurrent compaction — external coordination is broken")
-        if (hasRows)
-          codes.repartitionByRange(col("__cid"), col("id"))
-            .sortWithinPartitions(col("__cid"), col("id"))
-            .write.mode("overwrite").parquet(target.toString)
-        else fs.delete(target, true)
-        onWrite() // test seam (the nearDedupBatch fencing-spec pattern)
-        settled =
-          if (hasRows)
-            fs.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS"))
-          else !fs.exists(target)
-      }
+      // write-and-verify via the shared settled loop (test seam: onWrite
+      // is the nearDedupBatch fencing-spec pattern)
+      writeOwnPartition(fs, indexDir, batchId,
+        if (codes.isEmpty) None else Some(codes), Seq("__cid", "id"),
+        "ivfPqIndexBatch", onWrite)
     } finally codes.unpersist(false)
   }
 
@@ -587,26 +572,9 @@ object CurationStream {
       fs.mkdirs(root)
       Fence.acquire(fs, root)
       healCompaction(fs, root)
-      val target = new org.apache.hadoop.fs.Path(s"$indexDir/batch=$batchId")
-      val hasRows = !sigs.isEmpty
-      var attempts = 0
-      var settled = false
-      while (!settled) {
-        attempts += 1
-        require(attempts <= 5,
-          s"binarySigBatch: batch=$batchId partition kept disappearing " +
-            "under concurrent compaction — external coordination is broken")
-        if (hasRows)
-          sigs.repartitionByRange(col("vec_id"))
-            .sortWithinPartitions(col("vec_id"))
-            .write.mode("overwrite").parquet(target.toString)
-        else fs.delete(target, true)
-        onWrite()
-        settled =
-          if (hasRows)
-            fs.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS"))
-          else !fs.exists(target)
-      }
+      writeOwnPartition(fs, indexDir, batchId,
+        if (sigs.isEmpty) None else Some(sigs), Seq("vec_id"),
+        "binarySigBatch", onWrite)
     } finally sigs.unpersist(false)
   }
 
@@ -676,26 +644,9 @@ object CurationStream {
       Fence.acquire(fs, root)
       requireMeta(fs, root, "w", w.toLong)
       healCompaction(fs, root)
-      val target = new org.apache.hadoop.fs.Path(s"$indexDir/batch=$batchId")
-      val hasRows = !rows.isEmpty
-      var attempts = 0
-      var settled = false
-      while (!settled) {
-        attempts += 1
-        require(attempts <= 5,
-          s"bucketBatch: batch=$batchId partition kept disappearing " +
-            "under concurrent compaction — external coordination is broken")
-        if (hasRows)
-          rows.repartitionByRange(col("bucket"), col("vec_id"))
-            .sortWithinPartitions(col("bucket"), col("vec_id"))
-            .write.mode("overwrite").parquet(target.toString)
-        else fs.delete(target, true)
-        onWrite()
-        settled =
-          if (hasRows)
-            fs.exists(new org.apache.hadoop.fs.Path(target, "_SUCCESS"))
-          else !fs.exists(target)
-      }
+      writeOwnPartition(fs, indexDir, batchId,
+        if (rows.isEmpty) None else Some(rows), Seq("bucket", "vec_id"),
+        "bucketBatch", onWrite)
     } finally rows.unpersist(false)
   }
 
@@ -762,7 +713,15 @@ object CurationStream {
     * column ([[loadComponentIndex]]); a replayed batch recomputes its
     * delta from state STRICTLY before it (the [[earlierIndex]] rule) and
     * rewrites exactly its own partitions — replay idempotent, empty
-    * replay deletes. Banding parameters are FIXED at store creation and
+    * replay deletes. SCOPE of the empty-replay-delete (derived-store
+    * caveat the pure-projection stores don't have): it is sound only for
+    * the batch structured streaming actually replays — the LAST,
+    * uncommitted one, before any later batch exists. Replaying an OLD
+    * committed batch empty would orphan later deltas that were computed
+    * with its docs present; committed batches are never replayed (the
+    * [[compactIndex]] committed-horizon contract), so that state is
+    * unreachable under the streaming semantics this store serves.
+    * Banding parameters are FIXED at store creation and
     * machine-enforced via `_meta` ([[requireMeta]]).
     *
     * Scale shape: per batch, one band equi-join of batch postings against
@@ -806,6 +765,11 @@ object CurationStream {
             .map(_.unionByName(sigsNew)).getOrElse(sigsNew)
           val pairs = graft.ext.DedupOps.simhashPairsAcross(sigsNew, all,
             "doc_id", "simhash", bands, bitsPerBand, maxHamming)
+            .localCheckpoint(true)
+          // gate BEFORE touching the resolved store: the common
+          // steady-state micro-batch adds no near-dup pairs, and the
+          // label-store scan + checkpoint would be pure waste there
+          if (pairs.isEmpty) None else {
           val res = earlierIndex(batch, labelsDir, batchId)
             .map(df => resolveLatest(df).select(col("id"), col("component"))
               .localCheckpoint(true))
@@ -847,6 +811,7 @@ object CurationStream {
             Some(members.join(sizes, Seq("component"))
               .select(col("id"), col("component"), col("group_size"),
                 lit(batchId).as("__b")).persist())
+          }
           }
         }
       writeOwnPartition(fs, sigsDir, batchId,
@@ -943,13 +908,19 @@ object CurationStream {
     * nothing to merge). */
   def compactComponentIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, uptoBatchId: Long,
-      onStep: String => Unit = _ => ()): Boolean = {
-    val sigsOk = compactPartitions(spark, s"$indexDir/sigs", uptoBatchId,
-      onStep)(_.dropDuplicates("doc_id").sort(col("doc_id")))
-    val labelsOk = compactPartitions(spark, s"$indexDir/labels", uptoBatchId,
-      onStep)(df => resolveLatest(df.dropDuplicates()).sort(col("id")))
-    sigsOk && labelsOk
-  }
+      onStep: String => Unit = _ => ()): Boolean =
+    // the ROOT lock serializes against componentBatch/loadComponentIndex
+    // (which key on indexDir, not the sub-dirs): without it a same-JVM
+    // reader's heal could race a sub-compaction's aside/commit window.
+    // compactPartitions takes its own sub-dir monitor inside — a strict
+    // child of this one, taken nowhere else first, so no deadlock.
+    lockFor(indexDir).synchronized {
+      val sigsOk = compactPartitions(spark, s"$indexDir/sigs", uptoBatchId,
+        onStep)(_.dropDuplicates("doc_id").sort(col("doc_id")))
+      val labelsOk = compactPartitions(spark, s"$indexDir/labels", uptoBatchId,
+        onStep)(df => resolveLatest(df.dropDuplicates()).sort(col("id")))
+      sigsOk && labelsOk
+    }
 
   /** Persist-or-check a single integer parameter under an index root — the
     * bucket index's width contract made MACHINE-enforced (round-18 ADVICE
@@ -973,10 +944,26 @@ object CurationStream {
           s"offers $key=$value - a stream cannot re-bucket retroactively; " +
           "a parameter change is a NEW index")
     } else {
-      val out = fs.create(meta, false)
-      try out.write(value.toString.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+      // cross-process first-write race: a losing create(overwrite=false)
+      // means another JVM recorded the value between our exists check and
+      // the create — fall through to the comparison instead of failing a
+      // batch whose parameters actually match
+      try {
+        val out = fs.create(meta, false)
+        try out.write(value.toString.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      } catch {
+        case _: java.io.IOException =>
+          val in = fs.open(meta)
+          val recorded =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+          require(recorded == value.toString,
+            s"index at $root was created with $key=$recorded but this " +
+              s"batch offers $key=$value - a stream cannot re-bucket " +
+              "retroactively; a parameter change is a NEW index")
+      }
     }
   }
 

@@ -2092,11 +2092,12 @@ class DedupOpsSpec extends SparkSpec {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.select($"query_id", $"rank", $"id")
         .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._2)).toSeq
-    // a target deep enough that the derived nprobe = nlist: the candidate
-    // set is the whole corpus, so the result must equal full-probe ivfKnn
-    // (itself oracle-proven ≡ brute by s03)
+    // targetRecall = 1.0 is legal (full probe is exact) and must derive
+    // nprobe = nlist: the candidate set is the whole corpus, so the
+    // result equals full-probe ivfKnn (itself oracle-proven ≡ brute, s03)
+    assert(graft.ext.LshTuning.ivfNprobe(1.0, 8) == 8)
     val auto = Similarity.ivfKnnAuto(e, q, "vec_id", "embedding", k = 5,
-      targetRecall = 0.9999, nlist = 8)
+      targetRecall = 1.0, nlist = 8)
     val full = Similarity.ivfKnn(e, q, "vec_id", "embedding", k = 5,
       nlist = 8, nprobe = 8)
     assert(rows(auto) == rows(full),
