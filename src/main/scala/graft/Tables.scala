@@ -152,6 +152,17 @@ object Tables {
     val path = new java.io.File(root, s"$name-$dh-$fp")
     require(family.forall(name.startsWith),
       s"family must prefix the store name, got family=$family name=$name")
+    // the '<family><digits>' contract validates BEFORE any build/publish
+    // work (round-19 ADVICE #1: validating on the eviction path let a
+    // contract-violating name publish its store first and skip validation
+    // entirely on cached reads): a family store's param segment must be
+    // all digits — every family caller parameterizes by an integer width —
+    // so a future store that merely SHARES the family prefix with a
+    // non-numeric suffix is never mistaken for an eviction sibling
+    require(family.forall(f =>
+        name.substring(f.length).forall(_.isDigit) &&
+          name.length > f.length),
+      s"family stores must be '<family><digits>', got family=$family name=$name")
     if (!new java.io.File(path, "_SUCCESS").isFile) {
       val tmp = new java.io.File(root,
         s".tmp-$name-$dh-$fp-${java.util.UUID.randomUUID}")
@@ -169,15 +180,8 @@ object Tables {
       // (`<family><param>-<16-hex dh>-<32-hex fp>`), plus legacy-format
       // siblings of ANY width (pre-dirHash / 8-hex-dh names are unreachable
       // under current naming, so deleting them regardless of dir is safe —
-      // same rationale as `legacy` above). The param segment is constrained
-      // to digits — every family caller parameterizes by an integer width —
-      // so a future store that merely SHARES the family prefix with a
-      // non-numeric suffix is never mistaken for a sibling (round-18 ADVICE
-      // #1); the require below enforces the contract at publish time.
-      require(family.forall(f =>
-          name.substring(f.length).forall(_.isDigit) &&
-            name.length > f.length),
-        s"family stores must be '<family><digits>', got family=$family name=$name")
+      // same rationale as `legacy` above). The digits-only param segment is
+      // guaranteed by the entry require above (round-18 ADVICE #1).
       val sibling = family.map(f =>
         (s"\\Q$f\\E\\d+-\\Q$dh\\E-[0-9a-f]{32}" +
           s"|\\Q$f\\E\\d+-(?:[0-9a-f]{8}-)?[0-9a-f]{32}").r)

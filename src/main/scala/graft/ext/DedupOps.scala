@@ -248,7 +248,19 @@ object DedupOps {
     * Scale shape: one (band, bandValue) equi-join of batch-sized probe
     * postings against the index postings — hash-partitioned, pruned to
     * colliding buckets; the probe side is micro-batch-sized. Returns
-    * (id_a, id_b, hamming) with id_a < id_b, deduped across bands. */
+    * (id_a, id_b, hamming) with id_a < id_b, deduped across bands.
+    *
+    * CONTRACT (round-19 ADVICE #3): each side must map every id to ONE
+    * signature — the per-pair signature resolution after the band join
+    * picks `first()` within a (id_a, id_b) group, which is exact when all
+    * of a group's rows carry identical sigs and nondeterministic
+    * otherwise. [[graft.streaming.CurationStream.componentBatch]] upholds
+    * it by (a) anti-joining the accumulated index against the batch's
+    * doc_ids before probing (the batch's signature wins a batch-vs-index
+    * collision) and (b) treating a CHANGED document as a NEW doc_id — the
+    * sigs store is append-only per batch, so re-ingesting an old doc_id
+    * with different text across committed batches leaves two live
+    * signatures in the index and is outside the store's contract. */
   def simhashPairsAcross(probe: DataFrame, index: DataFrame, idCol: String,
       sigCol: String, bands: Int = 2, bitsPerBand: Int = 15,
       maxHamming: Int = 1): DataFrame = {

@@ -724,6 +724,13 @@ object CurationStream {
     * Banding parameters are FIXED at store creation and
     * machine-enforced via `_meta` ([[requireMeta]]).
     *
+    * Identity contract: one signature per doc_id (the
+    * [[graft.ext.DedupOps.simhashPairsAcross]] determinism contract). A
+    * batch-vs-index collision resolves to the BATCH's signature (the
+    * anti-join below); a changed document across COMMITTED batches must
+    * arrive as a new doc_id — the sigs store is append-only per batch and
+    * cannot retract an old batch's row.
+    *
     * Scale shape: per batch, one band equi-join of batch postings against
     * the 8-byte/doc signature index, one keyed join of the (pair-graph-
     * sized) resolved label table against the batch's affected labels, and
@@ -761,8 +768,17 @@ object CurationStream {
       delta =
         if (!hasRows) None
         else {
+          // the batch's signature WINS over any earlier index row for the
+          // same doc_id (round-19 ADVICE #3: two live sigs per id made the
+          // pair resolution nondeterministic through first()): the anti-join
+          // is batch-sized-broadcast cheap and a no-op under the store's
+          // unique-doc_id contract (see the simhashPairsAcross scaladoc —
+          // a changed document is a NEW doc_id; same-batch replay recomputes
+          // from strictly-earlier state, so it never self-collides here)
           val all = earlierIndex(batch, sigsDir, batchId)
-            .map(_.unionByName(sigsNew)).getOrElse(sigsNew)
+            .map(_.join(broadcast(sigsNew.select(col("doc_id"))),
+              Seq("doc_id"), "left_anti").unionByName(sigsNew))
+            .getOrElse(sigsNew)
           val pairs = graft.ext.DedupOps.simhashPairsAcross(sigsNew, all,
             "doc_id", "simhash", bands, bitsPerBand, maxHamming)
             .localCheckpoint(true)
@@ -934,37 +950,49 @@ object CurationStream {
   private def requireMeta(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, key: String, value: Long): Unit = {
     val meta = new org.apache.hadoop.fs.Path(root, s"_meta.$key")
-    if (fs.exists(meta)) {
-      val in = fs.open(meta)
-      val recorded =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    // CRASH-SAFE publish (round-19 ADVICE #2): the old create-then-write
+    // left an EMPTY _meta file if the process died between create and
+    // close, after which every later batch failed the mismatch require
+    // against recorded="" — a permanently bricked index. Now the value
+    // lands complete under a temp name and an atomic rename publishes it,
+    // so the visible file is never partial; an empty/short file (the one
+    // legacy crash shape) reads as ABSENT and is healed by re-publishing.
+    def readMeta(): Option[String] =
+      if (!fs.exists(meta)) None
+      else {
+        val in = fs.open(meta)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
-      require(recorded == value.toString,
-        s"index at $root was created with $key=$recorded but this batch " +
-          s"offers $key=$value - a stream cannot re-bucket retroactively; " +
-          "a parameter change is a NEW index")
-    } else {
-      // cross-process first-write race: a losing create(overwrite=false)
-      // means another JVM recorded the value between our exists check and
-      // the create — fall through to the comparison instead of failing a
-      // batch whose parameters actually match
-      try {
-        val out = fs.create(meta, false)
-        try out.write(value.toString.getBytes(
-          java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-      } catch {
-        case _: java.io.IOException =>
-          val in = fs.open(meta)
-          val recorded =
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-            finally in.close()
-          require(recorded == value.toString,
-            s"index at $root was created with $key=$recorded but this " +
-              s"batch offers $key=$value - a stream cannot re-bucket " +
-              "retroactively; a parameter change is a NEW index")
+        if (s.isEmpty) None else Some(s)
       }
+    var recorded = readMeta()
+    var attempts = 0
+    while (recorded.isEmpty) {
+      attempts += 1
+      require(attempts <= 5,
+        s"_meta.$key under $root could not be published after 5 attempts - " +
+          "the filesystem keeps surfacing an empty or vanishing meta file")
+      // heal the empty crash remnant — narrowly: only a zero-length file
+      // (whitespace-only content cannot be produced by the atomic publish)
+      if (fs.exists(meta) && fs.getFileStatus(meta).getLen == 0)
+        fs.delete(meta, false): Unit
+      val tmp = new org.apache.hadoop.fs.Path(root,
+        s"._meta.$key.tmp-${java.util.UUID.randomUUID}")
+      val out = fs.create(tmp, true)
+      try out.write(value.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      // rename is the atomic publish; losing a cross-process first-write
+      // race (dest already exists) is fine — re-read and compare below.
+      // Callers hold the index lock / fence, so the race window is the
+      // documented cross-process first-batch case only.
+      if (fs.exists(meta) || !fs.rename(tmp, meta)) fs.delete(tmp, false): Unit
+      recorded = readMeta()
     }
+    require(recorded.contains(value.toString),
+      s"index at $root was created with $key=${recorded.getOrElse("")} but " +
+        s"this batch offers $key=$value - a stream cannot re-bucket " +
+        "retroactively; a parameter change is a NEW index")
   }
 
   /** The width recorded by [[bucketBatch]]'s first batch — lets serving

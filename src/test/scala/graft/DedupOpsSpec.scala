@@ -1065,6 +1065,16 @@ class DedupOpsSpec extends SparkSpec {
       Tables.cachedDerived(spark, dirA, "documents", "spec_fam_w9",
         family = Some("other_prefix"))(spark.range(1).toDF("v"))
     }
+    // the '<family><digits>' contract validates BEFORE any build/publish
+    // (round-19 ADVICE #1: it used to run on the eviction path, after the
+    // violating store was already published — and not at all on cached
+    // reads): a non-digit param segment fails with NO store left behind
+    intercept[IllegalArgumentException] {
+      Tables.cachedDerived(spark, dirA, "documents", "spec_fam_wBAD",
+        family = Some("spec_fam_w"))(spark.range(1).toDF("v"))
+    }
+    assert(!names().exists(_.startsWith("spec_fam_wBAD")),
+      "a contract-violating name must not publish a store")
   }
 
   test("materialized ANN model path equals inline bit-for-bit, incl. relational round-trip") {

@@ -1660,6 +1660,77 @@ class StreamingPipelineSpec extends SparkSpec {
       "d11's histogram must serve identically from the streamed store")
   }
 
+  test("an empty _meta crash remnant heals instead of bricking the index; mismatches still fail") {
+    // round-19 ADVICE #2: a crash between create and write left an empty
+    // _meta.<key>, after which every later batch failed the mismatch
+    // require against recorded="" forever. The publish is now atomic
+    // (temp + rename) and an empty file reads as ABSENT and re-publishes.
+    import graft.streaming.CurationStream
+    val dir = Files.createTempDirectory("meta_heal").toString
+    val docs = Tables.loadSpread(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 50)
+      .localCheckpoint(true)
+    CurationStream.componentBatch(dir, "doc_id", "text")(docs, 0L)
+    // simulate the legacy crash shape: truncate _meta.bands to zero bytes
+    val meta = new java.io.File(dir, "_meta.bands")
+    assert(meta.isFile && meta.length > 0, "store must have recorded bands")
+    new java.io.FileOutputStream(meta).close()
+    assert(meta.length == 0)
+    // next batch heals (re-publishes the value) instead of failing forever
+    CurationStream.componentBatch(dir, "doc_id", "text")(docs, 1L)
+    assert(new java.io.File(dir, "_meta.bands").length > 0,
+      "the healed _meta must carry the re-published value")
+    // and the mismatch contract still fails loudly on a REAL value
+    val boom = intercept[IllegalArgumentException] {
+      CurationStream.componentBatch(dir, "doc_id", "text", bands = 3,
+        bitsPerBand = 10)(docs, 2L)
+    }
+    assert(boom.getMessage.contains("bands"), boom.getMessage)
+    // no temp-file residue from the atomic publishes (`._meta.<key>.crc`
+    // is the local filesystem's legitimate checksum sidecar, not residue)
+    val residue = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(n => n.startsWith("._meta") && n.contains(".tmp-")).toSeq
+    assert(residue.isEmpty, s"atomic meta publish left $residue")
+  }
+
+  test("a re-ingested doc_id pairs by its BATCH signature, not a stale index row") {
+    // round-19 ADVICE #3: componentBatch's probe set resolved a doc_id
+    // with two live signatures (batch + earlier index) through first() —
+    // nondeterministic hamming, and a stale signature could emit a pair
+    // the CURRENT text does not justify. The batch-wins anti-join makes
+    // the batch's signature authoritative for its own pair generation.
+    import graft.streaming.CurationStream
+    import graft.ext.DedupOps
+    val tA = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val tB = "quarterly financial results exceeded analyst expectations despite currency headwinds in europe"
+    // precondition: no band of simhash(tA) matches the same band of
+    // simhash(tB) — otherwise the scenario would not discriminate
+    val sigs = DedupOps.withSimhash(
+        Seq((1L, tA), (2L, tB)).toDF("doc_id", "__text"),
+        "__text", "simhash", 30)
+      .select(col("doc_id"), col("simhash")).as[(Long, Long)]
+      .collect().toMap
+    val mask = (1L << 15) - 1
+    (0 until 2).foreach { b =>
+      assert(((sigs(1L) >> (15 * b)) & mask) != ((sigs(2L) >> (15 * b)) & mask),
+        s"fixture texts must not band-collide (band $b)")
+    }
+    val dir = Files.createTempDirectory("comp_reingest").toString
+    // batch 0: doc 1 carries text A (no pairs — nothing else in the store)
+    CurationStream.componentBatch(dir, "doc_id", "text")(
+      Seq((1L, tA)).toDF("doc_id", "text"), 0L)
+    // batch 1: doc 1 RE-ARRIVES with text B, alongside doc 3 with text A.
+    // Doc 1's current text is B, so (1,3) are NOT near-dups — but doc 1's
+    // STALE text-A signature in the index band-collides with doc 3's
+    // text-A probe, and a stale-sig resolution would emit the pair.
+    CurationStream.componentBatch(dir, "doc_id", "text")(
+      Seq((1L, tB), (3L, tA)).toDF("doc_id", "text"), 1L)
+    val labeled = CurationStream.loadComponentIndex(spark, dir)
+      .select(col("id")).as[Long].collect().toSet
+    assert(!(labeled.contains(1L) && labeled.contains(3L)),
+      "a stale index signature must not pair a re-ingested doc against its old text")
+  }
+
   test("component-store compaction is crash-safe in every window; labels stay exact") {
     import graft.streaming.CurationStream
     import graft.ext.DedupOps
