@@ -196,6 +196,22 @@ object Tables {
     s.read.parquet(path.getPath)
   }
 
+  /** Read-only REGISTRY PROBE of the [[cachedDerived]] store: does a
+    * COMPLETE (`_SUCCESS`-committed) derived artifact named `name` exist
+    * for the CURRENT content of `<dir>/<table>.parquet`? Never builds —
+    * the probe is the evidence side of "is this index already
+    * maintained?" routing decisions (round-19 verdict #2: the fusion
+    * router's `graphMaintained` flag was caller-asserted; a stale
+    * assertion silently served a full graph build). Content-addressed by
+    * construction: a regenerated dir changes [[tableFingerprint]], so a
+    * stale artifact answers `false`, never "fresh". */
+  def derivedExists(dir: String, table: String, name: String): Boolean = {
+    val root = new java.io.File(sys.props("java.io.tmpdir"), "graft_derived")
+    val path = new java.io.File(root,
+      s"$name-${dirHash(dir)}-${tableFingerprint(dir, table)}")
+    new java.io.File(path, "_SUCCESS").isFile
+  }
+
   /** Row count of `<dir>/<table>.parquet`, memoized per JVM on the
     * stat+footer [[tableFingerprint]] — the adaptive-banding width probes
     * (s02/s12/s24/s26's `bucketPlanes`/`adaptivePlanes`) each paid one

@@ -281,7 +281,16 @@ object LshTuning {
     * WEAKLY into lists — hence the deep tail; the steep head (β ≈ 10–14
     * at nprobe ≤ 2) is what a clustered production embedding space looks
     * like at every depth, so re-running the sweep on such data and
-    * re-flooring buys much cheaper probes. */
+    * re-flooring buys much cheaper probes. MEASURED on clustered data
+    * (round-20, scratch.ClusteredIvfSweep — deterministic separable-mode
+    * corpora at σ=0.12 mode noise): implied β 17.7 at the 16-mode
+    * gate-scale corpus and 175 at the 128-mode 100×-shape corpus
+    * (n=500k, nlist=123) — the re-floored 0.95-target nprobe drops
+    * 105 → 3 of 123 and the s38-shape serving time 4.27 → 1.96 s with
+    * the round-20 list-id pushdown. The per-corpus floor is wired at
+    * serving time via `spark.graft.ivf.beta`
+    * ([[graft.ext.Similarity.ivfRankingTop]]); this constant stays the
+    * conservative cross-corpus floor. */
   val IvfProbeBeta: Double = 1.6
 
   /** The probe FRACTION `nprobe/nlist` that [[ivfModelRecall]] needs for

@@ -2235,20 +2235,45 @@ object Similarity {
   /** [[rrfServedTop5]] with the cosine leg picked by [[fusionLegPlan]] —
     * the deployment entry point: probed single-band fusion while the
     * budget delivers the stated target (agreement 0.99/0.98 measured at
-    * the gate scales); past the width cap, the graph-leg fusion when
-    * `graphMaintained` (0.96/0.95 measured, priced at the graph build the
-    * deployment already runs) and the IVF-leg fusion otherwise (s38 —
-    * assignment-scan cost). Logged per invocation. */
+    * the gate scales); past the width cap, the graph-leg fusion when the
+    * graph is maintained (0.96/0.95 measured, priced at the graph build
+    * the deployment already runs) and the IVF-leg fusion otherwise (s38 —
+    * assignment-scan cost). "Maintained" is SELF-DETECTED by default
+    * (round-19 verdict #2): `graphMaintained = None` probes the derived
+    * registry for a committed [[knnGraphLegTable]] artifact at the
+    * current dir fingerprint ([[graphLegMaintained]]) — the graph leg is
+    * routed only when its build is PROVABLY already paid, so a stale or
+    * optimistic caller assertion can no longer silently serve a full
+    * graph build. `Some(b)` remains as an explicit override for callers
+    * that maintain the graph outside this registry. The log states which
+    * evidence fired. */
   def rrfServedTop5Auto(s: SparkSession, dir: String,
-      graphMaintained: Boolean = false): DataFrame = {
+      graphMaintained: Option[Boolean] = None): DataFrame = {
     val n = Tables.cachedCount(s, dir, "embeddings")
-    val leg = fusionLegPlan(n, graphMaintained)
-    log.info(s"rrfServedTop5Auto: n=$n width=${bucketPlanes(n)} leg=$leg")
+    val (leg, evidence) = resolveFusionLeg(s, dir, n, graphMaintained)
+    log.info(s"rrfServedTop5Auto: n=$n width=${bucketPlanes(n)} leg=$leg " +
+      s"($evidence)")
     leg match {
       case "probed" => rrfServedTop5(s, dir)
       case "graph"  => rrfGraphFusedTop5(s, dir)
       case _        => rrfIvfFusedTop5(s, dir)
     }
+  }
+
+  /** The leg choice plus the EVIDENCE that fired it — split from
+    * [[rrfServedTop5Auto]] so the routing is spec-able without running a
+    * fusion. */
+  private[graft] def resolveFusionLeg(s: SparkSession, dir: String, n: Long,
+      graphMaintained: Option[Boolean]): (String, String) = {
+    val (maintained, evidence) = graphMaintained match {
+      case Some(b) => (b, s"caller-asserted graphMaintained=$b")
+      case None =>
+        val fresh = graphLegMaintained(s, dir)
+        (fresh,
+          if (fresh) "registry probe: committed knngraphleg artifact at the current dir fingerprint"
+          else "registry probe: no knngraphleg artifact at the current dir fingerprint")
+    }
+    (fusionLegPlan(n, maintained), evidence)
   }
 
   private[graft] def rrfServedTop5(s: SparkSession, dir: String): DataFrame = {
@@ -2301,12 +2326,43 @@ object Similarity {
   private[graft] def graphRankingTop(s: SparkSession, dir: String,
       k: Int): DataFrame = {
     import s.implicits._
-    DedupOps.knnGraphAuto(Tables.loadSpread(s, dir, "embeddings"),
-        "vec_id", "embedding", k = k,
-        knownCount = Some(Tables.cachedCount(s, dir, "embeddings")))
-      .filter($"src" < 20)
+    require(k <= KnnGraphLegDepth,
+      s"graph leg depth k=$k exceeds the maintained store's depth $KnnGraphLegDepth")
+    knnGraphLegTable(s, dir)
+      .filter($"src" < 20 && $"rk" <= k)
       .select($"src".as("query_id"), $"dst".as("id"), $"rk".as("rank"))
   }
+
+  /** Depth of the maintained knn-graph-leg store — the fusion legs' k. */
+  private[graft] val KnnGraphLegDepth = 10
+
+  /** The MAINTAINED knn-graph artifact the graph-leg fusion serves from:
+    * [[DedupOps.knnGraphAuto]]'s full (src, dst, rk ≤ 10) ranking,
+    * persisted content-addressed via [[graft.Tables.cachedDerived]] like
+    * every other serving index (binsig, s02 buckets, ivfleg). This is
+    * what makes "the deployment already maintains the knn graph" a
+    * DETECTABLE state instead of a caller assertion (round-19 verdict
+    * #2): a deployment that maintains the graph for dedup/diversity
+    * calls this (or s37) once per corpus content; the build is then paid,
+    * the artifact exists for the current dir fingerprint, and
+    * [[rrfServedTop5Auto]]'s registry probe routes the graph leg
+    * for free. knnGraphAuto is deterministic (banded candidates + exact
+    * integer/rounded ranking), so the persisted store replays the inline
+    * computation row-for-row and s37's oracle twin is unchanged. */
+  private[graft] def knnGraphLegTable(s: SparkSession, dir: String): DataFrame =
+    Tables.cachedDerived(s, dir, "embeddings", s"knngraphleg_k$KnnGraphLegDepth",
+        family = Some("knngraphleg_k"))(
+      DedupOps.knnGraphAuto(Tables.loadSpread(s, dir, "embeddings"),
+          "vec_id", "embedding", k = KnnGraphLegDepth,
+          knownCount = Some(Tables.cachedCount(s, dir, "embeddings")))
+        .select(col("src"), col("dst"), col("rk")))
+
+  /** The registry probe behind [[rrfServedTop5Auto]]'s leg choice: is a
+    * committed [[knnGraphLegTable]] artifact present for the CURRENT
+    * content of `<dir>/embeddings.parquet`? Read-only — never builds;
+    * stale content (changed fingerprint) answers `false`. */
+  private[graft] def graphLegMaintained(s: SparkSession, dir: String): Boolean =
+    Tables.derivedExists(dir, "embeddings", s"knngraphleg_k$KnnGraphLegDepth")
 
   /** The GRAPH-LEG hybrid fusion: [[graphRankingTop]] top-10 ∪ the
     * [[hammingRankingFromSigs]] signature-table Hamming top-10, RRF-fused
@@ -2415,41 +2471,68 @@ object Similarity {
     * Scale shape: the store is built once (one assignment scan — nlist
     * literal dots per row); a query batch broadcast-joins the probed
     * (query, cluster) pairs against the store and ranks candidates ≈
-    * n · nprobe / nlist rows — no graph build, no all-pairs. At the
-    * witness corpus' calibrated fraction (~0.85) the store scan reads
-    * most lists either way; a clustered corpus with a small derived
-    * fraction should add the [[ivfPqSearch]] `pruneLists` discipline
-    * (bounded cid collect + chunked-In pushdown) so the (cluster,
-    * vec_id) sort buys real row-group pruning. Past nlist ≈ 4096 the
-    * probe matrix (nlist structs in one literal array) should move to a
-    * centroid join; at the d18 sizing that is n > 16.8M vectors per
-    * dir. */
+    * n · nprobe / nlist rows — no graph build, no all-pairs. The store
+    * scan carries the [[ivfPqSearch]] `pruneLists` discipline (bounded
+    * probed-cid collect + chunked-In pushdown, round-19 verdict #1): when
+    * the query batch's probed lists don't cover all of nlist, the
+    * (cluster, vec_id)-sorted store prunes to the probed lists'
+    * row groups. At the witness corpus' shipped β = 1.6 floor the
+    * fraction is ~0.88 and 20 spread queries cover every list (pruning
+    * self-disables — reading everything through one In would only add
+    * overhead); on a CLUSTERED corpus the measured β is far larger and
+    * the pushdown is the dominant saving. Measured (round-20,
+    * scratch.ClusteredIvfSweep, σ=0.12 mode noise): 16-mode gate-scale
+    * corpus — implied β 17.7 at nprobe=1, capture 1.0 from nprobe=3;
+    * 128-mode 100×-shape corpus (n=500k, nlist=123) — implied β 175 at
+    * nprobe=1 (capture 0.76 probing 0.8% of lists), re-floored nprobe
+    * 3/123 vs the default floor's 105/123, probed-union 21 of 123 lists
+    * (the pruned scan reads ~17% of the store's row groups), serving
+    * time 4.27 s → 1.96 s on local[32]. Deployments re-floor via
+    * `spark.graft.ivf.beta` (a MEASURED per-corpus floor — the
+    * knnGraphAuto rankPlan conf discipline); the default stays the
+    * shipped witness floor, so s38's oracle row is conf-independent.
+    * Past nlist = [[IvfProbeMatrixMaxNlist]] the probe matrix (nlist
+    * structs in one literal array) must move to a centroid join; at the
+    * d18 sizing that is n > 16.8M vectors per dir — machine-enforced by
+    * [[centroidProbeArray]]'s require (round-19 verdict #4). */
   private[graft] def ivfRankingTop(s: SparkSession, dir: String,
       k: Int): DataFrame = {
     import s.implicits._
     val n = Tables.cachedCount(s, dir, "embeddings")
     val nlist = DedupOps.semanticDedupNlist(n)
-    val np = LshTuning.ivfNprobe(S02FusionTargetRecall, nlist)
+    val beta = s.conf.getOption("spark.graft.ivf.beta")
+      .flatMap(v => scala.util.Try(v.toDouble).toOption)
+      .getOrElse(LshTuning.IvfProbeBeta)
+    val np = LshTuning.ivfNprobe(S02FusionTargetRecall, nlist, beta)
     log.info(f"ivfRankingTop: n=$n nlist=$nlist nprobe=$np " +
-      f"(target $S02FusionTargetRecall%.2f, model recall " +
-      f"${LshTuning.ivfModelRecall(np, nlist)}%.3f)")
+      f"(target $S02FusionTargetRecall%.2f, beta $beta%.2f, model recall " +
+      f"${LshTuning.ivfModelRecall(np, nlist, beta)}%.3f)")
     val cents = ivfLegModel(s, dir, nlist)
-    val store = ivfLegTable(s, dir)
+    val store0 = ivfLegTable(s, dir)
     val e0 = vecs(s, dir)
     val qu = unitVecs(e0.filter($"vec_id" < 20).select($"vec_id", $"v"),
       "vec_id", "v", "qid")
     // top-nprobe centroids by the kmeansPick (d2 asc, cluster asc) rule —
     // the same struct ordering the assignment uses, so probe sets replay
-    val opts = cents.zipWithIndex.map { case (c, i) =>
-      val cl = typedLit(c.toSeq)
-      struct(((dot($"__u", $"__u") - lit(2.0d) * dot($"__u", cl)) +
-        dot(cl, cl)).as("d"), lit(i).as("c"))
-    }
     val probes = qu
       .withColumn("__p",
-        explode_outer(slice(sort_array(array(opts: _*)), 1, np)))
+        explode_outer(slice(centroidProbeArray(cents, $"__u"), 1, np)))
       .filter($"__p".isNotNull) // outer: no inferred-filter re-eval (see TextOps)
       .select($"qid", $"__p.c".cast("long").as("cluster"))
+    // list-id pushdown (the ivfPqSearch pruneLists rule): the probed-cid
+    // collect is bounded by nlist (≤ 4096 by the d18 sizing) and tiny by
+    // the query-batch contract; when it covers every list the store scan
+    // stays bare — an In over all of nlist prunes nothing and only costs
+    val probedCids = probes.select($"cluster").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val store =
+      if (probedCids.length >= nlist) store0
+      else {
+        graft.Pushdown.ensureInThreshold(s)
+        probedCids.grouped(graft.Pushdown.InChunk)
+          .map(ch => store0.filter($"cluster".isInCollection(ch)))
+          .reduce(_ union _)
+      }
     val q = e0.filter($"vec_id" < 20)
       .select($"vec_id".as("qid"), $"v".as("qv"), $"nrm".as("qn"))
     val w = Window.partitionBy($"qid").orderBy($"cos6".desc, $"vec_id")
@@ -2461,6 +2544,37 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter($"rank" <= k)
       .select($"qid".as("query_id"), $"vec_id".as("id"), $"rank")
+  }
+
+  /** Largest centroid count servable through the per-row probe-matrix
+    * literal (nlist structs sorted per query row): past this the literal
+    * array is the wrong plan and the probe must become a centroid JOIN
+    * (query × centroid-table rank, top-nprobe per query). At the d18
+    * sizing (nlist = ceil(n/4096), capped at 4096) the boundary is
+    * unreachable — it would take n > 16.8M vectors per dir AND a sizing
+    * change — so the require in [[centroidProbeArray]] is a tripwire for
+    * that future change, not a live branch: the `_meta`/requireMeta
+    * discipline applied to the one documented-but-unenforced cliff
+    * (round-19 verdict #4). */
+  private[graft] val IvfProbeMatrixMaxNlist = 4096
+
+  /** The full centroid ranking for one query vector as a SORTED literal
+    * struct array — (d2 asc, cluster asc), the kmeansPick contract, so
+    * probe sets replay centroid-for-centroid in the SQL twin. Machine-
+    * enforces the [[IvfProbeMatrixMaxNlist]] boundary. */
+  private[graft] def centroidProbeArray(cents: Seq[Array[Double]],
+      u: Column): Column = {
+    require(cents.length <= IvfProbeMatrixMaxNlist,
+      s"nlist=${cents.length} exceeds the probe-matrix literal boundary " +
+        s"($IvfProbeMatrixMaxNlist): a literal array of that many centroid " +
+        "structs per row is the wrong plan - rank via a centroid join " +
+        "(see ivfRankingTop scaladoc)")
+    val opts = cents.zipWithIndex.map { case (c, i) =>
+      val cl = typedLit(c.toSeq)
+      struct(((dot(u, u) - lit(2.0d) * dot(u, cl)) + dot(cl, cl)).as("d"),
+        lit(i).as("c"))
+    }
+    sort_array(array(opts: _*))
   }
 
   /** The IVF-LEG hybrid fusion: [[ivfRankingTop]] top-10 ∪ the

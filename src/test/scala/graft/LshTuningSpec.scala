@@ -239,6 +239,28 @@ class LshTuningSpec extends AnyFunSuite {
     }
   }
 
+  test("probe-matrix literal boundary is machine-enforced at IvfProbeMatrixMaxNlist") {
+    // round-19 verdict #4: the nlist-structs-per-row literal array was
+    // documented to need a centroid join past nlist ≈ 4096 but nothing
+    // asserted it — an assert-free cliff. centroidProbeArray now requires
+    // the boundary (the _meta/requireMeta discipline applied to plans).
+    import org.apache.spark.sql.functions.col
+    val ok = Similarity.centroidProbeArray(
+      Seq(Array(1.0), Array(0.5)), col("u"))
+    assert(ok != null)
+    val over = (0 to Similarity.IvfProbeMatrixMaxNlist)
+      .map(i => Array(i.toDouble))
+    val boom = intercept[IllegalArgumentException] {
+      Similarity.centroidProbeArray(over, col("u"))
+    }
+    assert(boom.getMessage.contains("probe-matrix literal boundary"),
+      boom.getMessage)
+    // the d18 sizing rule cannot reach the boundary (min(4096, ...) cap):
+    // the require is a tripwire for a future sizing change
+    assert(graft.ext.DedupOps.semanticDedupNlist(Long.MaxValue / 2) <=
+      Similarity.IvfProbeMatrixMaxNlist)
+  }
+
   test("ivf probe model: monotone, exact at full probe, and the integer nprobe rule meets the target") {
     // monotone in nprobe; exactly 1.0 at nprobe = nlist (full probe is
     // exact — the s03 oracle property), regardless of beta

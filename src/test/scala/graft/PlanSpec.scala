@@ -682,6 +682,71 @@ class PlanSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(l)
   }
 
+  test("ivf leg: a measured per-corpus beta floor prunes the list-table scan to the probed lists") {
+    // round-19 verdict #1: at the shipped witness floor (β = 1.6) the
+    // probe fraction is ~0.88 and 20 spread queries cover every list, so
+    // the (cluster, vec_id) store sort bought no row-group pruning. On a
+    // CLUSTERED corpus with a measured per-corpus floor
+    // (spark.graft.ivf.beta) the derived nprobe collapses and the store
+    // scan must carry the ivfPqSearch pruneLists discipline: the probed
+    // lists pushed as a chunked In.
+    val cdir = java.nio.file.Files.createTempDirectory("ivf_clustered").toString
+    graft.scratch.ClusteredIvfSweep.gen(spark, cdir, 2048L, 16)
+    spark.conf.set("spark.graft.ivf.beta", "64.0")
+    try {
+      val df = graft.ext.Similarity.ivfRankingTop(spark, cdir, 10)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ivfleg_k16"), s"leg must scan the store:\n${p.take(800)}")
+      assert(p.contains("In(cluster"),
+        s"probed lists must push into the store scan:\n${p.take(2000)}")
+      assert(df.groupBy("query_id").count().count() == 20,
+        "every witness query must still rank through the pruned scan")
+    } finally spark.conf.unset("spark.graft.ivf.beta")
+    // the default floor on the SPREAD witness corpus self-disables the
+    // pushdown (the probed union covers nlist — an In over every list
+    // would prune nothing and only add predicate cost)
+    val p0 = graft.ext.Similarity.ivfRankingTop(spark, dir, 10)
+      .queryExecution.executedPlan.toString
+    assert(!p0.contains("In(cluster"),
+      s"an all-list probe must not wrap the scan in a vacuous In:\n${p0.take(2000)}")
+  }
+
+  test("fusion router self-detects graphMaintained via the derived-registry probe") {
+    // round-19 verdict #2: rrfServedTop5Auto trusted a caller-asserted
+    // graphMaintained boolean — a stale assertion silently served the
+    // graph leg's full build cost. The router now probes the cachedDerived
+    // registry for a committed knngraphleg artifact at the CURRENT dir
+    // fingerprint; the graph leg routes only when its build is provably
+    // already paid.
+    import graft.ext.Similarity
+    val gdir = java.nio.file.Files.createTempDirectory("graph_router").toString
+    graft.scratch.ClusteredIvfSweep.gen(spark, gdir, 300L, 4)
+    val pastCap = (256L << 12) + 1
+    // absent artifact => not maintained => ivf leg, probe-evidence logged
+    assert(!Similarity.graphLegMaintained(spark, gdir))
+    val (leg0, ev0) = Similarity.resolveFusionLeg(spark, gdir, pastCap, None)
+    assert(leg0 == "ivf", s"absent artifact must route ivf, got $leg0")
+    assert(ev0.contains("no knngraphleg artifact"), ev0)
+    // maintaining the graph (one build, content-addressed) flips the probe
+    assert(Similarity.knnGraphLegTable(spark, gdir).count() > 0)
+    assert(Similarity.graphLegMaintained(spark, gdir))
+    val (leg1, ev1) = Similarity.resolveFusionLeg(spark, gdir, pastCap, None)
+    assert(leg1 == "graph", s"fresh artifact must route graph, got $leg1")
+    assert(ev1.contains("committed knngraphleg artifact"), ev1)
+    // below the width cap the probed leg still wins regardless of evidence
+    assert(Similarity.resolveFusionLeg(spark, gdir, 5000L, None)._1 == "probed")
+    // an explicit caller assertion overrides the registry in BOTH directions
+    val (legF, evF) = Similarity.resolveFusionLeg(spark, gdir, pastCap, Some(false))
+    assert(legF == "ivf" && evF.contains("caller-asserted"), s"$legF / $evF")
+    // STALE content: regenerating the table changes the fingerprint, so
+    // yesterday's artifact is no longer evidence — the probe answers false
+    assert(new java.io.File(s"$gdir/embeddings.parquet", "_SUCCESS").delete())
+    graft.scratch.ClusteredIvfSweep.gen(spark, gdir, 301L, 4)
+    assert(!Similarity.graphLegMaintained(spark, gdir),
+      "a stale artifact (changed dir content) must not read as maintained")
+    assert(Similarity.resolveFusionLeg(spark, gdir, pastCap, None)._1 == "ivf")
+  }
+
   test("s02 bucket table is content-addressed: serving plans scan the store; repeat invocations run zero build jobs") {
     // round-17 (late): the corpus-side hyperplane projection is persisted
     // once per corpus; s02/s12/s33/s36 then join the stored
