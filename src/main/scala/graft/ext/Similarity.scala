@@ -2494,7 +2494,21 @@ object Similarity {
     * Past nlist = [[IvfProbeMatrixMaxNlist]] the probe matrix (nlist
     * structs in one literal array) must move to a centroid join; at the
     * d18 sizing that is n > 16.8M vectors per dir — machine-enforced by
-    * [[centroidProbeArray]]'s require (round-19 verdict #4). */
+    * [[centroidProbeArray]]'s require (round-19 verdict #4).
+    *
+    * RESIDUAL-LEG ANTI-RESULT (round-20, scratch.ResidualLegSweep —
+    * round-19 verdict #5): swapping this leg's exact in-list cosine for
+    * the s09 residual-PQ shape ([[ivfPqSearch]] byResidual, same
+    * auto-nlist sizing and derived nprobe, refine·k exact rerank)
+    * measures fused agreement@5 0.88/0.86 at refine=4 (0.80/0.77 at
+    * refine=2) against this leg's 0.99/0.99 at the gate scales, with no
+    * time win (1.4–1.9 s vs 1.6–2.1 s min-of-2): the ADC ranking error
+    * feeding the refine cutoff drops fusion-relevant candidates that the
+    * exact ranking keeps, and the PQ path's per-candidate economy only
+    * pays off when the candidate fraction is LARGE — exactly the regime
+    * the round-20 list pruning already shrinks on clustered corpora. The
+    * exact ranking stays the leg (the k=20-deepening anti-result's
+    * discipline: measured, recorded, not adopted). */
   private[graft] def ivfRankingTop(s: SparkSession, dir: String,
       k: Int): DataFrame = {
     import s.implicits._
