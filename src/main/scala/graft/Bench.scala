@@ -72,8 +72,13 @@ object Bench {
     // (s38: the IVF fusion leg's memoized coarse model + its one-time
     // (cluster, vec_id)-sorted list-table build — the same first-drain
     // one-time-cost shape.)
+    // (t27/t28: the BPE merge table is memoized per dir-content from round
+    // 20 — TextAnalysis.cachedMerges, same deterministic-model rule — so
+    // their first drain pays the tokenizer training; t27 sorts first and
+    // pays it for both.)
     val trainNames = Seq("s05_pq_rerank", "s08_ivfpq", "s09_ivfpq_residual",
-      "s21_ivfpq_recall", "s22_ivfpq_residual_recall", "s38_rrf_ivf_recall")
+      "s21_ivfpq_recall", "s22_ivfpq_residual_recall", "s38_rrf_ivf_recall",
+      "t27_bpe_segment", "t28_bpe_fertility")
       .filter(names.contains)
     val train = trainNames.map { n =>
       val t0 = System.nanoTime()

@@ -1733,11 +1733,18 @@ object Similarity {
     * every greedy argmax ties on the lower id — so all k staged picks
     * replay bit-for-bit (the kmeansFitPp staged-selection discipline).
     *
-    * Scale shape: one broadcast-query corpus scan ranks the candidates
-    * (the s01 window form); everything after operates on the
-    * nCand × |queries| candidate slice, localCheckpointed once —
-    * k−1 join+agg+argmax stages on a frame that never touches the corpus
-    * again. */
+    * Scale shape (round-20 re-plan): ONE aggregation. The old plan ranked
+    * candidates with a per-query window (the full |queries| × |corpus|
+    * scored frame shuffled to the window sort), localCheckpointed the
+    * slice, then ran k−1 join+agg+argmax stages — ~14 exchanges and a
+    * checkpoint job per call. [[graft.functions.Aggregators.MmrAgg]] is
+    * the TopKAgg bounded-heap form of the same contract: map-side combine
+    * caps the exchange at nCand rows per (map partition, query), and the
+    * greedy selection replays in `finish` over the ≤ nCand in-memory
+    * candidates — bit-identical picks and scores (the contract list on
+    * MmrAgg's scaladoc), one Exchange total, measured 6.0 s → 0.9 s at
+    * sf0.1 (and the removed stages were corpus-independent constants, so
+    * the win is pure fixed overhead — the scan-bound part is unchanged). */
   def mmrRerank(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nCand: Int, lambda: Double): DataFrame = {
     require(k >= 1 && nCand >= k, s"need k >= 1 and nCand >= k, got k=$k nCand=$nCand")
@@ -1745,49 +1752,21 @@ object Similarity {
     val c = unitVecs(corpus, idCol, vecCol, "id")
     val q = unitVecs(queries, idCol, vecCol, "query_id")
       .select(col("query_id"), col("__u").as("__qu"))
-    val wC = Window.partitionBy(col("query_id"))
-      .orderBy(col("rel").desc, col("id"))
-    val cands = broadcast(q).join(c, col("query_id") =!= col("id"))
+    val mmr = udaf(new graft.functions.Aggregators.MmrAgg(k, nCand, lambda),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Double, Long, Seq[Double])]())
+    broadcast(q).join(c, col("query_id") =!= col("id"))
       .withColumn("rel",
         round(graft.functions.VectorExprs.dot(col("__qu"), col("__u")), 6))
-      .withColumn("__rk", row_number().over(wC))
-      .filter(col("__rk") <= nCand)
-      .select(col("query_id"), col("id"), col("rel"), col("__u"))
-      .localCheckpoint(true)
-    val wPick = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("id"))
-    def argmax(scored: DataFrame, rank: Int): DataFrame = scored
-      .withColumn("__p", row_number().over(wPick))
-      .filter(col("__p") === 1)
-      .select(col("query_id"), col("id"), col("rel"), col("__u"),
-        col("score"), lit(rank.toLong).as("mmr_rank"))
-    var selected = argmax(cands.withColumn("score", col("rel")), 1)
-    var remaining = cands.join(
-      selected.select(col("query_id"), col("id")), Seq("query_id", "id"),
-      "left_anti")
-    for (j <- 2 to k) {
-      val sel = selected.select(col("query_id"), col("__u").as("__su"))
-      val scored = remaining
-        .join(sel, Seq("query_id"))
-        // rel and __u are constant within a (query, candidate) group; max
-        // is the deterministic way to carry them through the aggregation
-        .groupBy(col("query_id"), col("id"))
-        .agg(max(col("rel")).as("rel"), max(col("__u")).as("__u"),
-          max(graft.functions.VectorExprs.dot(col("__u"), col("__su")))
-            .as("__msim"))
-        .withColumn("score",
-          lit(lambda) * col("rel") - lit(1.0 - lambda) * col("__msim"))
-      val pick = argmax(scored, j)
-      selected = selected.unionByName(pick)
-      remaining = remaining.join(
-        pick.select(col("query_id"), col("id")), Seq("query_id", "id"),
-        "left_anti")
-    }
-    // + 0.0 on both float outputs (and in the twin): round() can land on
-    // -0.0 and the engines disagree on which zero they keep (the q25 note)
-    selected.select(col("query_id"), col("mmr_rank"), col("id"),
-      (col("rel") + lit(0.0)).as("rel"),
-      (round(col("score") + lit(1e-9), 4) + lit(0.0)).as("score"))
+      .groupBy(col("query_id"))
+      .agg(mmr(col("rel"), col("id"), col("__u")).as("__picks"))
+      .select(col("query_id"), explode(col("__picks")).as("__m"))
+      // + 0.0 on both float outputs (and in the twin): round() can land on
+      // -0.0 and the engines disagree on which zero they keep (the q25 note)
+      .select(col("query_id"), col("__m._1").as("mmr_rank"),
+        col("__m._2").as("id"),
+        (col("__m._3") + lit(0.0)).as("rel"),
+        (round(col("__m._4") + lit(1e-9), 4) + lit(0.0)).as("score"))
   }
 
   /** s25: [[mmrRerank]] over the standard 20-query witness — top-5 of 20

@@ -64,6 +64,110 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Double)]]()
   }
 
+  /** Maximal-marginal-relevance selection as ONE partial aggregation — the
+    * [[TopKAgg]] bounded-heap discipline extended with the greedy MMR
+    * re-rank in `finish`. The round-20 re-plan of
+    * [[graft.ext.Similarity.mmrRerank]]: the old plan ranked candidates
+    * with a per-query window (full scored frame shuffled), pinned them
+    * with a localCheckpoint, then ran k−1 join+agg+window stages — ~14
+    * exchanges on a frame of |queries|·nCand rows. This buffer keeps the
+    * top-`nCand` candidates per query (map-side combine caps the shuffle
+    * at nCand rows per map partition per query) and `finish` replays the
+    * greedy selection over ≤ nCand in-memory rows.
+    *
+    * Bit-exactness contract (the s25 oracle replays every stage):
+    *  - candidate set: top-nCand by (rel DESC, id ASC) — the same total
+    *    order as the old window's `orderBy(rel.desc, id)`;
+    *  - pick 1 maximizes rel, pick j maximizes
+    *    `lambda·rel − (1−lambda)·msim` with msim = max dot(u, u_selected);
+    *    ties on LOWER id, like the old `orderBy(score.desc, id)` window;
+    *  - `dot` is the sequential multiply-add of
+    *    [[graft.functions.DotProduct]] (same IEEE accumulation order);
+    *  - `1.0 − lambda` is computed ONCE, exactly as the old plan's
+    *    `lit(1.0 − lambda)` literal;
+    *  - double comparisons use `java.lang.Double.compare` — Spark's
+    *    DoubleType ordering (−0.0 < 0.0, NaN greatest), so an exactly-zero
+    *    score or msim tie resolves identically.
+    * Output = (mmr_rank, id, rel, rawScore) structs in pick order; display
+    * rounding stays in the caller's Catalyst projection. */
+  final class MmrAgg(k: Int, nCand: Int, lambda: Double)
+      extends Aggregator[(Double, Long, Seq[Double]),
+        Seq[(Double, Long, Seq[Double])], Seq[(Long, Long, Double, Double)]] {
+    require(k >= 1 && nCand >= k && lambda >= 0.0 && lambda <= 1.0)
+    // (rel asc, id desc): head is the WEAKEST kept candidate (TopKAgg's rule)
+    private def lt(a: (Double, Long, Seq[Double]),
+        b: (Double, Long, Seq[Double])): Boolean =
+      a._1 < b._1 || (a._1 == b._1 && a._2 > b._2)
+    private def insert(b: Seq[(Double, Long, Seq[Double])],
+        x: (Double, Long, Seq[Double])): Seq[(Double, Long, Seq[Double])] =
+      if (b.size < nCand) (b :+ x).sortWith(lt)
+      else if (lt(x, b.head)) b
+      else (b.tail :+ x).sortWith(lt)
+    override def zero: Seq[(Double, Long, Seq[Double])] = Vector.empty
+    override def reduce(b: Seq[(Double, Long, Seq[Double])],
+        x: (Double, Long, Seq[Double])): Seq[(Double, Long, Seq[Double])] =
+      insert(b, x)
+    override def merge(a: Seq[(Double, Long, Seq[Double])],
+        b: Seq[(Double, Long, Seq[Double])]): Seq[(Double, Long, Seq[Double])] =
+      b.foldLeft(a)(insert)
+    override def finish(b: Seq[(Double, Long, Seq[Double])])
+        : Seq[(Long, Long, Double, Double)] = {
+      // identical IEEE accumulation to the codegen'd DotProduct expression
+      def dot(x: Seq[Double], y: Seq[Double]): Double = {
+        val n = math.min(x.length, y.length)
+        var s = 0.0
+        var i = 0
+        while (i < n) { s += x(i) * y(i); i += 1 }
+        s
+      }
+      val oneMinus = 1.0 - lambda
+      var remaining = b.reverse.toVector // best-first: (rel desc, id asc)
+      var selected = Vector.empty[Seq[Double]]
+      val out = Vector.newBuilder[(Long, Long, Double, Double)]
+      var rank = 1L
+      while (rank <= k && remaining.nonEmpty) {
+        var bestIdx = 0
+        var bestScore = 0.0
+        var first = true
+        var i = 0
+        while (i < remaining.length) {
+          val (rel, id, u) = remaining(i)
+          val score =
+            if (rank == 1L) rel
+            else {
+              var msim = Double.NaN
+              var msimSet = false
+              selected.foreach { su =>
+                val d = dot(u, su)
+                if (!msimSet || java.lang.Double.compare(d, msim) > 0) {
+                  msim = d; msimSet = true
+                }
+              }
+              lambda * rel - oneMinus * msim
+            }
+          if (first || java.lang.Double.compare(score, bestScore) > 0 ||
+              (java.lang.Double.compare(score, bestScore) == 0 &&
+                id < remaining(bestIdx)._2)) {
+            bestIdx = i; bestScore = score; first = false
+          }
+          i += 1
+        }
+        val (rel, id, u) = remaining(bestIdx)
+        out += ((rank, id, rel, bestScore))
+        selected = selected :+ u
+        remaining = remaining.patch(bestIdx, Nil, 1)
+        rank += 1L
+      }
+      out.result()
+    }
+    override def bufferEncoder: Encoder[Seq[(Double, Long, Seq[Double])]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Seq[(Double, Long, Seq[Double])]]()
+    override def outputEncoder: Encoder[Seq[(Long, Long, Double, Double)]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Seq[(Long, Long, Double, Double)]]()
+  }
+
   /** Exact streaming range (max − min) with a single (min, max) buffer —
     * demonstrates a buffer type that is not a plain sum. */
   object SpreadAgg extends Aggregator[Double, (Double, Double), Double] {

@@ -561,6 +561,78 @@ class DedupOpsSpec extends SparkSpec {
     assert(rel(2L) > rel(3L), "precondition: 2 outranks 3 on pure relevance")
   }
 
+  test("mmrRerank (MmrAgg single-pass) ≡ the windowed k-stage greedy reference") {
+    // the round-19 plan, kept here as the independent reference: window
+    // top-nCand candidates, then k−1 join+agg+argmax stages — the exact
+    // DataFrame program mmrRerank ran before the round-20 MmrAgg re-plan
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{broadcast, col, lit, max, round, row_number, transform}
+    // unitVecs is private[ext]; its exact projection, restated
+    def unit(df: org.apache.spark.sql.DataFrame, idCol: String,
+        vecCol: String, idOut: String) = df
+      .select(col(idCol).as(idOut),
+        transform(col(vecCol), x => x.cast("double")).as("__v"))
+      .withColumn("__nrm", graft.functions.VectorExprs.l2(col("__v")))
+      .withColumn("__u", transform(col("__v"), x => x / col("__nrm")))
+      .drop("__v", "__nrm")
+    def reference(corpus: org.apache.spark.sql.DataFrame,
+        queries: org.apache.spark.sql.DataFrame, idCol: String,
+        vecCol: String, k: Int, nCand: Int, lambda: Double) = {
+      val c = unit(corpus, idCol, vecCol, "id")
+      val q = unit(queries, idCol, vecCol, "query_id")
+        .select(col("query_id"), col("__u").as("__qu"))
+      val wC = Window.partitionBy(col("query_id"))
+        .orderBy(col("rel").desc, col("id"))
+      val cands = broadcast(q).join(c, col("query_id") =!= col("id"))
+        .withColumn("rel",
+          round(graft.functions.VectorExprs.dot(col("__qu"), col("__u")), 6))
+        .withColumn("__rk", row_number().over(wC))
+        .filter(col("__rk") <= nCand)
+        .select(col("query_id"), col("id"), col("rel"), col("__u"))
+        .localCheckpoint(true)
+      val wPick = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("id"))
+      def argmax(scored: org.apache.spark.sql.DataFrame, rank: Int) = scored
+        .withColumn("__p", row_number().over(wPick))
+        .filter(col("__p") === 1)
+        .select(col("query_id"), col("id"), col("rel"), col("__u"),
+          col("score"), lit(rank.toLong).as("mmr_rank"))
+      var selected = argmax(cands.withColumn("score", col("rel")), 1)
+      var remaining = cands.join(
+        selected.select(col("query_id"), col("id")), Seq("query_id", "id"),
+        "left_anti")
+      for (j <- 2 to k) {
+        val sel = selected.select(col("query_id"), col("__u").as("__su"))
+        val scored = remaining
+          .join(sel, Seq("query_id"))
+          .groupBy(col("query_id"), col("id"))
+          .agg(max(col("rel")).as("rel"), max(col("__u")).as("__u"),
+            max(graft.functions.VectorExprs.dot(col("__u"), col("__su")))
+              .as("__msim"))
+          .withColumn("score",
+            lit(lambda) * col("rel") - lit(1.0 - lambda) * col("__msim"))
+        val pick = argmax(scored, j)
+        selected = selected.unionByName(pick)
+        remaining = remaining.join(
+          pick.select(col("query_id"), col("id")), Seq("query_id", "id"),
+          "left_anti")
+      }
+      selected.select(col("query_id"), col("mmr_rank"), col("id"),
+        (col("rel") + lit(0.0)).as("rel"),
+        (round(col("score") + lit(1e-9), 4) + lit(0.0)).as("score"))
+    }
+    val q = embs.filter($"vec_id" < 7)
+    val want = reference(embs, q, "vec_id", "embedding",
+        k = 5, nCand = 12, lambda = 0.7)
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(r => (r._1, r._2))
+    val got = Similarity.mmrRerank(embs, q, "vec_id", "embedding",
+        k = 5, nCand = 12, lambda = 0.7)
+      .as[(Long, Long, Long, Double, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(want.nonEmpty && got.toSeq == want.toSeq,
+      s"MmrAgg diverged from the windowed greedy reference:\n" +
+        s"got  ${got.toSeq}\nwant ${want.toSeq}")
+  }
+
   test("knnGraph = top-k exact-cosine ranking over the symmetrized LSH candidate set") {
     import org.apache.spark.sql.expressions.Window
     val got = DedupOps.knnGraph(embs, "vec_id", "embedding", k = 3)

@@ -352,6 +352,16 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$name fell back to all-pairs:\n$p")
     }
+    // round-20 merge-table memo: the list t27/t28 serve must equal a FRESH
+    // bpeTrain run on the same dir, rank order and all (deterministic
+    // training is what licenses the memo — the cachedModel rule)
+    import spark.implicits._
+    val fresh = ext.TextAnalysis.bpeTrain(
+        Tables.loadSpread(spark, dir, "documents"), "text", nMerges = 8)
+      .orderBy($"rank").select($"left", $"right")
+      .as[(String, String)].collect().toSeq
+    assert(ext.TextAnalysis.cachedMerges(spark, dir, 8) == fresh,
+      "cachedMerges diverged from a fresh bpeTrain")
   }
 
   test("s23/s25: queries broadcast; the corpus side never cross-products unbroadcast") {
@@ -363,14 +373,21 @@ class PlanSpec extends SparkSpec {
     assert(p23.contains("BroadcastNestedLoopJoin") || p23.contains("BroadcastHashJoin"),
       s"s23: the query side must broadcast:\n$p23")
     assert(!p23.contains("CartesianProduct"), s"s23 fell back to all-pairs:\n$p23")
-    // s25's corpus-touching candidate ranking lives BEHIND the
-    // localCheckpoint (the executed plan starts at Scan ExistingRDD — the
-    // broadcast shape there is s23/s01's, asserted above); the greedy
-    // stages after it must stay query-keyed with no all-pairs product
+    // s25 (round-20 re-plan): ONE partial aggregation — the broadcast
+    // query join feeds MmrAgg directly, so the plan must keep the
+    // broadcast (no all-pairs product), contain NO window sort and NO
+    // checkpoint scan, and shuffle only the aggregation's partial buffers
+    // (a single pair of HashAggregate nodes around one Exchange)
     val p25 = plan("s25_mmr_rerank")
     assert(!p25.contains("CartesianProduct"), s"s25 fell back to all-pairs:\n$p25")
-    assert(p25.contains("Scan ExistingRDD"),
-      s"s25: candidates must be checkpointed once, not recomputed per stage:\n$p25")
+    assert(p25.contains("BroadcastNestedLoopJoin") || p25.contains("BroadcastHashJoin"),
+      s"s25: the query side must broadcast:\n$p25")
+    assert(!p25.contains("Window") && !p25.contains("Scan ExistingRDD"),
+      s"s25: the greedy re-rank must run inside the aggregation, not " +
+        s"window/checkpoint stages:\n$p25")
+    val p25Exchanges = "Exchange hashpartitioning".r.findAllIn(p25).length
+    assert(p25Exchanges == 1,
+      s"s25: expected exactly 1 aggregation exchange, got $p25Exchanges:\n$p25")
   }
 
   test("s24: DBSCAN stays pair-graph-keyed — bucket equi-join, no all-pairs") {
