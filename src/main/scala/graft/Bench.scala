@@ -76,9 +76,14 @@ object Bench {
     // 20 — TextAnalysis.cachedMerges, same deterministic-model rule — so
     // their first drain pays the tokenizer training; t27 sorts first and
     // pays it for both.)
+    // (round 20 additions — same deterministic-model rule: t27/t28 the BPE
+    // merge memo, s03 the full-probe coarse model, d15/t29 the cachedFit
+    // kmeans models; d18 serves the s38 IVF-leg model, which s38's own
+    // entry below trains first.)
     val trainNames = Seq("s05_pq_rerank", "s08_ivfpq", "s09_ivfpq_residual",
       "s21_ivfpq_recall", "s22_ivfpq_residual_recall", "s38_rrf_ivf_recall",
-      "t27_bpe_segment", "t28_bpe_fertility")
+      "t27_bpe_segment", "t28_bpe_fertility", "s03_ivf_fullprobe",
+      "d15_semantic_dedup", "t29_cluster_terms")
       .filter(names.contains)
     val train = trainNames.map { n =>
       val t0 = System.nanoTime()

