@@ -839,8 +839,10 @@ object Queries {
     * `percentile_disc` holds a value→count map as aggregation-buffer state
     * (fine while distinct values are bounded, e.g. 2-decimal prices); this
     * form moves that histogram into the PLAN — a (keys, value)-keyed count,
-    * a per-key cumulative window over the histogram (histogram-sized
-    * partitions, never corpus-sized), and a conditional-min pick of the
+    * a TWO-LEVEL cumulative count over the histogram (round 20: bounded
+    * sortableBits-bucket offsets + partitioned per-bucket windows, the c12
+    * decomposition — the previous per-key window sorted each key's whole
+    * value domain in one task), and a conditional-min pick of the
     * smallest value whose cumulative count reaches ceil(p·n). Same
     * ceil-rank rule, same value-copy outputs (zero float interpolation),
     * same oracle as q37 — two independent plans, one contract. */
@@ -849,12 +851,45 @@ object Queries {
     val keys = keyCols.map(col)
     val hist = df.groupBy((keys :+ col(valueCol)): _*)
       .agg(count(lit(1)).as("__c"))
-    val cumW = Window.partitionBy(keys: _*).orderBy(col(valueCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Round-20 re-plan of the cumulative count (guide §2.5 — the c12
+    // perplexityBuckets two-level decomposition): the previous plan ran
+    // ONE window partition per key over the whole per-key histogram, so
+    // an unbounded value domain put the entire domain's sort in a single
+    // task — exactly the straggler this histogram form exists to avoid.
+    // Now sortableBits buckets the value domain into ≤ 2¹⁶ monotone
+    // buckets: a bounded per-(key, bucket) histogram carries the
+    // exclusive prefix offsets (tiny windows over ≤ 65536 rows per key),
+    // and the per-value cumulative count runs in PARTITIONED
+    // (key, bucket) windows — ~1/65536 of the domain per partition. The
+    // counts are exact integers and bucket order ≡ value order
+    // (sortableBits is monotone), so every __cum — and therefore every
+    // ceil-rank pick — is bit-identical to the single-window plan.
+    // (+0.0 folds −0.0 into +0.0 so SQL-equal values share a bucket id.)
+    val hb = hist.withColumn("__bkt", shiftright(
+      graft.functions.Layout.sortableBits(col(valueCol).cast("double") + lit(0.0d)),
+      48))
+    val offW = Window.partitionBy(keys: _*).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
     val totW = Window.partitionBy(keys: _*)
-    val staged = hist
-      .withColumn("__cum", sum(col("__c")).over(cumW))
-      .withColumn("__n", sum(col("__c")).over(totW))
+    // bounded by the bucket space (≤ 2¹⁶ rows per key), never the domain
+    val offs = hb.groupBy((keys :+ col("__bkt")): _*)
+      .agg(sum(col("__c")).as("__bc"))
+      .withColumn("__off", coalesce(sum(col("__bc")).over(offW), lit(0L)))
+      .withColumn("__n", sum(col("__bc")).over(totW))
+      .select((keys :+ col("__bkt") :+ col("__off") :+ col("__n")): _*)
+    val withinW = Window.partitionBy((keys :+ col("__bkt")): _*)
+      .orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // null-safe equality: a NULL group key (or the NULL-value bucket) must
+    // keep its histogram rows exactly as the old single-window plan kept
+    // them — a plain equi-join would drop them
+    val offsR = offs.select((keyCols.map(k => col(k).as(s"__o_$k")) :+
+      col("__bkt").as("__obkt") :+ col("__off") :+ col("__n")): _*)
+    val joinCond = (keyCols.map(k => col(k) <=> col(s"__o_$k")) :+
+      (col("__bkt") <=> col("__obkt"))).reduce(_ && _)
+    val staged = hb
+      .join(broadcast(offsR), joinCond)
+      .withColumn("__cum", col("__off") + sum(col("__c")).over(withinW))
     val picks = ps.map { case (name, p) =>
       min(when(col("__cum").cast("double") >= ceil(lit(p) * col("__n")),
         col(valueCol))).as(name)
