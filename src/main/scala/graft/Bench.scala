@@ -83,7 +83,7 @@ object Bench {
     val trainNames = Seq("s05_pq_rerank", "s08_ivfpq", "s09_ivfpq_residual",
       "s21_ivfpq_recall", "s22_ivfpq_residual_recall", "s38_rrf_ivf_recall",
       "t27_bpe_segment", "t28_bpe_fertility", "s03_ivf_fullprobe",
-      "d15_semantic_dedup", "t29_cluster_terms")
+      "d15_semantic_dedup", "t29_cluster_terms", "c06_decontaminate_bloom")
       .filter(names.contains)
     val train = trainNames.map { n =>
       val t0 = System.nanoTime()

@@ -111,21 +111,43 @@ object CurationOps {
     * false-positive candidate is then kept by the exact count — output ≡
     * [[decontaminate]] (CurationSpec parity). Streaming twin:
     * [[graft.streaming.CurationStream.benchmarkGrams]]. */
-  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
-      idCol: String, textCol: String, n: Int = 13, minOverlap: Long = 1L,
-      fpp: Double = 1e-3): DataFrame = {
+  /** The (gram count, serialized Bloom) sketch of a benchmark's n-grams —
+    * the BUILD half of [[decontaminateBloom]], exposed (round 20) so a
+    * caller that maintains the sketch per benchmark content can memoize
+    * it instead of re-aggregating the benchmark per invocation. The
+    * sketch is partitioning-independent: Bloom insertion ORs bits per
+    * item and the partial-filter merge is a bitwise OR, so the same gram
+    * set yields the same bytes under any task order — and even a
+    * hypothetically different sketch could not change results, because
+    * the exact verification join downstream keeps only true overlaps. */
+  def benchmarkSketch(benchmark: DataFrame, idCol: String, textCol: String,
+      n: Int = 13, fpp: Double = 1e-3): (Long, Array[Byte]) = {
     val bench = grams(benchmark, idCol, textCol, n, "__bid")
       .select(col("__h")).distinct()
     val nGrams = bench.count()
+    if (nGrams == 0L) (0L, Array.emptyByteArray)
+    else {
+      val bf = bench.stat.bloomFilter("__h", nGrams, fpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      (nGrams, bos.toByteArray)
+    }
+  }
+
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 13, minOverlap: Long = 1L,
+      fpp: Double = 1e-3,
+      knownSketch: Option[(Long, Array[Byte])] = None): DataFrame = {
+    val bench = grams(benchmark, idCol, textCol, n, "__bid")
+      .select(col("__h")).distinct()
+    val (nGrams, sketchBytes) = knownSketch.getOrElse(
+      benchmarkSketch(benchmark, idCol, textCol, n, fpp))
     if (nGrams == 0L) return corpus // gram-less benchmark: nothing overlaps
-    val bf = bench.stat.bloomFilter("__h", nGrams, fpp)
-    val bos = new java.io.ByteArrayOutputStream()
-    bf.writeTo(bos)
     // broadcast handle, not a plan literal: a web-scale sketch (10⁸ grams at
     // fpp 1e-3 ≈ 170 MiB) embedded in the plan would inflate driver plan
     // memory and every analyzer/optimizer copy; the broadcast torrents it to
     // each executor once and the plan carries only the handle
-    val bloom = corpus.sparkSession.sparkContext.broadcast(bos.toByteArray)
+    val bloom = corpus.sparkSession.sparkContext.broadcast(sketchBytes)
     val cand = corpus
       .withColumn("__tk", toks(col(textCol)))
       // materialized: predicate pushdown would otherwise inline the whole
