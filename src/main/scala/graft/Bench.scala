@@ -80,10 +80,17 @@ object Bench {
     // merge memo, s03 the full-probe coarse model, d15/t29 the cachedFit
     // kmeans models; d18 serves the s38 IVF-leg model, which s38's own
     // entry below trains first.)
+    // (d18_semantic_dedup_auto added round 21 per the r20 ADVICE: its model
+    // IS s38's ivfLegModel, so with s38 in the list the memo is already hot
+    // and this entry measures a hit — but a bench variant running d18
+    // WITHOUT s38 must not silently pay the Lloyd fit inside its first
+    // sweep sample. Additions to trainNames are the explicitly-allowed
+    // harness change.)
     val trainNames = Seq("s05_pq_rerank", "s08_ivfpq", "s09_ivfpq_residual",
       "s21_ivfpq_recall", "s22_ivfpq_residual_recall", "s38_rrf_ivf_recall",
       "t27_bpe_segment", "t28_bpe_fertility", "s03_ivf_fullprobe",
-      "d15_semantic_dedup", "t29_cluster_terms", "c06_decontaminate_bloom")
+      "d15_semantic_dedup", "d18_semantic_dedup_auto", "t29_cluster_terms",
+      "c06_decontaminate_bloom")
       .filter(names.contains)
     val train = trainNames.map { n =>
       val t0 = System.nanoTime()
@@ -184,6 +191,20 @@ object Bench {
     // line as a machine-readable artifact that survives in the repo.
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(artifact), line + "\n")
+    // Round 21 (r20 verdict "What's wrong #2"): the driver's tail capture is
+    // BYTE-truncated and clipped the head of the full-precision line every
+    // round since r17 (BENCH_r17..r20 all record parsed:null at rc=0 —
+    // 163 queries at 9-decimal floats is ~6 KB). Print a LAST, compact copy
+    // of the contract fields — 3-decimal seconds, same query set and total,
+    // no aux sections (those stay on the full line above and in the
+    // artifact) — so the final ~4.2 KB of stdout ends with one complete,
+    // parseable JSON line. Purely an additional output line: the timed
+    // methodology, the full-precision artifact, and the full line are
+    // unchanged (measurement-output fix, recorded in OPTIMIZATION_r21.md).
+    def d3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    val qs3 = results.map { case (k, v) => "\"" + k + "\":" + d3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs3,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -392,8 +392,13 @@ object Dedup {
     val asg = Similarity.kmeansAssign(uv, "vec_id", "__u", cents)
       .select($"vec_id", $"cluster")
     val withCid = e.join(asg, Seq("vec_id"))
-    val drop = DedupOps.cosinePairs(withCid, "vec_id", "embedding", "cluster", 0.35)
-      .select($"id_b".as("vec_id")).distinct()
+    // round 21 (guide §2.3/§2.4): the drop set via the block-keyed
+    // CosineDropAgg aggregation — bit-identical to the cosinePairs
+    // self-join it replaces (DedupOpsSpec pins the equivalence), with the
+    // cluster rows shuffled once instead of Σ cluster² pair rows carrying
+    // two embedding payloads each through the join
+    val drop = DedupOps.cosineDropIds(withCid, "vec_id", "embedding", "cluster", 0.35)
+      .select($"id_b".as("vec_id"))
     withCid.join(drop, Seq("vec_id"), "left_anti")
       .select($"vec_id", $"cluster").orderBy($"vec_id")
   }
@@ -486,8 +491,10 @@ object Dedup {
     val asg = Similarity.kmeansAssign(uv, "vec_id", "__u", cents)
       .select($"vec_id", $"cluster")
     val withCid = e.join(asg, Seq("vec_id"))
-    val drop = DedupOps.cosinePairs(withCid, "vec_id", "embedding", "cluster", 0.35)
-      .select($"id_b".as("vec_id")).distinct()
+    // round 21: same CosineDropAgg re-plan as d15 (bit-identical drop set,
+    // one cluster-keyed exchange instead of the pair-materializing join)
+    val drop = DedupOps.cosineDropIds(withCid, "vec_id", "embedding", "cluster", 0.35)
+      .select($"id_b".as("vec_id"))
     withCid.join(drop, Seq("vec_id"), "left_anti")
       .select($"vec_id", $"cluster").orderBy($"vec_id")
   }

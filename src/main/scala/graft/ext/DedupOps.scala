@@ -865,6 +865,58 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** The DISTINCT dropped ids of [[cosinePairs]]' keep-lowest-id contract —
+    * `{b : ∃ a < b in b's block with cosine(a,b) ≥ threshold}` — as ONE
+    * block-keyed aggregation ([[graft.functions.Aggregators.CosineDropAgg]];
+    * round 21, guide §2.3 "aggregate before you shuffle" / §2.4 "remove
+    * shuffles outright"). The consumers that only anti-join the drop set
+    * (d15/d18/[[semanticDedup]]) paid [[cosinePairs]]' full self-join for
+    * it: the clustered subtree evaluated TWICE (both join sides), Σ block²
+    * pair rows each carrying two full embedding payloads through the join,
+    * and no early exit — a row already proven dropped kept pairing. This
+    * form shuffles each block's rows ONCE (linear bytes — exactly the one
+    * side the join already moved), replays the pair scan in `finish` over
+    * primitive arrays with per-candidate early exit, and emits just the
+    * dropped ids. Results are bit-identical to
+    * `cosinePairs(...).select("id_b").distinct()` for unique-id inputs —
+    * the CosineDropAgg scaladoc lists the IEEE/NaN/±0.0 replay contract,
+    * and DedupOpsSpec pins the equivalence against the join plan.
+    *
+    * Null-block rows never pair in [[cosinePairs]] (the self-join's
+    * equality condition skips null keys), so their vectors are nulled in
+    * the input projection — a null VECTOR row neither drops nor is dropped
+    * on either plan (see the in-code note for why this must not be a
+    * Filter). Requires an integral id (the engine's ids are longs) — the
+    * long-keyed ordering must match the join's `id_a < id_b`. */
+  def cosineDropIds(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val idType = df.schema(idCol).dataType
+    require(Seq(org.apache.spark.sql.types.LongType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.ByteType).contains(idType),
+      s"cosineDropIds needs an integral id column, got ${idType.simpleString}")
+    val agg = udaf(new graft.functions.Aggregators.CosineDropAgg(threshold),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Seq[Double])]())
+    // Null blocks are neutralized IN the projection (vector nulled ⇒ the
+    // aggregator never pairs the row), NOT with a `.filter(isNotNull)`:
+    // when blockCol is a derived expression (d15/d18's kmeans assignment —
+    // interpreted HOF normalization under literal-folded centroids), the
+    // optimizer pushes a filter below the projection and INLINES the whole
+    // assignment expression into the Filter condition, re-evaluating it
+    // per row (guide §4.4's duplication, measured 6.0 s vs 0.6 s for this
+    // aggregation at sf1.0). A multiply-referenced non-cheap expression in
+    // a projection is NOT collapsed (CollapseProject's cost guard), so the
+    // assignment stays evaluated once.
+    df.select(col(blockCol).as("__blk"), col(idCol).cast("long").as("__id"),
+        when(col(blockCol).isNotNull,
+          transform(col(vecCol), x => x.cast("double"))).as("__v"))
+      .groupBy(col("__blk"))
+      .agg(agg(col("__id"), col("__v")).as("__drop"))
+      .select(explode(col("__drop")).as("__dropId"))
+      .select(col("__dropId").cast(idType).as("id_b"))
+  }
+
   /** Banded-LSH candidate generation for [[cosinePairsLsh]] — exposed so
     * specs can count candidates under each (planesPerBand, bands) setting.
     *
@@ -1441,8 +1493,11 @@ object DedupOps {
     val clustered = df.filter(col(vecCol).isNotNull)
       .withColumn("__cid", Similarity.assignExpr(
         transform(col(vecCol), x => x.cast("double")), centroids))
-    val drop = cosinePairs(clustered, idCol, vecCol, "__cid", threshold)
-      .select(col("id_b").as(idCol)).distinct()
+    // round 21: the drop set via ONE block-keyed aggregation instead of the
+    // cosinePairs self-join — bit-identical ids ([[cosineDropIds]]), linear
+    // shuffle bytes, one evaluation of the clustered subtree
+    val drop = cosineDropIds(clustered, idCol, vecCol, "__cid", threshold)
+      .select(col("id_b").as(idCol))
     df.join(drop, Seq(idCol), "left_anti")
   }
 

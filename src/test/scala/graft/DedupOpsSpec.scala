@@ -240,6 +240,58 @@ class DedupOpsSpec extends SparkSpec {
     assert(pairs.toSeq == oracle.toSeq)
   }
 
+  test("cosineDropIds ≡ cosinePairs' distinct dropped ids (the join-plan reference)") {
+    // The round-21 aggregation re-plan (CosineDropAgg) must reproduce the
+    // join plan's drop set EXACTLY, degenerate rows included: a null vector
+    // never pairs on either plan (null cosine fails every threshold), a
+    // null block never self-joins, and an overflow-NaN cosine (Inf/Inf from
+    // huge components — NO division by zero, which ANSI mode makes an ERROR
+    // on both plans) is GREATEST under Spark's DoubleType `>=`, so it pairs
+    // with its blockmates on BOTH plans (the nanSafeCompareDoubles contract
+    // the aggregator replays).
+    val huge = Seq.fill(64)(1.0e200) // dot/norms overflow to Inf; cos = NaN
+    val base = embs.select($"vec_id",
+      transform($"embedding", x => x.cast("double")).as("embedding"),
+      $"label".cast("int").as("label"))
+    val extra = Seq(
+      (900000L, Some(huge), Some(99)),                // NaN pair (with 900001)
+      (900001L, Some(huge), Some(99)),
+      (900002L, None: Option[Seq[Double]], Some(0)),  // null vector
+      (900003L, Some(Seq.tabulate(64)(i => 0.01 * i)), None: Option[Int]),
+      (900004L, Some(Seq.tabulate(64)(i => 0.01 * i)), None: Option[Int]))
+      .toDF("vec_id", "embedding", "label")
+    val corpus = base.unionByName(extra)
+    for (th <- Seq(0.35, 0.12, 0.9)) {
+      val ref = DedupOps.cosinePairs(corpus, "vec_id", "embedding", "label", th)
+        .select($"id_b").distinct().as[Long].collect().sorted.toSeq
+      val got = DedupOps.cosineDropIds(corpus, "vec_id", "embedding", "label", th)
+        .select($"id_b").as[Long].collect().sorted.toSeq
+      assert(got == ref, s"drop sets diverged at threshold $th")
+      assert(got.contains(900001L),
+        "the overflow-NaN cosine is greatest under Spark's >= and must drop")
+      assert(!got.contains(900002L) && !got.contains(900003L) &&
+        !got.contains(900004L),
+        "null-vector and null-block rows must never be dropped")
+    }
+    // ANSI parity: a ZERO-norm vector makes the join plan's Catalyst
+    // division raise DIVIDE_BY_ZERO (Spark 4 default) — the aggregation
+    // plan must fail loudly too, not silently NaN-drop
+    val zero = Seq(
+      (1L, Seq.fill(4)(0.0), 7),
+      (2L, Seq(1.0, 0.0, 0.0, 0.0), 7)).toDF("vec_id", "embedding", "label")
+    intercept[Exception] {
+      DedupOps.cosinePairs(zero, "vec_id", "embedding", "label", 0.35).collect()
+    }
+    val thrown = intercept[Exception] {
+      DedupOps.cosineDropIds(zero, "vec_id", "embedding", "label", 0.35).collect()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ rootMessages(e.getCause))
+    assert(rootMessages(thrown).exists(_.contains("DIVIDE_BY_ZERO")),
+      s"aggregator must replay the ANSI zero-divisor failure, got $thrown")
+  }
+
   test("cosinePairsLsh (label ∧ band blocking) finds exactly the label-blocked pairs") {
     // The bucketed variant of the verdict's d05 scale caveat: same semantics
     // as cosinePairs(label) — within-label pairs above threshold — but no
