@@ -573,11 +573,22 @@ object DedupOps {
     * job). Returns (idCol, clean_text, n_kept, n_removed), clean_text = ""
     * when everything was repeated.
     *
-    * Scale shape: occurrence rows are (doc, position, 8-byte gram hash); the
-    * document-frequency aggregation and the cover join are gram-hash-keyed
-    * (the d04 inverted-index shape — a suffix array needs a dedicated host,
-    * this needs only keyed shuffles), and the rebuild is one doc-keyed
-    * aggregation whose per-group state is bounded by document length. */
+    * Scale shape (re-planned round 21 — guide §2.3 "shuffle keys and
+    * metadata instead of payloads"): occurrence rows are (doc, position,
+    * 8-byte gram hash); the document-frequency aggregation and the cover
+    * join are gram-hash-keyed (the d04 inverted-index shape — a suffix
+    * array needs a dedicated host, this needs only keyed shuffles); the
+    * covered positions then collapse to ONE int-array per affected doc
+    * (bounded by document length — the same bound the old collect_list
+    * rebuild had) and the rebuild is a PROJECTION over the token array
+    * (`array_except` of the position range, linear per doc). The token
+    * STRINGS never shuffle: the old plan posexplode'd every token a second
+    * time, anti-joined all (doc, position) token rows against the covered
+    * set, re-aggregated the kept tokens with collect_list, and joined a
+    * third tokenize for the total count — three token-payload exchanges
+    * and three tokenize evaluations, versus one int-payload exchange and
+    * two tokenize evaluations now. DedupOpsSpec pins the old rebuild
+    * program as the equivalence reference. */
   def maskRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
       n: Int = 8, minDocs: Int = 2): DataFrame = {
     require(n >= 2 && minDocs >= 2, s"need n >= 2 and minDocs >= 2")
@@ -588,43 +599,55 @@ object DedupOps {
         .as(Seq("__i", "__ng")))
       .filter(col("__ng").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
       .select(col("__id"), col("__i"), h60(col("__ng")).as("__gh"))
-      // one explicit gram-hash exchange BOTH consumers reuse (round 20):
-      // the document-frequency aggregation and the cover join each need
-      // the occurrences hash-partitioned by __gh, but their default plans
-      // wrap occ in DIFFERENT exchange subtrees (partial-agg vs raw), so
-      // the tokenize+gram+hash scan ran twice per call. Repartitioning
-      // here makes one identical Exchange subtree that AQE serves to both
-      // via ReusedExchange (the d04/d06 signature-chain pattern) — and at
-      // scale the gram stream crosses the wire ONCE instead of twice.
-      // Measured 3.13 -> 2.89 s same-session A/B at sf0.1 (the tokenize
-      // is cheap locally; the shuffle halving is the at-scale win);
-      // PlanDump shows scans 3 -> 2 and ReusedExchange=true.
+      // explicit gram-hash repartition (round 20; claim corrected round
+      // 21): the document-frequency aggregation and the cover join both
+      // need the occurrences keyed by __gh. The r20 note claimed ONE
+      // ReusedExchange serves both — the round-21 executed plan shows that
+      // is NOT so (the consumers prune to different column sets, so the
+      // two REPARTITION_BY_COL exchanges stay separate; the ReusedExchange
+      // in the plan is the loadSpread round-robin). The repartition still
+      // WINS on measurement — same-session sf1.0 A/B: 5.53 s with vs
+      // 6.52 s without — because each consumer's downstream
+      // ENSURE_REQUIREMENTS exchange is satisfied by the explicit
+      // partitioning (countDistinct's two-level rewrite re-shuffles
+      // nothing). Kept on that evidence, not the reuse story.
       .repartition(col("__gh"))
     val rep = occ.groupBy(col("__gh"))
       .agg(countDistinct(col("__id")).as("__df"))
       .filter(col("__df") >= minDocs)
       .select(col("__gh"))
-    // positions covered by some cross-document-repeated window
-    val cov = occ.join(rep, Seq("__gh"))
+    // per-doc covered-position SET (collect_set dedups in the aggregation —
+    // the old plan's standalone .distinct() exchange is folded in); int
+    // positions only, bounded by document length
+    val covSet = occ.join(rep, Seq("__gh"))
       .select(col("__id"),
         explode_outer(sequence(col("__i"), col("__i") + (n - 1))).as("__p"))
       .filter(col("__p").isNotNull)
-      .distinct()
-    val pos = tk
-      .select(col("__id"), posexplode_outer(col("__tk")).as(Seq("__p", "__tok")))
-      .filter(col("__tok").isNotNull)
-    val rebuilt = pos.join(cov, Seq("__id", "__p"), "left_anti")
       .groupBy(col("__id"))
-      .agg(array_join(expr(
-        "transform(array_sort(collect_list(struct(__p, __tok))), e -> e.__tok)"),
-        " ").as("clean_text"),
-        count(lit(1)).as("n_kept"))
-    tk.select(col("__id"), size(col("__tk")).cast("long").as("__ntok"))
-      .join(rebuilt, Seq("__id"), "left")
+      .agg(collect_set(col("__p")).as("__cov"))
+    // rebuild as a projection: kept positions = ascending position range
+    // minus the covered set (array_except is hash-based and keeps the
+    // left argument's order, so tokens stay in original order — the old
+    // array_sort(collect_list(struct(__p, __tok))) contract); element_at
+    // indices are p+1 ∈ [1, ntok], always in bounds under ANSI. The
+    // sequence is guarded: sequence(0, -1) on an empty token array would
+    // DESCEND (the shinglesN gotcha), and a null text yields a null size
+    // whose `when` also routes to the empty branch — reproducing the old
+    // plan's join-miss "" / 0 row exactly (and its null __ntok arithmetic
+    // for n_removed).
+    val kept = when(size(col("__tk")) > 0,
+      array_except(
+        sequence(lit(0), size(col("__tk")) - 1),
+        coalesce(col("__cov"), array().cast("array<int>"))))
+      .otherwise(array().cast("array<int>"))
+    tk.join(covSet, Seq("__id"), "left")
+      .withColumn("__kept", kept)
       .select(col("__id").as(idCol),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("__ntok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+        array_join(transform(col("__kept"),
+          p => element_at(col("__tk"), p + 1)), " ").as("clean_text"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        (size(col("__tk")).cast("long") - size(col("__kept")).cast("long"))
+          .as("n_removed"))
   }
 
   /** Corpus-level line/paragraph dedup (the Dolma paragraph policy, C4's

@@ -751,6 +751,17 @@ object TextAnalysis {
       .withColumn("__bgs", ngramsExact(col("__tk"), 2))
       .select(col(idCol), explode_outer(col("__bgs")).as("__bg"))
       .filter(col("__bg").isNotNull) // outer: no inferred-filter re-eval (see TextOps)
+    // NO explicit repartition(__bg) here (round-21 audit, the d08
+    // gram-exchange pattern considered and REJECTED on plan evidence): the
+    // two consumers prune `inst` to different columns (the vocabulary count
+    // drops idCol), so an explicit exchange is NOT reused — and it would
+    // force the full instance stream (corpus × tokens) through the wire
+    // where the default plan map-side partial-aggregates to vocab-sized
+    // partial counts before its shuffle and broadcasts the assembled
+    // probability table onto the UNSHUFFLED instances (SMJ only when the
+    // vocabulary outgrows the broadcast threshold — the planner's call).
+    // The duplicated tokenize (executed plan: 2 scans) is the cheaper side
+    // of that trade at every scale.
     inst.join(knStats(inst, discount), Seq("__bg"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_big"),

@@ -1345,6 +1345,61 @@ class DedupOpsSpec extends SparkSpec {
     assert(wiped == Seq((1L, "", 0L, 8L), (2L, "", 0L, 8L)))
   }
 
+  test("maskRepeatedSpans (projection rebuild) ≡ the anti-join/collect_list reference") {
+    // The round-21 rebuild re-plan must reproduce the old program's rows
+    // EXACTLY on real docs plus the degenerate classes: null text (null
+    // __ntok arithmetic!), empty/whitespace text, fully-masked docs, docs
+    // shorter than the window. The reference below restates the pre-r21
+    // rebuild verbatim: posexplode the tokens again, anti-join covered
+    // (doc, position) rows, collect_list the kept tokens, join the
+    // token-count frame back.
+    import graft.ext.TextOps.{toks, ngramsExact, h60}
+    val degenerate = Seq(
+      (800001L, null: String), (800002L, ""), (800003L, "   \t  "),
+      (800004L, "w1 w2 w3")).toDF("doc_id", "text")
+    val corpus = docs.select($"doc_id", $"text").unionByName(degenerate)
+    val (n, minDocs) = (8, 2)
+    val reference = {
+      val tk = corpus.select($"doc_id".as("__id"), toks($"text").as("__tk"))
+      val occ = tk
+        .select($"__id", posexplode_outer(ngramsExact($"__tk", n)).as(Seq("__i", "__ng")))
+        .filter($"__ng".isNotNull)
+        .select($"__id", $"__i", h60($"__ng").as("__gh"))
+        .repartition($"__gh")
+      val rep = occ.groupBy($"__gh")
+        .agg(countDistinct($"__id").as("__df"))
+        .filter($"__df" >= minDocs).select($"__gh")
+      val cov = occ.join(rep, Seq("__gh"))
+        .select($"__id", explode_outer(sequence($"__i", $"__i" + (n - 1))).as("__p"))
+        .filter($"__p".isNotNull).distinct()
+      val pos = tk.select($"__id", posexplode_outer($"__tk").as(Seq("__p", "__tok")))
+        .filter($"__tok".isNotNull)
+      val rebuilt = pos.join(cov, Seq("__id", "__p"), "left_anti")
+        .groupBy($"__id")
+        .agg(array_join(expr(
+          "transform(array_sort(collect_list(struct(__p, __tok))), e -> e.__tok)"),
+          " ").as("clean_text"),
+          count(lit(1)).as("n_kept"))
+      tk.select($"__id", size($"__tk").cast("long").as("__ntok"))
+        .join(rebuilt, Seq("__id"), "left")
+        .select($"__id".as("doc_id"),
+          coalesce($"clean_text", lit("")).as("clean_text"),
+          coalesce($"n_kept", lit(0L)).as("n_kept"),
+          ($"__ntok" - coalesce($"n_kept", lit(0L))).as("n_removed"))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"clean_text", $"n_kept",
+        $"n_removed".cast("string").as("n_removed")) // null-safe compare
+      .as[(Long, String, Long, String)].collect().sortBy(_._1).toSeq
+    val got = rows(DedupOps.maskRepeatedSpans(corpus, "doc_id", "text", n, minDocs))
+    val ref = rows(reference)
+    assert(got == ref, s"rebuild diverged:\n got=${got.take(8)}\n ref=${ref.take(8)}")
+    // the null-text row must keep the old plan's null n_removed arithmetic
+    assert(got.find(_._1 == 800001L).exists(r =>
+      r._2 == "" && r._3 == 0L && r._4 == null),
+      s"null-text row diverged: ${got.find(_._1 == 800001L)}")
+  }
+
   test("simhashPairs banded index equals brute-force all-pairs at the threshold") {
     // pigeonhole exactness: at maxHamming <= bands-1 the band equi-join must
     // surface EXACTLY the pairs an all-pairs hamming scan finds
